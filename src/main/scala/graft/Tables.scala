@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver-generated test tables.
+  *
+  * Column pruning + predicate pushdown are left to Catalyst: every
+  * operator declares projections/filters on top of these raw scans and
+  * `.explain` shows them reaching the parquet reader (PushedFilters /
+  * ReadSchema). At 100 TB these would be partitioned tables; the
+  * loaders are the single place to swap in a catalog.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The driver-generated events table stores ts as parquet
+    // TIMESTAMP(NANOS), which Spark refuses by default; read the
+    // nanos as long and rebuild a microsecond timestamp below (the
+    // data has no sub-microsecond component; DuckDB reads it as a
+    // microsecond TIMESTAMP the same way).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else df
+  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
+
+/** A named query plus (optionally) its DuckDB oracle SQL. */
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(fn: (SparkSession, String) => DataFrame, sql: String): Q =
+    Q(fn, Some(sql))
+}

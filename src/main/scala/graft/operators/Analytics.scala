@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Q, Tables}
+
+/** Core OLAP capabilities — the read side a report-worker database
+  * serves (heatmaps, per-player summaries; ref mysql 01_tables.sql
+  * idx_heatmap / idx_reportedID) expressed over the TPC-H-ish tables.
+  *
+  * Money math is decimal-exact end-to-end (cast BEFORE aggregation)
+  * so oracle hashes match bit-for-bit; final casts only widen — no
+  * rounding anywhere. All aggregates get map-side partial merge; the
+  * dims in joins are broadcast.
+  */
+object Analytics {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  private val one = lit(1).cast(DecimalType(3, 2))
+  /** disc price = extendedprice * (1 - discount), exact at scale 4. */
+  private def discPrice: Column =
+    dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
+
+  // ---------------------------------------------------------------- E1
+  val q1Pricing: Q = Q(
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2))
+            .as("sum_base_price"),
+          sum(discPrice).cast(DecimalType(28, 4)).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+      |    AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+      |    AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2))))
+      |       AS DECIMAL(28,4)) AS sum_disc_price,
+      |  CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  // ---------------------------------------------------------------- E2
+  /** Top-k revenue per order for one segment — join + agg + limit.
+    * Ties broken by o_orderkey for a total deterministic order.
+    */
+  val q3Topk: Q = Q(
+    (s, dir) =>
+      Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(sum(discPrice).cast(DecimalType(28, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10),
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2))))
+      |       AS DECIMAL(28,4)) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND o_orderkey = l_orderkey
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+
+  // ---------------------------------------------------------------- E3
+  /** Multi-way dim join: region ⋈ nation ⋈ customer ⋈ orders with the
+    * small dims broadcast — on a cluster the fact never shuffles.
+    */
+  val q5Multijoin: Q = Q(
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2))
+            .as("total_price"))
+        .orderBy("r_name", "n_name"),
+    """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+      |    AS total_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)
+
+  // ---------------------------------------------------------------- E4
+  val wRunning: Q = Q(
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("running",
+          sum(dec2(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DecimalType(18, 2)))
+        .select("o_custkey", "o_orderkey", "rn", "running")
+        .orderBy("o_custkey", "rn")
+    },
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(row_number() OVER w AS BIGINT) AS rn,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS DECIMAL(18,2)) AS running
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin)
+
+  // ---------------------------------------------------------------- E5
+  /** Gaps-and-islands sessionization (30-min gap) — the batch twin of
+    * the streaming session state (SURVEY D5). Epoch math in exact
+    * microseconds (unix_micros / epoch_us) on both sides.
+    */
+  val rSessionize: Q = Q(
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val gapUs = 1800L * 1000000L
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("new_sess",
+          when(lag("us", 1).over(w).isNull ||
+            col("us") - lag("us", 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("event_id").as("first_event"),
+          max("event_id").as("last_event"),
+          min("ts").as("start_ts"), max("ts").as("end_ts"))
+        .orderBy("user_id", "session_id")
+    },
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  min(event_id) AS first_event, max(event_id) AS last_event,
+      |  min(ts) AS start_ts, max(ts) AS end_ts
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin)
+
+  // ---------------------------------------------------------------- D2
+  /** Micro-batch accounting (ref main.py:39-57 batches by size/time):
+    * tumbling 1-hour windows per event type.
+    */
+  val rBatchStats: Q = Q(
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("batch_hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min("event_id").as("min_event"), max("event_id").as("max_event"),
+          sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("sum_value"))
+        .orderBy("batch_hour", "event_type"),
+    """SELECT date_trunc('hour', ts) AS batch_hour, event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  min(event_id) AS min_event, max(event_id) AS max_event,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+      |FROM events GROUP BY date_trunc('hour', ts), event_type
+      |ORDER BY batch_hour, event_type""".stripMargin)
+
+  val registry: Map[String, Q] = Map(
+    "q1_pricing" -> q1Pricing,
+    "q3_topk" -> q3Topk,
+    "q5_multijoin" -> q5Multijoin,
+    "w_running" -> wRunning,
+    "r_sessionize" -> rSessionize,
+    "r_batch_stats" -> rBatchStats)
+}

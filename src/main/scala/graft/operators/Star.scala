@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Star-schema normalization — the reference's core write path
+  * (ref src/app/controllers/report.py:76-314) re-expressed as
+  * declarative plans:
+  *
+  *  - MySQL `INSERT ... WHERE NOT EXISTS` per dim  → DISTINCT (+ anti
+  *    join against the existing dim) — map-side partial aggregation
+  *    makes the DISTINCTs cheap, and the dims are tiny next to the
+  *    fact, so at 100 TB only the fact's own DISTINCT shuffles.
+  *  - AUTO_INCREMENT surrogate keys → `row_number` over a stable
+  *    order on the *dim* (never the fact). Beyond ~1e8 dim rows
+  *    switch to partition-offset ids (zipWithIndex-style).
+  *  - fact re-key via dim joins → broadcast hash joins (dims small).
+  *  - the player LRU cache (ref src/_cache.py) → broadcast join: the
+  *    per-executor hash map IS the cache, minus invalidation.
+  */
+object Star {
+
+  /** Events enriched with the reference report's derived fields
+    * (sighting triple, location tuple, gear ids) via exact int64
+    * arithmetic — the hash-stable analog of the report payload.
+    */
+  private[operators] def enriched(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("reporting_id", col("user_id"))
+      .withColumn("reported_id", col("k"))
+      .withColumn("manual_detect", col("event_id") % 2)
+      .withColumn("region_id", lit(10000L) + col("user_id") % 500)
+      .withColumn("x_coord", (col("event_id") * 31) % 5000)
+      .withColumn("y_coord", (col("event_id") * 37) % 5000)
+      .withColumn("z_coord", col("event_id") % 4)
+      .withColumn("g_head",
+        Cleanse.clampSmallint((col("user_id") * 7919L + col("event_id") * 13L) % 40000L))
+      .withColumn("g_torso",
+        Cleanse.clampSmallint((col("user_id") * 104729L + col("event_id") * 17L) % 40000L))
+      .withColumn("g_weapon",
+        Cleanse.clampSmallint((col("user_id") * 1299709L + col("event_id") * 19L) % 40000L))
+
+  private val enrichedSql =
+    """SELECT event_id, ts, user_id, event_type,
+      |  CAST(props->>'k' AS BIGINT) AS k,
+      |  user_id AS reporting_id,
+      |  CAST(props->>'k' AS BIGINT) AS reported_id,
+      |  event_id % 2 AS manual_detect,
+      |  10000 + user_id % 500 AS region_id,
+      |  (event_id*31) % 5000 AS x_coord,
+      |  (event_id*37) % 5000 AS y_coord,
+      |  event_id % 4 AS z_coord,
+      |  CASE WHEN (user_id*7919 + event_id*13) % 40000 > 32767 THEN 0
+      |       ELSE (user_id*7919 + event_id*13) % 40000 END AS g_head,
+      |  CASE WHEN (user_id*104729 + event_id*17) % 40000 > 32767 THEN 0
+      |       ELSE (user_id*104729 + event_id*17) % 40000 END AS g_torso,
+      |  CASE WHEN (user_id*1299709 + event_id*19) % 40000 > 32767 THEN 0
+      |       ELSE (user_id*1299709 + event_id*19) % 40000 END AS g_weapon
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- C1
+  /** get-or-insert (ref player.py:60-71): incoming keys anti-joined
+    * against the existing dim; survivors get ids continuing after the
+    * current max — one small global sort on the NEW keys only.
+    */
+  val rDimBuild: Q = Q(
+    (s, dir) => {
+      val existing = Tables.customer(s, dir)
+        .select(col("c_custkey").as("player_id"))
+      val incoming = Tables.events(s, dir)
+        .select((col("user_id") * 13).as("user_key")).distinct()
+      val newKeys = incoming.join(
+        existing, incoming("user_key") === existing("player_id"), "left_anti")
+      val maxId = existing.agg(max("player_id").as("max_id"))
+      newKeys.crossJoin(maxId)
+        .withColumn("player_id",
+          (col("max_id") +
+            row_number().over(Window.orderBy("user_key"))).cast("long"))
+        .select(col("user_key"), col("player_id"))
+        .orderBy("user_key")
+    },
+    """WITH incoming AS (SELECT DISTINCT user_id*13 AS user_key FROM events),
+      |newk AS (SELECT user_key FROM incoming
+      |         WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                           WHERE c.c_custkey = incoming.user_key)),
+      |mx AS (SELECT MAX(c_custkey) AS max_id FROM customer)
+      |SELECT user_key,
+      |  CAST(max_id + row_number() OVER (ORDER BY user_key) AS BIGINT)
+      |    AS player_id
+      |FROM newk, mx ORDER BY user_key""".stripMargin)
+
+  // ---------------------------------------------------------------- C2
+  /** report_sighting dim (ref report.py:170-186, 01_tables.sql
+    * unique_sighting): DISTINCT triple + surrogate id.
+    */
+  val rDimSighting: Q = Q(
+    (s, dir) =>
+      enriched(s, dir)
+        .select("reporting_id", "reported_id", "manual_detect").distinct()
+        .withColumn("sighting_id",
+          row_number().over(
+            Window.orderBy("reporting_id", "reported_id", "manual_detect"))
+            .cast("long"))
+        .select("sighting_id", "reporting_id", "reported_id", "manual_detect")
+        .orderBy("sighting_id"),
+    s"""WITH e AS ($enrichedSql),
+       |d AS (SELECT DISTINCT reporting_id, reported_id, manual_detect FROM e)
+       |SELECT CAST(row_number() OVER
+       |         (ORDER BY reporting_id, reported_id, manual_detect) AS BIGINT)
+       |         AS sighting_id,
+       |       reporting_id, reported_id, manual_detect
+       |FROM d ORDER BY sighting_id""".stripMargin)
+
+  // ---------------------------------------------------------------- C3
+  /** NOT-EXISTS insert filter (ref report.py:175-185) → left_anti:
+    * triples arriving in the "new" slice that the "existing" slice has
+    * never seen.
+    */
+  val rFactAntijoin: Q = Q(
+    (s, dir) => {
+      val e = enriched(s, dir)
+      val incoming = e.filter(col("event_id") % 3 === 0)
+        .select("reporting_id", "event_type", "reported_id").distinct()
+      val existing = e.filter(col("event_id") % 3 =!= 0)
+        .select("reporting_id", "event_type", "reported_id").distinct()
+      incoming.join(existing,
+          Seq("reporting_id", "event_type", "reported_id"), "left_anti")
+        .orderBy("reporting_id", "event_type", "reported_id")
+    },
+    s"""WITH e AS ($enrichedSql),
+       |inc AS (SELECT DISTINCT reporting_id, event_type, reported_id
+       |        FROM e WHERE event_id % 3 = 0),
+       |ex AS (SELECT DISTINCT reporting_id, event_type, reported_id
+       |       FROM e WHERE event_id % 3 <> 0)
+       |SELECT i.* FROM inc i
+       |WHERE NOT EXISTS (SELECT 1 FROM ex x
+       |  WHERE x.reporting_id = i.reporting_id
+       |    AND x.event_type = i.event_type
+       |    AND x.reported_id = i.reported_id)
+       |ORDER BY reporting_id, event_type, reported_id""".stripMargin)
+
+  // ---------------------------------------------------------------- C4
+  /** Full star normalize (ref report.py:253-314 `insert_report`):
+    * build the three dims, broadcast them, re-key the fact to
+    * surrogate ids. The flagship pipeline.
+    */
+  val rFactAssemble: Q = Q(
+    (s, dir) => {
+      val e = enriched(s, dir)
+      val sighting = e.select("reporting_id", "reported_id", "manual_detect")
+        .distinct()
+        .withColumn("sighting_id", row_number().over(
+          Window.orderBy("reporting_id", "reported_id", "manual_detect"))
+          .cast("long"))
+      val location = e.select("region_id", "x_coord", "y_coord", "z_coord")
+        .distinct()
+        .withColumn("location_id", row_number().over(
+          Window.orderBy("region_id", "x_coord", "y_coord", "z_coord"))
+          .cast("long"))
+      val gear = e.select("g_head", "g_torso", "g_weapon").distinct()
+        .withColumn("gear_id", row_number().over(
+          Window.orderBy("g_head", "g_torso", "g_weapon")).cast("long"))
+      e.join(broadcast(sighting),
+          Seq("reporting_id", "reported_id", "manual_detect"))
+        .join(broadcast(location),
+          Seq("region_id", "x_coord", "y_coord", "z_coord"))
+        .join(broadcast(gear), Seq("g_head", "g_torso", "g_weapon"))
+        .select(col("event_id"), col("sighting_id"), col("location_id"),
+          col("gear_id"), col("ts").as("reported_at"))
+        .orderBy("event_id")
+    },
+    s"""WITH e AS ($enrichedSql),
+       |sighting AS (
+       |  SELECT CAST(row_number() OVER
+       |    (ORDER BY reporting_id, reported_id, manual_detect) AS BIGINT)
+       |    AS sighting_id, reporting_id, reported_id, manual_detect
+       |  FROM (SELECT DISTINCT reporting_id, reported_id, manual_detect
+       |        FROM e)),
+       |location AS (
+       |  SELECT CAST(row_number() OVER
+       |    (ORDER BY region_id, x_coord, y_coord, z_coord) AS BIGINT)
+       |    AS location_id, region_id, x_coord, y_coord, z_coord
+       |  FROM (SELECT DISTINCT region_id, x_coord, y_coord, z_coord FROM e)),
+       |gear AS (
+       |  SELECT CAST(row_number() OVER
+       |    (ORDER BY g_head, g_torso, g_weapon) AS BIGINT) AS gear_id,
+       |    g_head, g_torso, g_weapon
+       |  FROM (SELECT DISTINCT g_head, g_torso, g_weapon FROM e))
+       |SELECT e.event_id, s.sighting_id, l.location_id, g.gear_id,
+       |       e.ts AS reported_at
+       |FROM e
+       |JOIN sighting s ON s.reporting_id = e.reporting_id
+       |  AND s.reported_id = e.reported_id
+       |  AND s.manual_detect = e.manual_detect
+       |JOIN location l ON l.region_id = e.region_id
+       |  AND l.x_coord = e.x_coord AND l.y_coord = e.y_coord
+       |  AND l.z_coord = e.z_coord
+       |JOIN gear g ON g.g_head = e.g_head AND g.g_torso = e.g_torso
+       |  AND g.g_weapon = e.g_weapon
+       |ORDER BY event_id""".stripMargin)
+
+  // ---------------------------------------------------------------- C5
+  /** INSERT IGNORE / unique-key first-wins (ref 01_tables.sql
+    * Unique_Report) → keep the latest row per natural key.
+    */
+  val rUpsertLatest: Q = Q(
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy("user_id")
+    },
+    """SELECT user_id, last_event_id, last_type, last_value FROM (
+      |  SELECT user_id, event_id AS last_event_id,
+      |         event_type AS last_type, value AS last_value,
+      |         row_number() OVER (PARTITION BY user_id
+      |           ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin)
+
+  // ---------------------------------------------------------------- C6
+  /** The LRU player cache (ref src/_cache.py) re-expressed: broadcast
+    * the dim; every executor holds the whole "cache", zero round
+    * trips, zero invalidation.
+    */
+  val rCacheJoin: Q = Q(
+    (s, dir) =>
+      Tables.events(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+          col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(12,2)")).cast("decimal(18,2)")
+            .as("sum_value"))
+        .orderBy("c_mktsegment"),
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+
+  val registry: Map[String, Q] = Map(
+    "r_dim_build" -> rDimBuild,
+    "r_dim_sighting" -> rDimSighting,
+    "r_fact_antijoin" -> rFactAntijoin,
+    "r_fact_assemble" -> rFactAssemble,
+    "r_upsert_latest" -> rUpsertLatest,
+    "r_cache_join" -> rCacheJoin)
+}

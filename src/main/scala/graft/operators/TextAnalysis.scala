@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Text analysis for training-data pipelines (SURVEY §2 H): token
+  * counting, quality scoring, language ID. Pure `functions._` —
+  * regex + higher-order array functions, fully codegen'd, map-only
+  * (no shuffle at all until the final presentation sort).
+  *
+  * Ratios are emitted in integer basis points (x*10000 DIV y): the
+  * scores stay hash-exact across engines with zero float rounding.
+  */
+object TextAnalysis {
+
+  private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
+  private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  private def hits(c: Column, words: Seq[String]): Column =
+    size(filter(toks(c), t => array_contains(
+      array(words.map(lit): _*), t))).cast("long")
+
+  private def hitsSql(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($toksSql, x -> list_contains($list, x)))"
+  }
+
+  // ---------------------------------------------------------------- H2
+  /** Whitespace tokens and a BPE-ish pre-tokenizer (letter runs /
+    * digit runs / single punctuation), both as counts.
+    */
+  val tTokens: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_ws"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+            .as("n_bpe"))
+        .orderBy("doc_id"),
+    s"""SELECT doc_id, len($toksSql) AS n_ws,
+       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+       |    AS n_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin)
+
+  private val stopEn = Seq("the", "and", "of", "to", "in", "is", "that",
+    "it", "for", "on")
+
+  // ---------------------------------------------------------------- H1
+  /** Quality score: length, punctuation density, stopword density —
+    * combined into one 0..10000 score (higher = cleaner).
+    */
+  val tQuality: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(toks(col("text"))).cast("long").as("n_tokens"),
+          size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
+            .cast("long").as("n_punct"),
+          hits(col("text"), stopEn).as("n_stop"))
+        .selectExpr("doc_id", "n_chars", "n_tokens", "n_punct", "n_stop",
+          "(n_punct * 10000) DIV n_chars AS punct_bp",
+          "(n_stop * 10000) DIV n_tokens AS stop_bp",
+          "10000 - ((n_punct * 10000) DIV n_chars +" +
+            " (n_stop * 10000) DIV n_tokens) DIV 2 AS quality_bp")
+        .orderBy("doc_id"),
+    s"""WITH m AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |    len($toksSql) AS n_tokens,
+       |    len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       |    ${hitsSql(stopEn)} AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
+       |  (n_punct * 10000) // n_chars AS punct_bp,
+       |  (n_stop * 10000) // n_tokens AS stop_bp,
+       |  10000 - ((n_punct * 10000) // n_chars +
+       |           (n_stop * 10000) // n_tokens) // 2 AS quality_bp
+       |FROM m ORDER BY doc_id""".stripMargin)
+
+  private val stopEs = Seq("el", "la", "de", "que", "y", "en", "los",
+    "se", "del", "las")
+  private val stopDe = Seq("der", "die", "und", "das", "von", "mit",
+    "den", "ist", "im", "des")
+
+  // ---------------------------------------------------------------- H3
+  /** Stopword-hit language ID with a deterministic tie-break
+    * (en ≥ es ≥ de), the classic n-gram-profile heuristic reduced to
+    * its word-level core.
+    */
+  val tLangid: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          hits(col("text"), stopEn).as("en_hits"),
+          hits(col("text"), stopEs).as("es_hits"),
+          hits(col("text"), stopDe).as("de_hits"))
+        .withColumn("lang_guess",
+          when(col("en_hits") >= col("es_hits") &&
+            col("en_hits") >= col("de_hits"), "en")
+            .when(col("es_hits") >= col("de_hits"), "es")
+            .otherwise("de"))
+        .orderBy("doc_id"),
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ${hitsSql(stopEn)} AS en_hits,
+       |    ${hitsSql(stopEs)} AS es_hits,
+       |    ${hitsSql(stopDe)} AS de_hits
+       |  FROM documents)
+       |SELECT doc_id, en_hits, es_hits, de_hits,
+       |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+       |       WHEN es_hits >= de_hits THEN 'es'
+       |       ELSE 'de' END AS lang_guess
+       |FROM h ORDER BY doc_id""".stripMargin)
+
+  val registry: Map[String, Q] = Map(
+    "t_tokens" -> tTokens,
+    "t_quality" -> tQuality,
+    "t_langid" -> tLangid)
+}
