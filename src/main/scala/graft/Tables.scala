@@ -19,11 +19,25 @@ object Tables {
     // microsecond TIMESTAMP the same way).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    if (name == "events") nanosToTimestamp(df) else df
+  }
+
+  /** Rebuild a µs timestamp from the nanos-as-long `ts` column (no-op
+    * if `ts` is already a timestamp).
+    */
+  def nanosToTimestamp(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
     else df
+
+  /** Events with `ts` still a raw long of nanos — the schema a file
+    * stream over the same parquet must declare.
+    */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")

@@ -43,7 +43,7 @@ object Cleanse {
     * the reference guards against), and gear ids from int64 math.
     */
   private def payload(s: SparkSession, dir: String): DataFrame = {
-    val rawS = lit(1500000000L) + col("event_id") * 40000L + col("user_id")
+    val rawS = lit(1577800000L) + col("event_id") * 40000L + col("user_id")
     Tables.events(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .withColumn(
@@ -54,8 +54,8 @@ object Cleanse {
   private val payloadSql =
     """SELECT *, CAST(props->>'k' AS BIGINT) AS k,
       |  CASE WHEN event_id % 2 = 0
-      |       THEN (1500000000 + event_id*40000 + user_id) * 1000
-      |       ELSE 1500000000 + event_id*40000 + user_id END AS raw_ts
+      |       THEN (1577800000 + event_id*40000 + user_id) * 1000
+      |       ELSE 1577800000 + event_id*40000 + user_id END AS raw_ts
       |FROM events""".stripMargin
 
   // ---------------------------------------------------------------- A1

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every registered query runs and returns rows on sf0.001; a few
+  * semantics are pinned exactly. The full value-level gate is the
+  * DuckDB oracle compare (tools/parity.py / driver CORRECTNESS).
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("every registered query has an oracle or a documented reason") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty,
+      s"queries without oracle SQL: ${noOracle.mkString(", ")}")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, fn) <- SparkEntry.queries) {
+    test(s"$name runs and returns rows on sf0.001") {
+      assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("r_clamp_gear: no gear id above SMALLINT max survives") {
+    val over = SparkEntry.queries("r_clamp_gear")(spark, sf)
+      .filter(col("gear_id") > 32767).count()
+    assert(over === 0)
+  }
+
+  test("r_ts_normalize: all normalized ts within the reference gate") {
+    val bad = SparkEntry.queries("r_ts_normalize")(spark, sf)
+      .filter(col("ts_sec") < 1577883600L || col("ts_sec") > 1735736400L)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("r_sanitize_name matches the reference sanitizer") {
+    import spark.implicits._
+    val got = Seq("  Player_One-Two  ").toDF("c_name")
+      .select(graft.operators.Cleanse.sanitizeName(col("c_name")))
+      .as[String].head()
+    assert(got === "player one two")
+  }
+
+  test("r_fact_assemble: every fact row resolves all three dims") {
+    val f = SparkEntry.queries("r_fact_assemble")(spark, sf)
+    assert(f.filter(col("sighting_id").isNull || col("location_id").isNull
+      || col("gear_id").isNull).count() === 0)
+    // re-keying loses no rows
+    assert(f.count() === Tables.events(spark, sf).count())
+  }
+
+  test("d_exact keeps one representative per distinct text") {
+    val d = SparkEntry.queries("d_exact")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(d.count() ===
+      docs.select(md5(col("text"))).distinct().count())
+  }
+
+  test("s_cosine_topk: probe's identical-vector twin scores 1.0") {
+    // cosine of any vector with itself is 1.0 → 1,000,000 micro-units;
+    // top-k scores are bounded by it
+    val top = SparkEntry.queries("s_cosine_topk")(spark, sf)
+    assert(top.filter(col("score_micro") > 1000000L).count() === 0)
+  }
+
+  test("broadcast survives in the cache-join plan") {
+    val plan = SparkEntry.queries("r_cache_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast join, got:\n$plan")
+  }
+
+  test("parquet scan prunes columns for t_tokens") {
+    val scan = SparkEntry.queries("t_tokens")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("doc_id") && scan.contains("text"))
+    assert(!scan.contains("ReadSchema: struct<doc_id:bigint,text:string,lang")
+      || !scan.contains("n_chars"), "scan should not read unused columns")
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.ReportStream
+
+/** D1/D3/D5: the streaming pipe driven end-to-end with a file source
+  * standing in for Kafka (same unbounded-table semantics).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def tempDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def stageEvents(dir: String): Unit =
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$dir/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+  test("D1 pipeline: valid rows land in reports, errors in dead_letter") {
+    val in = tempDir("graft_in")
+    val out = tempDir("graft_out")
+    val ck = tempDir("graft_ck")
+    stageEvents(in)
+    val src = ReportStream.fileSource(spark, in, Tables.eventsRaw(spark, sf))
+    val q = ReportStream.pipeline(src, out, ck)
+    q.awaitTermination(120000)
+
+    val events = Tables.events(spark, sf)
+    val nErr = events.filter(col("event_type") === "error").count()
+    val reports = spark.read.parquet(s"$out/reports")
+    val dead = spark.read.parquet(s"$out/dead_letter")
+    assert(reports.count() === events.count() - nErr)
+    assert(dead.count() === nErr)
+    assert(reports.filter(col("event_type") === "error").count() === 0)
+    assert(dead.select("reason").distinct().head().getString(0) === "bad_type")
+  }
+
+  test("D3 idempotent sink: replaying the same batch adds no rows") {
+    val out = tempDir("graft_sink")
+    val batch = Tables.events(spark, sf).limit(100)
+    ReportStream.appendDedup(batch, s"$out/t", Seq("event_id"))
+    val n1 = spark.read.parquet(s"$out/t").count()
+    ReportStream.appendDedup(batch, s"$out/t", Seq("event_id")) // replay
+    val n2 = spark.read.parquet(s"$out/t").count()
+    assert(n1 === 100)
+    assert(n2 === n1, "replayed batch must be fully deduped")
+  }
+
+  test("D5 stateful dedup: each sighting key emitted exactly once") {
+    import spark.implicits._
+    val in = tempDir("graft_state_in")
+    val ck = tempDir("graft_state_ck")
+    stageEvents(in)
+    val src = ReportStream.fileSource(spark, in, Tables.eventsRaw(spark, sf))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .select(col("user_id").as("reportingId"), col("k").as("reportedId"),
+        (col("event_id") % 2).as("manualDetect"))
+      .as[ReportStream.Sighting]
+    val q = ReportStream.firstSightings(src)
+      .writeStream.format("memory").queryName("first_sightings")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("first_sightings")
+    val expected = Tables.events(spark, sf)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .select(col("user_id"), col("k"), (col("event_id") % 2)).distinct()
+      .count()
+    assert(got.count() === expected)
+    assert(got.groupBy("reportingId", "reportedId", "manualDetect")
+      .count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("windowed stats aggregate with watermark") {
+    val in = tempDir("graft_win_in")
+    val ck = tempDir("graft_win_ck")
+    stageEvents(in)
+    val src = ReportStream.fileSource(spark, in, Tables.eventsRaw(spark, sf))
+    val q = ReportStream.windowedStats(src)
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // append mode only emits closed windows; completeness is checked in
+    // the batch twin (r_batch_stats oracle) — here the pipe must run
+    // and produce the right schema
+    val cols = spark.table("win_stats").columns.toSet
+    assert(cols === Set("window", "event_type", "n_events", "sum_value"))
+  }
+}
