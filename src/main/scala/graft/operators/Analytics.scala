@@ -185,7 +185,81 @@ object Analytics {
       |FROM events GROUP BY date_trunc('hour', ts), event_type
       |ORDER BY batch_hour, event_type""".stripMargin)
 
+  // ---------------------------------------------------------------- E6
+  /** ROLLUP grouping sets: per-nation, per-region subtotal, grand
+    * total in one pass (partial aggregation handles all levels
+    * map-side). NULLS FIRST ordering pinned on both engines.
+    */
+  private val rollupSql =
+    """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+      |    AS total_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  /** This one is dialect-clean ANSI, so the SAME text runs on Spark
+    * SQL and on the DuckDB oracle — the engine's SQL front door
+    * exercised directly. (The DataFrame rollup DSL trips Spark's
+    * ambiguous-self-join check on the grouping columns.)
+    */
+  val qRollup: Q = Q(
+    (s, dir) => {
+      Seq("orders", "customer", "nation", "region")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(rollupSql)
+    },
+    rollupSql)
+
+  // ---------------------------------------------------------------- E7
+  /** As-of join, Spark-first: tag-union both sides, one window pass
+    * carries the latest purchase id forward — O(n log n) per key and
+    * a single shuffle, instead of the quadratic range join a naive
+    * `p.ts <= e.ts` join would cost. For each event: the user's most
+    * recent purchase at or before it.
+    */
+  val qAsof: Q = Q(
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0L).as("kind"),
+          col("event_id").as("orig_id"), col("event_id").as("purchase_id"))
+      val evts = e.select(col("user_id"), col("ts"), lit(1L).as("kind"),
+        col("event_id").as("orig_id"),
+        lit(null).cast("long").as("purchase_id"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "kind", "orig_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionAll(evts)
+        .withColumn("last_purchase_id",
+          last("purchase_id", ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("orig_id").as("event_id"), col("user_id"), col("ts"),
+          col("last_purchase_id"))
+        .orderBy("event_id")
+    },
+    """WITH u AS (
+      |  SELECT user_id, ts, 0 AS kind, event_id AS orig_id,
+      |         event_id AS purchase_id
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts, 1 AS kind, event_id AS orig_id,
+      |         NULL AS purchase_id
+      |  FROM events)
+      |SELECT orig_id AS event_id, user_id, ts, last_purchase_id FROM (
+      |  SELECT *, last_value(purchase_id IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, kind, orig_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS last_purchase_id
+      |  FROM u)
+      |WHERE kind = 1 ORDER BY event_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "q_rollup" -> qRollup,
+    "q_asof" -> qAsof,
     "q1_pricing" -> q1Pricing,
     "q3_topk" -> q3Topk,
     "q5_multijoin" -> q5Multijoin,

@@ -176,9 +176,121 @@ object Dedup {
        |FROM inter JOIN sz sa ON sa.doc_id = doc_a
        |JOIN sz sb ON sb.doc_id = doc_b ORDER BY doc_a""".stripMargin)
 
+  // ---------------------------------------------------------------- F4
+  /** 64-bit SimHash as two 32-bit words (hi/lo), built from token
+    * md5s: per bit, +1 if set else -1, summed over tokens; bit set in
+    * the signature iff the sum is positive. All integer math — the 64
+    * per-bit sums are one grouped aggregation (map-side combinable),
+    * so the whole signature costs one shuffle of 64 longs per doc.
+    */
+  private def simhashSig(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(s, dir)
+      .withColumn("h1",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2",
+        conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long"))
+    val sums = (0 until 32).flatMap { b =>
+      Seq(
+        sum(when(shiftright(col("h1"), b).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L)).as(s"s1_$b"),
+        sum(when(shiftright(col("h2"), b).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L)).as(s"s2_$b"))
+    }
+    val agg = t.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val hi = (0 until 32).map(b =>
+      when(col(s"s1_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val lo = (0 until 32).map(b =>
+      when(col(s"s2_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), hi.as("sim_hi"), lo.as("sim_lo"))
+  }
+
+  private val simhashSigSql: String = {
+    val sums = (0 until 32).flatMap { b =>
+      Seq(
+        s"CAST(sum(CASE WHEN ((h1 >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s1_$b",
+        s"CAST(sum(CASE WHEN ((h2 >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s2_$b")
+    }.mkString(",\n    ")
+    val hi = (0 until 32)
+      .map(b => s"CASE WHEN s1_$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    val lo = (0 until 32)
+      .map(b => s"CASE WHEN s2_$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST($hi AS BIGINT) AS sim_hi,
+       |  CAST($lo AS BIGINT) AS sim_lo FROM (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM (SELECT doc_id,
+       |          CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h1,
+       |          CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS h2
+       |        FROM ($tokensSql))
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
+  val dSimhash: Q = Q(
+    (s, dir) => simhashSig(s, dir).orderBy("doc_id"),
+    s"""SELECT * FROM ($simhashSigSql) ORDER BY doc_id""".stripMargin)
+
+  /** SimHash near-dup pairs: 4 bands of 16 bits — docs sharing any
+    * band are candidates; keep pairs with hamming distance ≤ 8.
+    */
+  val dSimhashPairs: Q = Q(
+    (s, dir) => {
+      val sig = simhashSig(s, dir)
+      val banded = sig.select(col("doc_id"), col("sim_hi"), col("sim_lo"),
+        explode(array(
+          struct(lit(0).as("band_idx"),
+            col("sim_lo").bitwiseAND(65535L).as("band_val")),
+          struct(lit(1).as("band_idx"),
+            shiftright(col("sim_lo"), 16).bitwiseAND(65535L).as("band_val")),
+          struct(lit(2).as("band_idx"),
+            col("sim_hi").bitwiseAND(65535L).as("band_val")),
+          struct(lit(3).as("band_idx"),
+            shiftright(col("sim_hi"), 16).bitwiseAND(65535L)
+              .as("band_val")))).as("b"))
+        .select(col("doc_id"), col("sim_hi"), col("sim_lo"),
+          col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+      val a = banded.select(col("doc_id").as("doc_a"),
+        col("sim_hi").as("hi_a"), col("sim_lo").as("lo_a"),
+        col("band_idx"), col("band_val"))
+      val b = banded.select(col("doc_id").as("doc_b"),
+        col("sim_hi").as("hi_b"), col("sim_lo").as("lo_b"),
+        col("band_idx"), col("band_val"))
+      a.join(b, Seq("band_idx", "band_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= 8)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+    s"""WITH sig AS ($simhashSigSql),
+       |banded AS (
+       |  SELECT doc_id, sim_hi, sim_lo, band_idx,
+       |    CASE band_idx
+       |      WHEN 0 THEN sim_lo & 65535
+       |      WHEN 1 THEN (sim_lo >> 16) & 65535
+       |      WHEN 2 THEN sim_hi & 65535
+       |      ELSE (sim_hi >> 16) & 65535 END AS band_val
+       |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sim_hi, b.sim_hi)) +
+       |       bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim_hi, b.sim_hi)) +
+       |      bit_count(xor(a.sim_lo, b.sim_lo)) <= 8
+       |ORDER BY doc_a, doc_b""".stripMargin)
+
   val registry: Map[String, Q] = Map(
     "d_exact" -> dExact,
     "d_minhash" -> dMinhash,
     "d_minhash_lsh" -> dMinhashLsh,
-    "d_ngram_jaccard" -> dNgramJaccard)
+    "d_ngram_jaccard" -> dNgramJaccard,
+    "d_simhash" -> dSimhash,
+    "d_simhash_pairs" -> dSimhashPairs)
 }

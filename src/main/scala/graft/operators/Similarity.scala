@@ -66,6 +66,152 @@ object Similarity {
        |SELECT vec_id, label, score_micro FROM sc
        |ORDER BY score_micro DESC, vec_id LIMIT $TopK""".stripMargin)
 
+  /** Micro-unit cosine between two array columns. */
+  def scoreMicro(a: Column, b: Column): Column =
+    round(cosine(a, b) * 1000000.0).cast("long")
+
+  private val scoreMicroSql: (String, String) => String = (a, b) =>
+    s"""CAST(round(1000000.0 *
+       |  list_sum(list_transform(list_zip($a, $b),
+       |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+       |  (sqrt(list_sum(list_transform($a,
+       |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |   sqrt(list_sum(list_transform($b,
+       |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS BIGINT)"""
+      .stripMargin
+
+  // ---------------------------------------------------------------- F6
+  /** Embedding-cosine near-dup pairs, blocked on `label` (standing in
+    * for a coarse cluster/IVF assignment): only same-block pairs are
+    * scored — the blocked similarity join that keeps the pair count
+    * linear-ish at scale. Threshold 0.35 (calibrated to this corpus: max same-label cosine is ~0.47, there are no planted embedding dups).
+    */
+  val dEmbedDup: Q = Q(
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("vec_a"), col("label"),
+        col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label"),
+        col("embedding").as("emb_b"))
+      a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("score_micro", scoreMicro(col("emb_a"), col("emb_b")))
+        .filter(col("score_micro") >= 350000L)
+        .select(col("vec_a"), col("vec_b"), col("label"), col("score_micro"))
+        .orderBy("vec_a", "vec_b")
+    },
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       |  ${scoreMicroSql("a.embedding", "b.embedding")} AS score_micro
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${scoreMicroSql("a.embedding", "b.embedding")} >= 350000
+       |ORDER BY vec_a, vec_b""".stripMargin)
+
+  // --------------------------------------------------------- G2 setup
+  /** Deterministic pseudo-random hyperplanes: 8 planes × 64 dims of
+    * integers in [-500, 500) from a Knuth-style multiplicative mix —
+    * identical constants on both engines, zero RNG.
+    */
+  val NumPlanes = 8
+  val Dim = 64
+  private def plane(j: Int): IndexedSeq[Long] =
+    (0 until Dim).map(i => ((j * Dim + i) * 2654435761L % 1000) - 500)
+
+  /** Quantized embedding (round(x*10000) as int64) — sign decisions
+    * become exact integer comparisons, immune to float summation
+    * order.
+    */
+  private def quantized(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 10000).cast("long"))
+
+  private val quantizedSql: String => String = v =>
+    s"list_transform($v, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+
+  private def bucketOf(v: Column): Column = {
+    val vq = quantized(v)
+    (0 until NumPlanes).map { j =>
+      val r = array(plane(j).map(lit): _*)
+      val dotj = aggregate(zip_with(vq, r, (x, y) => x * y), lit(0L),
+        (acc, x) => acc + x)
+      when(dotj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  private val bucketOfSql: String => String = v => {
+    val vq = quantizedSql(v)
+    (0 until NumPlanes).map { j =>
+      val r = plane(j).mkString("[", ", ", "]")
+      s"""(CASE WHEN list_sum(list_transform(list_zip($vq, $r),
+         |  z -> z[1] * z[2])) > 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
+  }
+
+  // ---------------------------------------------------------------- G2
+  /** ANN via random-hyperplane LSH: score only the probe's bucket
+    * (~1/2^8 of the data), then exact cosine top-10 within it. The
+    * scale path next to G1's brute force.
+    */
+  val sAnnLsh: Q = Q(
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("bucket", bucketOf(col("embedding")))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"), col("bucket").as("pbucket"))
+      e.filter(col("vec_id") =!= 0)
+        .join(broadcast(probe), col("bucket") === col("pbucket"))
+        .select(col("vec_id"), col("label"), col("bucket"),
+          scoreMicro(col("embedding"), col("probe")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("vec_id"))
+        .limit(10)
+    },
+    s"""WITH e AS (SELECT vec_id, label, embedding,
+       |  ${bucketOfSql("embedding")} AS bucket FROM embeddings),
+       |p AS (SELECT embedding AS probe, bucket AS pbucket FROM e
+       |      WHERE vec_id = 0)
+       |SELECT vec_id, label, bucket,
+       |  ${scoreMicroSql("embedding", "probe")} AS score_micro
+       |FROM e, p WHERE vec_id <> 0 AND bucket = pbucket
+       |ORDER BY score_micro DESC, vec_id LIMIT 10""".stripMargin)
+
+  // ---------------------------------------------------------------- G3
+  /** k-NN join: for each probe (every 50th vector), its 3 nearest
+    * same-label neighbors — the blocked k-NN join (label again stands
+    * in for a coarse quantizer cell).
+    */
+  val sKnnJoin: Q = Q(
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val probes = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("label"),
+          col("embedding").as("emb_q"))
+      val cands = e.select(col("vec_id").as("neighbor_id"), col("label"),
+        col("embedding").as("emb_c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("score_micro").desc, col("neighbor_id"))
+      probes.join(cands, Seq("label"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("score_micro", scoreMicro(col("emb_q"), col("emb_c")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("score_micro"))
+        .orderBy("query_id", "rank")
+    },
+    s"""SELECT query_id, neighbor_id, rank, score_micro FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${scoreMicroSql("a.embedding", "b.embedding")} AS score_micro,
+       |    CAST(row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${scoreMicroSql("a.embedding", "b.embedding")} DESC,
+       |        b.vec_id) AS BIGINT) AS rank
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % 50 = 0)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
+
   val registry: Map[String, Q] = Map(
-    "s_cosine_topk" -> sCosineTopk)
+    "s_cosine_topk" -> sCosineTopk,
+    "d_embed_dup" -> dEmbedDup,
+    "s_ann_lsh" -> sAnnLsh,
+    "s_knn_join" -> sKnnJoin)
 }

@@ -114,8 +114,41 @@ object TextAnalysis {
        |       ELSE 'de' END AS lang_guess
        |FROM h ORDER BY doc_id""".stripMargin)
 
+  // ---------------------------------------------------------------- H4
+  /** Winnowing document fingerprint: md5-hash every char 8-gram, keep
+    * the minimum hash of each sliding 4-gram window (simplified
+    * winnowing — per-window min, distinct). The fingerprint set is
+    * what plagiarism/near-dup detectors index; map-only + one window.
+    */
+  val tFingerprint: Q = Q(
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(-3, org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), lower(col("text")).as("norm"))
+        .selectExpr("doc_id", "norm",
+          "explode(sequence(1, char_length(norm)-7)) AS pos")
+        .withColumn("gram_hash",
+          expr("substr(md5(substring(norm, pos, 8)), 1, 8)"))
+        .withColumn("fp_hash", min("gram_hash").over(w))
+        .select("doc_id", "fp_hash").distinct()
+        .orderBy("doc_id", "fp_hash")
+    },
+    """WITH g AS (
+      |  SELECT doc_id, CAST(t.pos AS INT) AS pos,
+      |    substr(md5(substring(norm, CAST(t.pos AS INT), 8)), 1, 8)
+      |      AS gram_hash
+      |  FROM (SELECT doc_id, lower(text) AS norm FROM documents),
+      |       unnest(range(1, length(norm) - 6)) AS t(pos))
+      |SELECT DISTINCT doc_id,
+      |  min(gram_hash) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp_hash
+      |FROM g ORDER BY doc_id, fp_hash""".stripMargin)
+
   val registry: Map[String, Q] = Map(
     "t_tokens" -> tTokens,
     "t_quality" -> tQuality,
-    "t_langid" -> tLangid)
+    "t_langid" -> tLangid,
+    "t_fingerprint" -> tFingerprint)
 }

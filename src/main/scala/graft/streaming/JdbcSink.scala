@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** JDBC sink battery (SURVEY §2 D4) — the reference writes its star
+  * schema to MySQL (ref src/database/database.py, controllers/
+  * report.py). No database runs in this container, so the writer
+  * configuration and the MySQL upsert SQL generation are unit-tested;
+  * the connection itself is exercised only in a real deployment.
+  */
+object JdbcSink {
+
+  /** Batched, rewrite-enabled JDBC options — the settings that matter
+    * at scale: one multi-row INSERT per `batchsize` rows per
+    * partition, `numPartitions` caps concurrent connections.
+    */
+  def options(url: String, table: String, user: String,
+      password: String, numPartitions: Int = 8,
+      batchSize: Int = 1000): Map[String, String] = Map(
+    "url" -> url,
+    "dbtable" -> table,
+    "user" -> user,
+    "password" -> password,
+    "driver" -> "com.mysql.cj.jdbc.Driver",
+    "batchsize" -> batchSize.toString,
+    "numPartitions" -> numPartitions.toString,
+    "isolationLevel" -> "READ_COMMITTED",
+    "rewriteBatchedStatements" -> "true")
+
+  def write(df: DataFrame, url: String, table: String, user: String,
+      password: String): Unit =
+    df.write.format("jdbc")
+      .options(options(url, table, user, password))
+      .mode(SaveMode.Append)
+      .save()
+
+  /** `INSERT IGNORE` — the reference's player/sighting insert path
+    * (ref player.py:57 `.prefix_with("IGNORE")`).
+    */
+  def insertIgnoreSql(table: String, cols: Seq[String]): String = {
+    val params = cols.map(_ => "?").mkString(", ")
+    s"INSERT IGNORE INTO $table (${cols.mkString(", ")}) VALUES ($params)"
+  }
+
+  /** MySQL upsert — INSERT ... ON DUPLICATE KEY UPDATE over the
+    * natural key, the batch-side equivalent of the reference's
+    * NOT-EXISTS guards.
+    */
+  def upsertSql(table: String, cols: Seq[String],
+      keyCols: Seq[String]): String = {
+    val params = cols.map(_ => "?").mkString(", ")
+    val updates = cols.filterNot(keyCols.contains)
+      .map(c => s"$c = VALUES($c)").mkString(", ")
+    s"INSERT INTO $table (${cols.mkString(", ")}) VALUES ($params) " +
+      s"ON DUPLICATE KEY UPDATE $updates"
+  }
+
+  /** Stream → JDBC via foreachBatch (the production shape of
+    * ReportStream.pipeline's sink).
+    */
+  def streamToJdbc(df: DataFrame, url: String, table: String,
+      user: String, password: String,
+      checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        write(batch, url, table, user, password)
+      }
+      .start()
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, MultiModal, Similarity}
+import graft.streaming.JdbcSink
+
+/** Semantics pins for the round-2 operator wave. */
+class OperatorsSpec extends SparkSpec {
+
+  test("d_simhash: identical token sets get identical signatures") {
+    // the corpus has planted near-dups with equal token sets; their
+    // simhash (a token-set function) must collide
+    val sig = SparkEntry.queries("d_simhash")(spark, sf)
+    val nDocs = sig.count()
+    val nSigs = sig.select("sim_hi", "sim_lo").distinct().count()
+    assert(nDocs === 500)
+    assert(nSigs < nDocs, "expected signature collisions from near-dups")
+  }
+
+  test("d_simhash_pairs: pairs are symmetric-free and within distance") {
+    val p = SparkEntry.queries("d_simhash_pairs")(spark, sf)
+    assert(p.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    assert(p.filter(col("hamming") > 8).count() === 0)
+    assert(p.count() > 0)
+  }
+
+  test("d_embed_dup only reports same-label pairs above threshold") {
+    val d = SparkEntry.queries("d_embed_dup")(spark, sf)
+    assert(d.filter(col("score_micro") < 350000L).count() === 0)
+  }
+
+  test("s_ann_lsh candidates are a subset of brute-force ranking") {
+    // every ANN hit must carry the same score the brute-force pass
+    // assigns (same kernel), and the probe's own bucket can't be empty
+    val ann = SparkEntry.queries("s_ann_lsh")(spark, sf)
+    assert(ann.count() > 0)
+    val brute = SparkEntry.queries("s_cosine_topk")(spark, sf)
+      .select(col("vec_id"), col("score_micro").as("brute_score"))
+    val joined = ann.join(brute, "vec_id")
+      .filter(col("score_micro") =!= col("brute_score"))
+    assert(joined.count() === 0, "ANN scores must match brute kernel")
+  }
+
+  test("s_knn_join returns at most k=3 ranked neighbors per probe") {
+    val k = SparkEntry.queries("s_knn_join")(spark, sf)
+    val over = k.groupBy("query_id").count().filter(col("count") > 3)
+    assert(over.count() === 0)
+    assert(k.filter(col("rank") > 3).count() === 0)
+  }
+
+  test("t_fingerprint: winnow set is much smaller than gram count") {
+    val fp = SparkEntry.queries("t_fingerprint")(spark, sf)
+    val grams = Tables.documents(spark, sf)
+      .select(sum(length(col("text")) - 7)).head().getLong(0)
+    assert(fp.count() < grams / 2, "winnowing must compress")
+  }
+
+  test("q_asof: last purchase is never after the event") {
+    val a = SparkEntry.queries("q_asof")(spark, sf)
+    val e = Tables.events(spark, sf)
+      .select(col("event_id").as("pid"), col("ts").as("p_ts"))
+    val bad = a.filter(col("last_purchase_id").isNotNull)
+      .join(e, col("last_purchase_id") === col("pid"))
+      .filter(col("p_ts") > col("ts"))
+    assert(bad.count() === 0)
+  }
+
+  test("q_rollup contains the grand total row") {
+    val r = SparkEntry.queries("q_rollup")(spark, sf)
+    val total = r.filter(col("r_name").isNull && col("n_name").isNull)
+    assert(total.count() === 1)
+    assert(total.head().getAs[Long]("n_orders") ===
+      Tables.orders(spark, sf).count())
+  }
+
+  test("LSH candidate pairs cover high-jaccard near-dups") {
+    // docs with identical token sets must land in the same bucket in
+    // every band → n_bands = 4
+    val lsh = SparkEntry.queries("d_minhash_lsh")(spark, sf)
+    assert(lsh.filter(col("n_bands") === Dedup.NumHashes / Dedup.BandRows)
+      .count() > 0)
+  }
+
+  test("multimodal decode stub extracts per-partition batch features") {
+    val media = MultiModal.mediaTable(spark, sf)
+    val feats = MultiModal.decodeStub(media)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("octet_length(text)").as("len"))
+    val joined = feats.toDF().join(docs, "doc_id")
+      .filter(col("n_bytes") =!= col("len"))
+    assert(joined.count() === 0, "n_bytes must equal source byte length")
+    assert(feats.filter(col("first_byte") < 0).count() === 0)
+  }
+
+  test("multimodal frame sampling chunks binary content") {
+    val media = MultiModal.mediaTable(spark, sf).toDF()
+    val framed = MultiModal.frameSample(media, 2)
+    val bad = framed
+      .filter(expr("exists(frames, f -> octet_length(f) > 64)"))
+    assert(bad.count() === 0, "no frame may exceed 64 bytes")
+    assert(framed.filter(size(col("frames")) === 0).count() === 0)
+  }
+
+  test("jdbc sink: options and upsert SQL carry the scale knobs") {
+    val o = JdbcSink.options("jdbc:mysql://db/playerdata", "Reports",
+      "u", "p")
+    assert(o("batchsize") === "1000")
+    assert(o("rewriteBatchedStatements") === "true")
+    assert(JdbcSink.insertIgnoreSql("Players", Seq("name", "label_id")) ===
+      "INSERT IGNORE INTO Players (name, label_id) VALUES (?, ?)")
+    val up = JdbcSink.upsertSql("report", Seq("a", "b", "c"), Seq("a"))
+    assert(up.contains("ON DUPLICATE KEY UPDATE b = VALUES(b), c = VALUES(c)"))
+  }
+}
