@@ -146,18 +146,22 @@ object Dedup {
     */
   val dNgramJaccard: Q = Q(
     (s, dir) => {
-      val g = grams(s, dir)
-      val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = g.select(col("doc_id").as("doc_a"), col("gram"))
-      val b = g.select(col("doc_id").as("doc_b"), col("gram").as("gram_b"))
-      val inter = a.join(b,
-          col("doc_a") + 1 === col("doc_b") && col("gram") === col("gram_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sz.select(col("doc_id"), col("n").as("n_a")),
-          col("doc_a") === col("doc_id")).drop("doc_id")
-        .join(sz.select(col("doc_id"), col("n").as("n_b")),
-          col("doc_b") === col("doc_id")).drop("doc_id")
+      // gram SETS as per-doc arrays → one narrow join of adjacent ids
+      // + array_intersect, instead of a million-row gram-level join
+      // (the oracle states the same thing in exploded form)
+      val garr = Tables.documents(s, dir)
+        .select(col("doc_id"), lower(col("text")).as("norm"))
+        .withColumn("grams", expr(
+          "array_distinct(transform(sequence(1, char_length(norm)-2)," +
+            " i -> substring(norm, i, 3)))"))
+      val a = garr.select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
+      val b = garr.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
+      a.join(b, col("doc_a") + 1 === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(expr("array_intersect(g_a, g_b)")).cast("long").as("inter"),
+          size(col("g_a")).cast("long").as("n_a"),
+          size(col("g_b")).cast("long").as("n_b"))
+        .filter(col("inter") >= 1)
         .withColumn("union_sz", col("n_a") + col("n_b") - col("inter"))
         .selectExpr("doc_a", "doc_b", "inter", "union_sz",
           "(inter * 10000) DIV union_sz AS jaccard_bp")

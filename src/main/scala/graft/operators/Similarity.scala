@@ -45,8 +45,7 @@ object Similarity {
       emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))
         .select(col("vec_id"), col("label"),
-          round(cosine(col("embedding"), col("probe")) * 1000000.0)
-            .cast("long").as("score_micro"))
+          nativeScoreMicro(s, "embedding", "probe").as("score_micro"))
         .orderBy(col("score_micro").desc, col("vec_id"))
         .limit(TopK)
     },
@@ -69,6 +68,14 @@ object Similarity {
   /** Micro-unit cosine between two array columns. */
   def scoreMicro(a: Column, b: Column): Column =
     round(cosine(a, b) * 1000000.0).cast("long")
+
+  /** The native fused kernel (graft.functions.CosineSim) — same
+    * bit-exact arithmetic as `cosine`, one pass, zero allocations.
+    */
+  def nativeScoreMicro(s: SparkSession, a: String, b: String): Column = {
+    graft.functions.CosineSim.register(s)
+    round(expr(s"cosine_sim($a, $b)") * 1000000.0).cast("long")
+  }
 
   private val scoreMicroSql: (String, String) => String = (a, b) =>
     s"""CAST(round(1000000.0 *
@@ -95,7 +102,7 @@ object Similarity {
         col("embedding").as("emb_b"))
       a.join(b, Seq("label"))
         .filter(col("vec_a") < col("vec_b"))
-        .withColumn("score_micro", scoreMicro(col("emb_a"), col("emb_b")))
+        .withColumn("score_micro", nativeScoreMicro(s, "emb_a", "emb_b"))
         .filter(col("score_micro") >= 350000L)
         .select(col("vec_a"), col("vec_b"), col("label"), col("score_micro"))
         .orderBy("vec_a", "vec_b")
@@ -160,7 +167,7 @@ object Similarity {
       e.filter(col("vec_id") =!= 0)
         .join(broadcast(probe), col("bucket") === col("pbucket"))
         .select(col("vec_id"), col("label"), col("bucket"),
-          scoreMicro(col("embedding"), col("probe")).as("score_micro"))
+          nativeScoreMicro(s, "embedding", "probe").as("score_micro"))
         .orderBy(col("score_micro").desc, col("vec_id"))
         .limit(10)
     },
@@ -191,7 +198,7 @@ object Similarity {
         .orderBy(col("score_micro").desc, col("neighbor_id"))
       probes.join(cands, Seq("label"))
         .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("score_micro", scoreMicro(col("emb_q"), col("emb_c")))
+        .withColumn("score_micro", nativeScoreMicro(s, "emb_q", "emb_c"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"),

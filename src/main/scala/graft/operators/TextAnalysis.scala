@@ -121,20 +121,22 @@ object TextAnalysis {
     * what plagiarism/near-dup detectors index; map-only + one window.
     */
   val tFingerprint: Q = Q(
-    (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(-3, org.apache.spark.sql.expressions.Window.currentRow)
+    (s, dir) =>
+      // map-only: per-doc gram-hash array → sliding-window min via
+      // slice/array_min → array_distinct; no explode-then-window
+      // shuffle of the gram rows (the oracle says the same thing in
+      // window form — row sets are identical)
       Tables.documents(s, dir)
         .select(col("doc_id"), lower(col("text")).as("norm"))
-        .selectExpr("doc_id", "norm",
-          "explode(sequence(1, char_length(norm)-7)) AS pos")
-        .withColumn("gram_hash",
-          expr("substr(md5(substring(norm, pos, 8)), 1, 8)"))
-        .withColumn("fp_hash", min("gram_hash").over(w))
-        .select("doc_id", "fp_hash").distinct()
-        .orderBy("doc_id", "fp_hash")
-    },
+        .withColumn("hashes", expr(
+          "transform(sequence(1, char_length(norm)-7)," +
+            " i -> substr(md5(substring(norm, i, 8)), 1, 8))"))
+        .withColumn("fps", expr(
+          "array_distinct(transform(sequence(1, size(hashes)), i -> " +
+            "array_min(slice(hashes, greatest(1, i-3)," +
+            " i - greatest(1, i-3) + 1))))"))
+        .select(col("doc_id"), explode(col("fps")).as("fp_hash"))
+        .orderBy("doc_id", "fp_hash"),
     """WITH g AS (
       |  SELECT doc_id, CAST(t.pos AS INT) AS pos,
       |    substr(md5(substring(norm, CAST(t.pos AS INT), 8)), 1, 8)

@@ -101,6 +101,19 @@ class OperatorsSpec extends SparkSpec {
     assert(framed.filter(size(col("frames")) === 0).count() === 0)
   }
 
+  test("native cosine kernel is bit-identical to the composed fold") {
+    graft.functions.CosineSim.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    val both = e.crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        Similarity.cosine(col("embedding"), col("probe")).as("folded"),
+        expr("cosine_sim(embedding, probe)").as("native"))
+    // bitwise equality, not approximate: same op order by construction
+    assert(both.filter(col("folded") =!= col("native")).count() === 0)
+  }
+
   test("jdbc sink: options and upsert SQL carry the scale knobs") {
     val o = JdbcSink.options("jdbc:mysql://db/playerdata", "Reports",
       "u", "p")
