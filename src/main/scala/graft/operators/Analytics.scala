@@ -10,10 +10,14 @@ import graft.{Q, Tables}
   * serves (heatmaps, per-player summaries; ref mysql 01_tables.sql
   * idx_heatmap / idx_reportedID) expressed over the TPC-H-ish tables.
   *
-  * Money math is decimal-exact end-to-end (cast BEFORE aggregation)
-  * so oracle hashes match bit-for-bit; final casts only widen — no
-  * rounding anywhere. All aggregates get map-side partial merge; the
-  * dims in joins are broadcast.
+  * Money math is decimal-exact end-to-end (cast BEFORE aggregation),
+  * and every money OUTPUT column is integer cents (sum×100 → BIGINT;
+  * ×10⁴ for scale-4 products): the values are identical to the
+  * decimal forms, but integers traverse every hasher/arrow/float
+  * conversion path byte-identically across engines — decimals do not
+  * (r1 lesson: six value-exact queries hash-mismatched on DECIMAL
+  * representation alone). All aggregates get map-side partial merge;
+  * the dims in joins are broadcast.
   */
 object Analytics {
 
@@ -23,26 +27,30 @@ object Analytics {
   private def discPrice: Column =
     dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
 
+  /** Exact decimal sum emitted as integer cents (BIGINT). */
+  private def cents(c: Column): Column = (c * 100).cast("long")
+  /** Exact scale-4 decimal sum emitted as integer ×10⁴ units. */
+  private def u4(c: Column): Column = (c * 10000).cast("long")
+
   // ---------------------------------------------------------------- E1
   val q1Pricing: Q = Q(
     (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2))
-            .as("sum_base_price"),
-          sum(discPrice).cast(DecimalType(28, 4)).as("sum_disc_price"),
+          cents(sum(dec2(col("l_quantity")))).as("sum_qty"),
+          cents(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+          u4(sum(discPrice)).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)
       |    AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
       |    AS sum_base_price,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
       |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2))))
-      |       AS DECIMAL(28,4)) AS sum_disc_price,
+      |       * 10000 AS BIGINT) AS sum_disc_price,
       |  CAST(count(*) AS BIGINT) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin)
@@ -57,13 +65,13 @@ object Analytics {
         .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
         .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(sum(discPrice).cast(DecimalType(28, 4)).as("revenue"))
+        .agg(u4(sum(discPrice)).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10),
     """SELECT o_orderkey, o_orderdate,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
       |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2))))
-      |       AS DECIMAL(28,4)) AS revenue
+      |       * 10000 AS BIGINT) AS revenue
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
       |  AND o_orderkey = l_orderkey
@@ -85,11 +93,10 @@ object Analytics {
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2))
-            .as("total_price"))
+          cents(sum(dec2(col("o_totalprice")))).as("total_price"))
         .orderBy("r_name", "n_name"),
     """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
       |    AS total_price
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -105,9 +112,8 @@ object Analytics {
       Tables.orders(s, dir)
         .withColumn("rn", row_number().over(w).cast("long"))
         .withColumn("running",
-          sum(dec2(col("o_totalprice")))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast(DecimalType(18, 2)))
+          cents(sum(dec2(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
         .select("o_custkey", "o_orderkey", "rn", "running")
         .orderBy("o_custkey", "rn")
     },
@@ -116,7 +122,7 @@ object Analytics {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
       |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |    AS DECIMAL(18,2)) AS running
+      |    * 100 AS BIGINT) AS running
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, rn""".stripMargin)
@@ -176,12 +182,12 @@ object Analytics {
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           min("event_id").as("min_event"), max("event_id").as("max_event"),
-          sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("sum_value"))
+          cents(sum(dec2(col("value")))).as("sum_value"))
         .orderBy("batch_hour", "event_type"),
     """SELECT date_trunc('hour', ts) AS batch_hour, event_type,
       |  CAST(count(*) AS BIGINT) AS n_events,
       |  min(event_id) AS min_event, max(event_id) AS max_event,
-      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_value
       |FROM events GROUP BY date_trunc('hour', ts), event_type
       |ORDER BY batch_hour, event_type""".stripMargin)
 
@@ -192,7 +198,7 @@ object Analytics {
     */
   private val rollupSql =
     """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
       |    AS total_price
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey

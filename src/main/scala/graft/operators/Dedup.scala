@@ -129,8 +129,12 @@ object Dedup {
     Tables.documents(s, dir)
       .select(col("doc_id"), lower(col("text")).as("norm"))
       .selectExpr("doc_id",
-        "explode(transform(sequence(1, char_length(norm)-2)," +
-          " i -> substring(norm, i, 3))) AS gram")
+        // short-doc guard: len<3 ⇒ empty gram set (Spark's sequence
+        // with a non-positive stop would DESCEND; DuckDB's range is
+        // empty — both engines must agree on [])
+        "explode(CASE WHEN char_length(norm) >= 3 THEN" +
+          " transform(sequence(1, char_length(norm)-2)," +
+          " i -> substring(norm, i, 3)) ELSE array() END) AS gram")
       .distinct()
 
   private val gramsSql =
@@ -152,8 +156,9 @@ object Dedup {
       val garr = Tables.documents(s, dir)
         .select(col("doc_id"), lower(col("text")).as("norm"))
         .withColumn("grams", expr(
-          "array_distinct(transform(sequence(1, char_length(norm)-2)," +
-            " i -> substring(norm, i, 3)))"))
+          "CASE WHEN char_length(norm) >= 3 THEN" +
+            " array_distinct(transform(sequence(1, char_length(norm)-2)," +
+            " i -> substring(norm, i, 3))) ELSE array() END"))
       val a = garr.select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
       val b = garr.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
       a.join(b, col("doc_a") + 1 === col("doc_b"))
@@ -239,6 +244,14 @@ object Dedup {
 
   /** SimHash near-dup pairs: 4 bands of 16 bits — docs sharing any
     * band are candidates; keep pairs with hamming distance ≤ 8.
+    *
+    * Same skew guard as F3 (`MaxBucket`): a band value shared by more
+    * than 64 docs is a degenerate bucket (e.g. near-constant token
+    * mixes) and is skipped BEFORE the self-join — the quadratic
+    * blowup on one hot band value is the single scale risk in any
+    * banded pair join. The capped subplan is identical on both join
+    * sides (aliases applied after), so Spark's ReuseExchange serves
+    * one shuffle to both.
     */
   val dSimhashPairs: Q = Q(
     (s, dir) => {
@@ -256,6 +269,10 @@ object Dedup {
               .as("band_val")))).as("b"))
         .select(col("doc_id"), col("sim_hi"), col("sim_lo"),
           col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+        .withColumn("bucket_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("band_idx", "band_val")))
+        .filter(col("bucket_n") <= MaxBucket)
       val a = banded.select(col("doc_id").as("doc_a"),
         col("sim_hi").as("hi_a"), col("sim_lo").as("lo_a"),
         col("band_idx"), col("band_val"))
@@ -272,14 +289,19 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
     s"""WITH sig AS ($simhashSigSql),
-       |banded AS (
+       |banded0 AS (
        |  SELECT doc_id, sim_hi, sim_lo, band_idx,
        |    CASE band_idx
        |      WHEN 0 THEN sim_lo & 65535
        |      WHEN 1 THEN (sim_lo >> 16) & 65535
        |      WHEN 2 THEN sim_hi & 65535
        |      ELSE (sim_hi >> 16) & 65535 END AS band_val
-       |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx))
+       |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx)),
+       |banded AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val)
+       |      AS bucket_n FROM banded0)
+       |  WHERE bucket_n <= $MaxBucket)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.sim_hi, b.sim_hi)) +
        |       bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) AS hamming

@@ -236,11 +236,11 @@ object Star {
           col("user_id") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(12,2)")).cast("decimal(18,2)")
+          (sum(col("value").cast("decimal(12,2)")) * 100).cast("long")
             .as("sum_value"))
         .orderBy("c_mktsegment"),
     """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_value
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 

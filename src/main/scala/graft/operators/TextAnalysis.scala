@@ -122,20 +122,29 @@ object TextAnalysis {
     */
   val tFingerprint: Q = Q(
     (s, dir) =>
-      // map-only: per-doc gram-hash array → sliding-window min via
-      // slice/array_min → array_distinct; no explode-then-window
-      // shuffle of the gram rows (the oracle says the same thing in
-      // window form — row sets are identical)
+      // One-pass, map-only winnowing — NO shuffle of gram rows. The
+      // gram-hash array is bound ONCE as a lambda variable (the
+      // transform(array(x), h -> ...) idiom) so projection collapse
+      // cannot inline and recompute the md5 array per position — the
+      // r1 slice/array_min form did exactly that and cost 1335s at
+      // sf0.1. The sliding window-4 min is least() of 4 index-clamped
+      // element_at reads: O(len) per doc, zero slice allocations.
+      // Docs shorter than the gram width produce zero fingerprints
+      // (guard) — matching the oracle's empty range().
       Tables.documents(s, dir)
         .select(col("doc_id"), lower(col("text")).as("norm"))
-        .withColumn("hashes", expr(
-          "transform(sequence(1, char_length(norm)-7)," +
-            " i -> substr(md5(substring(norm, i, 8)), 1, 8))"))
-        .withColumn("fps", expr(
-          "array_distinct(transform(sequence(1, size(hashes)), i -> " +
-            "array_min(slice(hashes, greatest(1, i-3)," +
-            " i - greatest(1, i-3) + 1))))"))
-        .select(col("doc_id"), explode(col("fps")).as("fp_hash"))
+        .select(col("doc_id"), explode(expr(
+          """transform(
+            |  array(CASE WHEN char_length(norm) >= 8 THEN
+            |    transform(sequence(1, char_length(norm)-7),
+            |      i -> substr(md5(substring(norm, i, 8)), 1, 8))
+            |    ELSE array() END),
+            |  h -> array_distinct(transform(sequence(1, size(h)), i ->
+            |    least(element_at(h, i),
+            |          element_at(h, greatest(i-1, 1)),
+            |          element_at(h, greatest(i-2, 1)),
+            |          element_at(h, greatest(i-3, 1))))))[0]""".stripMargin))
+          .as("fp_hash"))
         .orderBy("doc_id", "fp_hash"),
     """WITH g AS (
       |  SELECT doc_id, CAST(t.pos AS INT) AS pos,
