@@ -93,25 +93,25 @@ object Dedup {
     */
   val MaxBucket = 64
 
-  // ---------------------------------------------------------------- F3
-  /** LSH candidate pairs: docs sharing ≥1 identical non-degenerate
-    * band bucket.
+  /** LSH candidate pairs (unordered): docs sharing ≥1 identical
+    * non-degenerate band bucket. Shared by F3 and the F3→F5 verify
+    * composition below.
     */
-  val dMinhashLsh: Q = Q(
-    (s, dir) => {
-      val b = bands(s, dir)
-        .withColumn("bucket_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("band", "band_hash")))
-        .filter(col("bucket_n") <= MaxBucket)
-      val a = b.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
-      val c = b.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
-      a.join(c, Seq("band", "band_hash"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_bands"))
-        .orderBy("doc_a", "doc_b")
-    },
+  private[operators] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val b = bands(s, dir)
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_hash")))
+      .filter(col("bucket_n") <= MaxBucket)
+    val a = b.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+    val c = b.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+    a.join(c, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  private val lshCandidatesSql =
     s"""WITH capped AS (
        |  SELECT * FROM (
        |    SELECT *, count(*) OVER (PARTITION BY band, band_hash)
@@ -122,7 +122,13 @@ object Dedup {
        |FROM capped a JOIN capped b
        |  ON a.band = b.band AND a.band_hash = b.band_hash
        |  AND a.doc_id < b.doc_id
-       |GROUP BY a.doc_id, b.doc_id ORDER BY doc_a, doc_b""".stripMargin)
+       |GROUP BY a.doc_id, b.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- F3
+  val dMinhashLsh: Q = Q(
+    (s, dir) => lshCandidates(s, dir).orderBy("doc_a", "doc_b"),
+    s"""SELECT * FROM ($lshCandidatesSql)
+       |ORDER BY doc_a, doc_b""".stripMargin)
 
   /** Distinct char 3-grams per doc (SQL-generated, both engines). */
   private def grams(s: SparkSession, dir: String): DataFrame =
@@ -143,22 +149,28 @@ object Dedup {
       |  FROM (SELECT doc_id, lower(text) AS norm FROM documents),
       |       unnest(range(1, length(norm) - 1)) AS t(i))""".stripMargin
 
+  /** Per-doc distinct char-3-gram ARRAYS — narrow joins +
+    * array_intersect beat a million-row gram-level exploded join.
+    */
+  private def gramArrays(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), lower(col("text")).as("norm"))
+      .withColumn("grams", expr(
+        "CASE WHEN char_length(norm) >= 3 THEN" +
+          " array_distinct(transform(sequence(1, char_length(norm)-2)," +
+          " i -> substring(norm, i, 3))) ELSE array() END"))
+      .select("doc_id", "grams")
+
   // ---------------------------------------------------------------- F5
   /** Character-3-gram Jaccard for adjacent-id candidate pairs (pairs
     * sharing ≥1 gram). All-integer output: jaccard in basis points
-    * via integer division — hash-exact on both engines.
+    * via integer division — hash-exact on both engines. This is the
+    * pairwise KERNEL (demonstrated on a trivial candidate set); the
+    * real pipeline feeds it LSH candidates — `d_lsh_jaccard` below.
     */
   val dNgramJaccard: Q = Q(
     (s, dir) => {
-      // gram SETS as per-doc arrays → one narrow join of adjacent ids
-      // + array_intersect, instead of a million-row gram-level join
-      // (the oracle states the same thing in exploded form)
-      val garr = Tables.documents(s, dir)
-        .select(col("doc_id"), lower(col("text")).as("norm"))
-        .withColumn("grams", expr(
-          "CASE WHEN char_length(norm) >= 3 THEN" +
-            " array_distinct(transform(sequence(1, char_length(norm)-2)," +
-            " i -> substring(norm, i, 3))) ELSE array() END"))
+      val garr = gramArrays(s, dir)
       val a = garr.select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
       val b = garr.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
       a.join(b, col("doc_a") + 1 === col("doc_b"))
@@ -184,6 +196,47 @@ object Dedup {
        |  (inter * 10000) // (sa.n + sb.n - inter) AS jaccard_bp
        |FROM inter JOIN sz sa ON sa.doc_id = doc_a
        |JOIN sz sb ON sb.doc_id = doc_b ORDER BY doc_a""".stripMargin)
+
+  // --------------------------------------------------------- F3→F5
+  /** The real MinHash dedup pipeline: LSH candidate pairs (F3)
+    * verified with exact n-gram Jaccard (F5's kernel). The LSH stage
+    * bounds the pair count (bucketed + skew-capped), so the exact
+    * verify touches only candidate pairs — the two-stage shape that
+    * holds at 100 TB (verify cost scales with near-dup density, not
+    * with corpus²).
+    */
+  val dLshJaccard: Q = Q(
+    (s, dir) => {
+      val garr = gramArrays(s, dir)
+      lshCandidates(s, dir)
+        .join(garr.select(col("doc_id").as("doc_a"), col("grams").as("g_a")),
+          Seq("doc_a"))
+        .join(garr.select(col("doc_id").as("doc_b"), col("grams").as("g_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(expr("array_intersect(g_a, g_b)")).cast("long").as("inter"),
+          size(col("g_a")).cast("long").as("n_a"),
+          size(col("g_b")).cast("long").as("n_b"))
+        .filter(col("inter") >= 1)
+        .withColumn("union_sz", col("n_a") + col("n_b") - col("inter"))
+        .selectExpr("doc_a", "doc_b", "inter", "union_sz",
+          "(inter * 10000) DIV union_sz AS jaccard_bp")
+        .orderBy("doc_a", "doc_b")
+    },
+    s"""WITH cand AS ($lshCandidatesSql),
+       |g AS ($gramsSql),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g
+       |       GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+       |          FROM cand c
+       |          JOIN g a ON a.doc_id = c.doc_a
+       |          JOIN g b ON b.doc_id = c.doc_b AND b.gram = a.gram
+       |          GROUP BY c.doc_a, c.doc_b)
+       |SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_sz,
+       |  (inter * 10000) // (sa.n + sb.n - inter) AS jaccard_bp
+       |FROM inter JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin)
 
   // ---------------------------------------------------------------- F4
   /** 64-bit SimHash as two 32-bit words (hi/lo), built from token
@@ -317,6 +370,7 @@ object Dedup {
     "d_minhash" -> dMinhash,
     "d_minhash_lsh" -> dMinhashLsh,
     "d_ngram_jaccard" -> dNgramJaccard,
+    "d_lsh_jaccard" -> dLshJaccard,
     "d_simhash" -> dSimhash,
     "d_simhash_pairs" -> dSimhashPairs)
 }

@@ -87,33 +87,6 @@ object Similarity {
        |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS BIGINT)"""
       .stripMargin
 
-  // ---------------------------------------------------------------- F6
-  /** Embedding-cosine near-dup pairs, blocked on `label` (standing in
-    * for a coarse cluster/IVF assignment): only same-block pairs are
-    * scored — the blocked similarity join that keeps the pair count
-    * linear-ish at scale. Threshold 0.35 (calibrated to this corpus: max same-label cosine is ~0.47, there are no planted embedding dups).
-    */
-  val dEmbedDup: Q = Q(
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val a = e.select(col("vec_id").as("vec_a"), col("label"),
-        col("embedding").as("emb_a"))
-      val b = e.select(col("vec_id").as("vec_b"), col("label"),
-        col("embedding").as("emb_b"))
-      a.join(b, Seq("label"))
-        .filter(col("vec_a") < col("vec_b"))
-        .withColumn("score_micro", nativeScoreMicro(s, "emb_a", "emb_b"))
-        .filter(col("score_micro") >= 350000L)
-        .select(col("vec_a"), col("vec_b"), col("label"), col("score_micro"))
-        .orderBy("vec_a", "vec_b")
-    },
-    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-       |  ${scoreMicroSql("a.embedding", "b.embedding")} AS score_micro
-       |FROM embeddings a JOIN embeddings b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE ${scoreMicroSql("a.embedding", "b.embedding")} >= 350000
-       |ORDER BY vec_a, vec_b""".stripMargin)
-
   // --------------------------------------------------------- G2 setup
   /** Deterministic pseudo-random hyperplanes: 8 planes × 64 dims of
     * integers in [-500, 500) from a Knuth-style multiplicative mix —
@@ -153,6 +126,38 @@ object Similarity {
     }.mkString("(", " + ", ")")
   }
 
+  // ---------------------------------------------------------------- F6
+  /** Embedding-cosine near-dup pairs, blocked on the G2 hyperplane
+    * bucket — a REAL coarse quantizer (r1 used `label`, which is
+    * O(n²/k) on low-cardinality labels at scale). Only same-bucket
+    * pairs are scored: the 8-plane signature splits the corpus into
+    * up to 256 direction cells, so the pair count tracks near-dup
+    * density instead of corpus². Threshold 0.35 in micro-units.
+    */
+  val dEmbedDup: Q = Q(
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("bucket", bucketOf(col("embedding")))
+      val a = e.select(col("vec_id").as("vec_a"), col("bucket"),
+        col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("bucket"),
+        col("embedding").as("emb_b"))
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("score_micro", nativeScoreMicro(s, "emb_a", "emb_b"))
+        .filter(col("score_micro") >= 350000L)
+        .select(col("vec_a"), col("vec_b"), col("bucket"), col("score_micro"))
+        .orderBy("vec_a", "vec_b")
+    },
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  ${bucketOfSql("embedding")} AS bucket FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+       |  ${scoreMicroSql("a.embedding", "b.embedding")} AS score_micro
+       |FROM e a JOIN e b
+       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${scoreMicroSql("a.embedding", "b.embedding")} >= 350000
+       |ORDER BY vec_a, vec_b""".stripMargin)
+
   // ---------------------------------------------------------------- G2
   /** ANN via random-hyperplane LSH: score only the probe's bucket
     * (~1/2^8 of the data), then exact cosine top-10 within it. The
@@ -182,21 +187,23 @@ object Similarity {
 
   // ---------------------------------------------------------------- G3
   /** k-NN join: for each probe (every 50th vector), its 3 nearest
-    * same-label neighbors — the blocked k-NN join (label again stands
-    * in for a coarse quantizer cell).
+    * neighbors within the probe's hyperplane bucket (the G2 coarse
+    * quantizer cell — r1 blocked on `label`). Probes shuffle only to
+    * their own cell; the per-query TakeOrdered is the window rank.
     */
   val sKnnJoin: Q = Q(
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
+        .withColumn("bucket", bucketOf(col("embedding")))
       val probes = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("label"),
+        .select(col("vec_id").as("query_id"), col("bucket"),
           col("embedding").as("emb_q"))
-      val cands = e.select(col("vec_id").as("neighbor_id"), col("label"),
+      val cands = e.select(col("vec_id").as("neighbor_id"), col("bucket"),
         col("embedding").as("emb_c"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id")
         .orderBy(col("score_micro").desc, col("neighbor_id"))
-      probes.join(cands, Seq("label"))
+      probes.join(cands, Seq("bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("score_micro", nativeScoreMicro(s, "emb_q", "emb_c"))
         .withColumn("rank", row_number().over(w).cast("long"))
@@ -205,14 +212,16 @@ object Similarity {
           col("score_micro"))
         .orderBy("query_id", "rank")
     },
-    s"""SELECT query_id, neighbor_id, rank, score_micro FROM (
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  ${bucketOfSql("embedding")} AS bucket FROM embeddings)
+       |SELECT query_id, neighbor_id, rank, score_micro FROM (
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    ${scoreMicroSql("a.embedding", "b.embedding")} AS score_micro,
        |    CAST(row_number() OVER (PARTITION BY a.vec_id
        |      ORDER BY ${scoreMicroSql("a.embedding", "b.embedding")} DESC,
        |        b.vec_id) AS BIGINT) AS rank
-       |  FROM embeddings a JOIN embeddings b
-       |    ON a.label = b.label AND a.vec_id <> b.vec_id
+       |  FROM e a JOIN e b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
        |  WHERE a.vec_id % 50 = 0)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -244,11 +244,229 @@ object Star {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 
+  // --------------------------------------------------------- C7 setup
+  /** The reference's FULL report payload (views/report.py:15-38): all
+    * 9 equipment slots plus the world flags, derived with exact int64
+    * arithmetic from the events stream.
+    */
+  private def slot(m1: Long, m2: Long) =
+    Cleanse.clampSmallint((col("user_id") * m1 + col("event_id") * m2) % 40000L)
+
+  private[operators] def enrichedFull(s: SparkSession, dir: String): DataFrame =
+    enriched(s, dir)
+      .withColumn("g_amulet", slot(7907L, 23L))
+      .withColumn("g_legs", slot(7901L, 29L))
+      .withColumn("g_boots", slot(7883L, 31L))
+      .withColumn("g_cape", slot(7879L, 37L))
+      .withColumn("g_hands", slot(7873L, 41L))
+      .withColumn("g_shield", slot(7867L, 43L))
+      .withColumn("on_members_world", col("user_id") % 2L)
+      .withColumn("on_pvp_world",
+        when(col("user_id") % 5L === 0L, 1L).otherwise(0L))
+      .withColumn("world_number", lit(301L) + col("user_id") % 200L)
+      .withColumn("equip_ge_value", (col("event_id") * 9973L) % 1000000L)
+
+  private def slotSql(name: String, m1: Long, m2: Long): String =
+    s"""CASE WHEN (user_id*$m1 + event_id*$m2) % 40000 > 32767 THEN 0
+       |       ELSE (user_id*$m1 + event_id*$m2) % 40000 END AS $name"""
+      .stripMargin
+
+  private val enrichedFullSql =
+    s"""SELECT *,
+       |  ${slotSql("g_amulet", 7907L, 23L)},
+       |  ${slotSql("g_legs", 7901L, 29L)},
+       |  ${slotSql("g_boots", 7883L, 31L)},
+       |  ${slotSql("g_cape", 7879L, 37L)},
+       |  ${slotSql("g_hands", 7873L, 41L)},
+       |  ${slotSql("g_shield", 7867L, 43L)},
+       |  user_id % 2 AS on_members_world,
+       |  CAST(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS on_pvp_world,
+       |  301 + user_id % 200 AS world_number,
+       |  (event_id*9973) % 1000000 AS equip_ge_value
+       |FROM ($enrichedSql)""".stripMargin
+
+  /** All 9 equipment slots, reference order (report.py:188-208). */
+  private val gearCols = Seq("g_head", "g_amulet", "g_torso", "g_legs",
+    "g_boots", "g_cape", "g_hands", "g_weapon", "g_shield")
+
+  /** Hash surrogate id: first 60 bits of md5 over the natural key.
+    * This is the id scheme that actually scales — deterministic, pure
+    * map-side, no global row_number window funneling the dim through
+    * one task (the ≥1e8 escape hatch documented above, built). md5 is
+    * reproducible on both engines, so the ids stay oracle-checkable;
+    * 60-bit collisions at 1e8 keys: p ≈ 4e-3 per full dim, and a
+    * collision only merges two dim rows (detectable by count).
+    */
+  def hashId(cols: Seq[String]): Column =
+    conv(substring(md5(concat_ws("|", cols.map(col): _*)), 1, 15), 16, 10)
+      .cast("long")
+
+  private def hashIdSql(cols: Seq[String]): String =
+    s"CAST('0x' || substr(md5(concat_ws('|', ${cols.mkString(", ")})), 1, 15) AS BIGINT)"
+
+  // ---------------------------------------------------------------- C8
+  /** The 9-slot gear dimension (ref report.py:186-225): DISTINCT over
+    * all 9 equipment columns with hash surrogate ids — the dim is one
+    * map-side-combinable DISTINCT, no window, no second shuffle.
+    */
+  val rDimGear9: Q = Q(
+    (s, dir) =>
+      enrichedFull(s, dir)
+        .select(gearCols.map(col): _*).distinct()
+        .withColumn("gear_id", hashId(gearCols))
+        .select(("gear_id" +: gearCols).map(col): _*)
+        .orderBy("gear_id"),
+    s"""WITH e AS ($enrichedFullSql),
+       |d AS (SELECT DISTINCT ${gearCols.mkString(", ")} FROM e)
+       |SELECT ${hashIdSql(gearCols)} AS gear_id, ${gearCols.mkString(", ")}
+       |FROM d ORDER BY gear_id""".stripMargin)
+
+  // ---------------------------------------------------------------- C7
+  /** Full-width star normalize (ref report.py:253-314 with the real
+    * column set): 9-slot gear dedup + the world fields the fact keeps
+    * (on_members_world / on_pvp_world / world_number / region_id —
+    * region_id is denormalized into the fact exactly like the
+    * reference). Gear ids are hash surrogates computed inline on the
+    * fact row — re-keying the fact to the gear dim costs ZERO joins
+    * and zero shuffles; sighting/location stay row_number-keyed
+    * broadcast dims (tiny).
+    */
+  val rFactFull: Q = Q(
+    (s, dir) => {
+      val e = enrichedFull(s, dir)
+      val sighting = e.select("reporting_id", "reported_id", "manual_detect")
+        .distinct()
+        .withColumn("sighting_id", row_number().over(
+          Window.orderBy("reporting_id", "reported_id", "manual_detect"))
+          .cast("long"))
+      val location = e.select("region_id", "x_coord", "y_coord", "z_coord")
+        .distinct()
+        .withColumn("location_id", row_number().over(
+          Window.orderBy("region_id", "x_coord", "y_coord", "z_coord"))
+          .cast("long"))
+      e.join(broadcast(sighting),
+          Seq("reporting_id", "reported_id", "manual_detect"))
+        .join(broadcast(location),
+          Seq("region_id", "x_coord", "y_coord", "z_coord"))
+        .withColumn("gear_id", hashId(gearCols))
+        .select(col("event_id"), col("sighting_id"), col("location_id"),
+          col("gear_id"), col("ts").as("reported_at"),
+          col("on_members_world"), col("on_pvp_world"), col("world_number"),
+          col("region_id"), col("equip_ge_value"))
+        .orderBy("event_id")
+    },
+    s"""WITH e AS ($enrichedFullSql),
+       |sighting AS (
+       |  SELECT CAST(row_number() OVER
+       |    (ORDER BY reporting_id, reported_id, manual_detect) AS BIGINT)
+       |    AS sighting_id, reporting_id, reported_id, manual_detect
+       |  FROM (SELECT DISTINCT reporting_id, reported_id, manual_detect
+       |        FROM e)),
+       |location AS (
+       |  SELECT CAST(row_number() OVER
+       |    (ORDER BY region_id, x_coord, y_coord, z_coord) AS BIGINT)
+       |    AS location_id, region_id, x_coord, y_coord, z_coord
+       |  FROM (SELECT DISTINCT region_id, x_coord, y_coord, z_coord FROM e))
+       |SELECT e.event_id, s.sighting_id, l.location_id,
+       |       ${hashIdSql(gearCols.map("e." + _))} AS gear_id,
+       |       e.ts AS reported_at, e.on_members_world, e.on_pvp_world,
+       |       e.world_number, e.region_id, e.equip_ge_value
+       |FROM e
+       |JOIN sighting s ON s.reporting_id = e.reporting_id
+       |  AND s.reported_id = e.reported_id
+       |  AND s.manual_detect = e.manual_detect
+       |JOIN location l ON l.region_id = e.region_id
+       |  AND l.x_coord = e.x_coord AND l.y_coord = e.y_coord
+       |  AND l.z_coord = e.z_coord
+       |ORDER BY event_id""".stripMargin)
+
+  // ---------------------------------------------------------------- C9
+  /** The v1 resolution pipeline — the heart of the reference's v1
+    * flow (main.py:100-123 + player.py:60-71): a v1 message carries
+    * reporter/reported NAMES; both are sanitized, resolved through
+    * the player dim with get-or-insert (new names appended after the
+    * current max id), and the fact is keyed by the resulting
+    * (reporting_id, reported_id). Reporter names arrive with caps /
+    * padding noise (exercising sanitize); reported names derive from
+    * k*31, so roughly half fall outside the existing dim and take the
+    * insert path. The dim join is broadcast — the reference's LRU
+    * cache (\_cache.py) as a per-executor hash map.
+    */
+  val rResolveV1: Q = Q(
+    (s, dir) => {
+      val msgs = Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .select(col("event_id"),
+          Cleanse.sanitizeName(concat(lit("  CUSTOMER#"),
+            lpad(col("user_id").cast("string"), 9, "0"), lit(" ")))
+            .as("reporter_name"),
+          Cleanse.sanitizeName(concat(lit("Customer#"),
+            lpad((col("k") * 31L).cast("string"), 9, "0")))
+            .as("reported_name"))
+      val players = Tables.customer(s, dir)
+        .select(col("c_custkey").as("player_id"),
+          Cleanse.sanitizeName(col("c_name")).as("name"))
+      val names = msgs.select(col("reporter_name").as("name"))
+        .unionAll(msgs.select(col("reported_name").as("name")))
+        .distinct()
+      val newNames = names.join(players, Seq("name"), "left_anti")
+      val maxId = players.agg(max("player_id").as("max_id"))
+      val newPlayers = newNames.crossJoin(maxId)
+        .withColumn("player_id",
+          (col("max_id") + row_number().over(Window.orderBy("name")))
+            .cast("long"))
+        .select("player_id", "name")
+      val dim = players.unionByName(newPlayers)
+      msgs
+        .join(broadcast(dim.select(col("player_id").as("reporting_id"),
+          col("name").as("reporter_name"))), Seq("reporter_name"))
+        .join(broadcast(dim.select(col("player_id").as("reported_id"),
+          col("name").as("reported_name"))), Seq("reported_name"))
+        .select("event_id", "reporting_id", "reported_id")
+        .orderBy("event_id")
+    },
+    """WITH msgs AS (
+      |  SELECT event_id,
+      |    trim(replace(replace(lower('  CUSTOMER#' ||
+      |      lpad(CAST(user_id AS VARCHAR), 9, '0') || ' '),
+      |      '_', ' '), '-', ' ')) AS reporter_name,
+      |    trim(replace(replace(lower('Customer#' ||
+      |      lpad(CAST(CAST(props->>'k' AS BIGINT) * 31 AS VARCHAR), 9, '0')),
+      |      '_', ' '), '-', ' ')) AS reported_name
+      |  FROM events),
+      |players AS (
+      |  SELECT c_custkey AS player_id,
+      |    trim(replace(replace(lower(c_name), '_', ' '), '-', ' ')) AS name
+      |  FROM customer),
+      |names AS (
+      |  SELECT DISTINCT name FROM (
+      |    SELECT reporter_name AS name FROM msgs
+      |    UNION ALL SELECT reported_name FROM msgs)),
+      |newn AS (
+      |  SELECT name FROM names
+      |  WHERE NOT EXISTS (SELECT 1 FROM players p WHERE p.name = names.name)),
+      |mx AS (SELECT max(player_id) AS max_id FROM players),
+      |newp AS (
+      |  SELECT CAST(max_id + row_number() OVER (ORDER BY name) AS BIGINT)
+      |    AS player_id, name
+      |  FROM newn, mx),
+      |dim AS (SELECT * FROM players UNION ALL SELECT * FROM newp)
+      |SELECT event_id, r1.player_id AS reporting_id,
+      |       r2.player_id AS reported_id
+      |FROM msgs
+      |JOIN dim r1 ON r1.name = msgs.reporter_name
+      |JOIN dim r2 ON r2.name = msgs.reported_name
+      |ORDER BY event_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
     "r_dim_build" -> rDimBuild,
     "r_dim_sighting" -> rDimSighting,
     "r_fact_antijoin" -> rFactAntijoin,
     "r_fact_assemble" -> rFactAssemble,
+    "r_fact_full" -> rFactFull,
+    "r_dim_gear9" -> rDimGear9,
+    "r_resolve_v1" -> rResolveV1,
     "r_upsert_latest" -> rUpsertLatest,
     "r_cache_join" -> rCacheJoin)
 }

@@ -53,6 +53,33 @@ class QueriesSpec extends SparkSpec {
     assert(f.count() === Tables.events(spark, sf).count())
   }
 
+  test("r_resolve_v1: every v1 message resolves, new names get new ids") {
+    val r = SparkEntry.queries("r_resolve_v1")(spark, sf)
+    // resolution loses no messages and never leaves a null id
+    assert(r.count() === Tables.events(spark, sf).count())
+    assert(r.filter(col("reporting_id").isNull ||
+      col("reported_id").isNull).count() === 0)
+    // reported names derive from k*31 > max custkey for some rows →
+    // the insert path must have been taken (ids beyond the dim's max)
+    val maxExisting = Tables.customer(spark, sf)
+      .agg(max("c_custkey")).head().getLong(0)
+    assert(r.filter(col("reported_id") > maxExisting).count() > 0,
+      "get-or-insert never took the insert path")
+    assert(r.filter(col("reporting_id") > maxExisting).count() === 0,
+      "reporter names are all existing players")
+  }
+
+  test("r_fact_full: 9-col gear dedup is collision-free and lossless") {
+    val f = SparkEntry.queries("r_fact_full")(spark, sf)
+    assert(f.count() === Tables.events(spark, sf).count())
+    val dim = SparkEntry.queries("r_dim_gear9")(spark, sf)
+    // hash surrogate ids: one id per distinct 9-slot tuple
+    assert(dim.select("gear_id").distinct().count() === dim.count())
+    // every fact gear_id exists in the dim
+    assert(f.join(dim.select("gear_id"), Seq("gear_id"), "left_anti")
+      .count() === 0)
+  }
+
   test("d_exact keeps one representative per distinct text") {
     val d = SparkEntry.queries("d_exact")(spark, sf)
     val docs = Tables.documents(spark, sf)
