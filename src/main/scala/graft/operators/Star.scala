@@ -25,9 +25,10 @@ object Star {
   /** Events enriched with the reference report's derived fields
     * (sighting triple, location tuple, gear ids) via exact int64
     * arithmetic — the hash-stable analog of the report payload.
+    * Factored over any events-shaped DataFrame (batch or streaming).
     */
-  private[operators] def enriched(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+  private[graft] def enrich(df: DataFrame): DataFrame =
+    df
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .withColumn("reporting_id", col("user_id"))
       .withColumn("reported_id", col("k"))
@@ -42,6 +43,9 @@ object Star {
         Cleanse.clampSmallint((col("user_id") * 104729L + col("event_id") * 17L) % 40000L))
       .withColumn("g_weapon",
         Cleanse.clampSmallint((col("user_id") * 1299709L + col("event_id") * 19L) % 40000L))
+
+  private[operators] def enriched(s: SparkSession, dir: String): DataFrame =
+    enrich(Tables.events(s, dir))
 
   private val enrichedSql =
     """SELECT event_id, ts, user_id, event_type,
@@ -252,8 +256,8 @@ object Star {
   private def slot(m1: Long, m2: Long) =
     Cleanse.clampSmallint((col("user_id") * m1 + col("event_id") * m2) % 40000L)
 
-  private[operators] def enrichedFull(s: SparkSession, dir: String): DataFrame =
-    enriched(s, dir)
+  private[graft] def enrichFull(df: DataFrame): DataFrame =
+    enrich(df)
       .withColumn("g_amulet", slot(7907L, 23L))
       .withColumn("g_legs", slot(7901L, 29L))
       .withColumn("g_boots", slot(7883L, 31L))
@@ -265,6 +269,9 @@ object Star {
         when(col("user_id") % 5L === 0L, 1L).otherwise(0L))
       .withColumn("world_number", lit(301L) + col("user_id") % 200L)
       .withColumn("equip_ge_value", (col("event_id") * 9973L) % 1000000L)
+
+  private[operators] def enrichedFull(s: SparkSession, dir: String): DataFrame =
+    enrichFull(Tables.events(s, dir))
 
   private def slotSql(name: String, m1: Long, m2: Long): String =
     s"""CASE WHEN (user_id*$m1 + event_id*$m2) % 40000 > 32767 THEN 0
@@ -327,58 +334,36 @@ object Star {
     * column set): 9-slot gear dedup + the world fields the fact keeps
     * (on_members_world / on_pvp_world / world_number / region_id —
     * region_id is denormalized into the fact exactly like the
-    * reference). Gear ids are hash surrogates computed inline on the
-    * fact row — re-keying the fact to the gear dim costs ZERO joins
-    * and zero shuffles; sighting/location stay row_number-keyed
-    * broadcast dims (tiny).
+    * reference). ALL THREE dim keys (gear, sighting, location) are
+    * hash surrogates computed inline on the fact row — re-keying the
+    * fact costs ZERO joins, zero windows, zero shuffles: the fact
+    * assembly is a pure map over the event scan, which is the shape
+    * that holds at 100 TB (the row_number-keyed variant lives on as
+    * C4 `r_fact_assemble`, matching the reference's AUTO_INCREMENT
+    * semantics for small dims).
     */
+  private val sightingCols = Seq("reporting_id", "reported_id", "manual_detect")
+  private val locationCols = Seq("region_id", "x_coord", "y_coord", "z_coord")
+
   val rFactFull: Q = Q(
-    (s, dir) => {
-      val e = enrichedFull(s, dir)
-      val sighting = e.select("reporting_id", "reported_id", "manual_detect")
-        .distinct()
-        .withColumn("sighting_id", row_number().over(
-          Window.orderBy("reporting_id", "reported_id", "manual_detect"))
-          .cast("long"))
-      val location = e.select("region_id", "x_coord", "y_coord", "z_coord")
-        .distinct()
-        .withColumn("location_id", row_number().over(
-          Window.orderBy("region_id", "x_coord", "y_coord", "z_coord"))
-          .cast("long"))
-      e.join(broadcast(sighting),
-          Seq("reporting_id", "reported_id", "manual_detect"))
-        .join(broadcast(location),
-          Seq("region_id", "x_coord", "y_coord", "z_coord"))
+    (s, dir) =>
+      enrichedFull(s, dir)
+        .withColumn("sighting_id", hashId(sightingCols))
+        .withColumn("location_id", hashId(locationCols))
         .withColumn("gear_id", hashId(gearCols))
         .select(col("event_id"), col("sighting_id"), col("location_id"),
           col("gear_id"), col("ts").as("reported_at"),
           col("on_members_world"), col("on_pvp_world"), col("world_number"),
           col("region_id"), col("equip_ge_value"))
-        .orderBy("event_id")
-    },
-    s"""WITH e AS ($enrichedFullSql),
-       |sighting AS (
-       |  SELECT CAST(row_number() OVER
-       |    (ORDER BY reporting_id, reported_id, manual_detect) AS BIGINT)
-       |    AS sighting_id, reporting_id, reported_id, manual_detect
-       |  FROM (SELECT DISTINCT reporting_id, reported_id, manual_detect
-       |        FROM e)),
-       |location AS (
-       |  SELECT CAST(row_number() OVER
-       |    (ORDER BY region_id, x_coord, y_coord, z_coord) AS BIGINT)
-       |    AS location_id, region_id, x_coord, y_coord, z_coord
-       |  FROM (SELECT DISTINCT region_id, x_coord, y_coord, z_coord FROM e))
-       |SELECT e.event_id, s.sighting_id, l.location_id,
-       |       ${hashIdSql(gearCols.map("e." + _))} AS gear_id,
-       |       e.ts AS reported_at, e.on_members_world, e.on_pvp_world,
-       |       e.world_number, e.region_id, e.equip_ge_value
+        .orderBy("event_id"),
+    s"""WITH e AS ($enrichedFullSql)
+       |SELECT event_id,
+       |       ${hashIdSql(sightingCols)} AS sighting_id,
+       |       ${hashIdSql(locationCols)} AS location_id,
+       |       ${hashIdSql(gearCols)} AS gear_id,
+       |       ts AS reported_at, on_members_world, on_pvp_world,
+       |       world_number, region_id, equip_ge_value
        |FROM e
-       |JOIN sighting s ON s.reporting_id = e.reporting_id
-       |  AND s.reported_id = e.reported_id
-       |  AND s.manual_detect = e.manual_detect
-       |JOIN location l ON l.region_id = e.region_id
-       |  AND l.x_coord = e.x_coord AND l.y_coord = e.y_coord
-       |  AND l.z_coord = e.z_coord
        |ORDER BY event_id""".stripMargin)
 
   // ---------------------------------------------------------------- C9
@@ -392,6 +377,11 @@ object Star {
     * k*31, so roughly half fall outside the existing dim and take the
     * insert path. The dim join is broadcast — the reference's LRU
     * cache (\_cache.py) as a per-executor hash map.
+    *
+    * The resolved dim is cached before the joins: it feeds TWO
+    * broadcast exchanges (reporter + reported side), and without the
+    * cache each broadcast would re-run the whole distinct + anti-join
+    * + id-assignment subplan (measured 2× cost at sf0.1).
     */
   val rResolveV1: Q = Q(
     (s, dir) => {
@@ -417,7 +407,7 @@ object Star {
           (col("max_id") + row_number().over(Window.orderBy("name")))
             .cast("long"))
         .select("player_id", "name")
-      val dim = players.unionByName(newPlayers)
+      val dim = players.unionByName(newPlayers).cache()
       msgs
         .join(broadcast(dim.select(col("player_id").as("reporting_id"),
           col("name").as("reporter_name"))), Seq("reporter_name"))

@@ -60,11 +60,13 @@ object TextAnalysis {
           size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
             .cast("long").as("n_punct"),
           hits(col("text"), stopEn).as("n_stop"))
+        // greatest(…, 1): empty docs must score, not divide by zero
         .selectExpr("doc_id", "n_chars", "n_tokens", "n_punct", "n_stop",
-          "(n_punct * 10000) DIV n_chars AS punct_bp",
-          "(n_stop * 10000) DIV n_tokens AS stop_bp",
-          "10000 - ((n_punct * 10000) DIV n_chars +" +
-            " (n_stop * 10000) DIV n_tokens) DIV 2 AS quality_bp")
+          "(n_punct * 10000) DIV greatest(n_chars, 1) AS punct_bp",
+          "(n_stop * 10000) DIV greatest(n_tokens, 1) AS stop_bp",
+          "10000 - ((n_punct * 10000) DIV greatest(n_chars, 1) +" +
+            " (n_stop * 10000) DIV greatest(n_tokens, 1)) DIV 2" +
+            " AS quality_bp")
         .orderBy("doc_id"),
     s"""WITH m AS (
        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
@@ -73,10 +75,11 @@ object TextAnalysis {
        |    ${hitsSql(stopEn)} AS n_stop
        |  FROM documents)
        |SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
-       |  (n_punct * 10000) // n_chars AS punct_bp,
-       |  (n_stop * 10000) // n_tokens AS stop_bp,
-       |  10000 - ((n_punct * 10000) // n_chars +
-       |           (n_stop * 10000) // n_tokens) // 2 AS quality_bp
+       |  (n_punct * 10000) // greatest(n_chars, 1) AS punct_bp,
+       |  (n_stop * 10000) // greatest(n_tokens, 1) AS stop_bp,
+       |  10000 - ((n_punct * 10000) // greatest(n_chars, 1) +
+       |           (n_stop * 10000) // greatest(n_tokens, 1)) // 2
+       |    AS quality_bp
        |FROM m ORDER BY doc_id""".stripMargin)
 
   private val stopEs = Seq("el", "la", "de", "que", "y", "en", "los",
@@ -139,11 +142,13 @@ object TextAnalysis {
             |    transform(sequence(1, char_length(norm)-7),
             |      i -> substr(md5(substring(norm, i, 8)), 1, 8))
             |    ELSE array() END),
-            |  h -> array_distinct(transform(sequence(1, size(h)), i ->
-            |    least(element_at(h, i),
-            |          element_at(h, greatest(i-1, 1)),
-            |          element_at(h, greatest(i-2, 1)),
-            |          element_at(h, greatest(i-3, 1))))))[0]""".stripMargin))
+            |  h -> CASE WHEN size(h) >= 1 THEN
+            |    array_distinct(transform(sequence(1, size(h)), i ->
+            |      least(element_at(h, i),
+            |            element_at(h, greatest(i-1, 1)),
+            |            element_at(h, greatest(i-2, 1)),
+            |            element_at(h, greatest(i-3, 1)))))
+            |    ELSE array() END)[0]""".stripMargin))
           .as("fp_hash"))
         .orderBy("doc_id", "fp_hash"),
     """WITH g AS (

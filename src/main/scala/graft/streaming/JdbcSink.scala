@@ -56,16 +56,50 @@ object JdbcSink {
       s"ON DUPLICATE KEY UPDATE $updates"
   }
 
+  /** Per-partition idempotent writer: each partition opens one
+    * connection and executes the INSERT IGNORE / upsert statement in
+    * JDBC batches — a micro-batch retried after partial failure
+    * re-sends the same keys and the unique key absorbs them, so the
+    * sink stays exactly-once under at-least-once delivery (plain
+    * SaveMode.Append would duplicate; ref player.py:57 prefixes
+    * IGNORE for exactly this reason).
+    */
+  def writeIdempotent(df: DataFrame, url: String, user: String,
+      password: String, sql: String, batchSize: Int = 1000): Unit = {
+    val cols = df.columns
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      if (rows.nonEmpty) {
+        val conn = java.sql.DriverManager.getConnection(url, user, password)
+        try {
+          val ps = conn.prepareStatement(sql)
+          var n = 0
+          rows.foreach { row =>
+            cols.indices.foreach(i => ps.setObject(i + 1, row.get(i)))
+            ps.addBatch()
+            n += 1
+            if (n % batchSize == 0) ps.executeBatch()
+          }
+          ps.executeBatch()
+          ()
+        } finally conn.close()
+      }
+    }
+  }
+
   /** Stream → JDBC via foreachBatch (the production shape of
-    * ReportStream.pipeline's sink).
+    * ReportStream.pipeline's sink). Routes through the upsert
+    * statement over `keyCols`, NOT plain appends — retries of a
+    * partially-written micro-batch are absorbed by the table's
+    * unique key instead of duplicating rows.
     */
   def streamToJdbc(df: DataFrame, url: String, table: String,
-      user: String, password: String,
-      checkpointDir: String): StreamingQuery =
+      user: String, password: String, checkpointDir: String,
+      keyCols: Seq[String]): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        write(batch, url, table, user, password)
+        writeIdempotent(batch, url, user, password,
+          upsertSql(table, batch.columns.toSeq, keyCols))
       }
       .start()
 }

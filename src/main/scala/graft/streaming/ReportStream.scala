@@ -49,8 +49,11 @@ object ReportStream {
       .parquet(dir)
 
   /** D1: the full pipe. Valid rows land in outDir/reports, failures
-    * in outDir/dead_letter with a reason (the reference requeues to
-    * Kafka; a DLQ table is the lake-native equivalent).
+    * in outDir/dead_letter with a reason AND the v2 `KafkaReport`
+    * requeue payload (ref main.py:79-97: the reference re-serializes
+    * failed batches via convert_stg_to_kafka_report and puts them
+    * back on the error queue; `requeue_json` is that exact wire
+    * format, ready for a Kafka sink's `value` column).
     */
   def pipeline(events: DataFrame, outDir: String,
       checkpointDir: String): StreamingQuery = {
@@ -64,11 +67,31 @@ object ReportStream {
           .withColumn("reason", lit("bad_type"))
         appendDedup(valid, s"$outDir/reports", Seq("event_id"))
         if (!dead.isEmpty)
-          dead.write.mode("append").parquet(s"$outDir/dead_letter")
+          withRequeueJson(dead)
+            .write.mode("append").parquet(s"$outDir/dead_letter")
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** Attach the v2 requeue payload to events-shaped dead rows: enrich
+    * to the full report field set (same exact-arithmetic derivation
+    * as the batch star), pack the 9 slots into the nested equipment
+    * struct, serialize as v2.0.0 KafkaReport JSON — pure column ops,
+    * fully codegen'd. Output keeps the caller's columns plus
+    * `requeue_json`.
+    */
+  private[graft] def withRequeueJson(dead: DataFrame): DataFrame = {
+    val orig = dead.columns.toSeq
+    graft.operators.Star.enrichFull(dead)
+      .withColumn("reporter_id", col("reporting_id"))
+      .withColumn("equipment", KafkaJson.equipmentStruct(
+        col("g_head"), col("g_amulet"), col("g_torso"), col("g_legs"),
+        col("g_boots"), col("g_cape"), col("g_hands"), col("g_weapon"),
+        col("g_shield")))
+      .withColumn("requeue_json", KafkaJson.toV2Json())
+      .select((orig :+ "requeue_json").map(col): _*)
   }
 
   /** D3: idempotent append — dedup within the batch AND against rows
@@ -76,17 +99,37 @@ object ReportStream {
     * lake-side analog of the reference's NOT-EXISTS inserts
     * (ref report.py:170-314). Makes an at-least-once source
     * effectively exactly-once at the sink.
+    *
+    * The sink is partitioned by event month and the anti-join reads
+    * ONLY the months the incoming batch touches (partition-pruned
+    * scan): with a watermarked source a batch's event-time span is
+    * bounded, so the read side stays O(batch window), not O(sink
+    * history) — the r1 version broadcast the ENTIRE sink, which grows
+    * without bound. Missing sink path is detected explicitly
+    * (FileSystem.exists); any other read error fails the batch so the
+    * checkpoint retries it instead of silently disabling dedup.
     */
-  def appendDedup(batch: DataFrame, path: String,
-      key: Seq[String]): Unit = {
+  def appendDedup(batch: DataFrame, path: String, key: Seq[String],
+      tsCol: String = "ts"): Unit = {
     val spark = batch.sparkSession
+    val part = "p_month"
     val deduped = batch.dropDuplicates(key)
+      .withColumn(part, date_format(col(tsCol), "yyyy-MM"))
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh =
-      try {
-        val existing = spark.read.parquet(path).select(key.map(col): _*)
-        deduped.join(broadcast(existing.distinct()), key, "left_anti")
-      } catch { case _: Exception => deduped } // first batch: no sink yet
-    fresh.write.mode("append").parquet(path)
+      if (!fs.exists(hPath)) deduped
+      else {
+        // bounded: months touched by THIS batch (≤ watermark span)
+        val months = deduped.select(part).distinct()
+          .collect().map(_.getString(0))
+        val existing = spark.read.parquet(path)
+          .filter(col(part).isin(months.toIndexedSeq: _*))
+          .select(key.map(col): _*)
+        // no forced broadcast: AQE sizes the pruned read at runtime
+        deduped.join(existing.distinct(), key, "left_anti")
+      }
+    fresh.write.mode("append").partitionBy(part).parquet(path)
   }
 
   final case class Sighting(reportingId: Long, reportedId: Long,

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Degenerate-input hardening: the driver corpora never go below
+  * ~44-char docs, but a 100 TB crawl absolutely contains empty and
+  * tiny documents. Every gram/fingerprint operator must produce
+  * EMPTY output for docs shorter than its gram width (matching
+  * DuckDB's empty range()) instead of ANSI errors from descending
+  * `sequence(1, n-k)` or division by zero.
+  */
+class ShortDocSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A documents table of pathological lengths: empty, 1, 2 chars
+    * (below 3-gram width), 7 chars (below 8-gram width), and one
+    * normal doc.
+    */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_shortdocs").toString
+    Seq(
+      (1L, ""),
+      (2L, "a"),
+      (3L, "ab"),
+      (4L, "1234567"),
+      (5L, "a perfectly ordinary document, long enough for all grams."))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("t_fingerprint: docs under 8 chars yield zero fingerprints") {
+    val fp = SparkEntry.queries("t_fingerprint")(spark, dir)
+    assert(fp.filter(col("doc_id") < 5L).count() === 0)
+    assert(fp.filter(col("doc_id") === 5L).count() > 0)
+    assert(fp.filter(col("fp_hash").isNull).count() === 0)
+  }
+
+  test("d_ngram_jaccard: sub-3-char docs have empty gram sets") {
+    // adjacent-id pairs over the tiny corpus: pairs touching short
+    // docs must drop out via the inter >= 1 filter, not crash
+    val j = SparkEntry.queries("d_ngram_jaccard")(spark, dir)
+    assert(j.filter(col("doc_a") < 4L).count() === 0)
+  }
+
+  test("t_quality: empty doc scores without dividing by zero") {
+    val q = SparkEntry.queries("t_quality")(spark, dir)
+    assert(q.count() === 5)
+    val empty = q.filter(col("doc_id") === 1L).head()
+    assert(empty.getAs[Long]("n_chars") === 0L)
+    assert(empty.getAs[Long]("punct_bp") === 0L)
+  }
+
+  test("t_tokens and t_langid run over degenerate docs") {
+    assert(SparkEntry.queries("t_tokens")(spark, dir).count() === 5)
+    assert(SparkEntry.queries("t_langid")(spark, dir).count() === 5)
+  }
+
+  test("d_minhash and d_exact run over degenerate docs") {
+    // empty doc has zero tokens → zero signature rows, not a crash
+    val mh = SparkEntry.queries("d_minhash")(spark, dir)
+    assert(mh.filter(col("doc_id") === 1L).count() === 0)
+    assert(mh.filter(col("doc_id") === 5L).count() === Dedup.NumHashes)
+    assert(SparkEntry.queries("d_exact")(spark, dir).count() === 5)
+  }
+}

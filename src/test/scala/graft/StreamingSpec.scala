@@ -35,6 +35,11 @@ class StreamingSpec extends SparkSpec {
     assert(dead.count() === nErr)
     assert(reports.filter(col("event_type") === "error").count() === 0)
     assert(dead.select("reason").distinct().head().getString(0) === "bad_type")
+    // dead letters carry the v2 KafkaReport requeue payload
+    assert(dead.columns.contains("requeue_json"))
+    val rq = graft.streaming.KafkaJson.parseReports(
+      dead.select(col("requeue_json").as("json")))
+    assert(rq.filter(col("version") === "v2.0.0").count() === nErr)
   }
 
   test("D3 idempotent sink: replaying the same batch adds no rows") {
@@ -46,6 +51,22 @@ class StreamingSpec extends SparkSpec {
     val n2 = spark.read.parquet(s"$out/t").count()
     assert(n1 === 100)
     assert(n2 === n1, "replayed batch must be fully deduped")
+  }
+
+  test("D3 bounded sink: month-partitioned layout, partial-overlap replay") {
+    val out = tempDir("graft_sink_bounded")
+    ReportStream.appendDedup(
+      Tables.events(spark, sf).limit(200), s"$out/t", Seq("event_id"))
+    // 200 already-written keys + 100 fresh ones in the same call
+    ReportStream.appendDedup(
+      Tables.events(spark, sf).limit(300), s"$out/t", Seq("event_id"))
+    assert(spark.read.parquet(s"$out/t").count() === 300,
+      "overlap deduped, fresh rows appended")
+    // the sink is laid out by event month — the partition-pruning key
+    // that bounds the anti-join read to the batch's own months
+    val dirs = new java.io.File(s"$out/t").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("p_month=")))
   }
 
   test("D5 stateful dedup: each sighting key emitted exactly once") {
