@@ -263,9 +263,39 @@ object Analytics {
       |  FROM u)
       |WHERE kind = 1 ORDER BY event_id""".stripMargin)
 
+  // ---------------------------------------------------------------- E8
+  /** Two-stage salted aggregation — the skew-mitigation pattern for a
+    * hot grouping key: stage 1 spreads each user's rows over 8 salt
+    * shards (no one reducer owns a hot user), stage 2 merges the ≤8
+    * partials per user. All the aggregates here are decomposable
+    * (count→sum, sum→sum, min/max→min/max), so the result is
+    * IDENTICAL to the direct groupBy — the oracle states the direct
+    * form, making the equivalence the checked property. At 100 TB
+    * this is what turns a hot-key stall into 8 even tasks when AQE's
+    * skew handling can't reach the aggregation.
+    */
+  val qSaltedAgg: Q = Q(
+    (s, dir) => {
+      val partial = Tables.events(s, dir)
+        .withColumn("salt", col("event_id") % 8L)
+        .groupBy("user_id", "salt")
+        .agg(count(lit(1)).as("pn"), sum(dec2(col("value"))).as("pv"),
+          min("event_id").as("pmin"), max("event_id").as("pmax"))
+      partial.groupBy("user_id")
+        .agg(sum("pn").as("n_events"), cents(sum("pv")).as("sum_value"),
+          min("pmin").as("first_event"), max("pmax").as("last_event"))
+        .orderBy("user_id")
+    },
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+      |    AS sum_value,
+      |  min(event_id) AS first_event, max(event_id) AS last_event
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
     "q_rollup" -> qRollup,
     "q_asof" -> qAsof,
+    "q_salted_agg" -> qSaltedAgg,
     "q1_pricing" -> q1Pricing,
     "q3_topk" -> q3Topk,
     "q5_multijoin" -> q5Multijoin,

@@ -185,6 +185,41 @@ object Similarity {
        |FROM e, p WHERE vec_id <> 0 AND bucket = pbucket
        |ORDER BY score_micro DESC, vec_id LIMIT 10""".stripMargin)
 
+  // ---------------------------------------------------------------- G4
+  /** Multi-probe ANN: G2 scores only the probe's own bucket, which
+    * caps recall when a true neighbor lands just across one
+    * hyperplane. Multi-probe widens the search to every bucket within
+    * Hamming distance 1 of the probe signature (9 of 256 cells —
+    * flipping the one least-confident sign each time), the standard
+    * recall/cost dial for hyperplane LSH. `bit_count(bucket XOR
+    * probe_bucket) <= 1` is the whole candidate filter — integer ops,
+    * identical on both engines; candidates then go through the exact
+    * cosine kernel and TakeOrdered like G1/G2.
+    */
+  val sAnnMultiprobe: Q = Q(
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("bucket", bucketOf(col("embedding")))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"), col("bucket").as("pbucket"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .filter(expr("bit_count(bucket ^ pbucket) <= 1"))
+        .select(col("vec_id"), col("label"), col("bucket"),
+          nativeScoreMicro(s, "embedding", "probe").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("vec_id"))
+        .limit(10)
+    },
+    s"""WITH e AS (SELECT vec_id, label, embedding,
+       |  ${bucketOfSql("embedding")} AS bucket FROM embeddings),
+       |p AS (SELECT embedding AS probe, bucket AS pbucket FROM e
+       |      WHERE vec_id = 0)
+       |SELECT vec_id, label, bucket,
+       |  ${scoreMicroSql("embedding", "probe")} AS score_micro
+       |FROM e, p WHERE vec_id <> 0
+       |  AND bit_count(xor(bucket, pbucket)) <= 1
+       |ORDER BY score_micro DESC, vec_id LIMIT 10""".stripMargin)
+
   // ---------------------------------------------------------------- G3
   /** k-NN join: for each probe (every 50th vector), its 3 nearest
     * neighbors within the probe's hyperplane bucket (the G2 coarse
@@ -229,5 +264,6 @@ object Similarity {
     "s_cosine_topk" -> sCosineTopk,
     "d_embed_dup" -> dEmbedDup,
     "s_ann_lsh" -> sAnnLsh,
+    "s_ann_multiprobe" -> sAnnMultiprobe,
     "s_knn_join" -> sKnnJoin)
 }

@@ -162,9 +162,72 @@ object TextAnalysis {
       |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp_hash
       |FROM g ORDER BY doc_id, fp_hash""".stripMargin)
 
+  // ---------------------------------------------------------------- H5
+  /** PII scrubbing — the redaction pass every training-data pipeline
+    * runs before anything else: emails and long digit runs (phone/ID
+    * shaped) are counted and replaced with placeholder tags. Both
+    * patterns are deliberately in the common RE2/Java-regex subset so
+    * the oracle is byte-identical; output is counts + md5 of the
+    * scrubbed text (hash-stable proof the replacement text matches).
+    * Map-only — the 100 TB cost is one codegen'd regex pass per doc.
+    */
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val longNumRe = "[0-9]{7,}"
+
+  val tPiiScrub: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), lower(col("text")).as("norm"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("norm"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("norm"), lit(longNumRe), lit(0)))
+            .cast("long").as("n_longnums"),
+          md5(regexp_replace(
+            regexp_replace(col("norm"), emailRe, "<EMAIL>"),
+            longNumRe, "<NUM>")).as("scrub_hash"))
+        .orderBy("doc_id"),
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(norm, '$emailRe')) AS n_emails,
+       |  len(regexp_extract_all(norm, '$longNumRe')) AS n_longnums,
+       |  md5(regexp_replace(regexp_replace(norm, '$emailRe', '<EMAIL>',
+       |    'g'), '$longNumRe', '<NUM>', 'g')) AS scrub_hash
+       |FROM (SELECT doc_id, lower(text) AS norm FROM documents)
+       |ORDER BY doc_id""".stripMargin)
+
+  // ---------------------------------------------------------------- H6
+  /** Corpus mixing report — the per-(source, lang) composition table
+    * a data curator reads before weighting sources: doc counts, char
+    * mass, mean quality (integer bp). One map-side-combinable groupBy
+    * over the corpus; at 100 TB this is the cheapest full-scan query
+    * there is.
+    */
+  val tSourceMix: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(toks(col("text"))).cast("long").as("n_tokens"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          sum("n_tokens").as("total_tokens"))
+        .selectExpr("source", "lang", "n_docs", "total_chars",
+          "total_tokens",
+          "total_chars DIV n_docs AS avg_chars")
+        .orderBy("source", "lang"),
+    s"""SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,
+       |  CAST(sum(length(text)) AS BIGINT) // count(*) AS avg_chars
+       |FROM documents GROUP BY source, lang
+       |ORDER BY source, lang""".stripMargin)
+
   val registry: Map[String, Q] = Map(
     "t_tokens" -> tTokens,
     "t_quality" -> tQuality,
     "t_langid" -> tLangid,
-    "t_fingerprint" -> tFingerprint)
+    "t_fingerprint" -> tFingerprint,
+    "t_pii_scrub" -> tPiiScrub,
+    "t_source_mix" -> tSourceMix)
 }

@@ -80,6 +80,40 @@ class QueriesSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("q_salted_agg equals the direct (unsalted) aggregation") {
+    val salted = SparkEntry.queries("q_salted_agg")(spark, sf)
+    val direct = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value").cast("decimal(12,2)")) * 100).cast("long")
+          .as("sum_value"),
+        min("event_id").as("first_event"), max("event_id").as("last_event"))
+    assert(salted.except(direct).count() === 0)
+    assert(direct.except(salted).count() === 0)
+  }
+
+  test("s_ann_multiprobe: strict superset of the single-probe bucket") {
+    val single = SparkEntry.queries("s_ann_lsh")(spark, sf)
+      .select("vec_id", "score_micro")
+    val multi = SparkEntry.queries("s_ann_multiprobe")(spark, sf)
+      .select("vec_id", "score_micro")
+    // the Hamming-1 candidate set contains the Hamming-0 set, so the
+    // multiprobe top-10's worst score can only be >= single-probe's
+    val worst = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(min("score_micro")).head().getLong(0)
+    assert(worst(multi) >= worst(single),
+      "multiprobe recall must not be below single-probe")
+    assert(multi.count() <= 10)
+  }
+
+  test("t_source_mix partitions the corpus exactly") {
+    val mix = SparkEntry.queries("t_source_mix")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(mix.agg(sum("n_docs")).head().getLong(0) === docs.count())
+    assert(mix.agg(sum("total_chars")).head().getLong(0) ===
+      docs.agg(sum(length(col("text")))).head().getLong(0))
+  }
+
   test("d_exact keeps one representative per distinct text") {
     val d = SparkEntry.queries("d_exact")(spark, sf)
     val docs = Tables.documents(spark, sf)

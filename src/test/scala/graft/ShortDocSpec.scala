@@ -59,6 +59,27 @@ class ShortDocSpec extends SparkSpec {
     assert(SparkEntry.queries("t_langid")(spark, dir).count() === 5)
   }
 
+  test("t_pii_scrub finds and redacts planted PII") {
+    val d = Files.createTempDirectory("graft_pii").toString
+    Seq(
+      (1L, "contact Bob.Smith+spam@example.co.uk or call 5551234567 now"),
+      (2L, "no pii here, just words and the number 42"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("t_pii_scrub")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_longnums"))).toMap
+    assert(out(1L) === ((1L, 1L)))
+    assert(out(2L) === ((0L, 0L)), "short numbers are not PII")
+    // redaction is total: scrubbed text contains neither pattern
+    val scrubbed = Tables.documents(spark, d)
+      .select(regexp_replace(regexp_replace(lower(col("text")),
+        "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+        "[0-9]{7,}", "<NUM>").as("t"))
+    assert(scrubbed.filter(col("t").contains("@") ||
+      col("t").rlike("[0-9]{7,}")).count() === 0)
+  }
+
   test("d_minhash and d_exact run over degenerate docs") {
     // empty doc has zero tokens → zero signature rows, not a crash
     val mh = SparkEntry.queries("d_minhash")(spark, dir)
