@@ -39,6 +39,27 @@ object ReportStream {
       .load()
       .selectExpr("CAST(value AS STRING) AS json")
 
+  /** Kafka sink options for production (the requeue path's target:
+    * dead letters' `requeue_json` becomes the message value). Not
+    * startable here — no broker — but this is the complete writer
+    * config, mirrored by kafkaSource above.
+    */
+  def kafkaSinkOptions(servers: String, topic: String,
+      checkpointDir: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> servers,
+    "topic" -> topic,
+    "checkpointLocation" -> checkpointDir,
+    // idempotent producer: retries cannot duplicate within a session
+    "kafka.enable.idempotence" -> "true",
+    "kafka.acks" -> "all")
+
+  def toKafkaSink(df: DataFrame, servers: String, topic: String,
+      checkpointDir: String): StreamingQuery =
+    df.selectExpr("CAST(requeue_json AS STRING) AS value")
+      .writeStream.format("kafka")
+      .options(kafkaSinkOptions(servers, topic, checkpointDir))
+      .start()
+
   /** File source standing in for Kafka: a directory of event parquet
     * with the same schema as the events table.
     */
@@ -160,6 +181,33 @@ object ReportStream {
             else Iterator.empty
           }
         })
+  }
+
+  /** D8: watermarked stream-stream interval join — each non-purchase
+    * event attributed to the same user's next purchase within 1 hour.
+    * Both sides carry a 2-hour watermark and the join condition bounds
+    * the event-time distance, so Spark can evict state on BOTH sides:
+    * state size is O(events in the watermark window), never O(stream
+    * history) — the only join shape that survives an unbounded stream.
+    */
+  def purchaseAttribution(clicksRaw: DataFrame,
+      purchasesRaw: DataFrame): DataFrame = {
+    val clicks = graft.Tables.nanosToTimestamp(clicksRaw)
+      .filter(col("event_type") =!= "purchase")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = graft.Tables.nanosToTimestamp(purchasesRaw)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select("click_id", "user_id", "click_ts", "purchase_id",
+        "purchase_ts")
   }
 
   /** Watermarked tumbling-window counts (the reference's batch

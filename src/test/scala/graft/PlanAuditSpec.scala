@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits — the properties that decide whether a query
+  * survives a 100× scale-up, asserted on the actual executed plans:
+  *
+  *  1. filters and projections reach the parquet scan (PushedFilters
+  *     / ReadSchema pruning),
+  *  2. dim joins broadcast (no shuffle of the fact side),
+  *  3. hot expressions stay inside WholeStageCodegen,
+  *  4. top-k queries use TakeOrdered, never a global Sort+Limit.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.debug._
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filter pushdown: event-type predicate reaches the parquet scan") {
+    val df = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id")
+    val f = formatted(df)
+    assert(f.contains("PushedFilters") &&
+      f.contains("IsNotNull(event_type)"),
+      s"predicate did not reach the scan:\n$f")
+  }
+
+  test("column pruning: 2-column projection reads a 2-column schema") {
+    val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val f = formatted(df)
+    val readSchema = f.linesIterator
+      .find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment") &&
+      !readSchema.contains("l_extendedprice"),
+      s"scan reads columns the query never uses: $readSchema")
+  }
+
+  test("q5_multijoin: every dim join is a broadcast join") {
+    val p = plan(SparkEntry.queries("q5_multijoin")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "dim joins must broadcast, not sort-merge")
+  }
+
+  test("r_fact_full: map-only — no exchange except the final order") {
+    // fact assembly is hash-id re-keying: zero joins, zero windows.
+    // The ONLY exchange allowed is the presentation orderBy's range
+    // partitioning (dropped by production callers).
+    val p = plan(SparkEntry.queries("r_fact_full")(spark, sf))
+    assert(!p.contains("Join"), s"r_fact_full must not join:\n$p")
+    assert(!p.contains("Window"), "r_fact_full must not use windows")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"expected at most the presentation-sort exchange, got $exchanges")
+  }
+
+  test("s_cosine_topk: TakeOrdered, not a global sort") {
+    val p = plan(SparkEntry.queries("s_cosine_topk")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must tree-reduce, not globally sort:\n$p")
+  }
+
+  test("whole-stage codegen covers the cleanse battery") {
+    // execute first: AQE only finalizes (and fuses codegen stages)
+    // at runtime; the *(n) prefix then marks WholeStageCodegen spans
+    val df = SparkEntry.queries("r_parse_props")(spark, sf)
+    df.collect() // count() would build a NEW plan; collect finalizes THIS one
+    val p = plan(df)
+    assert(p.contains("*("),
+      s"cleanse expressions must stay inside codegen:\n$p")
+  }
+
+  test("t_fingerprint plan shuffles nothing before the distinct") {
+    // one-pass winnowing: scan → project/explode → distinct; the only
+    // exchanges belong to the distinct + presentation sort (2), never
+    // a per-gram-row shuffle before aggregation
+    val p = plan(SparkEntry.queries("t_fingerprint")(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"))
+  }
+}

@@ -94,6 +94,39 @@ class StreamingSpec extends SparkSpec {
       .count().filter(col("count") > 1).count() === 0)
   }
 
+  test("D8 stream-stream interval join matches its batch twin") {
+    val in = tempDir("graft_ssj_in")
+    stageEvents(in)
+    val mk = () => ReportStream.fileSource(spark, in,
+      Tables.eventsRaw(spark, sf))
+    val q = ReportStream.purchaseAttribution(mk(), mk())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val batch = Tables.events(spark, sf)
+    val clicks = batch.filter(col("event_type") =!= "purchase")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = batch.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    val expected = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .count()
+    assert(spark.table("attrib").count() === expected,
+      "streaming interval join must emit exactly the batch join's rows")
+  }
+
+  test("kafka sink options carry idempotent-producer settings") {
+    val o = ReportStream.kafkaSinkOptions("broker:9092", "report", "/ck")
+    assert(o("topic") === "report")
+    assert(o("kafka.enable.idempotence") === "true")
+    assert(o("kafka.acks") === "all")
+  }
+
   test("windowed stats aggregate with watermark") {
     val in = tempDir("graft_win_in")
     val ck = tempDir("graft_win_ck")
