@@ -98,11 +98,15 @@ object Dedup {
     * composition below.
     */
   private[operators] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    // cached: the capped band rows feed BOTH sides of the self-join —
+    // without the cache the whole tokens→minhash→bands subplan (the
+    // expensive part) executes twice
     val b = bands(s, dir)
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("band", "band_hash")))
       .filter(col("bucket_n") <= MaxBucket)
+      .cache()
     val a = b.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
     val c = b.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
     a.join(c, Seq("band", "band_hash"))
@@ -151,6 +155,9 @@ object Dedup {
 
   /** Per-doc distinct char-3-gram ARRAYS — narrow joins +
     * array_intersect beat a million-row gram-level exploded join.
+    * NOT cached: materializing the fat array column costs more than
+    * recomputing it (measured 6s → 16s at sf0.1 when cached — the
+    * cached relation also loses AQE's join-strategy freedom).
     */
   private def gramArrays(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -326,6 +333,7 @@ object Dedup {
           org.apache.spark.sql.expressions.Window
             .partitionBy("band_idx", "band_val")))
         .filter(col("bucket_n") <= MaxBucket)
+        .cache() // feeds both self-join sides: signature agg runs once
       val a = banded.select(col("doc_id").as("doc_a"),
         col("sim_hi").as("hi_a"), col("sim_lo").as("lo_a"),
         col("band_idx"), col("band_val"))
