@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The library's `SparkSessionExtensions` entry point — the idiomatic
+  * way to ship custom Catalyst pieces: users enable graft for every
+  * session with
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)          // programmatic
+  *   // or spark.sql.extensions=graft.GraftExtensions  (config/submit)
+  * }}}
+  *
+  * and the native expressions resolve from PLAIN SQL (`SELECT
+  * cosine_sim(a.embedding, b.embedding) ...`) in any session built
+  * from that config — no per-session register() calls, works through
+  * thrift-server/JDBC sessions too. `CosineSim.register` remains as
+  * the ad-hoc per-session alternative.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[functions.CosineSim].getName,
+        "cosine_sim"),
+      (exprs: Seq[Expression]) =>
+        functions.CosineSim(exprs(0), exprs(1))))
+  }
+}
+
+/** Temp-view catalog over a test-data directory: the SQL front door.
+  * After `registerAll`, every table is addressable from
+  * `spark.sql(...)` — the same names the DuckDB oracles use, so any
+  * oracle statement in this repo is also directly runnable on Spark.
+  */
+object GraftCatalog {
+  val tableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach(t =>
+      Tables(spark, dir, t).createOrReplaceTempView(t))
+}

