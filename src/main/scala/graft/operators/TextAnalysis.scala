@@ -223,11 +223,75 @@ object TextAnalysis {
        |FROM documents GROUP BY source, lang
        |ORDER BY source, lang""".stripMargin)
 
+  // ---------------------------------------------------------------- H7
+  /** Corpus vocabulary: top-20 tokens by frequency. The heavy op in
+    * the family — a full token explode + groupBy — but map-side
+    * partial counts collapse the shuffle to (distinct tokens ×
+    * partitions), and the top-k is a TakeOrdered, not a global sort.
+    * Ties broken by token for a total order.
+    */
+  val tVocab: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(toks(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(20),
+    s"""SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+       |  SELECT unnest($toksSql) AS tok FROM documents)
+       |WHERE tok <> '' GROUP BY tok
+       |ORDER BY n DESC, tok LIMIT 20""".stripMargin)
+
+  // ---------------------------------------------------------------- H8
+  /** Deterministic stratified sample — the eval-set carve-out every
+    * training pipeline needs: ~1/8 of docs per source, selected by a
+    * HASH of the id (md5 first hex digit ∈ {0,1}), so the sample is
+    * reproducible across runs/engines and per-stratum rates
+    * concentrate tightly. Map-only; no RNG, no state.
+    */
+  val tSampleStrat: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin("0", "1"))
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id"),
+    """SELECT doc_id, source, lang FROM documents
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+      |ORDER BY doc_id""".stripMargin)
+
+  // ---------------------------------------------------------------- H9
+  /** Per-source doc-length quantiles (exact p50/p90, floored to
+    * BIGINT): the length-distribution panel of the corpus report.
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the same
+    * linear-interpolation definition, so the floored values are
+    * hash-exact. Exact percentile groups sort only within (source) —
+    * at 100 TB switch callers to approx_percentile and drop the
+    * oracle.
+    */
+  val tLenQuantiles: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(
+          floor(expr("percentile(n_chars, 0.5)")).cast("long").as("p50"),
+          floor(expr("percentile(n_chars, 0.9)")).cast("long").as("p90"),
+          max("n_chars").as("max_chars"))
+        .orderBy("source"),
+    """SELECT source,
+      |  CAST(floor(quantile_cont(n_chars, 0.5)) AS BIGINT) AS p50,
+      |  CAST(floor(quantile_cont(n_chars, 0.9)) AS BIGINT) AS p90,
+      |  max(n_chars) AS max_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+
   val registry: Map[String, Q] = Map(
     "t_tokens" -> tTokens,
     "t_quality" -> tQuality,
     "t_langid" -> tLangid,
     "t_fingerprint" -> tFingerprint,
     "t_pii_scrub" -> tPiiScrub,
-    "t_source_mix" -> tSourceMix)
+    "t_source_mix" -> tSourceMix,
+    "t_vocab" -> tVocab,
+    "t_sample_strat" -> tSampleStrat,
+    "t_len_quantiles" -> tLenQuantiles)
 }

@@ -114,6 +114,25 @@ class QueriesSpec extends SparkSpec {
       docs.agg(sum(length(col("text")))).head().getLong(0))
   }
 
+  test("t_sample_strat: deterministic ~1/8 hash sample") {
+    val docs = Tables.documents(spark, sf).count().toDouble
+    val a = SparkEntry.queries("t_sample_strat")(spark, sf)
+    val b = SparkEntry.queries("t_sample_strat")(spark, sf)
+    assert(a.collect().toSeq === b.collect().toSeq, "must be deterministic")
+    val rate = a.count() / docs
+    assert(rate > 0.04 && rate < 0.22, s"rate $rate far from 2/16")
+  }
+
+  test("t_vocab is ordered by count desc and t_len_quantiles is sane") {
+    val v = SparkEntry.queries("t_vocab")(spark, sf).collect()
+    assert(v.length <= 20)
+    assert(v.sliding(2).forall(p => p.length < 2 ||
+      p(0).getAs[Long]("n") >= p(1).getAs[Long]("n")))
+    val q = SparkEntry.queries("t_len_quantiles")(spark, sf)
+    assert(q.filter(col("p50") > col("p90") ||
+      col("p90") > col("max_chars")).count() === 0)
+  }
+
   test("d_exact keeps one representative per distinct text") {
     val d = SparkEntry.queries("d_exact")(spark, sf)
     val docs = Tables.documents(spark, sf)
