@@ -210,6 +210,21 @@ object ReportStream {
         "purchase_ts")
   }
 
+  /** D9: declarative streaming dedup — `dropDuplicatesWithinWatermark`
+    * is the built-in sibling of D5's hand-rolled
+    * flatMapGroupsWithState: first occurrence per key emitted, state
+    * evicted automatically once the key's event time falls behind the
+    * watermark.
+    * Prefer this form when "seen within the dedup horizon" is the
+    * semantic; D5 remains for custom per-key logic (counts, payload
+    * merge). State is O(keys per watermark window).
+    */
+  def dedupWithinWatermark(events: DataFrame,
+      keys: Seq[String]): DataFrame =
+    graft.Tables.nanosToTimestamp(events)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Watermarked tumbling-window counts (the reference's batch
     * accounting, ref main.py:39-57, as an always-on aggregation).
     */

@@ -120,6 +120,26 @@ class StreamingSpec extends SparkSpec {
       "streaming interval join must emit exactly the batch join's rows")
   }
 
+  test("D9 dropDuplicatesWithinWatermark removes replayed rows") {
+    val in = tempDir("graft_ddw_in")
+    // stage the SAME events twice: every event_id arrives duplicated
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$in/events_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$in/events_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // both files in ONE micro-batch (no maxFilesPerTrigger) so the
+    // dedup horizon covers every duplicate pair
+    val src = spark.readStream.schema(Tables.eventsRaw(spark, sf).schema)
+      .parquet(in)
+    val q = ReportStream.dedupWithinWatermark(src, Seq("event_id"))
+      .writeStream.format("memory").queryName("ddw")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("ddw").count() ===
+      Tables.events(spark, sf).count(),
+      "each duplicated event_id must be emitted exactly once")
+  }
+
   test("kafka sink options carry idempotent-producer settings") {
     val o = ReportStream.kafkaSinkOptions("broker:9092", "report", "/ck")
     assert(o("topic") === "report")
