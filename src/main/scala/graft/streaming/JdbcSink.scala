@@ -17,21 +17,24 @@ object JdbcSink {
     */
   def options(url: String, table: String, user: String,
       password: String, numPartitions: Int = 8,
-      batchSize: Int = 1000): Map[String, String] = Map(
-    "url" -> url,
-    "dbtable" -> table,
-    "user" -> user,
-    "password" -> password,
-    "driver" -> "com.mysql.cj.jdbc.Driver",
-    "batchsize" -> batchSize.toString,
-    "numPartitions" -> numPartitions.toString,
-    "isolationLevel" -> "READ_COMMITTED",
-    "rewriteBatchedStatements" -> "true")
+      batchSize: Int = 1000,
+      driver: String = "com.mysql.cj.jdbc.Driver"): Map[String, String] =
+    Map(
+      "url" -> url,
+      "dbtable" -> table,
+      "user" -> user,
+      "password" -> password,
+      "driver" -> driver,
+      "batchsize" -> batchSize.toString,
+      "numPartitions" -> numPartitions.toString,
+      "isolationLevel" -> "READ_COMMITTED",
+      "rewriteBatchedStatements" -> "true")
 
   def write(df: DataFrame, url: String, table: String, user: String,
-      password: String): Unit =
+      password: String,
+      driver: String = "com.mysql.cj.jdbc.Driver"): Unit =
     df.write.format("jdbc")
-      .options(options(url, table, user, password))
+      .options(options(url, table, user, password, driver = driver))
       .mode(SaveMode.Append)
       .save()
 
@@ -54,6 +57,24 @@ object JdbcSink {
       .map(c => s"$c = VALUES($c)").mkString(", ")
     s"INSERT INTO $table (${cols.mkString(", ")}) VALUES ($params) " +
       s"ON DUPLICATE KEY UPDATE $updates"
+  }
+
+  /** ANSI-dialect idempotent insert: `INSERT ... SELECT ... WHERE NOT
+    * EXISTS` over the natural key — literally the reference's
+    * NOT-EXISTS guard (ref report.py:175-185) as one prepared
+    * statement. Works on any engine with table value constructors
+    * (Derby, Postgres, ...); the MySQL-specific forms above stay for
+    * the reference's own target. `types` gives the CAST for each
+    * placeholder so the VALUES row typechecks.
+    */
+  def insertIfAbsentSql(table: String, cols: Seq[String],
+      keyCol: String, types: Seq[String]): String = {
+    val vals = cols.zip(types)
+      .map { case (_, t) => s"CAST(? AS $t)" }.mkString(", ")
+    s"""INSERT INTO $table (${cols.mkString(", ")})
+       |SELECT * FROM (VALUES ($vals)) AS v(${cols.mkString(", ")})
+       |WHERE NOT EXISTS (SELECT 1 FROM $table t
+       |                  WHERE t.$keyCol = v.$keyCol)""".stripMargin
   }
 
   /** Per-partition idempotent writer: each partition opens one
