@@ -26,7 +26,11 @@ object Bench {
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // isolate queries: drop caches a query built so the next
+        // query's time is its own (and GC pressure stays flat)
+        spark.catalog.clearCache()
+        dt
       }
       name -> times.min
     }
