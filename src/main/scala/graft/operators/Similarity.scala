@@ -260,10 +260,60 @@ object Similarity {
        |  WHERE a.vec_id % 50 = 0)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
 
+  // ---------------------------------------------------------------- G5
+  /** G3's k-NN join re-expressed with the typed bounded-heap
+    * aggregator (`graft.functions.TopKAgg`): groupByKey + agg instead
+    * of window rank. The window form sorts EVERY candidate per query
+    * before dropping all but 3; the aggregator's partial aggregation
+    * trims to 3 map-side, so only 3 rows per (partition, query) cross
+    * the shuffle and no full per-key sort happens. Same order
+    * semantics (score desc, id asc) ⇒ same oracle as G3.
+    */
+  val sKnnTopkAgg: Q = Q(
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{Scored, TopKAgg}
+      val e = Tables.embeddings(s, dir)
+        .withColumn("bucket", bucketOf(col("embedding")))
+      val probes = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("bucket"),
+          col("embedding").as("emb_q"))
+      val cands = e.select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("embedding").as("emb_c"))
+      val scored = probes.join(cands, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("score_micro", nativeScoreMicro(s, "emb_q", "emb_c"))
+        .select(col("query_id"), col("neighbor_id"), col("score_micro"))
+        .as[(Long, Long, Long)]
+      scored.groupByKey(_._1)
+        .mapValues { case (_, id, sc) => Scored(id, sc) }
+        .agg(new TopKAgg(3).toColumn.name("topk"))
+        .toDF("query_id", "topk")
+        .select(col("query_id"), posexplode(col("topk")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("col.score").as("score_micro"))
+        .orderBy("query_id", "rank")
+    },
+    // identical semantics to G3 ⇒ identical oracle text
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  ${bucketOfSql("embedding")} AS bucket FROM embeddings)
+       |SELECT query_id, neighbor_id, rank, score_micro FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${scoreMicroSql("a.embedding", "b.embedding")} AS score_micro,
+       |    CAST(row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${scoreMicroSql("a.embedding", "b.embedding")} DESC,
+       |        b.vec_id) AS BIGINT) AS rank
+       |  FROM e a JOIN e b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % 50 = 0)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
+
   val registry: Map[String, Q] = Map(
     "s_cosine_topk" -> sCosineTopk,
     "d_embed_dup" -> dEmbedDup,
     "s_ann_lsh" -> sAnnLsh,
     "s_ann_multiprobe" -> sAnnMultiprobe,
-    "s_knn_join" -> sKnnJoin)
+    "s_knn_join" -> sKnnJoin,
+    "s_knn_topk_agg" -> sKnnTopkAgg)
 }

@@ -133,6 +133,17 @@ class QueriesSpec extends SparkSpec {
       col("p90") > col("max_chars")).count() === 0)
   }
 
+  test("s_knn_topk_agg: bounded-heap agg equals the window form") {
+    val win = SparkEntry.queries("s_knn_join")(spark, sf).collect().toSeq
+    val agg = SparkEntry.queries("s_knn_topk_agg")(spark, sf).collect().toSeq
+    assert(agg === win, "aggregator must reproduce the window ranking")
+    // and it aggregates (partial merge map-side), never window-sorts
+    val plan = SparkEntry.queries("s_knn_topk_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "no window in the aggregator plan")
+    assert(plan.contains("Aggregate"), "expected an aggregate operator")
+  }
+
   test("d_exact keeps one representative per distinct text") {
     val d = SparkEntry.queries("d_exact")(spark, sf)
     val docs = Tables.documents(spark, sf)
