@@ -345,17 +345,23 @@ object Star {
   private val sightingCols = Seq("reporting_id", "reported_id", "manual_detect")
   private val locationCols = Seq("region_id", "x_coord", "y_coord", "z_coord")
 
+  /** The fact projection over any events-shaped frame (batch OR a
+    * streaming micro-batch — the streaming star pipeline reuses it
+    * verbatim): pure map, no joins, no windows.
+    */
+  private[graft] def factProjection(df: DataFrame): DataFrame =
+    enrichFull(df)
+      .withColumn("sighting_id", hashId(sightingCols))
+      .withColumn("location_id", hashId(locationCols))
+      .withColumn("gear_id", hashId(gearCols))
+      .select(col("event_id"), col("sighting_id"), col("location_id"),
+        col("gear_id"), col("ts").as("reported_at"),
+        col("on_members_world"), col("on_pvp_world"), col("world_number"),
+        col("region_id"), col("equip_ge_value"))
+
   val rFactFull: Q = Q(
     (s, dir) =>
-      enrichedFull(s, dir)
-        .withColumn("sighting_id", hashId(sightingCols))
-        .withColumn("location_id", hashId(locationCols))
-        .withColumn("gear_id", hashId(gearCols))
-        .select(col("event_id"), col("sighting_id"), col("location_id"),
-          col("gear_id"), col("ts").as("reported_at"),
-          col("on_members_world"), col("on_pvp_world"), col("world_number"),
-          col("region_id"), col("equip_ge_value"))
-        .orderBy("event_id"),
+      factProjection(Tables.events(s, dir)).orderBy("event_id"),
     s"""WITH e AS ($enrichedFullSql)
        |SELECT event_id,
        |       ${hashIdSql(sightingCols)} AS sighting_id,

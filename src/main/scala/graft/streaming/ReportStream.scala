@@ -96,6 +96,36 @@ object ReportStream {
       .start()
   }
 
+  /** D10: the reference's WHOLE job as one streaming pipe — Kafka-
+    * shaped source → cleanse/split → star-normalized FACT rows in the
+    * lake, dead letters with the v2 requeue payload. The fact
+    * projection is the batch star's own (`Star.factProjection`,
+    * map-only hash-keyed), so streamed facts are row-identical to a
+    * batch backfill over the same events — spec-asserted. Sink is the
+    * bounded idempotent appendDedup keyed on event_id, partitioned by
+    * reported month.
+    */
+  def pipelineStar(events: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val parsed = parsedEvents(events)
+    parsed.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val valid = batch.filter(col("event_type") =!= "error")
+        val dead = batch.filter(col("event_type") === "error")
+          .withColumn("reason", lit("bad_type"))
+        appendDedup(graft.operators.Star.factProjection(valid),
+          s"$outDir/fact_report", Seq("event_id"), tsCol = "reported_at")
+        if (!dead.isEmpty)
+          withRequeueJson(dead)
+            .write.mode("append").parquet(s"$outDir/dead_letter")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Attach the v2 requeue payload to events-shaped dead rows: enrich
     * to the full report field set (same exact-arithmetic derivation
     * as the batch star), pack the 9 slots into the nested equipment

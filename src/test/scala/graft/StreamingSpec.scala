@@ -120,6 +120,25 @@ class StreamingSpec extends SparkSpec {
       "streaming interval join must emit exactly the batch join's rows")
   }
 
+  test("D10 streaming star pipe: streamed facts equal the batch star") {
+    val in = tempDir("graft_star_in")
+    val out = tempDir("graft_star_out")
+    val ck = tempDir("graft_star_ck")
+    stageEvents(in)
+    val src = ReportStream.fileSource(spark, in, Tables.eventsRaw(spark, sf))
+    val q = ReportStream.pipelineStar(src, out, ck)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(s"$out/fact_report").drop("p_month")
+    val batchTwin = graft.operators.Star
+      .factProjection(Tables.events(spark, sf)
+        .filter(col("event_type") =!= "error"))
+    assert(streamed.count() === batchTwin.count())
+    assert(streamed.except(batchTwin).count() === 0)
+    assert(batchTwin.except(streamed).count() === 0,
+      "streamed star facts must be row-identical to the batch backfill")
+  }
+
   test("D9 dropDuplicatesWithinWatermark removes replayed rows") {
     val in = tempDir("graft_ddw_in")
     // stage the SAME events twice: every event_id arrives duplicated
