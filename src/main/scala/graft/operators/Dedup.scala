@@ -212,24 +212,24 @@ object Dedup {
     * holds at 100 TB (verify cost scales with near-dup density, not
     * with corpus²).
     */
-  val dLshJaccard: Q = Q(
-    (s, dir) => {
-      val garr = gramArrays(s, dir)
-      lshCandidates(s, dir)
-        .join(garr.select(col("doc_id").as("doc_a"), col("grams").as("g_a")),
-          Seq("doc_a"))
-        .join(garr.select(col("doc_id").as("doc_b"), col("grams").as("g_b")),
-          Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          size(expr("array_intersect(g_a, g_b)")).cast("long").as("inter"),
-          size(col("g_a")).cast("long").as("n_a"),
-          size(col("g_b")).cast("long").as("n_b"))
-        .filter(col("inter") >= 1)
-        .withColumn("union_sz", col("n_a") + col("n_b") - col("inter"))
-        .selectExpr("doc_a", "doc_b", "inter", "union_sz",
-          "(inter * 10000) DIV union_sz AS jaccard_bp")
-        .orderBy("doc_a", "doc_b")
-    },
+  private def lshJaccardDf(s: SparkSession, dir: String): DataFrame = {
+    val garr = gramArrays(s, dir)
+    lshCandidates(s, dir)
+      .join(garr.select(col("doc_id").as("doc_a"), col("grams").as("g_a")),
+        Seq("doc_a"))
+      .join(garr.select(col("doc_id").as("doc_b"), col("grams").as("g_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(expr("array_intersect(g_a, g_b)")).cast("long").as("inter"),
+        size(col("g_a")).cast("long").as("n_a"),
+        size(col("g_b")).cast("long").as("n_b"))
+      .filter(col("inter") >= 1)
+      .withColumn("union_sz", col("n_a") + col("n_b") - col("inter"))
+      .selectExpr("doc_a", "doc_b", "inter", "union_sz",
+        "(inter * 10000) DIV union_sz AS jaccard_bp")
+  }
+
+  private val lshJaccardSql =
     s"""WITH cand AS ($lshCandidatesSql),
        |g AS ($gramsSql),
        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g
@@ -242,8 +242,85 @@ object Dedup {
        |SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_sz,
        |  (inter * 10000) // (sa.n + sb.n - inter) AS jaccard_bp
        |FROM inter JOIN sz sa ON sa.doc_id = doc_a
-       |JOIN sz sb ON sb.doc_id = doc_b
+       |JOIN sz sb ON sb.doc_id = doc_b""".stripMargin
+
+  val dLshJaccard: Q = Q(
+    (s, dir) => lshJaccardDf(s, dir).orderBy("doc_a", "doc_b"),
+    s"""SELECT * FROM ($lshJaccardSql)
        |ORDER BY doc_a, doc_b""".stripMargin)
+
+  // ---------------------------------------------------------------- F8
+  /** Dedup clustering: connected components over the LSH→Jaccard
+    * near-dup pairs (≥ 5% gram overlap), by bounded min-label
+    * propagation — each iteration every doc takes the min label among
+    * itself and its neighbors, so the cluster's min doc_id floods the
+    * component; `Iters` rounds cover any component of diameter ≤
+    * Iters (near-dup clusters are dense and tiny — winner of an LSH
+    * band is almost always 1-2 hops wide; the spec runs one EXTRA
+    * round and asserts a fixpoint). This is the step that turns pair
+    * lists into "keep one per cluster": `cluster_id` = the canonical
+    * representative. Per-iteration cost is one join + one
+    * map-side-combinable min — the Pregel shape without the
+    * framework; labels are cached per round to keep lineage flat.
+    */
+  val Iters = 6
+  val ClusterMinBp = 500
+
+  private[graft] def dupEdges(s: SparkSession, dir: String): DataFrame = {
+    val p = lshJaccardDf(s, dir)
+      .filter(col("jaccard_bp") >= ClusterMinBp)
+      .select("doc_a", "doc_b")
+    p.unionAll(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+  }
+
+  private[graft] def propagate(edges: DataFrame,
+      labels0: DataFrame, iters: Int): DataFrame = {
+    var labels = labels0
+    for (_ <- 1 to iters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"),
+          col("label").as("nbr_label")), Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min("nbr_label").as("nbr_min"))
+      labels = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .cache()
+    }
+    labels
+  }
+
+  val dDupClusters: Q = Q(
+    (s, dir) => {
+      val edges = dupEdges(s, dir).cache()
+      val labels0 = edges.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+      propagate(edges, labels0, Iters)
+        .select(col("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    }, {
+      val l = (1 to Iters).map { i =>
+        s"""l$i AS (
+           |  SELECT l.doc_id,
+           |    least(l.label, coalesce(
+           |      (SELECT min(l2.label) FROM edges e
+           |       JOIN l${i - 1} l2 ON l2.doc_id = e.doc_b
+           |       WHERE e.doc_a = l.doc_id), l.label)) AS label
+           |  FROM l${i - 1} l)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT doc_a, doc_b FROM ($lshJaccardSql)
+         |  WHERE jaccard_bp >= $ClusterMinBp),
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |l0 AS (
+         |  SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges),
+         |$l
+         |SELECT doc_id, label AS cluster_id FROM l$Iters
+         |ORDER BY doc_id""".stripMargin
+    })
 
   // ---------------------------------------------------------------- F4
   /** 64-bit SimHash as two 32-bit words (hi/lo), built from token
@@ -379,6 +456,7 @@ object Dedup {
     "d_minhash_lsh" -> dMinhashLsh,
     "d_ngram_jaccard" -> dNgramJaccard,
     "d_lsh_jaccard" -> dLshJaccard,
+    "d_dup_clusters" -> dDupClusters,
     "d_simhash" -> dSimhash,
     "d_simhash_pairs" -> dSimhashPairs)
 }

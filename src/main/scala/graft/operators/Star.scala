@@ -455,7 +455,34 @@ object Star {
       |JOIN dim r2 ON r2.name = msgs.reported_name
       |ORDER BY event_id""".stripMargin)
 
+  // ---------------------------------------------------------------- C10
+  /** The heatmap read — the query the reference's MySQL serves off
+    * `idx_heatmap (region_id, x_coord, y_coord, z_coord)`
+    * (01_tables.sql): report density per 100×100 map tile. One
+    * map-side-combinable groupBy over the fact; the tile keys are the
+    * partition-prunable columns a lake layout would sort by.
+    */
+  val qHeatmap: Q = Q(
+    (s, dir) =>
+      enrichedFull(s, dir)
+        .groupBy(col("region_id"),
+          (col("x_coord") - col("x_coord") % 100).as("tile_x"),
+          (col("y_coord") - col("y_coord") % 100).as("tile_y"))
+        .agg(count(lit(1)).as("n_reports"),
+          countDistinct("reported_id").as("n_reported"),
+          sum("manual_detect").as("n_manual"))
+        .orderBy("region_id", "tile_x", "tile_y"),
+    s"""WITH e AS ($enrichedFullSql)
+       |SELECT region_id, x_coord - x_coord % 100 AS tile_x,
+       |  y_coord - y_coord % 100 AS tile_y,
+       |  CAST(count(*) AS BIGINT) AS n_reports,
+       |  CAST(count(DISTINCT reported_id) AS BIGINT) AS n_reported,
+       |  CAST(sum(manual_detect) AS BIGINT) AS n_manual
+       |FROM e GROUP BY 1, 2, 3
+       |ORDER BY region_id, tile_x, tile_y""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "q_heatmap" -> qHeatmap,
     "r_dim_build" -> rDimBuild,
     "r_dim_sighting" -> rDimSighting,
     "r_fact_antijoin" -> rFactAntijoin,

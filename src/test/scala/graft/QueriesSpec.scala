@@ -144,6 +144,26 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("Aggregate"), "expected an aggregate operator")
   }
 
+  test("d_dup_clusters: label propagation reaches a fixpoint") {
+    import graft.operators.Dedup
+    val edges = Dedup.dupEdges(spark, sf).cache()
+    val labels0 = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    val atIters = Dedup.propagate(edges, labels0, Dedup.Iters)
+    val onceMore = Dedup.propagate(edges, atIters, 1)
+    assert(atIters.except(onceMore).count() === 0 &&
+      onceMore.except(atIters).count() === 0,
+      s"${Dedup.Iters} rounds must reach the fixpoint on this corpus")
+    // the representative is the component's min doc_id
+    assert(atIters.filter(col("label") > col("doc_id")).count() === 0)
+  }
+
+  test("q_heatmap tiles partition all reports") {
+    val h = SparkEntry.queries("q_heatmap")(spark, sf)
+    assert(h.agg(sum("n_reports")).head().getLong(0) ===
+      Tables.events(spark, sf).count())
+  }
+
   test("d_exact keeps one representative per distinct text") {
     val d = SparkEntry.queries("d_exact")(spark, sf)
     val docs = Tables.documents(spark, sf)
