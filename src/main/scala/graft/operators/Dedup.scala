@@ -251,7 +251,7 @@ object Dedup {
 
   // ---------------------------------------------------------------- F8
   /** Dedup clustering: connected components over the LSH→Jaccard
-    * near-dup pairs (≥ 5% gram overlap), by bounded min-label
+    * near-dup pairs (≥ 20% gram overlap), by bounded min-label
     * propagation — each iteration every doc takes the min label among
     * itself and its neighbors, so the cluster's min doc_id floods the
     * component; `Iters` rounds cover any component of diameter ≤
@@ -261,10 +261,18 @@ object Dedup {
     * lists into "keep one per cluster": `cluster_id` = the canonical
     * representative. Per-iteration cost is one join + one
     * map-side-combinable min — the Pregel shape without the
-    * framework; labels are cached per round to keep lineage flat.
+    * framework.
+    *
+    * Iteration hygiene (THE trap of iterative DataFrames): `labels`
+    * appears twice per round, so without lineage truncation the
+    * logical plan doubles every iteration — 2^Iters copies of the
+    * whole pair pipeline; planning alone took ~90s at sf0.1.
+    * `localCheckpoint(eager)` materializes each round AND cuts the
+    * lineage, keeping every round's plan O(1). (A plain cache() does
+    * NOT truncate lineage for the analyzer.)
     */
   val Iters = 6
-  val ClusterMinBp = 500
+  val ClusterMinBp = 2000
 
   private[graft] def dupEdges(s: SparkSession, dir: String): DataFrame = {
     val p = lshJaccardDf(s, dir)
@@ -286,14 +294,14 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
-        .cache()
+        .localCheckpoint(true) // eager: materialize + truncate lineage
     }
     labels
   }
 
   val dDupClusters: Q = Q(
     (s, dir) => {
-      val edges = dupEdges(s, dir).cache()
+      val edges = dupEdges(s, dir).localCheckpoint(true)
       val labels0 = edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("label", col("doc_id"))
       propagate(edges, labels0, Iters)
