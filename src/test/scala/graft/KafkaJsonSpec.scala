@@ -64,6 +64,17 @@ class KafkaJsonSpec extends SparkSpec {
     assert(eq.head().isNullAt(eq.columns.indexOf("equip_head_id")))
   }
 
+  test("malformed JSON degrades to a null-field v1 row, never throws") {
+    val junk = Seq("{not json", "", "[]", "42",
+      """{"metadata":{"version":"v9.9.9"},"ts":"not-a-number"}""")
+    val parsed = KafkaJson.parseReports(junk.toDF("json"))
+    assert(parsed.count() === junk.length, "every input row survives")
+    // unparseable values leave null fields; missing metadata ⇒ v1,
+    // so downstream validation (A3/A4) routes them to the DLQ
+    assert(parsed.filter(col("version") === "v1.0.0").count() >= 4)
+    assert(parsed.filter(col("ts").isNull).count() >= 4)
+  }
+
   test("dead-letter requeue serializes as v2.0.0 with ms ts and defaults") {
     val parsed = KafkaJson.parseReports(Seq(v1WithMeta).toDF("json"))
       .withColumn("reporter_id", lit(101L))
