@@ -26,8 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[functions.CosineSim].getName,
         "cosine_sim"),
-      (exprs: Seq[Expression]) =>
-        functions.CosineSim(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
+        functions.CosineSim(exprs(0), exprs(1))
+      }))
   }
 }
 

@@ -92,11 +92,15 @@ object BoundedLru {
         val id = cache.getOrElseInsert(k)(kk => lookup.getOrElse(kk, -1L))
         Row.fromSeq(row.toSeq :+ id)
       }
-      // flush counters once the partition is fully consumed
+      // flush counters ONCE when the partition is fully consumed
+      // (hasNext may legally be called repeatedly after exhaustion —
+      // an unguarded flush would re-add the totals each time)
       new Iterator[Row] {
+        private var flushed = false
         def hasNext: Boolean = {
           val h = out.hasNext
-          if (!h) {
+          if (!h && !flushed) {
+            flushed = true
             st.hits.add(cache.hits); st.misses.add(cache.misses)
             st.evictions.add(cache.evictions)
           }

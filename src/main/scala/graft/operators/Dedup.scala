@@ -100,7 +100,11 @@ object Dedup {
   private[operators] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
     // cached: the capped band rows feed BOTH sides of the self-join —
     // without the cache the whole tokens→minhash→bands subplan (the
-    // expensive part) executes twice
+    // expensive part) executes twice. Lifetime note: the entry lives
+    // until the session drops it (same logical plan ⇒ one shared
+    // entry across calls, a few MB per sf dir); long-lived callers
+    // running many corpora should spark.catalog.clearCache()
+    // periodically, as Bench does between queries.
     val b = bands(s, dir)
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window

@@ -393,6 +393,12 @@ object Star {
     (s, dir) => {
       val msgs = Tables.events(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        // a message without a reported player cannot resolve — the
+        // reference raises ReportedDoesNotExist and dead-letters it
+        // (main.py:113-116); silently keeping the null would also
+        // diverge cross-engine (Spark sorts nulls first in the
+        // new-id window, DuckDB last)
+        .filter(col("k").isNotNull)
         .select(col("event_id"),
           Cleanse.sanitizeName(concat(lit("  CUSTOMER#"),
             lpad(col("user_id").cast("string"), 9, "0"), lit(" ")))
@@ -430,7 +436,8 @@ object Star {
       |    trim(replace(replace(lower('Customer#' ||
       |      lpad(CAST(CAST(props->>'k' AS BIGINT) * 31 AS VARCHAR), 9, '0')),
       |      '_', ' '), '-', ' ')) AS reported_name
-      |  FROM events),
+      |  FROM events
+      |  WHERE CAST(props->>'k' AS BIGINT) IS NOT NULL),
       |players AS (
       |  SELECT c_custkey AS player_id,
       |    trim(replace(replace(lower(c_name), '_', ' '), '-', ' ')) AS name

@@ -84,6 +84,15 @@ object JdbcSink {
     * sink stays exactly-once under at-least-once delivery (plain
     * SaveMode.Append would duplicate; ref player.py:57 prefixes
     * IGNORE for exactly this reason).
+    *
+    * REQUIREMENT: the target table must carry a UNIQUE/PRIMARY KEY on
+    * the natural key. The NOT-EXISTS form (`insertIfAbsentSql`) is
+    * check-then-insert per statement and therefore NOT atomic across
+    * concurrent writers — two partitions (or a retried straggler
+    * racing its twin) can both pass the check; the constraint is what
+    * makes the race lose loudly (one task retries) instead of
+    * silently duplicating. INSERT IGNORE / ON DUPLICATE KEY are
+    * atomic given the same constraint.
     */
   def writeIdempotent(df: DataFrame, url: String, user: String,
       password: String, sql: String, batchSize: Int = 1000): Unit = {

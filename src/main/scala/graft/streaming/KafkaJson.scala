@@ -74,7 +74,9 @@ object KafkaJson {
     */
   def toV2Json(tsIsTimestamp: Boolean = true): Column = {
     val tsMs =
-      if (tsIsTimestamp) (unix_timestamp(col("ts")) * 1000L)
+      // unix_millis keeps the sub-second component the v2 contract
+      // carries (unix_timestamp would truncate to whole seconds)
+      if (tsIsTimestamp) unix_millis(col("ts"))
       else (col("ts") * 1000L)
     to_json(struct(
       struct(lit("v2.0.0").as("version")).as("metadata"),

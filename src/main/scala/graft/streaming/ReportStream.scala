@@ -164,23 +164,47 @@ object ReportStream {
       tsCol: String = "ts"): Unit = {
     val spark = batch.sparkSession
     val part = "p_month"
+    // partition key = epoch-month bucket (floor(epoch/30d)): a pure
+    // int64 function of the instant — identical in every session
+    // timezone (date_format would shift rows across partition
+    // boundaries between differently-configured sessions and break
+    // the pruned anti-join); null ts buckets to -1 so replayed
+    // null-ts rows still dedup instead of never matching the prune.
     val deduped = batch.dropDuplicates(key)
-      .withColumn(part, date_format(col(tsCol), "yyyy-MM"))
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh =
-      if (!fs.exists(hPath)) deduped
-      else {
-        // bounded: months touched by THIS batch (≤ watermark span)
-        val months = deduped.select(part).distinct()
-          .collect().map(_.getString(0))
-        val existing = spark.read.parquet(path)
-          .filter(col(part).isin(months.toIndexedSeq: _*))
-          .select(key.map(col): _*)
-        // no forced broadcast: AQE sizes the pruned read at runtime
-        deduped.join(existing.distinct(), key, "left_anti")
-      }
-    fresh.write.mode("append").partitionBy(part).parquet(path)
+      .withColumn(part, coalesce(
+        floor(unix_timestamp(col(tsCol)) / (30L * 86400L)).cast("long"),
+        lit(-1L)))
+      .persist() // read twice: months collect + anti-join/write
+    try {
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fresh =
+        if (!fs.exists(hPath)) deduped
+        else {
+          val existing =
+            try {
+              // bounded: months touched by THIS batch (≤ watermark span)
+              val months = deduped.select(part).distinct()
+                .collect().map(_.getLong(0))
+              Some(spark.read.parquet(path)
+                .filter(col(part).isin(months.toIndexedSeq: _*))
+                .select(key.map(col): _*))
+            } catch {
+              // dir exists but holds no committed parquet yet (a
+              // crashed first write): treat as empty sink. Anything
+              // else propagates so the checkpoint retries the batch.
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getMessage.contains("Unable to infer schema") ||
+                    e.getMessage.contains("PATH_NOT_FOUND") => None
+            }
+          existing match {
+            // no forced broadcast: AQE sizes the pruned read at runtime
+            case Some(ex) => deduped.join(ex.distinct(), key, "left_anti")
+            case None => deduped
+          }
+        }
+      fresh.write.mode("append").partitionBy(part).parquet(path)
+    } finally { deduped.unpersist(); () }
   }
 
   final case class Sighting(reportingId: Long, reportedId: Long,
