@@ -26,6 +26,7 @@ class StreamingSpec extends SparkSpec {
     val src = ReportStream.fileSource(spark, in, Tables.eventsRaw(spark, sf))
     val q = ReportStream.pipeline(src, out, ck)
     q.awaitTermination(120000)
+    q.stop() // deterministic teardown: no async final-batch vs JVM-exit race
 
     val events = Tables.events(spark, sf)
     val nErr = events.filter(col("event_type") === "error").count()
@@ -83,6 +84,7 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("first_sightings")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
+    q.stop() // deterministic teardown: no async final-batch vs JVM-exit race
 
     val got = spark.table("first_sightings")
     val expected = Tables.events(spark, sf)
@@ -103,6 +105,7 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("attrib")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
+    q.stop() // deterministic teardown: no async final-batch vs JVM-exit race
 
     val batch = Tables.events(spark, sf)
     val clicks = batch.filter(col("event_type") =!= "purchase")
@@ -128,6 +131,7 @@ class StreamingSpec extends SparkSpec {
     val src = ReportStream.fileSource(spark, in, Tables.eventsRaw(spark, sf))
     val q = ReportStream.pipelineStar(src, out, ck)
     q.awaitTermination(120000)
+    q.stop() // deterministic teardown: no async final-batch vs JVM-exit race
 
     val streamed = spark.read.parquet(s"$out/fact_report").drop("p_month")
     val batchTwin = graft.operators.Star
@@ -154,9 +158,46 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("ddw")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
+    q.stop() // deterministic teardown: no async final-batch vs JVM-exit race
     assert(spark.table("ddw").count() ===
       Tables.events(spark, sf).count(),
       "each duplicated event_id must be emitted exactly once")
+  }
+
+  test("D5 stateful dedup runs on the RocksDB state store") {
+    // the store a production deployment uses (bounded memory, state
+    // spills to disk, changelog checkpointing) — same results as the
+    // default HDFS-backed store
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = tempDir("graft_rocks_in")
+      stageEvents(in)
+      val src = ReportStream.fileSource(spark, in, Tables.eventsRaw(spark, sf))
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .select(col("user_id").as("reportingId"), col("k").as("reportedId"),
+          (col("event_id") % 2).as("manualDetect"))
+        .as[ReportStream.Sighting]
+      val q = ReportStream.firstSightings(src)
+        .writeStream.format("memory").queryName("first_sightings_rocks")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      q.stop() // deterministic teardown: no async final-batch vs JVM-exit race
+      val expected = Tables.events(spark, sf)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .select(col("user_id"), col("k"), (col("event_id") % 2)).distinct()
+        .count()
+      assert(spark.table("first_sightings_rocks").count() === expected)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("kafka sink options carry idempotent-producer settings") {
@@ -175,6 +216,7 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("win_stats")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
+    q.stop() // deterministic teardown: no async final-batch vs JVM-exit race
     // append mode only emits closed windows; completeness is checked in
     // the batch twin (r_batch_stats oracle) — here the pipe must run
     // and produce the right schema
