@@ -292,8 +292,33 @@ object Analytics {
       |  min(event_id) AS first_event, max(event_id) AS last_event
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 
+  // ---------------------------------------------------------------- E9
+  /** CUBE grouping sets — all four (returnflag × linestatus)
+    * marginals in one pass; like E6's ROLLUP the text is
+    * dialect-clean ANSI, so the SAME statement runs on Spark SQL and
+    * the oracle. Partial aggregation covers every grouping set
+    * map-side.
+    */
+  private val cubeSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)
+      |    AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin
+
+  val qCube: Q = Q(
+    (s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(cubeSql)
+    },
+    cubeSql)
+
   val registry: Map[String, Q] = Map(
     "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
     "q_asof" -> qAsof,
     "q_salted_agg" -> qSaltedAgg,
     "q1_pricing" -> q1Pricing,

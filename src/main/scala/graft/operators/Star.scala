@@ -488,8 +488,31 @@ object Star {
        |FROM e GROUP BY 1, 2, 3
        |ORDER BY region_id, tile_x, tile_y""".stripMargin)
 
+  // ---------------------------------------------------------------- C11
+  /** World-flag stats — the read over the report fields the reference
+    * carries per row (views/report.py: on_members_world /
+    * on_pvp_world / world_number / equip_ge_value): report volume and
+    * gear value mass per world class. One tiny grouped agg.
+    */
+  val qWorldStats: Q = Q(
+    (s, dir) =>
+      enrichedFull(s, dir)
+        .groupBy("on_members_world", "on_pvp_world")
+        .agg(count(lit(1)).as("n_reports"),
+          countDistinct("world_number").as("n_worlds"),
+          sum("equip_ge_value").as("total_ge_value"))
+        .orderBy("on_members_world", "on_pvp_world"),
+    s"""WITH e AS ($enrichedFullSql)
+       |SELECT on_members_world, on_pvp_world,
+       |  CAST(count(*) AS BIGINT) AS n_reports,
+       |  CAST(count(DISTINCT world_number) AS BIGINT) AS n_worlds,
+       |  CAST(sum(equip_ge_value) AS BIGINT) AS total_ge_value
+       |FROM e GROUP BY on_members_world, on_pvp_world
+       |ORDER BY on_members_world, on_pvp_world""".stripMargin)
+
   val registry: Map[String, Q] = Map(
     "q_heatmap" -> qHeatmap,
+    "q_world_stats" -> qWorldStats,
     "r_dim_build" -> rDimBuild,
     "r_dim_sighting" -> rDimSighting,
     "r_fact_antijoin" -> rFactAntijoin,
