@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+
+/** Format independence: the same operator plans over JSON-lines and
+  * CSV copies of the events table produce row-identical results to
+  * the parquet original — sources are an input detail, not an
+  * operator concern.
+  */
+class SourcesSpec extends SparkSpec {
+
+  private lazy val (jsonDir, csvDir): (String, String) = {
+    val j = Files.createTempDirectory("graft_src_json").toString
+    val c = Files.createTempDirectory("graft_src_csv").toString
+    val events = Tables.events(spark, sf)
+    // default text-format writers truncate timestamps to millis;
+    // events.ts carries microseconds — write them out in full
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    events.coalesce(1).write.mode("overwrite")
+      .option("timestampFormat", tsFmt).json(s"$j/events")
+    events.coalesce(1).write.mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", tsFmt).csv(s"$c/events")
+    (j, c)
+  }
+
+  private def factsOf(df: org.apache.spark.sql.DataFrame) =
+    graft.operators.Star.factProjection(df)
+
+  test("star facts from JSON lines equal the parquet-derived facts") {
+    val schema = Tables.events(spark, sf).schema
+    val viaJson = factsOf(
+      Sources.jsonLines(spark, s"$jsonDir/events", schema))
+    val viaParquet = factsOf(Tables.events(spark, sf))
+    assert(viaJson.count() === viaParquet.count())
+    assert(viaJson.except(viaParquet).count() === 0)
+    assert(viaParquet.except(viaJson).count() === 0)
+  }
+
+  test("star facts from CSV equal the parquet-derived facts") {
+    val schema = Tables.events(spark, sf).schema
+    val viaCsv = factsOf(
+      Sources.csv(spark, s"$csvDir/events", schema))
+    val viaParquet = factsOf(Tables.events(spark, sf))
+    assert(viaCsv.count() === viaParquet.count())
+    assert(viaCsv.except(viaParquet).count() === 0)
+    assert(viaParquet.except(viaCsv).count() === 0)
+  }
+
+  test("streaming star pipe runs off the JSON-lines source") {
+    val out = Files.createTempDirectory("graft_src_out").toString
+    val ck = Files.createTempDirectory("graft_src_ck").toString
+    val schema = Tables.events(spark, sf).schema
+    val q = graft.streaming.ReportStream.pipelineStar(
+      Sources.jsonLinesStream(spark, s"$jsonDir/events", schema), out, ck)
+    q.awaitTermination(120000)
+    q.stop()
+    val streamed = spark.read.parquet(s"$out/fact_report")
+    val expected = Tables.events(spark, sf)
+      .filter(col("event_type") =!= "error").count()
+    assert(streamed.count() === expected)
+  }
+}
