@@ -13,9 +13,10 @@ import graft.{Q, Tables}
   *    join against the existing dim) — map-side partial aggregation
   *    makes the DISTINCTs cheap, and the dims are tiny next to the
   *    fact, so at 100 TB only the fact's own DISTINCT shuffles.
-  *  - AUTO_INCREMENT surrogate keys → `row_number` over a stable
-  *    order on the *dim* (never the fact). Beyond ~1e8 dim rows
-  *    switch to partition-offset ids (zipWithIndex-style).
+  *  - AUTO_INCREMENT surrogate keys → contiguous ids in a stable
+  *    order on the *dim* (never the fact), assigned via the
+  *    partition-offset scheme ([[Ids.withOrderedId]]) — no dim, however
+  *    large, ever funnels through a single-task global window.
   *  - fact re-key via dim joins → broadcast hash joins (dims small).
   *  - the player LRU cache (ref src/_cache.py) → broadcast join: the
   *    per-executor hash map IS the cache, minus invalidation.
@@ -68,7 +69,8 @@ object Star {
   // ---------------------------------------------------------------- C1
   /** get-or-insert (ref player.py:60-71): incoming keys anti-joined
     * against the existing dim; survivors get ids continuing after the
-    * current max — one small global sort on the NEW keys only.
+    * current max via the partition-offset scheme ([[Ids.withOrderedId]]
+    * — no single-task global window).
     */
   val rDimBuild: Q = Q(
     (s, dir) => {
@@ -79,11 +81,10 @@ object Star {
       val newKeys = incoming.join(
         existing, incoming("user_key") === existing("player_id"), "left_anti")
       val maxId = existing.agg(max("player_id").as("max_id"))
-      newKeys.crossJoin(maxId)
-        .withColumn("player_id",
-          (col("max_id") +
-            row_number().over(Window.orderBy("user_key"))).cast("long"))
-        .select(col("user_key"), col("player_id"))
+      Ids.withOrderedId(newKeys, Seq("user_key"), "idx")
+        .crossJoin(broadcast(maxId))
+        .select(col("user_key"),
+          (col("max_id") + col("idx")).cast("long").as("player_id"))
         .orderBy("user_key")
     },
     """WITH incoming AS (SELECT DISTINCT user_id*13 AS user_key FROM events),
@@ -98,16 +99,17 @@ object Star {
 
   // ---------------------------------------------------------------- C2
   /** report_sighting dim (ref report.py:170-186, 01_tables.sql
-    * unique_sighting): DISTINCT triple + surrogate id.
+    * unique_sighting): DISTINCT triple + surrogate id — assigned
+    * partition-offset ([[Ids.withOrderedId]]): this dim's distinct
+    * count tracks the fact, so a global-window id would funnel a
+    * fact-sized distinct through one task at scale.
     */
   val rDimSighting: Q = Q(
     (s, dir) =>
-      enriched(s, dir)
-        .select("reporting_id", "reported_id", "manual_detect").distinct()
-        .withColumn("sighting_id",
-          row_number().over(
-            Window.orderBy("reporting_id", "reported_id", "manual_detect"))
-            .cast("long"))
+      Ids.withOrderedId(
+          enriched(s, dir)
+            .select("reporting_id", "reported_id", "manual_detect").distinct(),
+          Seq("reporting_id", "reported_id", "manual_detect"), "sighting_id")
         .select("sighting_id", "reporting_id", "reported_id", "manual_detect")
         .orderBy("sighting_id"),
     s"""WITH e AS ($enrichedSql),
@@ -149,24 +151,25 @@ object Star {
   // ---------------------------------------------------------------- C4
   /** Full star normalize (ref report.py:253-314 `insert_report`):
     * build the three dims, broadcast them, re-key the fact to
-    * surrogate ids. The flagship pipeline.
+    * surrogate ids. The flagship pipeline. All three dim ids are
+    * partition-offset ([[Ids.withOrderedId]]) — the location dim is a
+    * function of `event_id`, so its distinct count grows linearly
+    * with the fact and a global-window id would not survive a 100×
+    * scale-up. The checkpoint inside the helper also keeps the three
+    * broadcast builds from replanning the distincts over the fact.
     */
   val rFactAssemble: Q = Q(
     (s, dir) => {
       val e = enriched(s, dir)
-      val sighting = e.select("reporting_id", "reported_id", "manual_detect")
-        .distinct()
-        .withColumn("sighting_id", row_number().over(
-          Window.orderBy("reporting_id", "reported_id", "manual_detect"))
-          .cast("long"))
-      val location = e.select("region_id", "x_coord", "y_coord", "z_coord")
-        .distinct()
-        .withColumn("location_id", row_number().over(
-          Window.orderBy("region_id", "x_coord", "y_coord", "z_coord"))
-          .cast("long"))
-      val gear = e.select("g_head", "g_torso", "g_weapon").distinct()
-        .withColumn("gear_id", row_number().over(
-          Window.orderBy("g_head", "g_torso", "g_weapon")).cast("long"))
+      val sighting = Ids.withOrderedId(
+        e.select("reporting_id", "reported_id", "manual_detect").distinct(),
+        Seq("reporting_id", "reported_id", "manual_detect"), "sighting_id")
+      val location = Ids.withOrderedId(
+        e.select("region_id", "x_coord", "y_coord", "z_coord").distinct(),
+        Seq("region_id", "x_coord", "y_coord", "z_coord"), "location_id")
+      val gear = Ids.withOrderedId(
+        e.select("g_head", "g_torso", "g_weapon").distinct(),
+        Seq("g_head", "g_torso", "g_weapon"), "gear_id")
       e.join(broadcast(sighting),
           Seq("reporting_id", "reported_id", "manual_detect"))
         .join(broadcast(location),
@@ -384,10 +387,15 @@ object Star {
     * insert path. The dim join is broadcast — the reference's LRU
     * cache (\_cache.py) as a per-executor hash map.
     *
-    * The resolved dim is cached before the joins: it feeds TWO
-    * broadcast exchanges (reporter + reported side), and without the
-    * cache each broadcast would re-run the whole distinct + anti-join
-    * + id-assignment subplan (measured 2× cost at sf0.1).
+    * New-name ids come from [[Ids.withOrderedId]] (partition-offset
+    * zipWithIndex, keeping the after-max-id contiguous semantics of
+    * ref player.py:60-71) — NOT a global `row_number` window. The
+    * helper eagerly local-checkpoints the sorted new-name set, which
+    * also truncates lineage: the dim feeds TWO broadcast exchanges
+    * (reporter + reported side), and a plain `cache()` does not stop
+    * each broadcast from replanning the whole distinct + anti-join +
+    * id-assignment subplan (measured 6× baseline cost at sf0.1 in the
+    * cached global-window form).
     */
   val rResolveV1: Q = Q(
     (s, dir) => {
@@ -414,12 +422,11 @@ object Star {
         .distinct()
       val newNames = names.join(players, Seq("name"), "left_anti")
       val maxId = players.agg(max("player_id").as("max_id"))
-      val newPlayers = newNames.crossJoin(maxId)
-        .withColumn("player_id",
-          (col("max_id") + row_number().over(Window.orderBy("name")))
-            .cast("long"))
-        .select("player_id", "name")
-      val dim = players.unionByName(newPlayers).cache()
+      val newPlayers = Ids.withOrderedId(newNames, Seq("name"), "idx")
+        .crossJoin(broadcast(maxId))
+        .select((col("max_id") + col("idx")).cast("long").as("player_id"),
+          col("name"))
+      val dim = players.unionByName(newPlayers)
       msgs
         .join(broadcast(dim.select(col("player_id").as("reporting_id"),
           col("name").as("reporter_name"))), Seq("reporter_name"))
