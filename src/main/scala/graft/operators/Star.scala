@@ -45,7 +45,7 @@ object Star {
       .withColumn("g_weapon",
         Cleanse.clampSmallint((col("user_id") * 1299709L + col("event_id") * 19L) % 40000L))
 
-  private[operators] def enriched(s: SparkSession, dir: String): DataFrame =
+  private[graft] def enriched(s: SparkSession, dir: String): DataFrame =
     enrich(Tables.events(s, dir))
 
   private val enrichedSql =
@@ -517,6 +517,198 @@ object Star {
        |FROM e GROUP BY on_members_world, on_pvp_world
        |ORDER BY on_members_world, on_pvp_world""".stripMargin)
 
+  // -------------------------------------------------------- C12 setup
+  /** The reference's full `Players` row (ref mysql/.../01_tables.sql:3-24):
+    * ban/label/ironman state plus `normalized_name` alongside the raw
+    * name. `customer` stands in for the stored dim; the state columns
+    * are exact int64 functions of the key so every oracle stays
+    * hash-exact. All flags are BIGINT 0/1 (tinyint in the reference).
+    */
+  private[graft] def playersWide(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey").as("player_id"),
+      col("c_name").as("name"),
+      Cleanse.sanitizeName(col("c_name")).as("normalized_name"),
+      when(col("c_custkey") % 5 === 0, 1L).otherwise(0L).as("possible_ban"),
+      when(col("c_custkey") % 10 === 0, 1L).otherwise(0L).as("confirmed_ban"),
+      when(col("c_custkey") % 10 === 5, 1L).otherwise(0L)
+        .as("confirmed_player"),
+      (col("c_custkey") % 25).as("label_id"),
+      (col("c_custkey") % 4).as("label_jagex"),
+      when(col("c_custkey") % 3 === 0, 1L).otherwise(0L).as("ironman"),
+      when(col("c_custkey") % 9 === 0, 1L).otherwise(0L)
+        .as("hardcore_ironman"),
+      when(col("c_custkey") % 27 === 0, 1L).otherwise(0L)
+        .as("ultimate_ironman"))
+
+  private val playersWideSql =
+    """SELECT c_custkey AS player_id, c_name AS name,
+      |  trim(replace(replace(lower(c_name), '_', ' '), '-', ' '))
+      |    AS normalized_name,
+      |  CAST(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS possible_ban,
+      |  CAST(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS confirmed_ban,
+      |  CAST(CASE WHEN c_custkey % 10 = 5 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS confirmed_player,
+      |  c_custkey % 25 AS label_id,
+      |  c_custkey % 4 AS label_jagex,
+      |  CAST(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS ironman,
+      |  CAST(CASE WHEN c_custkey % 9 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS hardcore_ironman,
+      |  CAST(CASE WHEN c_custkey % 27 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS ultimate_ironman
+      |FROM customer""".stripMargin
+
+  private val playersWideCols = Seq("player_id", "name", "normalized_name",
+    "possible_ban", "confirmed_ban", "confirmed_player", "label_id",
+    "label_jagex", "ironman", "hardcore_ironman", "ultimate_ironman")
+
+  // ---------------------------------------------------------------- C12
+  /** Full-width player upsert — get-or-insert over the reference's
+    * whole `Players` row (ref player.py:55-72 insert/get_or_insert,
+    * 01_tables.sql:3-24) INCLUDING timestamp maintenance: players
+    * re-seen in this batch get `updated_at` = their latest sighting
+    * (ref `updated_at` column, maintained on update), never-seen
+    * players keep it NULL, and brand-new names are appended after the
+    * current max id (ids via the partition-offset scheme, no global
+    * window) with `created_at` = their first sighting and the
+    * reference's column defaults (all state 0 — `INSERT IGNORE`
+    * writes only the name). One grouped agg over the batch + one
+    * broadcast-sized dim pass; scales with the batch, not the dim.
+    */
+  val rPlayerUpsert: Q = Q(
+    (s, dir) => {
+      val sightings = Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k").isNotNull)
+        .select(Cleanse.sanitizeName(concat(lit("Customer#"),
+            lpad((col("k") * 31L).cast("string"), 9, "0")))
+            .as("normalized_name"),
+          col("ts"))
+        .groupBy("normalized_name")
+        .agg(min("ts").as("first_seen"), max("ts").as("last_seen"))
+      val existing = playersWide(s, dir)
+      val updated = existing
+        .join(broadcast(sightings.select("normalized_name", "last_seen")),
+          Seq("normalized_name"), "left")
+        .withColumn("created_at", lit(null).cast("timestamp"))
+        .withColumn("updated_at", col("last_seen"))
+      val maxId = existing.agg(max("player_id").as("max_id"))
+      val newNames = sightings
+        .join(existing.select("normalized_name"),
+          Seq("normalized_name"), "left_anti")
+      val inserted = Ids.withOrderedId(newNames, Seq("normalized_name"), "idx")
+        .crossJoin(broadcast(maxId))
+        .select(
+          (col("max_id") + col("idx")).cast("long").as("player_id"),
+          // insert() sanitizes before writing, so name == normalized
+          col("normalized_name").as("name"),
+          col("normalized_name"),
+          lit(0L).as("possible_ban"), lit(0L).as("confirmed_ban"),
+          lit(0L).as("confirmed_player"), lit(0L).as("label_id"),
+          lit(0L).as("label_jagex"), lit(0L).as("ironman"),
+          lit(0L).as("hardcore_ironman"), lit(0L).as("ultimate_ironman"),
+          col("first_seen").as("created_at"),
+          lit(null).cast("timestamp").as("updated_at"))
+      val outCols = (playersWideCols ++ Seq("created_at", "updated_at"))
+        .map(col)
+      updated.select(outCols: _*)
+        .unionByName(inserted.select(outCols: _*))
+        .orderBy("player_id")
+    },
+    s"""WITH sightings AS (
+       |  SELECT trim(replace(replace(lower('Customer#' ||
+       |      lpad(CAST(CAST(props->>'k' AS BIGINT) * 31 AS VARCHAR), 9, '0')),
+       |      '_', ' '), '-', ' ')) AS normalized_name,
+       |    min(ts) AS first_seen, max(ts) AS last_seen
+       |  FROM events WHERE CAST(props->>'k' AS BIGINT) IS NOT NULL
+       |  GROUP BY 1),
+       |players AS ($playersWideSql),
+       |mx AS (SELECT max(player_id) AS max_id FROM players),
+       |newn AS (
+       |  SELECT * FROM sightings
+       |  WHERE NOT EXISTS (SELECT 1 FROM players p
+       |                    WHERE p.normalized_name = sightings.normalized_name))
+       |SELECT p.player_id, p.name, p.normalized_name, p.possible_ban,
+       |  p.confirmed_ban, p.confirmed_player, p.label_id, p.label_jagex,
+       |  p.ironman, p.hardcore_ironman, p.ultimate_ironman,
+       |  CAST(NULL AS TIMESTAMP) AS created_at, s.last_seen AS updated_at
+       |FROM players p LEFT JOIN sightings s USING (normalized_name)
+       |UNION ALL
+       |SELECT CAST(max_id + row_number() OVER (ORDER BY normalized_name)
+       |    AS BIGINT) AS player_id,
+       |  normalized_name AS name, normalized_name,
+       |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |  CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |  first_seen AS created_at, CAST(NULL AS TIMESTAMP) AS updated_at
+       |FROM newn, mx
+       |ORDER BY player_id""".stripMargin)
+
+  // ---------------------------------------------------------------- C13
+  /** The `confirmed_ban_idx` access path (ref 01_tables.sql:21
+    * `KEY confirmed_ban_idx (confirmed_ban)`, and the
+    * `Players_possible_ban_IDX` composite): ban-state reads over the
+    * wide dim. The filter reaches the parquet scan as a pushed
+    * predicate — the lake analog of the MySQL secondary index.
+    */
+  val qBanFlags: Q = Q(
+    (s, dir) =>
+      playersWide(s, dir)
+        .filter(col("confirmed_ban") === 1)
+        .groupBy("label_id")
+        .agg(count(lit(1)).as("n_players"),
+          sum("possible_ban").as("n_possible"),
+          sum(col("ironman") + col("hardcore_ironman")
+            + col("ultimate_ironman")).as("n_ironman"))
+        .orderBy("label_id"),
+    s"""WITH players AS ($playersWideSql)
+       |SELECT label_id, CAST(count(*) AS BIGINT) AS n_players,
+       |  CAST(sum(possible_ban) AS BIGINT) AS n_possible,
+       |  CAST(sum(ironman + hardcore_ironman + ultimate_ironman) AS BIGINT)
+       |    AS n_ironman
+       |FROM players WHERE confirmed_ban = 1
+       |GROUP BY label_id ORDER BY label_id""".stripMargin)
+
+  // ---------------------------------------------------------------- C14
+  /** The `Unique_Report` key the reference actually enforces on the
+    * denormalized `Reports` table (ref 01_tables.sql:83-88: UNIQUE
+    * (reportedID, reportingID, region_id, manual_detect)) — INSERT
+    * IGNORE first-wins per 4-column natural key, keeping the earliest
+    * report's payload. The window is PARTITIONED by the key (ordinary
+    * hash shuffle; contrast C5's per-user variant) — no skew: the key
+    * cardinality tracks the fact.
+    */
+  val rUpsertReport: Q = Q(
+    (s, dir) => {
+      val w = Window
+        .partitionBy("reported_id", "reporting_id", "region_id",
+          "manual_detect")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      enriched(s, dir)
+        .filter(col("reported_id").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("reported_id"), col("reporting_id"), col("region_id"),
+          col("manual_detect"), col("event_id").as("report_id"),
+          col("ts").as("created_at"),
+          col("x_coord"), col("y_coord"), col("z_coord"))
+        .orderBy("reported_id", "reporting_id", "region_id", "manual_detect")
+    },
+    s"""WITH e AS ($enrichedSql)
+       |SELECT reported_id, reporting_id, region_id, manual_detect,
+       |  event_id AS report_id, ts AS created_at, x_coord, y_coord, z_coord
+       |FROM (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY reported_id, reporting_id, region_id, manual_detect
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM e WHERE reported_id IS NOT NULL)
+       |WHERE rn = 1
+       |ORDER BY reported_id, reporting_id, region_id, manual_detect"""
+      .stripMargin)
+
   val registry: Map[String, Q] = Map(
     "q_heatmap" -> qHeatmap,
     "q_world_stats" -> qWorldStats,
@@ -528,5 +720,8 @@ object Star {
     "r_dim_gear9" -> rDimGear9,
     "r_resolve_v1" -> rResolveV1,
     "r_upsert_latest" -> rUpsertLatest,
+    "r_player_upsert" -> rPlayerUpsert,
+    "q_ban_flags" -> qBanFlags,
+    "r_upsert_report" -> rUpsertReport,
     "r_cache_join" -> rCacheJoin)
 }

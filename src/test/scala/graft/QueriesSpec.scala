@@ -185,6 +185,56 @@ class QueriesSpec extends SparkSpec {
     assert(top.filter(col("score_micro") > 1000000L).count() === 0)
   }
 
+  test("Ids.withOrderedId: contiguous 1..n ids in key order, any " +
+    "partitioning") {
+    import spark.implicits._
+    val df = Seq("m", "a", "z", "q", "b", "x").toDF("key")
+      .repartition(5) // deliberately scrambled input partitioning
+    val got = graft.operators.Ids.withOrderedId(df, Seq("key"), "id")
+      .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq("a" -> 1L, "b" -> 2L, "m" -> 3L, "q" -> 4L,
+      "x" -> 5L, "z" -> 6L))
+  }
+
+  test("r_player_upsert: updated_at only for re-seen, inserts after max") {
+    val up = SparkEntry.queries("r_player_upsert")(spark, sf)
+    val maxExisting = Tables.customer(spark, sf)
+      .agg(max("c_custkey")).head().getLong(0)
+    val inserted = up.filter(col("player_id") > maxExisting)
+    // insert path taken; inserted rows carry defaults + created_at only
+    assert(inserted.count() > 0)
+    assert(inserted.filter(col("updated_at").isNotNull
+      || col("created_at").isNull || col("confirmed_ban") =!= 0
+      || col("name") =!= col("normalized_name")).count() === 0)
+    // existing rows: updated_at iff re-seen this batch; never created_at
+    val existing = up.filter(col("player_id") <= maxExisting)
+    assert(existing.count() === Tables.customer(spark, sf).count(),
+      "the upsert must keep every existing dim row")
+    assert(existing.filter(col("created_at").isNotNull).count() === 0)
+    assert(existing.filter(col("updated_at").isNotNull).count() > 0,
+      "some existing players are re-seen and must get updated_at")
+  }
+
+  test("r_upsert_report: exactly one row per Unique_Report key") {
+    val r = SparkEntry.queries("r_upsert_report")(spark, sf)
+    val keys = Seq("reported_id", "reporting_id", "region_id",
+      "manual_detect")
+    assert(r.select(keys.map(col): _*).distinct().count() === r.count())
+    // first-wins: kept created_at is the key's minimum ts
+    val e = graft.operators.Star.enriched(spark, sf)
+      .filter(col("reported_id").isNotNull)
+      .groupBy(keys.map(col): _*).agg(min("ts").as("min_ts"))
+    assert(r.join(e, keys).filter(col("created_at") =!= col("min_ts"))
+      .count() === 0)
+  }
+
+  test("q_ban_flags: pushed-down filter partitions the banned set") {
+    val q = SparkEntry.queries("q_ban_flags")(spark, sf)
+    val banned = graft.operators.Star.playersWide(spark, sf)
+      .filter(col("confirmed_ban") === 1).count()
+    assert(q.agg(sum("n_players")).head().getLong(0) === banned)
+  }
+
   test("broadcast survives in the cache-join plan") {
     val plan = SparkEntry.queries("r_cache_join")(spark, sf)
       .queryExecution.executedPlan.toString
