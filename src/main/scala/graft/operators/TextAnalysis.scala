@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -283,6 +283,28 @@ object TextAnalysis {
       |  CAST(floor(quantile_cont(n_chars, 0.9)) AS BIGINT) AS p90,
       |  max(n_chars) AS max_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+
+  /** H9's scale path: the same length-distribution panel over
+    * `approx_percentile` (Greenwald-Khanna sketch, here at accuracy
+    * 1/eps = 10000 ⇒ rank error ≤ 0.01%). The exact form sorts every
+    * group; the sketch is one map-side-combinable aggregation whose
+    * per-group state is O(1/eps · log(eps·N)) regardless of corpus
+    * size — the form a 100 TB corpus report runs. Not oracle-backed
+    * (sketch quantiles are engine-specific — DuckDB's approx_quantile
+    * is a t-digest, so values can't hash-match); spec-gated instead:
+    * ScalaTest pins it to the exact H9 within the sketch's rank-error
+    * bound on the test corpus.
+    */
+  def lenQuantilesApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(
+        floor(expr("approx_percentile(n_chars, 0.5, 10000)")).cast("long")
+          .as("p50"),
+        floor(expr("approx_percentile(n_chars, 0.9, 10000)")).cast("long")
+          .as("p90"),
+        max("n_chars").as("max_chars"))
+      .orderBy("source")
 
   val registry: Map[String, Q] = Map(
     "t_tokens" -> tTokens,

@@ -27,17 +27,43 @@ object ReportStream {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .withColumn("manual_detect", col("event_id") % 2)
 
-  /** Kafka source for production (not runnable here: no broker).
+  /** Kafka source for production (not runnable here: neither a broker
+    * nor the spark-sql-kafka connector jar ships in this container —
+    * verified absent from /opt/spark/jars and the offline dep cache —
+    * so the consumer-group/offset surface stays a deployment-only
+    * gap covered by config + the D6 wire-format specs).
     * value is the JSON body, exactly the reference's consumer feed.
+    *
+    * `maxOffsetsPerTrigger` is the backpressure knob (ref main.py:39-57
+    * caps a batch at 1000 messages): bounds every micro-batch so one
+    * lagging restart can't pull the whole topic into a single batch.
     */
-  def kafkaSource(spark: SparkSession, servers: String,
-      topic: String): DataFrame =
-    spark.readStream.format("kafka")
+  def kafkaSource(spark: SparkSession, servers: String, topic: String,
+      maxOffsetsPerTrigger: Option[Long] = Some(100000L)): DataFrame = {
+    val base = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", servers)
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
+    maxOffsetsPerTrigger
+      .fold(base)(n => base.option("maxOffsetsPerTrigger", n.toString))
       .load()
       .selectExpr("CAST(value AS STRING) AS json")
+  }
+
+  /** Production session config for the always-on pipes (D1/D5/D9/D10):
+    * RocksDB is the DEFAULT state store — per-key state lives off-heap
+    * on local SSD instead of the executor heap, which is the only
+    * shape that survives an unbounded key space (the HDFS-backed map
+    * store holds every key on-heap); changelog checkpointing ships
+    * per-batch deltas instead of re-uploading full SST snapshots.
+    * Spec-exercised: StreamingSpec runs D5 and D9 under exactly these
+    * confs.
+    */
+  val productionStreamingConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
 
   /** Kafka sink options for production (the requeue path's target:
     * dead letters' `requeue_json` becomes the message value). Not
@@ -61,12 +87,16 @@ object ReportStream {
       .start()
 
   /** File source standing in for Kafka: a directory of event parquet
-    * with the same schema as the events table.
+    * with the same schema as the events table. `maxFilesPerTrigger`
+    * is the file-source backpressure knob (the `maxOffsetsPerTrigger`
+    * analog): default one file per micro-batch, raise for throughput,
+    * never unbounded — an unset cap makes the first batch after a
+    * long outage read the entire backlog at once.
     */
   def fileSource(spark: SparkSession, dir: String,
-      schemaFrom: DataFrame): DataFrame =
+      schemaFrom: DataFrame, maxFilesPerTrigger: Int = 1): DataFrame =
     spark.readStream.schema(schemaFrom.schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(dir)
 
   /** D1: the full pipe. Valid rows land in outDir/reports, failures

@@ -140,6 +140,32 @@ class QueriesSpec extends SparkSpec {
       col("p90") > col("max_chars")).count() === 0)
   }
 
+  test("t_len_quantiles approx twin tracks the exact form, no sort-agg") {
+    val exact = SparkEntry.queries("t_len_quantiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val approx = graft.operators.TextAnalysis
+      .lenQuantilesApprox(spark, sf).collect()
+    assert(approx.length === exact.size)
+    for (r <- approx) {
+      val (p50, p90) = exact(r.getString(0))
+      // accuracy 10000 ⇒ rank error ≤ 1e-4, but the VALUE can differ
+      // by one inter-sample gap: the exact form linearly interpolates
+      // between ranks while the sketch returns a real sample, and on
+      // the small per-source test groups neighboring lengths sit ~10
+      // chars apart — 5% covers that granularity, far below any
+      // distribution-shift a corpus report cares about
+      assert(math.abs(r.getLong(1) - p50) <= math.max(2L, p50 / 20),
+        s"p50 for ${r.getString(0)}: ${r.getLong(1)} vs exact $p50")
+      assert(math.abs(r.getLong(2) - p90) <= math.max(2L, p90 / 20),
+        s"p90 for ${r.getString(0)}: ${r.getLong(2)} vs exact $p90")
+    }
+    val plan = graft.operators.TextAnalysis.lenQuantilesApprox(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("approx_percentile") || plan.contains("ApproximatePercentile"),
+      "scale path must aggregate a sketch, not sort groups")
+  }
+
   test("s_knn_topk_agg: bounded-heap agg equals the window form") {
     val win = SparkEntry.queries("s_knn_join")(spark, sf).collect().toSeq
     val agg = SparkEntry.queries("s_knn_topk_agg")(spark, sf).collect().toSeq

@@ -165,13 +165,14 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("D5 stateful dedup runs on the RocksDB state store") {
-    // the store a production deployment uses (bounded memory, state
-    // spills to disk, changelog checkpointing) — same results as the
-    // default HDFS-backed store
+    // the production default (ReportStream.productionStreamingConfs):
+    // bounded memory, state spills to disk, changelog checkpointing —
+    // same results as the default HDFS-backed store
     import spark.implicits._
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val prev = ReportStream.productionStreamingConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    ReportStream.productionStreamingConfs
+      .foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val in = tempDir("graft_rocks_in")
       stageEvents(in)
@@ -190,14 +191,42 @@ class StreamingSpec extends SparkSpec {
         .select(col("user_id"), col("k"), (col("event_id") % 2)).distinct()
         .count()
       assert(spark.table("first_sightings_rocks").count() === expected)
+
+      // D9's declarative dedup under the same production store
+      val q2 = ReportStream.dedupWithinWatermark(
+          ReportStream.fileSource(spark, in, Tables.eventsRaw(spark, sf)),
+          Seq("event_id"))
+        .writeStream.format("memory").queryName("ddw_rocks")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination(120000)
+      q2.stop()
+      assert(spark.table("ddw_rocks").count() ===
+        Tables.events(spark, sf).count())
     } finally {
-      prev match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
+  }
+
+  test("fileSource maxFilesPerTrigger bounds each micro-batch") {
+    val in = tempDir("graft_rate_in")
+    stageEvents(in)
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$in/events_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // 2 files, cap 1 → the rate limit must split them into 2 batches
+    val src = ReportStream.fileSource(spark, in,
+      Tables.eventsRaw(spark, sf), maxFilesPerTrigger = 1)
+    val q = src.writeStream.format("memory").queryName("rate_limited")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 2,
+      s"2 staged files with maxFilesPerTrigger=1 ran in $batches batch(es)")
+    assert(spark.table("rate_limited").count() ===
+      2 * Tables.events(spark, sf).count())
   }
 
   test("kafka sink options carry idempotent-producer settings") {
