@@ -20,6 +20,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: pay JVM/codegen/parquet-footer init once here,
+    // not inside whichever query happens to run first (measured ~3s
+    // of first-query inflation without this)
+    graft.Tables.events(spark, sfDir).groupBy("event_type").count().count()
+    graft.Tables.documents(spark, sfDir).limit(1).count()
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
