@@ -314,36 +314,75 @@ object Dedup {
     labels
   }
 
+  /** (doc_id, cluster_id) for every doc that appears in a near-dup
+    * pair — shared by F8 (the cluster map) and F9 (the deduplicated
+    * corpus). */
+  private def clustersDf(s: SparkSession, dir: String): DataFrame = {
+    val edges = dupEdges(s, dir).localCheckpoint(true)
+    val labels0 = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    propagate(edges, labels0, Iters)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** The cluster CTE chain (pairs → edges → l0..lIters), shared by the
+    * F8 and F9 oracles; `SELECT doc_id, label FROM l$Iters` is the
+    * final cluster map.
+    */
+  private val clustersCteSql: String = {
+    val l = (1 to Iters).map { i =>
+      s"""l$i AS (
+         |  SELECT l.doc_id,
+         |    least(l.label, coalesce(
+         |      (SELECT min(l2.label) FROM edges e
+         |       JOIN l${i - 1} l2 ON l2.doc_id = e.doc_b
+         |       WHERE e.doc_a = l.doc_id), l.label)) AS label
+         |  FROM l${i - 1} l)""".stripMargin
+    }.mkString(",\n")
+    s"""pairs AS (
+       |  SELECT doc_a, doc_b FROM ($lshJaccardSql)
+       |  WHERE jaccard_bp >= $ClusterMinBp),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |l0 AS (
+       |  SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges),
+       |$l""".stripMargin
+  }
+
   val dDupClusters: Q = Q(
+    (s, dir) => clustersDf(s, dir).orderBy("doc_id"),
+    s"""WITH $clustersCteSql
+       |SELECT doc_id, label AS cluster_id FROM l$Iters
+       |ORDER BY doc_id""".stripMargin)
+
+  // ---------------------------------------------------------------- F9
+  /** The deduplicated corpus — the operation the cluster map exists
+    * FOR: drop every near-dup cluster member except the canonical
+    * representative (the cluster's min doc_id), keep all singleton
+    * docs untouched. One anti-join of the corpus against the
+    * non-representative members; at 100 TB the drop list is tiny
+    * next to the corpus (near-dup density), so AQE turns the
+    * anti-join into a broadcast and the corpus pass stays map-only.
+    */
+  val dDedupCorpus: Q = Q(
     (s, dir) => {
-      val edges = dupEdges(s, dir).localCheckpoint(true)
-      val labels0 = edges.select(col("doc_a").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
-      propagate(edges, labels0, Iters)
-        .select(col("doc_id"), col("label").as("cluster_id"))
+      val drop = clustersDf(s, dir)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      Tables.documents(s, dir)
+        .join(drop, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
-    }, {
-      val l = (1 to Iters).map { i =>
-        s"""l$i AS (
-           |  SELECT l.doc_id,
-           |    least(l.label, coalesce(
-           |      (SELECT min(l2.label) FROM edges e
-           |       JOIN l${i - 1} l2 ON l2.doc_id = e.doc_b
-           |       WHERE e.doc_a = l.doc_id), l.label)) AS label
-           |  FROM l${i - 1} l)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH pairs AS (
-         |  SELECT doc_a, doc_b FROM ($lshJaccardSql)
-         |  WHERE jaccard_bp >= $ClusterMinBp),
-         |edges AS (
-         |  SELECT doc_a, doc_b FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |l0 AS (
-         |  SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges),
-         |$l
-         |SELECT doc_id, label AS cluster_id FROM l$Iters
-         |ORDER BY doc_id""".stripMargin
-    })
+    },
+    s"""WITH $clustersCteSql,
+       |drop_ids AS (
+       |  SELECT doc_id FROM l$Iters WHERE doc_id <> label)
+       |SELECT d.doc_id, d.source, d.n_chars
+       |FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM drop_ids x
+       |                  WHERE x.doc_id = d.doc_id)
+       |ORDER BY d.doc_id""".stripMargin)
 
   // ---------------------------------------------------------------- F4
   /** 64-bit SimHash as two 32-bit words (hi/lo), built from token
@@ -480,6 +519,7 @@ object Dedup {
     "d_ngram_jaccard" -> dNgramJaccard,
     "d_lsh_jaccard" -> dLshJaccard,
     "d_dup_clusters" -> dDupClusters,
+    "d_dedup_corpus" -> dDedupCorpus,
     "d_simhash" -> dSimhash,
     "d_simhash_pairs" -> dSimhashPairs)
 }

@@ -309,8 +309,46 @@ object Similarity {
        |  WHERE a.vec_id % 50 = 0)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
 
+  // ---------------------------------------------------------------- G6
+  /** Per-label embedding centroids — the aggregation behind IVF coarse
+    * quantizers, topic vectors, and class prototypes. Exactness
+    * discipline: each component is quantized to integer micro-units
+    * FIRST, then summed as BIGINT (associative + commutative — no
+    * float summation-order noise to drift the oracle hash), and the
+    * mean is a floor over one double division at the very end. One
+    * posexplode + one map-side-combinable (label, pos) agg: dim·labels
+    * output rows, shuffle volume dim longs per input vector —
+    * scale-safe at any corpus size.
+    */
+  val sCentroids: Q = Q(
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          round(col("x").cast("double") * 1e6).cast("long").as("x_micro"))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n_vectors"),
+          floor(sum("x_micro").cast("double") / count(lit(1)))
+            .cast("long").as("centroid_micro"))
+        .orderBy("label", "pos"),
+    """SELECT label, pos, CAST(n_vectors AS BIGINT) AS n_vectors,
+      |  CAST(floor(CAST(sum_micro AS DOUBLE) / n_vectors) AS BIGINT)
+      |    AS centroid_micro
+      |FROM (
+      |  SELECT label, CAST(pos AS BIGINT) AS pos, count(*) AS n_vectors,
+      |    sum(x_micro) AS sum_micro
+      |  FROM (
+      |    SELECT label,
+      |      generate_subscripts(embedding, 1) - 1 AS pos,
+      |      CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+      |        AS x_micro
+      |    FROM embeddings)
+      |  GROUP BY label, pos)
+      |ORDER BY label, pos""".stripMargin)
+
   val registry: Map[String, Q] = Map(
     "s_cosine_topk" -> sCosineTopk,
+    "s_centroids" -> sCentroids,
     "d_embed_dup" -> dEmbedDup,
     "s_ann_lsh" -> sAnnLsh,
     "s_ann_multiprobe" -> sAnnMultiprobe,

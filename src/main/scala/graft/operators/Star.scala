@@ -517,6 +517,32 @@ object Star {
        |FROM e GROUP BY on_members_world, on_pvp_world
        |ORDER BY on_members_world, on_pvp_world""".stripMargin)
 
+  // ---------------------------------------------------------------- C15
+  /** The reference's ACTUAL `idx_heatmap` column set — (reportedID,
+    * timestamp, region_id), ref 01_tables.sql:92-96 — as the
+    * time-series read it serves: daily report volume per region with
+    * distinct-target counts. `date_trunc` keys + region make this the
+    * partition-prunable lake layout for the report fact (C10's
+    * tile-grid variant covers the spatial read).
+    */
+  val qHeatmapDaily: Q = Q(
+    (s, dir) =>
+      enriched(s, dir)
+        .filter(col("reported_id").isNotNull)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("region_id"))
+        .agg(count(lit(1)).as("n_reports"),
+          countDistinct("reported_id").as("n_reported"),
+          sum("manual_detect").as("n_manual"))
+        .orderBy("day", "region_id"),
+    s"""WITH e AS ($enrichedSql)
+       |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, region_id,
+       |  CAST(count(*) AS BIGINT) AS n_reports,
+       |  CAST(count(DISTINCT reported_id) AS BIGINT) AS n_reported,
+       |  CAST(sum(manual_detect) AS BIGINT) AS n_manual
+       |FROM e WHERE reported_id IS NOT NULL
+       |GROUP BY date_trunc('day', ts), region_id
+       |ORDER BY day, region_id""".stripMargin)
+
   // -------------------------------------------------------- C12 setup
   /** The reference's full `Players` row (ref mysql/.../01_tables.sql:3-24):
     * ban/label/ironman state plus `normalized_name` alongside the raw
@@ -711,6 +737,7 @@ object Star {
 
   val registry: Map[String, Q] = Map(
     "q_heatmap" -> qHeatmap,
+    "q_heatmap_daily" -> qHeatmapDaily,
     "q_world_stats" -> qWorldStats,
     "r_dim_build" -> rDimBuild,
     "r_dim_sighting" -> rDimSighting,

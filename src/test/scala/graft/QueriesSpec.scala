@@ -191,6 +191,32 @@ class QueriesSpec extends SparkSpec {
     assert(atIters.filter(col("label") > col("doc_id")).count() === 0)
   }
 
+  test("d_dedup_corpus: singletons + one representative per cluster") {
+    val corpus = SparkEntry.queries("d_dedup_corpus")(spark, sf)
+    val clusters = SparkEntry.queries("d_dup_clusters")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val dropped = clusters.filter(col("doc_id") =!= col("cluster_id"))
+    assert(corpus.count() === docs.count() - dropped.count())
+    // every cluster representative survives, every dropped member is gone
+    assert(clusters.select(col("cluster_id").as("doc_id")).distinct()
+      .join(corpus, Seq("doc_id"), "left_anti").count() === 0)
+    assert(corpus.join(dropped.select("doc_id"), Seq("doc_id")).count() === 0)
+  }
+
+  test("s_centroids: exact integer mean per (label, position)") {
+    val c = SparkEntry.queries("s_centroids")(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val dim = emb.select(size(col("embedding"))).distinct().collect()
+    assert(dim.length === 1, "embeddings must share one dimensionality")
+    val labels = emb.select("label").distinct().count()
+    assert(c.count() === labels * dim.head.getInt(0))
+    // micro-quantized means are bounded by the quantized component range
+    assert(c.filter(abs(col("centroid_micro")) > 1000000L * 10).count() === 0)
+    // group sizes add back up to the corpus
+    assert(c.groupBy("label").agg(max("n_vectors").as("n"))
+      .agg(sum("n")).head().getLong(0) === emb.count())
+  }
+
   test("q_heatmap tiles partition all reports") {
     val h = SparkEntry.queries("q_heatmap")(spark, sf)
     assert(h.agg(sum("n_reports")).head().getLong(0) ===
