@@ -26,6 +26,31 @@ object Sources {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]")
       .csv(path)
 
+  /** Bucketed lake layout — the co-located join. Both sides of a hot
+    * equi-join written with `bucketBy(n, key)` + `sortBy(key)` hash
+    * every row into the same bucket scheme AT WRITE TIME; a later
+    * join on that key then needs NO shuffle and NO sort at all — the
+    * scan itself delivers co-partitioned, pre-sorted inputs. This is
+    * the 100 TB answer for the joins that run every batch (fact ⋈
+    * player dim): pay the partitioning once when the table lands,
+    * never again per query. The reference's MySQL analog is the
+    * clustered PRIMARY KEY + secondary index pair it joins through
+    * (ref mysql/.../01_tables.sql); a lake has no indexes, so the
+    * bucket scheme IS the index.
+    *
+    * `bucketBy` requires a catalog table (the bucket spec lives in
+    * the metastore, not the files); `path` keeps the data external so
+    * callers control layout. Bucket counts must match across join
+    * sides (Spark joins b and k·b buckets shuffle-free only for the
+    * b side; keep them equal).
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
+
   def jsonLinesStream(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
     spark.readStream.schema(schema).json(path)

@@ -50,6 +50,39 @@ class SourcesSpec extends SparkSpec {
     assert(viaParquet.except(viaCsv).count() === 0)
   }
 
+  test("bucketed co-located join: no shuffle, no sort, same rows") {
+    val base = Files.createTempDirectory("graft_bucketed").toString
+    val events = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+    val custs = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    Sources.writeBucketed(events, "b_events", s"$base/events",
+      "user_id", 4)
+    Sources.writeBucketed(custs, "b_custs", s"$base/custs",
+      "user_id", 4)
+    val prevThreshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the sort-merge path: the point is that the BUCKETS, not a
+    // broadcast, remove the exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_events")
+        .join(spark.table("b_custs"), "user_id")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(joined.count() ===
+        events.join(custs, "user_id").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_events")
+      spark.sql("DROP TABLE IF EXISTS b_custs")
+      ()
+    }
+  }
+
   test("streaming star pipe runs off the JSON-lines source") {
     val out = Files.createTempDirectory("graft_src_out").toString
     val ck = Files.createTempDirectory("graft_src_ck").toString
