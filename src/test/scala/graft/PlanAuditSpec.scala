@@ -116,6 +116,40 @@ class PlanAuditSpec extends SparkSpec {
       s"scan reads columns the flags never use: $readSchema")
   }
 
+  test("AQE splits a skewed join partition (skew=true in the SMJ)") {
+    // the runtime half of skew handling (q_salted_agg is the static
+    // half): push the skew thresholds down to test-data scale and
+    // verify AQE actually marks + splits the hot partition
+    import spark.implicits._
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 50k rows on ONE key vs 50 on each of 1000 others
+      val skewed = spark.range(51000)
+        .select(when($"id" < 50000, 7L).otherwise($"id" % 1000)
+          .as("key"), $"id".as("payload"))
+      val dim = spark.range(1000).select($"id".as("key"),
+        concat(lit("v"), $"id").as("attr"))
+      val joined = skewed.join(dim, "key")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$p")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("t_fingerprint plan shuffles nothing before the distinct") {
     // one-pass winnowing: scan → project/explode → distinct; the only
     // exchanges belong to the distinct + presentation sort (2), never
