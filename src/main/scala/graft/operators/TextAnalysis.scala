@@ -242,6 +242,33 @@ object TextAnalysis {
        |WHERE tok <> '' GROUP BY tok
        |ORDER BY n DESC, tok LIMIT 20""".stripMargin)
 
+  // ---------------------------------------------------------------- H10
+  /** Top-20 bigram vocabulary — H7's n-gram sibling (the co-occurrence
+    * panel of the corpus report, and the feature H5's PII heuristics
+    * and dedup shingles build on). Adjacent-token pairs via two
+    * slices + `zip_with` (higher-order array ops, codegen'd, zero
+    * extra shuffle: the only exchange is the final count's), so cost
+    * is one pass over the corpus plus a map-side-combinable agg on
+    * the bigram key.
+    */
+  val tBigrams: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(filter(toks(col("text")), x => x =!= "").as("t"))
+        .select(explode(zip_with(
+          slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(20),
+    s"""SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM (
+       |  SELECT unnest(list_transform(
+       |    list_zip(t[1:len(t)-1], t[2:len(t)]),
+       |    z -> z[1] || ' ' || z[2])) AS bigram
+       |  FROM (SELECT list_filter($toksSql, x -> x <> '') AS t
+       |        FROM documents))
+       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)
+
   // ---------------------------------------------------------------- H8
   /** Deterministic stratified sample — the eval-set carve-out every
     * training pipeline needs: ~1/8 of docs per source, selected by a
@@ -314,6 +341,7 @@ object TextAnalysis {
     "t_pii_scrub" -> tPiiScrub,
     "t_source_mix" -> tSourceMix,
     "t_vocab" -> tVocab,
+    "t_bigrams" -> tBigrams,
     "t_sample_strat" -> tSampleStrat,
     "t_len_quantiles" -> tLenQuantiles)
 }

@@ -132,4 +132,26 @@ object JdbcSink {
           upsertSql(table, batch.columns.toSeq, keyCols))
       }
       .start()
+
+  /** Stream → JDBC through the ANSI NOT-EXISTS insert — the same pipe
+    * as [[streamToJdbc]] for engines without MySQL's INSERT IGNORE
+    * (and the form the live Derby integration spec drives end to
+    * end). Same exactly-once contract: a replayed micro-batch
+    * re-sends keys the table already holds and the guard absorbs
+    * them.
+    */
+  def streamToJdbcIfAbsent(df: DataFrame, url: String, table: String,
+      user: String, password: String, checkpointDir: String,
+      keyCol: String, types: Seq[String],
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeIdempotent(batch, url, user, password,
+          insertIfAbsentSql(table, batch.columns.toSeq, keyCol, types))
+      }
+      .start()
 }

@@ -309,6 +309,26 @@ object ReportStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** D13: built-in session windows — the streaming sibling of the
+    * batch sessionizer (E5 `r_sessionize`): a user's session closes
+    * after `gap` of silence, sessions emit once the watermark passes
+    * their end, and per-session state is evicted automatically —
+    * state is O(open sessions in the watermark span), never O(stream
+    * history). The same call works in batch mode, which is what the
+    * spec uses as the ground-truth twin.
+    */
+  def sessionStats(events: DataFrame,
+      gap: String = "30 minutes"): DataFrame =
+    graft.Tables.nanosToTimestamp(events)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("decimal(18,2)")
+          .as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"),
+        col("n_events"), col("sum_value"))
+
   /** Watermarked tumbling-window counts (the reference's batch
     * accounting, ref main.py:39-57, as an always-on aggregation).
     */

@@ -47,6 +47,40 @@ class JdbcSinkSpec extends SparkSpec {
       "replayed keys absorbed, fresh keys inserted")
   }
 
+  test("streaming pipe into Derby: full replay adds no rows") {
+    // the reference's REAL sink shape — Kafka-shaped stream into a
+    // unique-keyed SQL table — live end to end: stream the events
+    // file through foreachBatch → NOT-EXISTS insert, then force a
+    // complete replay (fresh checkpoint, same file) and prove the
+    // at-least-once source still yields an exactly-once table.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.streaming.Trigger
+    withConn(_.createStatement().execute(
+      "CREATE TABLE fact_stream (event_id BIGINT PRIMARY KEY, " +
+        "user_id BIGINT, event_type VARCHAR(32))"))
+    val in = Files.createTempDirectory("graft_jdbc_in").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$in/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val run = (ck: String) => {
+      val src = graft.streaming.ReportStream
+        .fileSource(spark, in, Tables.eventsRaw(spark, sf))
+        .select("event_id", "user_id", "event_type")
+      val q = JdbcSink.streamToJdbcIfAbsent(src,
+        url, "fact_stream", "", "", ck, "event_id",
+        Seq("BIGINT", "BIGINT", "VARCHAR(32)"),
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination(120000)
+      q.stop()
+    }
+    run(Files.createTempDirectory("graft_jdbc_ck1").toString)
+    val n = count("fact_stream")
+    assert(n === Tables.events(spark, sf).count())
+    // fresh checkpoint = the whole file replays from scratch
+    run(Files.createTempDirectory("graft_jdbc_ck2").toString)
+    assert(count("fact_stream") === n,
+      "full replay must be absorbed by the NOT-EXISTS guard")
+  }
+
   test("Spark jdbc writer + reader round-trip through Derby") {
     val df = Tables.customer(spark, sf)
       .select("c_custkey", "c_acctbal").limit(20)

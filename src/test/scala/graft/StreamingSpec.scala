@@ -286,6 +286,25 @@ class StreamingSpec extends SparkSpec {
     assert(o("kafka.acks") === "all")
   }
 
+  test("D13 streaming session windows are a subset-exact batch match") {
+    val in = tempDir("graft_sess_in")
+    stageEvents(in)
+    val src = ReportStream.fileSource(spark, in, Tables.eventsRaw(spark, sf))
+    val q = ReportStream.sessionStats(src)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val streamed = spark.table("sess_stream")
+    // ground truth: the SAME function over the bounded frame
+    val batch = ReportStream.sessionStats(Tables.eventsRaw(spark, sf))
+    // append mode emits only watermark-closed sessions → streamed is a
+    // subset; every emitted session must match its batch twin exactly
+    assert(streamed.count() > 0, "some sessions must close and emit")
+    assert(streamed.except(batch).count() === 0,
+      "every streamed session must exist identically in the batch run")
+  }
+
   test("windowed stats aggregate with watermark") {
     val in = tempDir("graft_win_in")
     val ck = tempDir("graft_win_ck")
