@@ -292,6 +292,98 @@ object Analytics {
       |  min(event_id) AS first_event, max(event_id) AS last_event
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 
+  // ---------------------------------------------------------------- E10
+  /** Interval attribution join — every same-user event inside the 6
+    * hours after a purchase is attributed to it (the batch twin of
+    * D8's stream-stream interval join, here oracle-hash-checked).
+    * The user-id equality makes this a plain shuffled equi-join with
+    * the time range as a post-condition, so per-key work is bounded
+    * by that user's rows — no quadratic blowup, no bucketing needed.
+    * When an interval join has NO equi key, use E11's bucket-explode
+    * shape instead. Attributed value is summed in integer cents.
+    */
+  val qIntervalAttr: Q = Q(
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_uid"), col("ts").as("pts"))
+      val a = e.select(col("event_id").as("a_id"),
+        col("user_id").as("a_uid"), col("ts").as("a_ts"),
+        col("value").as("a_value"))
+      p.join(a,
+          col("p_uid") === col("a_uid") &&
+            col("a_ts") >= col("pts") &&
+            col("a_ts") < col("pts") + expr("INTERVAL 6 HOURS") &&
+            col("a_id") =!= col("purchase_id"),
+          "left")
+        .groupBy(col("purchase_id"))
+        .agg(count(col("a_id")).as("n_attr"),
+          coalesce(cents(sum(dec2(col("a_value")))), lit(0L))
+            .as("attr_value"))
+        .orderBy("purchase_id")
+    },
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts AS pts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT purchase_id, CAST(count(e.event_id) AS BIGINT) AS n_attr,
+      |  coalesce(CAST(sum(CAST(e.value AS DECIMAL(12,2))) * 100
+      |    AS BIGINT), 0) AS attr_value
+      |FROM p LEFT JOIN events e
+      |  ON e.user_id = p.user_id AND e.ts >= p.pts
+      |  AND e.ts < p.pts + INTERVAL 6 HOUR
+      |  AND e.event_id <> p.purchase_id
+      |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin)
+
+  // ---------------------------------------------------------------- E11
+  /** Band join WITHOUT an equi key — "events of the same type within
+    * ±0.50 of each other's value" — the shape that naively plans as a
+    * BroadcastNestedLoopJoin (O(n²) compares, the classic scale
+    * killer). The fix: quantize to integer cents, bucket by the band
+    * width, explode each probe row to its 3 neighbor buckets, and
+    * equi-join on (type, bucket) — every true pair lands in exactly
+    * one (probe-bucket = build-bucket) cell, so no dedup pass is
+    * needed, and the compare count drops from n² to Σ bucket-pair
+    * sizes. The oracle states the naive BETWEEN semantics; the
+    * bucketed plan must reproduce it exactly (integer arithmetic end
+    * to end, so it does).
+    */
+  private val BandCents = 50L
+
+  val qBandJoin: Q = Q(
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          cents(dec2(col("value"))).as("vc"))
+        .withColumn("bucket", expr(s"vc DIV $BandCents"))
+      val probe = e.select(col("event_id"), col("event_type"), col("vc"),
+        explode(array(col("bucket") - 1, col("bucket"),
+          col("bucket") + 1)).as("pb"))
+      val build = e.select(col("event_id").as("b_id"),
+        col("event_type").as("b_type"), col("vc").as("b_vc"),
+        col("bucket").as("bb"))
+      probe.join(build,
+          col("pb") === col("bb") &&
+            col("event_type") === col("b_type") &&
+            col("event_id") =!= col("b_id") &&
+            abs(col("vc") - col("b_vc")) <= BandCents,
+          "left")
+        .groupBy(col("event_id"))
+        .agg(count(col("b_id")).as("n_close"))
+        .orderBy("event_id")
+    },
+    s"""WITH e AS (
+       |  SELECT event_id, event_type,
+       |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+       |  FROM events)
+       |SELECT a.event_id, CAST(count(b.event_id) AS BIGINT) AS n_close
+       |FROM e a LEFT JOIN e b
+       |  ON a.event_type = b.event_type AND a.event_id <> b.event_id
+       |  AND abs(a.vc - b.vc) <= $BandCents
+       |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin)
+
   // ---------------------------------------------------------------- E9
   /** CUBE grouping sets — all four (returnflag × linestatus)
     * marginals in one pass; like E6's ROLLUP the text is
@@ -317,6 +409,8 @@ object Analytics {
     cubeSql)
 
   val registry: Map[String, Q] = Map(
+    "q_interval_attr" -> qIntervalAttr,
+    "q_band_join" -> qBandJoin,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
     "q_asof" -> qAsof,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -512,7 +512,68 @@ object Dedup {
        |      bit_count(xor(a.sim_lo, b.sim_lo)) <= 8
        |ORDER BY doc_a, doc_b""".stripMargin)
 
+  // ---------------------------------------------------------------- F10
+  /** Benchmark decontamination — the overlap check every training run
+    * must pass: which candidate training docs share a word 5-gram
+    * with the held-out eval set (H8's deterministic md5 carve-out)?
+    * Shingles are md5 hashes of 5-token windows, distinct per doc, so
+    * the join key space is bounded by corpus token mass, not doc
+    * length²; the eval side is the same map-only expression filtered
+    * to the sample. At 100 TB the eval shingle set is the small side
+    * (a fixed benchmark suite, not 1/8 of the corpus) — it broadcasts,
+    * and the train-side pass stays map-only; here both sides come from
+    * the same table and AQE picks the strategy. Output = contaminated
+    * docs with the count of distinct leaked shingles.
+    */
+  private val shingleN = 5
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"),
+          x => x =!= "").as("t"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(t) >= $shingleN THEN
+           |  array_distinct(transform(sequence(1, size(t) - ${shingleN - 1}),
+           |    i -> md5(concat_ws(' ', slice(t, i, $shingleN)))))
+           |ELSE array() END""".stripMargin)).as("sh"))
+
+  private val docShinglesSql =
+    s"""SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(t) - ${shingleN - 2}, 1)),
+       |    i -> md5(array_to_string(t[i:i + ${shingleN - 1}], ' ')))))
+       |  AS sh
+       |FROM (SELECT doc_id,
+       |        list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                    x -> x <> '') AS t
+       |      FROM documents)""".stripMargin
+
+  private def inEvalSample(c: Column): Column =
+    substring(md5(c.cast("string")), 1, 1).isin("0", "1")
+
+  private val inEvalSampleSql =
+    "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')"
+
+  val dContaminate: Q = Q(
+    (s, dir) => {
+      val sh = docShingles(s, dir)
+      val evalSh = sh.filter(inEvalSample(col("doc_id")))
+        .select(col("sh")).distinct()
+      sh.filter(!inEvalSample(col("doc_id")))
+        .join(evalSh, Seq("sh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_leaked"))
+        .orderBy("doc_id")
+    },
+    s"""WITH sh AS ($docShinglesSql),
+       |ev AS (SELECT DISTINCT sh FROM sh WHERE $inEvalSampleSql)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_leaked
+       |FROM sh JOIN ev USING (sh)
+       |WHERE NOT ($inEvalSampleSql)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "d_contaminate" -> dContaminate,
     "d_exact" -> dExact,
     "d_minhash" -> dMinhash,
     "d_minhash_lsh" -> dMinhashLsh,

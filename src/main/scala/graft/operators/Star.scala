@@ -517,6 +517,23 @@ object Star {
        |FROM e GROUP BY on_members_world, on_pvp_world
        |ORDER BY on_members_world, on_pvp_world""".stripMargin)
 
+  /** C11's scale path: the same world panel with the exact
+    * count(DISTINCT world_number) swapped for approx_count_distinct
+    * (HLL++, rsd 2%). Exact distinct shuffles every distinct value
+    * per group; the sketch is a few KB of fixed state per group that
+    * merges map-side — at 100 TB the distinct-worlds panel becomes
+    * one cheap combinable pass. Sketch estimates aren't cross-engine
+    * hash-stable, so this twin is ScalaTest-pinned to C11's exact
+    * counts (±5%) instead of oracle-gated.
+    */
+  def worldStatsApprox(s: SparkSession, dir: String): DataFrame =
+    enrichedFull(s, dir)
+      .groupBy("on_members_world", "on_pvp_world")
+      .agg(count(lit(1)).as("n_reports"),
+        approx_count_distinct("world_number", 0.02).as("n_worlds"),
+        sum("equip_ge_value").as("total_ge_value"))
+      .orderBy("on_members_world", "on_pvp_world")
+
   // ---------------------------------------------------------------- C15
   /** The reference's ACTUAL `idx_heatmap` column set — (reportedID,
     * timestamp, region_id), ref 01_tables.sql:92-96 — as the

@@ -269,6 +269,87 @@ object TextAnalysis {
        |        FROM documents))
        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)
 
+  // ---------------------------------------------------------------- H11
+  /** Repetition flags — the Gopher-style quality gate that catches
+    * boilerplate and generated spam: type-token ratio and the mass of
+    * the single most frequent token, both in integer basis points.
+    * Two-level aggregation over the exploded token relation — the
+    * (doc_id, tok) partial counts combine map-side, and the per-doc
+    * rollup reuses that shuffle's partitioning (doc_id is a prefix of
+    * the first grouping key), so the corpus pays one exchange. Docs
+    * with zero tokens have no rows to measure and drop out, same as
+    * the oracle's unnest.
+    */
+  val tRepetition: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(filter(toks(col("text")), x => x =!= "")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("n_types"),
+          max("cnt").as("top_cnt"))
+        .selectExpr("doc_id", "n_tokens", "n_types",
+          "(n_types * 10000) DIV greatest(n_tokens, 1) AS ttr_bp",
+          "(top_cnt * 10000) DIV greatest(n_tokens, 1) AS top_tok_bp")
+        .selectExpr("*",
+          "CASE WHEN ttr_bp < 2500 OR top_tok_bp > 2000 THEN 1 ELSE 0 END" +
+            " AS repetitive")
+        .orderBy("doc_id"),
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+       |  WHERE tok <> '' GROUP BY doc_id, tok),
+       |d AS (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_types, max(cnt) AS top_cnt
+       |  FROM tf GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_types,
+       |  (n_types * 10000) // greatest(n_tokens, 1) AS ttr_bp,
+       |  (top_cnt * 10000) // greatest(n_tokens, 1) AS top_tok_bp,
+       |  CASE WHEN (n_types * 10000) // greatest(n_tokens, 1) < 2500
+       |         OR (top_cnt * 10000) // greatest(n_tokens, 1) > 2000
+       |       THEN 1 ELSE 0 END AS repetitive
+       |FROM d ORDER BY doc_id""".stripMargin)
+
+  // ---------------------------------------------------------------- H12
+  /** Sequence packing — assign docs to fixed char-budget training
+    * chunks (the step between "curated corpus" and "tokenizer
+    * shards"): greedy sequential packing by running char count, a doc
+    * belongs to the chunk its START offset falls in. Packing is per
+    * source stratum, so the running sum window is PARTITIONED — no
+    * global single-task window; each stratum's cumsum parallelizes
+    * independently, exactly the layout a 100 TB corpus shards by.
+    */
+  private val PackBudget = 8192L
+
+  val tPack: Q = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("cum", sum("n_chars").over(w))
+        .selectExpr("source", "doc_id", "n_chars",
+          s"(cum - n_chars) DIV $PackBudget AS chunk_id")
+        .groupBy("source", "chunk_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chunk_chars"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "chunk_id")
+    },
+    s"""WITH c AS (
+       |  SELECT source, doc_id, n_chars,
+       |    (sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |     - n_chars) // $PackBudget AS chunk_id
+       |  FROM documents)
+       |SELECT source, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS chunk_chars,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY source, chunk_id
+       |ORDER BY source, chunk_id""".stripMargin)
+
   // ---------------------------------------------------------------- H8
   /** Deterministic stratified sample — the eval-set carve-out every
     * training pipeline needs: ~1/8 of docs per source, selected by a
@@ -343,5 +424,7 @@ object TextAnalysis {
     "t_vocab" -> tVocab,
     "t_bigrams" -> tBigrams,
     "t_sample_strat" -> tSampleStrat,
+    "t_repetition" -> tRepetition,
+    "t_pack" -> tPack,
     "t_len_quantiles" -> tLenQuantiles)
 }

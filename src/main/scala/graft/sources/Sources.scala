@@ -51,6 +51,25 @@ object Sources {
       .option("path", path)
       .saveAsTable(table)
 
+  /** Date-partitioned lake layout — partition PRUNING at the source.
+    * The fact table's hottest predicate is time (the reference serves
+    * it off `idx_heatmap`'s timestamp column; every backfill and
+    * incremental job reads a date range), so the lake directory
+    * layout IS that index: `partitionBy(dateCol)` writes one
+    * directory per day, and a reader's date filter eliminates whole
+    * directories before a single byte is scanned. At 100 TB with
+    * ~daily partitions a one-week backfill touches 7/1800ths of the
+    * data — the difference between a scan and a lookup. Readers keep
+    * the partition column; `PlanAuditSpec` asserts the filter lands
+    * in the scan's PartitionFilters, not a post-scan Filter.
+    */
+  def writeDatePartitioned(df: DataFrame, path: String,
+      tsCol: String, partCol: String = "event_date"): Unit =
+    df.withColumn(partCol,
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col(tsCol)))
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   def jsonLinesStream(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
     spark.readStream.schema(schema).json(path)

@@ -150,6 +150,67 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_band_join: bucket rewrite avoids the nested-loop join") {
+    // a non-equi band predicate naively plans as BroadcastNestedLoop
+    // (O(n²) compares); the bucket explode must turn it into a hash
+    // or sort-merge EQUI join on (type, bucket)
+    val p = plan(SparkEntry.queries("q_band_join")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"band join fell back to a quadratic plan:\n$p")
+  }
+
+  test("t_pack: the packing window is partitioned by source") {
+    // sequence packing must never funnel the corpus through ONE task:
+    // the running-sum window is per-stratum, so every Window line in
+    // the plan carries the source partition key
+    val p = plan(SparkEntry.queries("t_pack")(spark, sf))
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty)
+    assert(winLines.forall(_.contains("source")),
+      s"global (single-partition) packing window:\n${winLines.mkString("\n")}")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // the runtime half of join pruning: when a shuffle join's dim side
+    // is filtered hard, Catalyst injects bloom_filter_might_contain on
+    // the fact scan so non-joining rows die BEFORE the exchange. At
+    // 100 TB this is the difference between shuffling the whole fact
+    // and shuffling the ~join-selectivity fraction of it. Thresholds
+    // are pushed down to test-data scale to trigger the rule.
+    import java.nio.file.Files
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_bloom").toString
+    spark.range(100000)
+      .select($"id".as("k"), ($"id" % 1000).as("attr"))
+      .write.mode("overwrite").parquet(s"$base/fact")
+    spark.range(10000)
+      .select($"id".as("k"), ($"id" % 50).as("cat"))
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$base/fact")
+      val dim = spark.read.parquet(s"$base/dim").filter($"cat" === 7)
+      val joined = fact.join(dim, "k")
+      val p = joined.queryExecution.executedPlan.toString
+      // creation side: bloom_filter_agg over the filtered dim keys;
+      // application side: might_contain() guarding the fact scan
+      assert(p.contains("bloom_filter_agg") && p.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("t_fingerprint plan shuffles nothing before the distinct") {
     // one-pass winnowing: scan → project/explode → distinct; the only
     // exchanges belong to the distinct + presentation sort (2), never

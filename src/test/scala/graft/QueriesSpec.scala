@@ -294,6 +294,99 @@ class QueriesSpec extends SparkSpec {
       s"expected broadcast join, got:\n$plan")
   }
 
+  test("HLL distinct twin tracks q_world_stats' exact counts") {
+    // exact count(DISTINCT x) carries every distinct value through the
+    // shuffle; approx_count_distinct is a fixed-size HLL++ sketch that
+    // merges map-side — the form the 100 TB report runs. rsd 0.02 ⇒
+    // ±2% expected; assert ±5% against the exact per-group counts.
+    val exact = SparkEntry.queries("q_world_stats")(spark, sf)
+      .select("on_members_world", "on_pvp_world", "n_worlds").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val approx = graft.operators.Star.worldStatsApprox(spark, sf)
+      .select("on_members_world", "on_pvp_world", "n_worlds").collect()
+    assert(approx.length === exact.size)
+    for (r <- approx) {
+      val key = (r.getLong(0), r.getLong(1))
+      val est = r.getLong(2).toDouble
+      val ex = exact(key).toDouble
+      assert(math.abs(est - ex) / ex <= 0.05,
+        s"HLL estimate $est too far from exact $ex for $key")
+    }
+    val plan = graft.operators.Star.worldStatsApprox(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("approx_count_distinct") ||
+      plan.contains("HyperLogLog"), "twin must aggregate via HLL sketch")
+  }
+
+  test("q_band_join: bucketed plan equals the naive quadratic join") {
+    // the bucket-explode rewrite must reproduce the naive BETWEEN
+    // semantics exactly — this is THE correctness property of the op
+    import spark.implicits._
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("vc"))
+    val a = e.select(col("event_id").as("x_id"),
+      col("event_type").as("x_type"), col("vc").as("x_vc"))
+    val b = e.select(col("event_id").as("y_id"),
+      col("event_type").as("y_type"), col("vc").as("y_vc"))
+    val naive = a.join(b,
+        col("x_type") === col("y_type") && col("x_id") =!= col("y_id") &&
+          abs(col("x_vc") - col("y_vc")) <= 50L, "left")
+      .groupBy(col("x_id")).agg(count(col("y_id")).as("n_naive"))
+    val got = SparkEntry.queries("q_band_join")(spark, sf)
+    val diff = got.join(naive, col("event_id") === col("x_id"))
+      .filter(col("n_close") =!= col("n_naive")).count()
+    assert(diff === 0, "bucketed band join diverges from naive semantics")
+  }
+
+  test("q_interval_attr: attribution is bounded by the 6h window") {
+    // total attributed events must equal the direct pair count
+    val pairs = {
+      val e = Tables.events(spark, sf)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("puid"),
+          col("ts").as("pts"))
+      val x = e.select(col("event_id").as("xid"),
+        col("user_id").as("xuid"), col("ts").as("xts"))
+      p.join(x, col("puid") === col("xuid") && col("xts") >= col("pts") &&
+        col("xts") < col("pts") + expr("INTERVAL 6 HOURS") &&
+        col("xid") =!= col("pid")).count()
+    }
+    val total = SparkEntry.queries("q_interval_attr")(spark, sf)
+      .agg(sum("n_attr")).head().getLong(0)
+    assert(total === pairs)
+  }
+
+  test("t_pack: chunks partition the corpus exactly") {
+    val packed = SparkEntry.queries("t_pack")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    // every doc lands in exactly one chunk; char mass is conserved
+    assert(packed.agg(sum("n_docs")).head().getLong(0) === docs.count())
+    assert(packed.agg(sum("chunk_chars")).head().getLong(0) ===
+      docs.agg(sum("n_chars")).head().getLong(0))
+    // chunks within a source never interleave doc ranges
+    val overlap = packed.alias("a").join(packed.alias("b"),
+      col("a.source") === col("b.source") &&
+        col("a.chunk_id") < col("b.chunk_id") &&
+        col("a.last_doc") >= col("b.first_doc")).count()
+    assert(overlap === 0, "chunk doc ranges interleave")
+  }
+
+  test("t_repetition: basis-point scores stay in range") {
+    val r = SparkEntry.queries("t_repetition")(spark, sf)
+    assert(r.filter(col("ttr_bp") < 1 || col("ttr_bp") > 10000 ||
+      col("top_tok_bp") < 1 || col("top_tok_bp") > 10000).count() === 0)
+  }
+
+  test("d_contaminate flags only non-eval docs, each with real leaks") {
+    val c = SparkEntry.queries("d_contaminate")(spark, sf)
+    val inEval = c.filter(
+      substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+      .count()
+    assert(inEval === 0, "eval docs must never appear as contaminated")
+    assert(c.filter(col("n_leaked") < 1).count() === 0)
+  }
+
   test("parquet scan prunes columns for t_tokens") {
     val scan = SparkEntry.queries("t_tokens")(spark, sf)
       .queryExecution.executedPlan.toString

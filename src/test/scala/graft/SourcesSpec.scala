@@ -83,6 +83,25 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("date-partitioned layout: a date filter prunes whole partitions") {
+    val dir = Files.createTempDirectory("graft_datepart").toString + "/ev"
+    Sources.writeDatePartitioned(Tables.events(spark, sf), dir, "ts")
+    val read = spark.read.parquet(dir)
+      .filter(col("event_date") === "2024-01-15")
+    // the predicate must land in the scan's PartitionFilters (directory
+    // elimination), NOT in a post-scan Filter over the full table
+    val f = read.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = f.linesIterator
+      .find(_.trim.startsWith("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_date"),
+      s"date predicate did not become a partition filter:\n$f")
+    // and the pruned read still returns exactly that day's rows
+    val expected = Tables.events(spark, sf)
+      .filter(to_date(col("ts")) === "2024-01-15").count()
+    assert(read.count() === expected && expected > 0)
+  }
+
   test("streaming star pipe runs off the JSON-lines source") {
     val out = Files.createTempDirectory("graft_src_out").toString
     val ck = Files.createTempDirectory("graft_src_ck").toString
