@@ -25,9 +25,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *      (numPartitions longs, not rows), and stamps
   *      `offset + positionInPartition` map-side.
   *
-  * The result is exactly `row_number() OVER (ORDER BY key)` — the
-  * oracle SQL keeps that form — with no task ever holding more than
-  * one partition of the dim. The sorted input is eagerly
+  * The result is exactly `row_number() OVER (ORDER BY key NULLS
+  * FIRST)` — Spark's ascending sort places nulls first, while DuckDB's
+  * default is nulls LAST, so every oracle using this scheme states
+  * `NULLS FIRST` explicitly (nullable keys — e.g. a dim keyed on a
+  * JSON-extracted field — would otherwise scramble the id order
+  * cross-engine). No task ever holds more than one partition of the
+  * dim. The sorted input is eagerly
   * local-checkpointed first so (a) the count job and the stamping pass
   * read materialized partitions instead of recomputing the upstream
   * distinct/anti-join, and (b) downstream broadcast exchanges of the

@@ -93,7 +93,8 @@ object Star {
       |                           WHERE c.c_custkey = incoming.user_key)),
       |mx AS (SELECT MAX(c_custkey) AS max_id FROM customer)
       |SELECT user_key,
-      |  CAST(max_id + row_number() OVER (ORDER BY user_key) AS BIGINT)
+      |  CAST(max_id + row_number() OVER (ORDER BY user_key NULLS FIRST)
+      |    AS BIGINT)
       |    AS player_id
       |FROM newk, mx ORDER BY user_key""".stripMargin)
 
@@ -115,7 +116,8 @@ object Star {
     s"""WITH e AS ($enrichedSql),
        |d AS (SELECT DISTINCT reporting_id, reported_id, manual_detect FROM e)
        |SELECT CAST(row_number() OVER
-       |         (ORDER BY reporting_id, reported_id, manual_detect) AS BIGINT)
+       |         (ORDER BY reporting_id NULLS FIRST, reported_id NULLS FIRST,
+       |          manual_detect NULLS FIRST) AS BIGINT)
        |         AS sighting_id,
        |       reporting_id, reported_id, manual_detect
        |FROM d ORDER BY sighting_id""".stripMargin)
@@ -182,18 +184,21 @@ object Star {
     s"""WITH e AS ($enrichedSql),
        |sighting AS (
        |  SELECT CAST(row_number() OVER
-       |    (ORDER BY reporting_id, reported_id, manual_detect) AS BIGINT)
+       |    (ORDER BY reporting_id NULLS FIRST, reported_id NULLS FIRST,
+       |     manual_detect NULLS FIRST) AS BIGINT)
        |    AS sighting_id, reporting_id, reported_id, manual_detect
        |  FROM (SELECT DISTINCT reporting_id, reported_id, manual_detect
        |        FROM e)),
        |location AS (
        |  SELECT CAST(row_number() OVER
-       |    (ORDER BY region_id, x_coord, y_coord, z_coord) AS BIGINT)
+       |    (ORDER BY region_id NULLS FIRST, x_coord NULLS FIRST,
+       |     y_coord NULLS FIRST, z_coord NULLS FIRST) AS BIGINT)
        |    AS location_id, region_id, x_coord, y_coord, z_coord
        |  FROM (SELECT DISTINCT region_id, x_coord, y_coord, z_coord FROM e)),
        |gear AS (
        |  SELECT CAST(row_number() OVER
-       |    (ORDER BY g_head, g_torso, g_weapon) AS BIGINT) AS gear_id,
+       |    (ORDER BY g_head NULLS FIRST, g_torso NULLS FIRST,
+       |     g_weapon NULLS FIRST) AS BIGINT) AS gear_id,
        |    g_head, g_torso, g_weapon
        |  FROM (SELECT DISTINCT g_head, g_torso, g_weapon FROM e))
        |SELECT e.event_id, s.sighting_id, l.location_id, g.gear_id,
@@ -458,8 +463,8 @@ object Star {
       |  WHERE NOT EXISTS (SELECT 1 FROM players p WHERE p.name = names.name)),
       |mx AS (SELECT max(player_id) AS max_id FROM players),
       |newp AS (
-      |  SELECT CAST(max_id + row_number() OVER (ORDER BY name) AS BIGINT)
-      |    AS player_id, name
+      |  SELECT CAST(max_id + row_number() OVER (ORDER BY name NULLS FIRST)
+      |    AS BIGINT) AS player_id, name
       |  FROM newn, mx),
       |dim AS (SELECT * FROM players UNION ALL SELECT * FROM newp)
       |SELECT event_id, r1.player_id AS reporting_id,
@@ -680,7 +685,8 @@ object Star {
        |  CAST(NULL AS TIMESTAMP) AS created_at, s.last_seen AS updated_at
        |FROM players p LEFT JOIN sightings s USING (normalized_name)
        |UNION ALL
-       |SELECT CAST(max_id + row_number() OVER (ORDER BY normalized_name)
+       |SELECT CAST(max_id + row_number() OVER
+       |    (ORDER BY normalized_name NULLS FIRST)
        |    AS BIGINT) AS player_id,
        |  normalized_name AS name, normalized_name,
        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),

@@ -344,7 +344,8 @@ object TextAnalysis {
        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |     - n_chars) // $PackBudget AS chunk_id
        |  FROM documents)
-       |SELECT source, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |SELECT source, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(n_chars) AS BIGINT) AS chunk_chars,
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY source, chunk_id
