@@ -43,12 +43,23 @@ object Ids {
 
   /** Append `idCol`: 1-based contiguous longs in ascending `keys`
     * order (ties impossible when `keys` are distinct, as for a dim).
+    *
+    * `numParts <= 0` (the default) means "the session's
+    * `spark.sql.shuffle.partitions`": on a real cluster that conf
+    * tracks executor parallelism, so a fact-sized dim range-partitions
+    * into cluster-sized slices instead of a hardcoded constant (a
+    * literal 32 was right for local[32] but would make each task hold
+    * ~1/32 of a fact-scale distinct at 1000 executors). Callers with a
+    * known tiny dim can still pass an explicit count.
     */
   def withOrderedId(df: DataFrame, keys: Seq[String], idCol: String,
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = 0): DataFrame = {
     val s = df.sparkSession
+    val parts =
+      if (numParts > 0) numParts
+      else s.sessionState.conf.numShufflePartitions
     val sorted = df
-      .repartitionByRange(numParts, keys.map(col): _*)
+      .repartitionByRange(parts, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
       .localCheckpoint(true)
     val schema = StructType(sorted.schema.fields :+

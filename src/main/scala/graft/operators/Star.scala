@@ -96,7 +96,7 @@ object Star {
       |  CAST(max_id + row_number() OVER (ORDER BY user_key NULLS FIRST)
       |    AS BIGINT)
       |    AS player_id
-      |FROM newk, mx ORDER BY user_key""".stripMargin)
+      |FROM newk, mx ORDER BY user_key NULLS FIRST""".stripMargin)
 
   // ---------------------------------------------------------------- C2
   /** report_sighting dim (ref report.py:170-186, 01_tables.sql
@@ -148,7 +148,8 @@ object Star {
        |  WHERE x.reporting_id = i.reporting_id
        |    AND x.event_type = i.event_type
        |    AND x.reported_id = i.reported_id)
-       |ORDER BY reporting_id, event_type, reported_id""".stripMargin)
+       |ORDER BY reporting_id NULLS FIRST, event_type NULLS FIRST,
+       |  reported_id NULLS FIRST""".stripMargin)
 
   // ---------------------------------------------------------------- C4
   /** Full star normalize (ref report.py:253-314 `insert_report`):

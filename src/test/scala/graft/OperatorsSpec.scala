@@ -114,6 +114,21 @@ class OperatorsSpec extends SparkSpec {
     assert(both.filter(col("folded") =!= col("native")).count() === 0)
   }
 
+  test("cosine length contract: ragged vectors null out in both the " +
+    "native kernel and the composed fold") {
+    graft.functions.CosineSim.register(spark)
+    val df = spark.sql(
+      """SELECT CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>) AS a,
+        |       CAST(array(1.0, 2.0) AS ARRAY<FLOAT>) AS b""".stripMargin)
+    val r = df.select(
+      expr("cosine_sim(a, b)").as("native"),
+      Similarity.cosine(col("a"), col("b")).as("folded"),
+      expr("cosine_sim(a, a)").as("self")).head()
+    assert(r.isNullAt(0), "native kernel must null, not truncate-and-score")
+    assert(r.isNullAt(1), "composed fold must null out on ragged input")
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("jdbc sink: options and upsert SQL carry the scale knobs") {
     val o = JdbcSink.options("jdbc:mysql://db/playerdata", "Reports",
       "u", "p")

@@ -248,6 +248,20 @@ class QueriesSpec extends SparkSpec {
       "x" -> 5L, "z" -> 6L))
   }
 
+  test("Ids.withOrderedId: id-stage partitioning follows the session's " +
+    "shuffle.partitions unless overridden") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val df = spark.range(1000).toDF("key")
+      assert(graft.operators.Ids.withOrderedId(df, Seq("key"), "id")
+        .rdd.getNumPartitions === 7,
+        "default must track spark.sql.shuffle.partitions, not a constant")
+      assert(graft.operators.Ids.withOrderedId(df, Seq("key"), "id", 3)
+        .rdd.getNumPartitions === 3, "explicit override must win")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("r_player_upsert: updated_at only for re-seen, inserts after max") {
     val up = SparkEntry.queries("r_player_upsert")(spark, sf)
     val maxExisting = Tables.customer(spark, sf)
