@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -88,14 +88,64 @@ object Similarity {
       .stripMargin
 
   // --------------------------------------------------------- G2 setup
-  /** Deterministic pseudo-random hyperplanes: 8 planes × 64 dims of
-    * integers in [-500, 500) from a Knuth-style multiplicative mix —
-    * identical constants on both engines, zero RNG.
+  /** Deterministic pseudo-random hyperplanes: `numPlanes` planes × 64
+    * dims of integers in [-500, 500) from a Knuth-style multiplicative
+    * mix — identical constants on both engines, zero RNG.
+    *
+    * `NumPlanes` is the DEFAULT, not a constant of the scheme: pass
+    * [[planesFor]] of the corpus size to keep expected cell width flat
+    * as the corpus grows (8 planes = 256 cells is right for thousands
+    * of vectors, not billions).
     */
   val NumPlanes = 8
   val Dim = 64
   private def plane(j: Int): IndexedSeq[Long] =
     (0 until Dim).map(i => ((j * Dim + i) * 2654435761L % 1000) - 500)
+
+  /** Plane count that keeps the EXPECTED quantizer cell width at or
+    * under `targetCellWidth`: 2^planes cells ≥ corpus/target. Clamped
+    * to [NumPlanes, 24] — 24 planes = 16.7M cells, enough for a
+    * 17B-vector corpus at the default width. The cell-occupancy cap
+    * ([[MaxCell]]) below still guards the skewed tail; this dial keeps
+    * the AVERAGE cell from growing linearly with the corpus.
+    */
+  def planesFor(corpusSize: Long, targetCellWidth: Long = 1024L): Int = {
+    val needed = math.ceil(math.log(
+      (corpusSize.toDouble / targetCellWidth).max(1.0)) / math.log(2.0)).toInt
+    math.min(24, math.max(NumPlanes, needed))
+  }
+
+  /** Cell-occupancy guard (precedent: [[Dedup.MaxBucket]], the same
+    * fix for the same failure mode in the MinHash path): a quantizer
+    * cell holding more vectors than this is degenerate — e.g. a
+    * near-constant embedding cluster — and is skipped BEFORE any
+    * within-cell join, so F6's pair count is bounded by maxCell² per
+    * cell and G3/G5's per-probe candidate lists by maxCell, instead of
+    * growing with corpus/2^planes. At the test SFs the densest cell
+    * holds 62 vectors, so the default cap binds nothing here; at 100×
+    * it is the difference between a bounded join and a quadratic
+    * blowup on one hot cell.
+    */
+  val MaxCell = 64
+
+  /** Embeddings tagged with their quantizer cell, degenerate cells
+    * dropped. Callers feeding both sides of a self-join cache the
+    * result so the plane dot products run once.
+    */
+  private[graft] def cells(e: DataFrame, numPlanes: Int = NumPlanes,
+      maxCell: Int = MaxCell): DataFrame =
+    e.withColumn("bucket", bucketOf(col("embedding"), numPlanes))
+      .withColumn("cell_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+      .filter(col("cell_n") <= maxCell)
+      .drop("cell_n")
+
+  private def cellsSql(maxCell: Int = MaxCell): String =
+    s"""SELECT vec_id, label, embedding, bucket FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY bucket) AS cell_n
+       |  FROM (SELECT vec_id, label, embedding,
+       |        ${bucketOfSql("embedding")} AS bucket FROM embeddings))
+       |WHERE cell_n <= $maxCell""".stripMargin
 
   /** Quantized embedding (round(x*10000) as int64) — sign decisions
     * become exact integer comparisons, immune to float summation
@@ -107,9 +157,10 @@ object Similarity {
   private val quantizedSql: String => String = v =>
     s"list_transform($v, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
 
-  private def bucketOf(v: Column): Column = {
+  private[graft] def bucketOf(v: Column,
+      numPlanes: Int = NumPlanes): Column = {
     val vq = quantized(v)
-    (0 until NumPlanes).map { j =>
+    (0 until numPlanes).map { j =>
       val r = array(plane(j).map(lit): _*)
       val dotj = aggregate(zip_with(vq, r, (x, y) => x * y), lit(0L),
         (acc, x) => acc + x)
@@ -117,9 +168,10 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  private val bucketOfSql: String => String = v => {
+  private def bucketOfSql(v: String,
+      numPlanes: Int = NumPlanes): String = {
     val vq = quantizedSql(v)
-    (0 until NumPlanes).map { j =>
+    (0 until numPlanes).map { j =>
       val r = plane(j).mkString("[", ", ", "]")
       s"""(CASE WHEN list_sum(list_transform(list_zip($vq, $r),
          |  z -> z[1] * z[2])) > 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
@@ -130,14 +182,15 @@ object Similarity {
   /** Embedding-cosine near-dup pairs, blocked on the G2 hyperplane
     * bucket — a REAL coarse quantizer (r1 used `label`, which is
     * O(n²/k) on low-cardinality labels at scale). Only same-bucket
-    * pairs are scored: the 8-plane signature splits the corpus into
-    * up to 256 direction cells, so the pair count tracks near-dup
-    * density instead of corpus². Threshold 0.35 in micro-units.
+    * pairs are scored, and degenerate cells are skipped first
+    * ([[MaxCell]]), so the pair count tracks near-dup density with a
+    * hard per-cell bound instead of corpus². Threshold 0.35 in
+    * micro-units. The capped relation is cached: it feeds both
+    * self-join sides, so the plane dot products run once.
     */
   val dEmbedDup: Q = Q(
     (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .withColumn("bucket", bucketOf(col("embedding")))
+      val e = cells(Tables.embeddings(s, dir)).cache()
       val a = e.select(col("vec_id").as("vec_a"), col("bucket"),
         col("embedding").as("emb_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("bucket"),
@@ -149,8 +202,7 @@ object Similarity {
         .select(col("vec_a"), col("vec_b"), col("bucket"), col("score_micro"))
         .orderBy("vec_a", "vec_b")
     },
-    s"""WITH e AS (SELECT vec_id, embedding,
-       |  ${bucketOfSql("embedding")} AS bucket FROM embeddings)
+    s"""WITH e AS (${cellsSql()})
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
        |  ${scoreMicroSql("a.embedding", "b.embedding")} AS score_micro
        |FROM e a JOIN e b
@@ -225,11 +277,12 @@ object Similarity {
     * neighbors within the probe's hyperplane bucket (the G2 coarse
     * quantizer cell — r1 blocked on `label`). Probes shuffle only to
     * their own cell; the per-query TakeOrdered is the window rank.
+    * Degenerate cells are skipped first ([[MaxCell]]), bounding every
+    * probe's candidate list by the cap instead of corpus/2^planes.
     */
   val sKnnJoin: Q = Q(
     (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .withColumn("bucket", bucketOf(col("embedding")))
+      val e = cells(Tables.embeddings(s, dir)).cache()
       val probes = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("bucket"),
           col("embedding").as("emb_q"))
@@ -247,8 +300,7 @@ object Similarity {
           col("score_micro"))
         .orderBy("query_id", "rank")
     },
-    s"""WITH e AS (SELECT vec_id, embedding,
-       |  ${bucketOfSql("embedding")} AS bucket FROM embeddings)
+    s"""WITH e AS (${cellsSql()})
        |SELECT query_id, neighbor_id, rank, score_micro FROM (
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    ${scoreMicroSql("a.embedding", "b.embedding")} AS score_micro,
@@ -267,14 +319,14 @@ object Similarity {
     * before dropping all but 3; the aggregator's partial aggregation
     * trims to 3 map-side, so only 3 rows per (partition, query) cross
     * the shuffle and no full per-key sort happens. Same order
-    * semantics (score desc, id asc) ⇒ same oracle as G3.
+    * semantics (score desc, id asc) and the same capped cells ⇒ same
+    * oracle as G3.
     */
   val sKnnTopkAgg: Q = Q(
     (s, dir) => {
       import s.implicits._
       import graft.functions.{Scored, TopKAgg}
-      val e = Tables.embeddings(s, dir)
-        .withColumn("bucket", bucketOf(col("embedding")))
+      val e = cells(Tables.embeddings(s, dir)).cache()
       val probes = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("bucket"),
           col("embedding").as("emb_q"))
@@ -296,8 +348,7 @@ object Similarity {
         .orderBy("query_id", "rank")
     },
     // identical semantics to G3 ⇒ identical oracle text
-    s"""WITH e AS (SELECT vec_id, embedding,
-       |  ${bucketOfSql("embedding")} AS bucket FROM embeddings)
+    s"""WITH e AS (${cellsSql()})
        |SELECT query_id, neighbor_id, rank, score_micro FROM (
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    ${scoreMicroSql("a.embedding", "b.embedding")} AS score_micro,

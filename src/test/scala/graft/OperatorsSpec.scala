@@ -114,6 +114,30 @@ class OperatorsSpec extends SparkSpec {
     assert(both.filter(col("folded") =!= col("native")).count() === 0)
   }
 
+  test("embedding quantizer: degenerate cells are skipped before any " +
+    "within-cell join") {
+    import spark.implicits._
+    // 100 identical vectors → one degenerate cell; 10 varied vectors
+    // spread across small cells
+    val degenerate = (1L to 100L).map(i => (i, Array.fill(64)(0.5f)))
+    val spread = (101L to 110L).map(i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 7.0 + d).toFloat)))
+    val df = (degenerate ++ spread).toDF("vec_id", "embedding")
+    val capped = Similarity.cells(df, maxCell = 16)
+    assert(capped.groupBy("bucket").count()
+      .filter(col("count") > 16).count() === 0,
+      "no surviving cell may exceed the occupancy cap")
+    assert(capped.filter(col("vec_id") <= 100L).count() === 0,
+      "the degenerate cell must be skipped entirely")
+    assert(capped.count() > 0, "non-degenerate cells must survive")
+  }
+
+  test("quantizer plane count scales with corpus size and clamps") {
+    assert(Similarity.planesFor(500L) === Similarity.NumPlanes)
+    assert(Similarity.planesFor(1000000000L) === 20)
+    assert(Similarity.planesFor(Long.MaxValue) === 24)
+  }
+
   test("cosine length contract: ragged vectors null out in both the " +
     "native kernel and the composed fold") {
     graft.functions.CosineSim.register(spark)
