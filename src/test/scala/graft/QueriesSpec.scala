@@ -170,10 +170,12 @@ class QueriesSpec extends SparkSpec {
     val win = SparkEntry.queries("s_knn_join")(spark, sf).collect().toSeq
     val agg = SparkEntry.queries("s_knn_topk_agg")(spark, sf).collect().toSeq
     assert(agg === win, "aggregator must reproduce the window ranking")
-    // and it aggregates (partial merge map-side), never window-sorts
+    // and it aggregates (partial merge map-side), never rank-windows —
+    // the only Window allowed is the cell-occupancy count guard
     val plan = SparkEntry.queries("s_knn_topk_agg")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), "no window in the aggregator plan")
+    assert(!plan.contains("row_number"),
+      "no rank window in the aggregator plan")
     assert(plan.contains("Aggregate"), "expected an aggregate operator")
   }
 
@@ -189,6 +191,23 @@ class QueriesSpec extends SparkSpec {
       s"${Dedup.Iters} rounds must reach the fixpoint on this corpus")
     // the representative is the component's min doc_id
     assert(atIters.filter(col("label") > col("doc_id")).count() === 0)
+  }
+
+  test("cluster map: materialized handle equals the inline recompute " +
+    "and is shared across consumers") {
+    import graft.operators.Dedup
+    val m1 = Dedup.clusterMap(spark, sf)
+    val m2 = Dedup.clusterMap(spark, sf)
+    assert(m1 eq m2,
+      "a second consumer must reuse the materialized handle, not rebuild")
+    // inline recompute straight through the pipeline, no memo
+    val edges = Dedup.dupEdges(spark, sf).localCheckpoint(true)
+    val labels0 = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    val inline = Dedup.propagate(edges, labels0, Dedup.Iters)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+    assert(m1.exceptAll(inline).isEmpty && inline.exceptAll(m1).isEmpty,
+      "materialized map must equal the inline pipeline result")
   }
 
   test("d_dedup_corpus: singletons + one representative per cluster") {
