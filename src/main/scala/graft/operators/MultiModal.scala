@@ -5,16 +5,21 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
 /** Multimodal columns (SURVEY §2 I): media as opaque `binary` with a
-  * typed metadata struct. The Spark-side plumbing — schema,
-  * partition-wise batch transform, UDF signatures, frame chunking —
-  * is real and tested; the actual codec is STUBBED deterministically
-  * (no image/audio libraries in this container): `decodeStub`
-  * "decodes" by computing byte statistics, standing where a JNI/FFI
-  * codec call would.
+  * typed metadata struct.
   *
-  * Scale shape: decode is `mapPartitions` — one codec context per
+  * Decode is REAL for the formats the JDK itself codecs — PNG/JPEG
+  * via `javax.imageio.ImageIO` ([[decodeImages]]) and WAV via
+  * `javax.sound.sampled.AudioSystem` ([[decodeAudio]]) — no external
+  * codec libraries needed. Formats with no in-JVM codec (video) go
+  * through the codec-independent byte-statistics path
+  * ([[byteFeatures]]) that any FFI decoder would slot into.
+  *
+  * Scale shape: every decoder is `mapPartitions` — per-partition
+  * setup (ImageIO's plugin scan, disk-cache opt-out) runs once per
   * partition, not per row; binary columns never shuffle (all derived
-  * features are computed before any wide op).
+  * features are computed before any wide op); a corrupt blob yields a
+  * `decoded=false` row instead of a thrown task — at 100 TB a corpus
+  * ALWAYS contains poison rows, and one must not kill a stage.
   */
 object MultiModal {
 
@@ -26,6 +31,21 @@ object MultiModal {
 
   final case class MediaFeatures(doc_id: Long, n_bytes: Long,
       byte_sum: Long, first_byte: Int, n_frames: Int)
+
+  /** Decoded image features: dims from the REAL pixel raster plus an
+    * exact integer mean luma (sum of per-pixel (r+g+b)/3, divided
+    * once at the end). `decoded=false` (dims -1) marks undecodable
+    * bytes or non-image formats.
+    */
+  final case class ImageFeatures(doc_id: Long, format: String,
+      decoded: Boolean, width: Int, height: Int, mean_luma: Long)
+
+  /** Decoded audio features from the container header (WAV): PCM
+    * frame count, sample rate, channels. `decoded=false` marks
+    * undecodable bytes or non-audio formats.
+    */
+  final case class AudioFeatures(doc_id: Long, decoded: Boolean,
+      sample_rate: Int, channels: Int, n_audio_frames: Long)
 
   /** Binary media table synthesized from documents. */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
@@ -41,13 +61,76 @@ object MultiModal {
       .as[MediaRow]
   }
 
-  /** I1: partition-wise batch "decode". One decoder per partition —
-    * the real-codec call site is the marked line.
-    */
-  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  /** I1a: partition-wise IMAGE decode via JDK ImageIO (PNG/JPEG). */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real pipeline: val codec = Codec.open(format) — once per partition
+      // per-partition codec setup: keep ImageIO off its disk cache
+      // (pure in-memory decode) — once per partition, not per row
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { m =>
+        val img =
+          if (m.format != "png" && m.format != "jpg") None
+          else try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.content)))
+          catch { case _: java.io.IOException => None }
+        img match {
+          case Some(i) =>
+            val (w, h) = (i.getWidth, i.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = i.getRGB(x, y)
+                sum += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) +
+                  (rgb & 0xff)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            ImageFeatures(m.doc_id, m.format, decoded = true, w, h,
+              sum / (w.toLong * h))
+          case None =>
+            ImageFeatures(m.doc_id, m.format, decoded = false, -1, -1, -1L)
+        }
+      }
+    }
+  }
+
+  /** I1b: partition-wise AUDIO header decode via javax.sound (WAV). */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val fmt =
+          if (m.format != "wav") None
+          else try {
+            val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+              new java.io.ByteArrayInputStream(m.content))
+            Some((aff.getFormat, aff.getFrameLength.toLong))
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            case _: java.io.IOException => None
+          }
+        fmt match {
+          case Some((f, frames)) =>
+            AudioFeatures(m.doc_id, decoded = true,
+              f.getSampleRate.toInt, f.getChannels, frames)
+          case None =>
+            AudioFeatures(m.doc_id, decoded = false, -1, -1, -1L)
+        }
+      }
+    }
+  }
+
+  /** I1c: codec-independent byte statistics — the opaque-binary path
+    * for formats with no in-JVM codec (video); an FFI decoder slots
+    * into this same partition-wise shape.
+    */
+  def byteFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
       rows.map { m =>
         val bytes = m.content
         MediaFeatures(

@@ -81,15 +81,71 @@ class OperatorsSpec extends SparkSpec {
       .count() > 0)
   }
 
-  test("multimodal decode stub extracts per-partition batch features") {
+  test("multimodal byte features extract per-partition batch stats") {
     val media = MultiModal.mediaTable(spark, sf)
-    val feats = MultiModal.decodeStub(media)
+    val feats = MultiModal.byteFeatures(media)
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), expr("octet_length(text)").as("len"))
     val joined = feats.toDF().join(docs, "doc_id")
       .filter(col("n_bytes") =!= col("len"))
     assert(joined.count() === 0, "n_bytes must equal source byte length")
     assert(feats.filter(col("first_byte") < 0).count() === 0)
+  }
+
+  test("multimodal: JDK ImageIO decodes real PNG/JPEG bytes, poison " +
+    "rows survive as decoded=false") {
+    import spark.implicits._
+    def image(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MultiModal.MediaRow(1L, image(8, 5, 0xffffff, "png"), "png", 8, 5),
+      MultiModal.MediaRow(2L, image(3, 7, 0x000000, "png"), "png", 3, 7),
+      MultiModal.MediaRow(3L, image(16, 16, 0x808080, "jpg"), "jpg", 16, 16),
+      MultiModal.MediaRow(4L, Array[Byte](1, 2, 3), "png", 0, 0),
+      MultiModal.MediaRow(5L, "not an image".getBytes("UTF-8"), "wav", 0, 0))
+    val feats = MultiModal.decodeImages(spark.createDataset(rows))
+      .collect().sortBy(_.doc_id)
+    // decoded dims must match the metadata the row carries
+    assert(feats(0).decoded && feats(0).width === 8 && feats(0).height === 5)
+    assert(feats(0).mean_luma === 255L, "uniform white decodes to luma 255")
+    assert(feats(1).decoded && feats(1).width === 3 && feats(1).height === 7)
+    assert(feats(1).mean_luma === 0L, "uniform black decodes to luma 0")
+    assert(feats(2).decoded && feats(2).width === 16 && feats(2).height === 16)
+    assert(math.abs(feats(2).mean_luma - 128L) <= 4L,
+      "lossy JPEG round-trip stays near the encoded grey")
+    assert(!feats(3).decoded && feats(3).width === -1,
+      "corrupt bytes must mark, not throw")
+    assert(!feats(4).decoded, "non-image formats skip the image codec")
+  }
+
+  test("multimodal: javax.sound decodes real WAV headers") {
+    import spark.implicits._
+    def wav(nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](nFrames * 2)),
+        fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MultiModal.MediaRow(1L, wav(4000), "wav", 0, 0),
+      MultiModal.MediaRow(2L, "junk".getBytes("UTF-8"), "wav", 0, 0),
+      MultiModal.MediaRow(3L, wav(100), "png", 0, 0))
+    val feats = MultiModal.decodeAudio(spark.createDataset(rows))
+      .collect().sortBy(_.doc_id)
+    assert(feats(0).decoded && feats(0).sample_rate === 8000 &&
+      feats(0).channels === 1 && feats(0).n_audio_frames === 4000L)
+    assert(!feats(1).decoded, "corrupt bytes must mark, not throw")
+    assert(!feats(2).decoded, "non-audio formats skip the audio codec")
   }
 
   test("multimodal frame sampling chunks binary content") {
