@@ -68,37 +68,55 @@ object Cleanse {
        |SELECT event_id, k FROM p ORDER BY event_id""".stripMargin)
 
   // ---------------------------------------------------------------- A2
-  /** Version dispatch: k%3==0 → v1 (named reporter, resolve to id),
-    * k%3==1 → v2 (ids inline), else missing metadata → treated as v1
-    * (ref main.py:196-216: version in [None, "v1.0.0"] → v1 path).
+  /** Version dispatch from REAL JSON metadata (ref main.py:196-216:
+    * version in [None, "v1.0.0"] → v1 path, "v2.0.0" → v2): each event
+    * is serialized as the Kafka wire value it stands in for —
+    * `metadata.version` present for k%3∈{0,1}, metadata ABSENT
+    * entirely otherwise (the reference's generator drops it half the
+    * time) — then parsed back through the D6 wire schema
+    * ([[graft.streaming.KafkaJson.reportSchema]]) and routed on the
+    * PARSED version. Both the serialize and the parse are codegen'd
+    * to_json/from_json column ops, so the dispatch stays map-only.
     */
   val rParseRoute: Q = Q(
     (s, dir) => {
-      val p = payload(s, dir).withColumn(
-        "version",
-        when(col("k") % 3 === 0, "v1.0.0")
-          .when(col("k") % 3 === 1, "v2.0.0")
-          .otherwise(lit(null).cast("string")))
+      val wire = payload(s, dir).withColumn("json",
+        to_json(struct(
+          when(col("k") % 3 === 0, struct(lit("v1.0.0").as("version")))
+            .when(col("k") % 3 === 1, struct(lit("v2.0.0").as("version")))
+            .as("metadata"),
+          col("user_id").as("reporter_id"))))
+      val p = wire
+        .withColumn("_r",
+          from_json(col("json"), graft.streaming.KafkaJson.reportSchema))
+        .withColumn("version", col("_r.metadata.version"))
       val v1 = p
         .filter(col("version").isNull || col("version") === "v1.0.0")
-        .withColumn("reporter_name",
-          sanitizeName(concat(lit("user_"), col("user_id"))))
         .select(col("event_id"),
           coalesce(col("version"), lit("v1.0.0")).as("version"),
-          col("user_id").as("reporter_id"), lit("v1").as("route"))
+          col("_r.reporter_id").as("reporter_id"), lit("v1").as("route"))
       val v2 = p
         .filter(col("version") === "v2.0.0")
         .select(col("event_id"), col("version"),
-          col("user_id").as("reporter_id"), lit("v2").as("route"))
+          col("_r.reporter_id").as("reporter_id"), lit("v2").as("route"))
       v1.unionAll(v2).orderBy("event_id")
     },
     s"""WITH p AS ($payloadSql),
-       |v AS (SELECT event_id, user_id,
-       |        CASE WHEN k % 3 = 0 THEN 'v1.0.0'
-       |             WHEN k % 3 = 1 THEN 'v2.0.0' END AS version
-       |      FROM p)
+       |w AS (SELECT event_id,
+       |        CASE WHEN k % 3 = 0 THEN
+       |          '{"metadata":{"version":"v1.0.0"},"reporter_id":'
+       |            || user_id || '}'
+       |        WHEN k % 3 = 1 THEN
+       |          '{"metadata":{"version":"v2.0.0"},"reporter_id":'
+       |            || user_id || '}'
+       |        ELSE '{"reporter_id":' || user_id || '}' END AS json
+       |      FROM p),
+       |v AS (SELECT event_id,
+       |        json->'metadata'->>'version' AS version,
+       |        CAST(json->>'reporter_id' AS BIGINT) AS reporter_id
+       |      FROM w)
        |SELECT event_id, coalesce(version, 'v1.0.0') AS version,
-       |       user_id AS reporter_id,
+       |       reporter_id,
        |       CASE WHEN version = 'v2.0.0' THEN 'v2' ELSE 'v1' END AS route
        |FROM v ORDER BY event_id""".stripMargin)
 

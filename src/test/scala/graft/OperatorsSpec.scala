@@ -92,6 +92,30 @@ class OperatorsSpec extends SparkSpec {
     assert(feats.filter(col("first_byte") < 0).count() === 0)
   }
 
+  test("r_parse_route: dispatch reads metadata.version off the wire, " +
+    "and the no-version path has NO metadata key at all") {
+    import spark.implicits._
+    // the same serialize shape the operator uses: absent metadata must
+    // be genuinely absent from the JSON (ref generator drops the key),
+    // not present-and-null — from_json must then route it v1
+    val wire = Seq((1L, 0L), (2L, 1L), (3L, 2L)).toDF("event_id", "k")
+      .withColumn("json", to_json(struct(
+        when(col("k") % 3 === 0, struct(lit("v1.0.0").as("version")))
+          .when(col("k") % 3 === 1, struct(lit("v2.0.0").as("version")))
+          .as("metadata"),
+        col("event_id").as("reporter_id"))))
+    val noMeta = wire.filter(col("k") === 2L).head().getAs[String]("json")
+    assert(!noMeta.contains("metadata"),
+      "missing version must mean a missing key, not a null field")
+    val routed = SparkEntry.queries("r_parse_route")(spark, sf)
+    assert(routed.filter(col("route") === "v2")
+      .filter(col("version") =!= "v2.0.0").count() === 0)
+    assert(routed.filter(col("route") === "v1")
+      .filter(col("version") =!= "v1.0.0").count() === 0,
+      "metadata-less rows must coalesce to the v1 path")
+    assert(routed.filter(col("route") === "v2").count() > 0)
+  }
+
   test("multimodal: JDK ImageIO decodes real PNG/JPEG bytes, poison " +
     "rows survive as decoded=false") {
     import spark.implicits._
