@@ -102,6 +102,39 @@ class SourcesSpec extends SparkSpec {
     assert(read.count() === expected && expected > 0)
   }
 
+  test("q_heatmap_daily served off the date-partitioned lake layout: " +
+    "the day predicate prunes whole fact partitions") {
+    val dir = Files.createTempDirectory("graft_lake_fact").toString + "/fact"
+    // land the denormalized report rows the way a 100 TB pipeline
+    // would: one directory per event date (C15's hottest predicate)
+    val report = graft.operators.Star.enrich(Tables.events(spark, sf))
+      .filter(col("reported_id").isNotNull)
+      .select("event_id", "ts", "region_id", "reported_id", "manual_detect")
+    Sources.writeDatePartitioned(report, dir, "ts")
+    val day = report.groupBy(to_date(col("ts")).as("d")).count()
+      .orderBy(desc("count"), asc("d")).head().getDate(0)
+    val read = spark.read.parquet(dir)
+      .filter(col("event_date") === day)
+      .groupBy(col("event_date"), col("region_id"))
+      .agg(count(lit(1)).as("n_reports"),
+        countDistinct("reported_id").as("n_reported"),
+        sum("manual_detect").as("n_manual"))
+    val f = read.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = f.linesIterator
+      .find(_.trim.startsWith("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_date"),
+      s"day predicate did not become a partition filter:\n$f")
+    // the pruned panel equals the full C15 query restricted to the day
+    val full = SparkEntry.queries("q_heatmap_daily")(spark, sf)
+      .filter(to_date(col("day")) === day)
+      .select(to_date(col("day")).as("event_date"), col("region_id"),
+        col("n_reports"), col("n_reported"), col("n_manual"))
+    assert(read.count() > 0)
+    assert(read.exceptAll(full).isEmpty && full.exceptAll(read).isEmpty,
+      "lake-served daily heatmap must equal the in-memory C15 panel")
+  }
+
   test("streaming star pipe runs off the JSON-lines source") {
     val out = Files.createTempDirectory("graft_src_out").toString
     val ck = Files.createTempDirectory("graft_src_ck").toString
