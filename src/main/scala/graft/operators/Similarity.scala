@@ -131,14 +131,24 @@ object Similarity {
   /** Embeddings tagged with their quantizer cell, degenerate cells
     * dropped. Callers feeding both sides of a self-join cache the
     * result so the plane dot products run once.
+    *
+    * `numPlanes <= 0` (the default) means [[planesFor]] of the actual
+    * corpus size — one cheap count-star against the scan (parquet
+    * footers; no column reads) buys a cell grid that keeps expected
+    * occupancy flat at any corpus size. At the test SFs the adaptive
+    * count resolves to the oracle's 8 planes, so results are
+    * oracle-stable; a billion-row corpus gets 20 planes without the
+    * caller doing anything.
     */
-  private[graft] def cells(e: DataFrame, numPlanes: Int = NumPlanes,
-      maxCell: Int = MaxCell): DataFrame =
-    e.withColumn("bucket", bucketOf(col("embedding"), numPlanes))
+  private[graft] def cells(e: DataFrame, numPlanes: Int = 0,
+      maxCell: Int = MaxCell): DataFrame = {
+    val np = if (numPlanes > 0) numPlanes else planesFor(e.count())
+    e.withColumn("bucket", bucketOf(col("embedding"), np))
       .withColumn("cell_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
       .filter(col("cell_n") <= maxCell)
       .drop("cell_n")
+  }
 
   private def cellsSql(maxCell: Int = MaxCell): String =
     s"""SELECT vec_id, label, embedding, bucket FROM (
