@@ -70,6 +70,20 @@ object Sources {
           org.apache.spark.sql.functions.col(tsCol)))
       .write.mode("overwrite").partitionBy(partCol).parquet(path)
 
+  /** ORC lake tables — the other columnar format Spark codecs
+    * natively (predicate pushdown, column pruning, vectorized read
+    * all apply exactly as for parquet). Schema passed explicitly for
+    * the same no-inference-pass reason as the text formats; for a
+    * written-by-Spark table the footer schema would also do.
+    */
+  def orc(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def orcStream(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.readStream.schema(schema).orc(path)
+
   def jsonLinesStream(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
     spark.readStream.schema(schema).json(path)

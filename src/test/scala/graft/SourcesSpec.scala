@@ -50,6 +50,27 @@ class SourcesSpec extends SparkSpec {
     assert(viaParquet.except(viaCsv).count() === 0)
   }
 
+  test("star facts from ORC equal the parquet-derived facts, with " +
+    "pushdown reaching the ORC scan") {
+    val dir = Files.createTempDirectory("graft_src_orc").toString + "/events"
+    val events = Tables.events(spark, sf)
+    events.coalesce(1).write.mode("overwrite").orc(dir)
+    val viaOrc = factsOf(Sources.orc(spark, dir, events.schema))
+    val viaParquet = factsOf(events)
+    assert(viaOrc.count() === viaParquet.count())
+    assert(viaOrc.except(viaParquet).count() === 0)
+    assert(viaParquet.except(viaOrc).count() === 0)
+    // the format is a detail, not a capability cliff: filters still
+    // push into the ORC scan
+    val f = Sources.orc(spark, dir, events.schema)
+      .filter(col("user_id") === 42L).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = f.linesIterator
+      .find(_.trim.startsWith("PushedFilters")).getOrElse("")
+    assert(pushed.contains("user_id"),
+      s"filter did not push into the ORC scan:\n$f")
+  }
+
   test("bucketed co-located join: no shuffle, no sort, same rows") {
     val base = Files.createTempDirectory("graft_bucketed").toString
     val events = Tables.events(spark, sf)
