@@ -211,6 +211,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("d_embed_dup: both self-join sides read the cached capped cells") {
+    val df = SparkEntry.queries("d_embed_dup")(spark, sf)
+    val p = plan(df)
+    // the capped-cell relation (plane dot products + occupancy window)
+    // is the expensive subplan; it must be computed once and served to
+    // both join sides from the cache, never re-derived per side
+    val scans = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(scans >= 2,
+      s"expected both join sides on InMemoryTableScan, found $scans:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("t_fingerprint plan shuffles nothing before the distinct") {
     // one-pass winnowing: scan → project/explode → distinct; the only
     // exchanges belong to the distinct + presentation sort (2), never
