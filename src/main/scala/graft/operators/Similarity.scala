@@ -222,13 +222,15 @@ object Similarity {
 
   // ---------------------------------------------------------------- G2
   /** ANN via random-hyperplane LSH: score only the probe's bucket
-    * (~1/2^8 of the data), then exact cosine top-10 within it. The
-    * scale path next to G1's brute force.
+    * (~1/2^planes of the data), then exact cosine top-10 within it.
+    * The scale path next to G1's brute force. Runs over the same
+    * capped cells as F6/G3/G5: a probe landing in a degenerate cell
+    * gets no candidates instead of scanning corpus/2^planes vectors —
+    * the bounded-candidate-list contract of an IVF probe.
     */
   val sAnnLsh: Q = Q(
     (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .withColumn("bucket", bucketOf(col("embedding")))
+      val e = cells(Tables.embeddings(s, dir)).cache()
       val probe = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"), col("bucket").as("pbucket"))
       e.filter(col("vec_id") =!= 0)
@@ -238,8 +240,7 @@ object Similarity {
         .orderBy(col("score_micro").desc, col("vec_id"))
         .limit(10)
     },
-    s"""WITH e AS (SELECT vec_id, label, embedding,
-       |  ${bucketOfSql("embedding")} AS bucket FROM embeddings),
+    s"""WITH e AS (${cellsSql()}),
        |p AS (SELECT embedding AS probe, bucket AS pbucket FROM e
        |      WHERE vec_id = 0)
        |SELECT vec_id, label, bucket,
@@ -256,12 +257,12 @@ object Similarity {
     * recall/cost dial for hyperplane LSH. `bit_count(bucket XOR
     * probe_bucket) <= 1` is the whole candidate filter — integer ops,
     * identical on both engines; candidates then go through the exact
-    * cosine kernel and TakeOrdered like G1/G2.
+    * cosine kernel and TakeOrdered like G1/G2. Capped cells as in G2:
+    * each of the probed cells contributes at most MaxCell candidates.
     */
   val sAnnMultiprobe: Q = Q(
     (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .withColumn("bucket", bucketOf(col("embedding")))
+      val e = cells(Tables.embeddings(s, dir)).cache()
       val probe = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"), col("bucket").as("pbucket"))
       e.filter(col("vec_id") =!= 0)
@@ -272,8 +273,7 @@ object Similarity {
         .orderBy(col("score_micro").desc, col("vec_id"))
         .limit(10)
     },
-    s"""WITH e AS (SELECT vec_id, label, embedding,
-       |  ${bucketOfSql("embedding")} AS bucket FROM embeddings),
+    s"""WITH e AS (${cellsSql()}),
        |p AS (SELECT embedding AS probe, bucket AS pbucket FROM e
        |      WHERE vec_id = 0)
        |SELECT vec_id, label, bucket,
