@@ -596,8 +596,50 @@ object Dedup {
        |WHERE NOT ($inEvalSampleSql)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  /** F10's documented 100 TB shape, as code instead of a comment: the
+    * eval-side shingle set is the SMALL side (a fixed benchmark suite),
+    * so build one bloom sketch over its shingle hashes (map-side-
+    * combining aggregate → a few MB regardless of row count), ship it
+    * to every task as a scalar-subquery constant, and prefilter the
+    * train-side shingles IN THE SCAN STAGE — non-leaking shingles (the
+    * overwhelming majority of a 100 TB corpus) die before the join
+    * exchange ever sees them. `might_contain` has no false negatives
+    * and the exact equi-join still confirms survivors, so the output
+    * is row-identical to [[dContaminate]] — same oracle text. Uses
+    * Spark's own runtime-filter expression pair, registered as session
+    * functions ([[graft.functions.BloomMembership]]).
+    */
+  val dContaminateBloom: Q = Q(
+    (s, dir) => {
+      graft.functions.BloomMembership.register(s)
+      docShingles(s, dir).createOrReplaceTempView("graft_sh_decon")
+      val evalPred =
+        "substring(md5(CAST(doc_id AS STRING)), 1, 1) IN ('0', '1')"
+      s.sql(
+        s"""WITH ev AS (SELECT DISTINCT sh FROM graft_sh_decon
+           |            WHERE $evalPred),
+           |tr AS (SELECT doc_id, sh FROM graft_sh_decon
+           |       WHERE NOT ($evalPred)),
+           |trf AS (SELECT doc_id, sh FROM tr
+           |        WHERE graft_bloom_contains(
+           |          (SELECT graft_bloom_agg(xxhash64(sh), 400000L) FROM ev),
+           |          xxhash64(sh)))
+           |SELECT doc_id, count(*) AS n_leaked
+           |FROM trf JOIN ev USING (sh)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    },
+    // bloom prefilter = pure work-shedding ⇒ the exact oracle is
+    // dContaminate's own
+    s"""WITH sh AS ($docShinglesSql),
+       |ev AS (SELECT DISTINCT sh FROM sh WHERE $inEvalSampleSql)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_leaked
+       |FROM sh JOIN ev USING (sh)
+       |WHERE NOT ($inEvalSampleSql)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
     "d_contaminate" -> dContaminate,
+    "d_contaminate_bloom" -> dContaminateBloom,
     "d_exact" -> dExact,
     "d_minhash" -> dMinhash,
     "d_minhash_lsh" -> dMinhashLsh,

@@ -153,6 +153,101 @@ object MultiModal {
           i -> substring(content, i * 64 + 1, 64)),
         (x, i) -> i % $stride = 0 AND octet_length(x) > 0)"""))
 
+  /** Decoded doc + its 64-bit perceptual difference-hash. `decoded =
+    * false` (phash -1) marks undecodable bytes, as in [[ImageFeatures]].
+    */
+  final case class ImageHash(doc_id: Long, decoded: Boolean, phash: Long)
+
+  // ---------------------------------------------------------------- I3
+  /** I3a: 64-bit difference-hash (dHash) over the REAL decoded raster —
+    * the image-side sibling of the text family's SimHash (F4). The
+    * decoded pixels are area-averaged onto a 9×8 luma grid (integer
+    * sums — deterministic regardless of decode batch order) and each
+    * bit records a left<right comparison between horizontally adjacent
+    * cells. Comparisons make the hash EXACTLY invariant to global
+    * brightness shifts (a constant added to every pixel moves both
+    * cell means by that constant — integer division distributes over
+    * `delta*count`), and near-identical frames land within a few bits
+    * while unrelated images disagree on ~half. Same `mapPartitions`
+    * decode shape as I1a: codec setup once per partition, poison rows
+    * yield `decoded=false` instead of killing the stage.
+    */
+  def imageDHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    val (gw, gh) = (9, 8)
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { m =>
+        val img =
+          if (m.format != "png" && m.format != "jpg") None
+          else try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.content)))
+          catch { case _: java.io.IOException => None }
+        img match {
+          case Some(i) if i.getWidth >= gw && i.getHeight >= gh =>
+            val (w, h) = (i.getWidth, i.getHeight)
+            val sum = Array.ofDim[Long](gh, gw)
+            val cnt = Array.ofDim[Long](gh, gw)
+            var y = 0
+            while (y < h) {
+              val cy = y * gh / h
+              var x = 0
+              while (x < w) {
+                val cx = x * gw / w
+                val rgb = i.getRGB(x, y)
+                sum(cy)(cx) += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) +
+                  (rgb & 0xff)) / 3
+                cnt(cy)(cx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var bits = 0L
+            var k = 0
+            var cy = 0
+            while (cy < gh) {
+              var cx = 0
+              while (cx < gw - 1) {
+                if (sum(cy)(cx) / cnt(cy)(cx) <
+                    sum(cy)(cx + 1) / cnt(cy)(cx + 1)) bits |= 1L << k
+                k += 1
+                cx += 1
+              }
+              cy += 1
+            }
+            ImageHash(m.doc_id, decoded = true, bits)
+          case _ => ImageHash(m.doc_id, decoded = false, -1L)
+        }
+      }
+    }
+  }
+
+  /** I3b: near-duplicate image pairs by banded dHash — F4's
+    * 16-bit-band trick on the perceptual hash, so the pair search is
+    * a bucket equi-join (any pair within Hamming ≤ maxHamming of a
+    * 64-bit hash must agree exactly on at least one of the 4 bands),
+    * never an n² comparison. Output: (doc_a, doc_b, hamming), doc_a <
+    * doc_b, distinct.
+    */
+  def imageNearDupPairs(hashes: Dataset[ImageHash],
+      maxHamming: Int = 6): DataFrame = {
+    val h = hashes.toDF().filter(col("decoded"))
+      .select(col("doc_id"), col("phash"))
+    val banded = h.select(col("doc_id"), col("phash"),
+        explode(expr("sequence(0, 3)")).as("band_idx"))
+      .withColumn("band_val",
+        expr("shiftright(phash, CAST(band_idx * 16 AS INT)) & 65535"))
+    banded.alias("a").join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---------------------------------------------------------------- I1
   /** Metadata extraction as an oracle-checked query: byte length and
     * content digest are codec-independent and cross-engine exact.

@@ -242,6 +242,39 @@ object TextAnalysis {
        |WHERE tok <> '' GROUP BY tok
        |ORDER BY n DESC, tok LIMIT 20""".stripMargin)
 
+  /** H7's sketch twin for the trillion-token regime, where even the
+    * map-side-combined exact groupBy shuffles (distinct tokens ×
+    * partitions) rows: two mergeable one-pass sketches instead of an
+    * exact count. `freqItems` (Spark's Misra-Gries-style summary)
+    * nominates candidates — its contract guarantees every token with
+    * frequency > support·N survives — and a Count-Min sketch (seeded,
+    * deterministic) estimates each candidate's count with error
+    * ≤ eps·N at the configured confidence, one-sided (never under
+    * the true count). Both are `treeAggregate`s: per-partition
+    * constant-size state, logarithmic merge fan-in, NO shuffle of
+    * token rows at all. ScalaTest-gated (sketch internals aren't
+    * cross-engine hash-stable), pinned to [[tVocab]]'s exact counts.
+    */
+  def vocabApproxCms(s: SparkSession, dir: String, k: Int = 20,
+      support: Double = 0.001, eps: Double = 1e-4): DataFrame = {
+    val tokRows = Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val cands = tokRows.stat.freqItems(Array("tok"), support)
+      .head().getSeq[String](0)
+    val cms = tokRows.stat.countMinSketch(col("tok"), eps, 0.99, 42)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      cands.map(t => org.apache.spark.sql.Row(t, cms.estimateCount(t)))
+        .asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tok",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_est",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .orderBy(col("n_est").desc, col("tok")).limit(k)
+  }
+
   // ---------------------------------------------------------------- H10
   /** Top-20 bigram vocabulary — H7's n-gram sibling (the co-occurrence
     * panel of the corpus report, and the feature H5's PII heuristics

@@ -148,6 +148,46 @@ class OperatorsSpec extends SparkSpec {
     assert(!feats(4).decoded, "non-image formats skip the image codec")
   }
 
+  test("multimodal: dHash is brightness-invariant and the banded " +
+    "pair search finds exactly the near-dup pairs") {
+    import spark.implicits._
+    // deterministic gradient pattern per seed, optionally brightness-
+    // shifted; luma kept in [0, 205] so a +50 shift never clips
+    def image(seed: Int, shift: Int): Array[Byte] = {
+      val (w, h) = (36, 32)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val v = ((x * (seed * 7 + 3) + y * (seed * 5 + 1) +
+          (x * y * seed) / 4) % 206 + shift).min(255)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // doc 2k = pattern k; doc 2k+1 = same pattern +30 brightness —
+    // each even/odd pair is the ONLY expected near-dup
+    val rows = (0 until 6).flatMap { k =>
+      Seq(MultiModal.MediaRow(2L * k, image(k, 0), "png", 36, 32),
+        MultiModal.MediaRow(2L * k + 1, image(k, 30), "png", 36, 32))
+    } :+ MultiModal.MediaRow(99L, Array[Byte](9, 9), "png", 0, 0)
+    val hashes = MultiModal.imageDHash(spark.createDataset(rows))
+    val byId = hashes.collect().map(f => f.doc_id -> f).toMap
+    assert(!byId(99L).decoded, "poison row must mark, not throw")
+    for (k <- 0 until 6)
+      assert(byId(2L * k).phash === byId(2L * k + 1).phash,
+        s"global brightness shift must not move the dHash (pattern $k)")
+    val pairs = MultiModal.imageNearDupPairs(hashes, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 6).map(k => (2L * k, 2L * k + 1)).toSet
+    assert((expected -- pairs).isEmpty,
+      s"banded search missed shifted twins: ${expected -- pairs}")
+    for ((a, b) <- pairs -- expected)
+      assert(java.lang.Long.bitCount(byId(a).phash ^ byId(b).phash) <= 6,
+        "reported pair violates the hamming bound")
+  }
+
   test("multimodal: javax.sound decodes real WAV headers") {
     import spark.implicits._
     def wav(nFrames: Int): Array[Byte] = {

@@ -420,6 +420,50 @@ class QueriesSpec extends SparkSpec {
     assert(c.filter(col("n_leaked") < 1).count() === 0)
   }
 
+  test("d_contaminate_bloom: sketch prefilter is row-identical to exact") {
+    val exact = SparkEntry.queries("d_contaminate")(spark, sf)
+      .collect().toSeq
+    val bloom = SparkEntry.queries("d_contaminate_bloom")(spark, sf)
+    assert(bloom.collect().toSeq === exact,
+      "no-false-negative prefilter + exact confirm must not change rows")
+    // and the plan really sheds work in the scan stage: the train-side
+    // filter carries might_contain over the scalar-subquery sketch
+    val p = bloom.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"bloom prefilter missing from the plan:\n$p")
+  }
+
+  test("t_vocab CMS twin: sketch estimates bound the exact counts") {
+    val exact = SparkEntry.queries("t_vocab")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val totalToks = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "").count()
+    val support = 0.001
+    val eps = 1e-4
+    val approx = graft.operators.TextAnalysis
+      .vocabApproxCms(spark, sf, k = 20, support = support, eps = eps)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Misra-Gries contract: every token above support*N must be
+    // nominated; CMS contract: estimate never below the true count,
+    // above it by at most eps*N (seeded sketch ⇒ deterministic here)
+    val mustNominate = exact.filter(_._2 > support * totalToks)
+    // a nominated token may still be cut by the top-k limit, but only
+    // ever in favor of estimates at least as large
+    for ((tok, n) <- mustNominate)
+      assert(approx.contains(tok) ||
+        (approx.size == 20 && approx.values.min >= n),
+        s"frequent token '$tok' ($n) missing from sketch top-k")
+    val inBoth = exact.filter { case (t, _) => approx.contains(t) }
+    assert(inBoth.nonEmpty, "sketch top-k shares nothing with exact top-k")
+    for ((tok, n) <- inBoth) {
+      val est = approx(tok)
+      assert(est >= n, s"CMS underestimated '$tok': $est < $n")
+      assert(est <= n + math.ceil(eps * totalToks).toLong,
+        s"CMS error for '$tok' beyond eps*N: $est vs $n")
+    }
+  }
+
   test("parquet scan prunes columns for t_tokens") {
     val scan = SparkEntry.queries("t_tokens")(spark, sf)
       .queryExecution.executedPlan.toString
