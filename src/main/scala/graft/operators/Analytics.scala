@@ -408,7 +408,62 @@ object Analytics {
     },
     cubeSql)
 
+  // ---------------------------------------------------------------- E12
+  /** Pivoted status report — the cross-tab read every ops dashboard
+    * serves (order counts + exact cents mass per nation, one column
+    * group per order status). Spark's `pivot` with the value list
+    * PINNED ('F','O','P'): with explicit values the pivot compiles to
+    * ONE aggregate pass whose expressions are conditional aggs — no
+    * values-discovery pre-query, no second shuffle, and the output
+    * schema is static (a dashboard contract and a requirement for the
+    * cross-engine oracle, which states the same conditional aggs in
+    * portable CASE WHEN form). Absent (nation, status) cells coalesce
+    * to 0 so the report is total.
+    */
+  val qPivot: Q = Q(
+    (s, dir) => {
+      val statuses = Seq("F", "O", "P")
+      val joined = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+      val pivoted = joined
+        .groupBy("n_name")
+        .pivot("o_orderstatus", statuses)
+        .agg(count(lit(1)).as("cnt"),
+          cents(sum(dec2(col("o_totalprice")))).as("cents"))
+      val cols = col("n_name") +: statuses.flatMap { st =>
+        Seq(coalesce(col(s"${st}_cnt"), lit(0L))
+            .as(s"n_${st.toLowerCase}"),
+          coalesce(col(s"${st}_cents"), lit(0L))
+            .as(s"cents_${st.toLowerCase}"))
+      }
+      pivoted.select(cols: _*).orderBy("n_name")
+    },
+    """SELECT n_name,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_f,
+      |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) * 100, 0)
+      |    AS BIGINT) AS cents_f,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_o,
+      |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) * 100, 0)
+      |    AS BIGINT) AS cents_o,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_p,
+      |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) * 100, 0)
+      |    AS BIGINT) AS cents_p
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "q_pivot" -> qPivot,
     "q_interval_attr" -> qIntervalAttr,
     "q_band_join" -> qBandJoin,
     "q_rollup" -> qRollup,

@@ -370,6 +370,89 @@ object Similarity {
        |  WHERE a.vec_id % 50 = 0)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
 
+  // ---------------------------------------------------------------- G7
+  /** IVF ANN — the learned-coarse-quantizer sibling of G2's hyperplane
+    * cells: G6's per-label centroids are the codebook, every vector is
+    * assigned to its nearest centroid by EXACT integer squared-L2 on
+    * micro units, and the probe scans only its own cell (~1/k of the
+    * corpus). The codebook is tiny (k·dim longs) whatever the corpus
+    * size, so it is collected once and shipped inside the assignment
+    * expression — the IVF train-then-ship shape: assignment is
+    * map-only (no join, no shuffle; an argmin over an array of
+    * (dist, label) structs), and the only wide op is the final
+    * TakeOrdered. All-integer assignment means the cell partition is
+    * bit-identical on both engines; the cosine rerank uses the same
+    * micro-unit kernel as G1.
+    */
+  val sAnnIvf: Q = Q(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      // train: the G6 aggregation, collected as the codebook
+      val codebook: Array[(Long, Array[Long])] = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(floor(sum(round(col("x").cast("double") * 1e6).cast("long"))
+          .cast("double") / count(lit(1))).cast("long").as("c"))
+        .groupBy("label")
+        .agg(sort_array(collect_list(struct(col("pos"), col("c"))))
+          .as("cvec"))
+        .collect()
+        .map(r => (r.get(0).asInstanceOf[Number].longValue(),
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toArray))
+        .sortBy(_._1)
+      // assign: argmin over (squared-L2, label) structs — map-only
+      val eq = transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long"))
+      val cells = array(codebook.map { case (lbl, cvec) =>
+        struct(
+          aggregate(
+            zip_with(eq, typedlit(cvec.toSeq), (x, c) => (x - c) * (x - c)),
+            lit(0L), (acc, d) => acc + d).as("dist"),
+          lit(lbl).as("cell"))
+      }: _*)
+      val assigned = emb.withColumn("cell",
+        array_min(cells).getField("cell"))
+      val probe = assigned.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"), col("cell").as("pcell"))
+      assigned.filter(col("vec_id") =!= 0)
+        .join(broadcast(probe), col("cell") === col("pcell"))
+        .select(col("vec_id"), col("label"), col("cell"),
+          nativeScoreMicro(s, "embedding", "probe").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("vec_id"))
+        .limit(10)
+    },
+    s"""WITH cent AS (
+       |  SELECT label AS clabel, list(c ORDER BY pos) AS cvec FROM (
+       |    SELECT label, pos,
+       |      CAST(floor(CAST(sum(x_micro) AS DOUBLE) / count(*)) AS BIGINT)
+       |        AS c
+       |    FROM (
+       |      SELECT label,
+       |        generate_subscripts(embedding, 1) - 1 AS pos,
+       |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+       |          AS BIGINT) AS x_micro
+       |      FROM embeddings)
+       |    GROUP BY label, pos)
+       |  GROUP BY label),
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, CAST(clabel AS BIGINT) AS cell
+       |  FROM (
+       |    SELECT q.vec_id, q.label, q.embedding, c.clabel,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_sum(list_transform(
+       |          list_zip(list_transform(q.embedding,
+       |            x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)),
+       |            c.cvec),
+       |          z -> (z[1] - z[2]) * (z[1] - z[2]))), c.clabel) AS rn
+       |    FROM embeddings q CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |p AS (SELECT embedding AS probe, cell AS pcell FROM assigned
+       |      WHERE vec_id = 0)
+       |SELECT vec_id, label, cell,
+       |  ${scoreMicroSql("embedding", "probe")} AS score_micro
+       |FROM assigned, p WHERE vec_id <> 0 AND cell = pcell
+       |ORDER BY score_micro DESC, vec_id LIMIT 10""".stripMargin)
+
   // ---------------------------------------------------------------- G6
   /** Per-label embedding centroids — the aggregation behind IVF coarse
     * quantizers, topic vectors, and class prototypes. Exactness
@@ -414,5 +497,6 @@ object Similarity {
     "s_ann_lsh" -> sAnnLsh,
     "s_ann_multiprobe" -> sAnnMultiprobe,
     "s_knn_join" -> sKnnJoin,
-    "s_knn_topk_agg" -> sKnnTopkAgg)
+    "s_knn_topk_agg" -> sKnnTopkAgg,
+    "s_ann_ivf" -> sAnnIvf)
 }

@@ -420,6 +420,31 @@ class QueriesSpec extends SparkSpec {
     assert(c.filter(col("n_leaked") < 1).count() === 0)
   }
 
+  test("s_ann_ivf: one cell scanned, scores true, assignment map-only") {
+    val ivf = SparkEntry.queries("s_ann_ivf")(spark, sf)
+    val rows = ivf.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // the probe scans exactly its own centroid cell
+    assert(rows.map(_.getAs[Long]("cell")).distinct.length === 1,
+      "IVF probe must score candidates from a single cell")
+    // scores are the true cosine for those candidates: cross-check
+    // every returned (vec_id, score) against the brute-force kernel
+    val brute = SparkEntry.queries("s_cosine_topk")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (r <- rows; trueScore <- brute.get(r.getLong(0)))
+      assert(r.getAs[Long]("score_micro") === trueScore,
+        s"IVF rerank score drifted for vec ${r.getLong(0)}")
+    // cell assignment must be an expression over the scan, not a join
+    // against the centroid relation: the only join in the plan is the
+    // broadcast of the 1-row probe
+    val p = ivf.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") &&
+      !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the only join must be the broadcast probe join")
+  }
+
   test("d_contaminate_bloom: sketch prefilter is row-identical to exact") {
     val exact = SparkEntry.queries("d_contaminate")(spark, sf)
       .collect().toSeq
