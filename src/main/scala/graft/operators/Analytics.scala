@@ -411,35 +411,39 @@ object Analytics {
   // ---------------------------------------------------------------- E12
   /** Pivoted status report — the cross-tab read every ops dashboard
     * serves (order counts + exact cents mass per nation, one column
-    * group per order status). Spark's `pivot` with the value list
-    * PINNED ('F','O','P'): with explicit values the pivot compiles to
-    * ONE aggregate pass whose expressions are conditional aggs — no
-    * values-discovery pre-query, no second shuffle, and the output
-    * schema is static (a dashboard contract and a requirement for the
-    * cross-engine oracle, which states the same conditional aggs in
-    * portable CASE WHEN form). Absent (nation, status) cells coalesce
-    * to 0 so the report is total.
+    * group per order status, value list pinned to 'F'/'O'/'P' so the
+    * output schema is static — a dashboard contract and a requirement
+    * for the cross-engine oracle).
+    *
+    * Deliberately NOT `RelationalGroupedDataset.pivot`: even with the
+    * value list supplied, Spark plans pivot as two-phase PivotFirst —
+    * an aggregate on (group, pivot) keys, an Exchange, then a second
+    * aggregate on the group key (verified against 4.1.2). Stating the
+    * pivot as conditional aggregates compiles to ONE map-side-
+    * combinable aggregate pass with a single Exchange on the group
+    * key — half the shuffles for the identical result, and exactly
+    * the portable CASE WHEN form the oracle states. Plan-audited.
+    * Absent (nation, status) cells coalesce to 0 so the report is
+    * total.
     */
   val qPivot: Q = Q(
     (s, dir) => {
-      val statuses = Seq("F", "O", "P")
       val joined = Tables.orders(s, dir)
         .join(broadcast(Tables.customer(s, dir)),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, dir)),
           col("c_nationkey") === col("n_nationkey"))
-      val pivoted = joined
-        .groupBy("n_name")
-        .pivot("o_orderstatus", statuses)
-        .agg(count(lit(1)).as("cnt"),
-          cents(sum(dec2(col("o_totalprice")))).as("cents"))
-      val cols = col("n_name") +: statuses.flatMap { st =>
-        Seq(coalesce(col(s"${st}_cnt"), lit(0L))
-            .as(s"n_${st.toLowerCase}"),
-          coalesce(col(s"${st}_cents"), lit(0L))
-            .as(s"cents_${st.toLowerCase}"))
+      val aggs = Seq("F", "O", "P").flatMap { st =>
+        val sfx = st.toLowerCase
+        Seq(
+          sum(when(col("o_orderstatus") === st, 1L).otherwise(0L))
+            .as(s"n_$sfx"),
+          coalesce(cents(sum(when(col("o_orderstatus") === st,
+            dec2(col("o_totalprice"))))), lit(0L)).as(s"cents_$sfx"))
       }
-      pivoted.select(cols: _*).orderBy("n_name")
+      joined.groupBy("n_name")
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy("n_name")
     },
     """SELECT n_name,
       |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)

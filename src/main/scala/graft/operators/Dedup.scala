@@ -596,6 +596,59 @@ object Dedup {
        |WHERE NOT ($inEvalSampleSql)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  // ---------------------------------------------------------------- F11
+  /** The curated training corpus — the pass every operator in the F/H
+    * families exists to feed, composed end to end: drop near-dup
+    * cluster members (F8's MATERIALIZED map, minus representatives),
+    * drop eval-contaminated docs (F10's shingle join), carve out the
+    * eval sample itself (H8), and gate on the map-only quality filter
+    * (H13's `filterKeep` predicate, fused into the scan). Plan shape
+    * at 100 TB: the corpus is read ONCE and the quality+eval
+    * predicates are scan-stage expressions. The contamination drop
+    * list is bounded by the benchmark suite — that anti-join always
+    * broadcasts. The near-dup drop list scales with dup density and
+    * is NOT always broadcast-safe at corpus scale, so its join
+    * strategy is deliberately left to stats: broadcast when small, a
+    * shuffled anti-join when the dup mass is corpus-scale (the
+    * conservative-correct shape). Plan-audited.
+    */
+  val dCurateCorpus: Q = Q(
+    (s, dir) => {
+      val drop = clusterMap(s, dir)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      val sh = docShingles(s, dir)
+      val evalSh = sh.filter(inEvalSample(col("doc_id")))
+        .select(col("sh")).distinct()
+      val contaminated = sh.filter(!inEvalSample(col("doc_id")))
+        .join(evalSh, Seq("sh"))
+        .select("doc_id").distinct()
+      Tables.documents(s, dir)
+        .filter(!inEvalSample(col("doc_id")))
+        .filter(TextAnalysis.filterKeep)
+        .join(drop, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    s"""WITH $clustersCteSql,
+       |drop_ids AS (
+       |  SELECT doc_id FROM l$Iters WHERE doc_id <> label),
+       |sh AS ($docShinglesSql),
+       |ev AS (SELECT DISTINCT sh FROM sh WHERE $inEvalSampleSql),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM sh JOIN ev USING (sh)
+       |  WHERE NOT ($inEvalSampleSql))
+       |SELECT d.doc_id, d.source, d.n_chars
+       |FROM documents d
+       |WHERE NOT ($inEvalSampleSql)
+       |  AND ${TextAnalysis.filterKeepSql("d")}
+       |  AND NOT EXISTS (SELECT 1 FROM drop_ids x
+       |                  WHERE x.doc_id = d.doc_id)
+       |  AND NOT EXISTS (SELECT 1 FROM contaminated c
+       |                  WHERE c.doc_id = d.doc_id)
+       |ORDER BY d.doc_id""".stripMargin)
+
   /** F10's documented 100 TB shape, as code instead of a comment: the
     * eval-side shingle set is the SMALL side (a fixed benchmark suite),
     * so build one bloom sketch over its shingle hashes (map-side-
@@ -640,6 +693,7 @@ object Dedup {
   val registry: Map[String, Q] = Map(
     "d_contaminate" -> dContaminate,
     "d_contaminate_bloom" -> dContaminateBloom,
+    "d_curate_corpus" -> dCurateCorpus,
     "d_exact" -> dExact,
     "d_minhash" -> dMinhash,
     "d_minhash_lsh" -> dMinhashLsh,

@@ -82,6 +82,85 @@ object TextAnalysis {
        |    AS quality_bp
        |FROM m ORDER BY doc_id""".stripMargin)
 
+  // ---------------------------------------------------------------- H13
+  /** The composite keep/drop gate a curation pipeline runs as its
+    * FIRST corpus pass — every signal is a map-only expression over
+    * the text column (H1's counts plus a digit-density gate), so the
+    * whole filter costs one scan, no shuffle, and composes as a
+    * predicate into any downstream query ([[filterKeep]] /
+    * [[filterKeepSql]] — F11's curated corpus consumes exactly that).
+    * Reasons are a bitmask, not a boolean: a corpus report needs to
+    * know WHY mass was dropped (bit 0 too short, 1 too long, 2
+    * punctuation-heavy, 3 no stopword hits over a real token count —
+    * the gibberish/non-target-language gate, 4 digit-heavy).
+    * Thresholds are parameters of the signals (real pipelines tune
+    * them per corpus); the registered query pins defaults sized to
+    * the test corpus so multiple bits are exercised by the oracle.
+    */
+  val FilterMinTokens = 16
+  val FilterMaxChars = 512
+
+  private def filterFlags(minTokens: Int, maxChars: Int): Column = {
+    val nChars = length(col("text")).cast("long")
+    val nToks = size(toks(col("text"))).cast("long")
+    // density gates in multiplicative form (punct/chars > 20%,
+    // digits/chars > 30%): integer-exact in every engine, no
+    // division-semantics drift
+    val punctHeavy = size(regexp_extract_all(col("text"), lit("[.,;:!?]"),
+      lit(0))).cast("long") * 5 > greatest(nChars, lit(1L))
+    val digitHeavy = size(regexp_extract_all(col("text"), lit("[0-9]"),
+      lit(0))).cast("long") * 10 > greatest(nChars, lit(1L)) * 3
+    val noStop = hits(col("text"), stopEn) === 0 && nToks >= 20
+    (when(nToks < minTokens, 1L).otherwise(0L)
+      + when(nChars > maxChars, 2L).otherwise(0L)
+      + when(punctHeavy, 4L).otherwise(0L)
+      + when(noStop, 8L).otherwise(0L)
+      + when(digitHeavy, 16L).otherwise(0L))
+  }
+
+  private def filterFlagsSql(minTokens: Int, maxChars: Int,
+      t: String): String = {
+    val text = s"$t.text"
+    val toksT = s"string_split_regex(lower(trim($text)), '\\s+')"
+    val stopList = stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""(CASE WHEN len($toksT) < $minTokens THEN 1 ELSE 0 END
+       | + CASE WHEN length($text) > $maxChars THEN 2 ELSE 0 END
+       | + CASE WHEN len(regexp_extract_all($text, '[.,;:!?]')) * 5
+       |     > greatest(length($text), 1) THEN 4 ELSE 0 END
+       | + CASE WHEN len(list_filter($toksT,
+       |       x -> list_contains($stopList, x))) = 0
+       |     AND len($toksT) >= 20 THEN 8 ELSE 0 END
+       | + CASE WHEN len(regexp_extract_all($text, '[0-9]')) * 10
+       |     > greatest(length($text), 1) * 3 THEN 16 ELSE 0 END)"""
+      .stripMargin
+  }
+
+  /** The keep predicate (flags == 0) as a composable map-only
+    * expression / oracle predicate over a `text` column.
+    */
+  private[graft] def filterKeep: Column =
+    filterFlags(FilterMinTokens, FilterMaxChars) === 0L
+
+  private[graft] def filterKeepSql(t: String): String =
+    s"${filterFlagsSql(FilterMinTokens, FilterMaxChars, t)} = 0"
+
+  val tFilter: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(toks(col("text"))).cast("long").as("n_tokens"),
+          filterFlags(FilterMinTokens, FilterMaxChars).as("flags"))
+        .withColumn("keep", col("flags") === 0L)
+        .orderBy("doc_id"),
+    s"""SELECT doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+       |  len(string_split_regex(lower(trim(d.text)), '\\s+')) AS n_tokens,
+       |  CAST(${filterFlagsSql(FilterMinTokens, FilterMaxChars, "d")}
+       |    AS BIGINT) AS flags,
+       |  ${filterFlagsSql(FilterMinTokens, FilterMaxChars, "d")} = 0
+       |    AS keep
+       |FROM documents d ORDER BY doc_id""".stripMargin)
+
   private val stopEs = Seq("el", "la", "de", "que", "y", "en", "los",
     "se", "del", "las")
   private val stopDe = Seq("der", "die", "und", "das", "von", "mit",
@@ -460,5 +539,6 @@ object TextAnalysis {
     "t_sample_strat" -> tSampleStrat,
     "t_repetition" -> tRepetition,
     "t_pack" -> tPack,
+    "t_filter" -> tFilter,
     "t_len_quantiles" -> tLenQuantiles)
 }

@@ -223,6 +223,41 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("d_curate_corpus: the corpus pass stays map-only (broadcast " +
+    "anti-joins, quality gate in the scan)") {
+    val df = SparkEntry.queries("d_curate_corpus")(spark, sf)
+    df.collect() // finalize AQE on THIS plan
+    val p = plan(df)
+    // the contamination drop list is benchmark-suite-bounded — that
+    // anti-join must broadcast. The near-dup drop list scales with
+    // dup density (NOT always broadcastable at 100 TB), so its join
+    // strategy is left to stats: here it shows up as the plan's only
+    // permitted shuffled join
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"the contamination anti-join must broadcast:\n$p")
+    val smj = p.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smj <= 1,
+      s"only the cluster-map anti-join may shuffle, found $smj SMJs:\n$p")
+    // the quality gate must be fused into the corpus scan, not a
+    // separate pass: the scan's DataFilters carry the text predicates
+    assert(p.contains("regexp_extract_all"),
+      "quality gate not fused into the scan stage")
+    spark.catalog.clearCache()
+  }
+
+  test("q_pivot: one aggregate pass, not the two-phase PivotFirst plan") {
+    // the conditional-agg form must cost exactly one hash Exchange
+    // (the group key); .pivot() would add a second one on
+    // (group, pivot) — the regression this audit guards against
+    val p = plan(SparkEntry.queries("q_pivot")(spark, sf))
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx === 1,
+      s"expected a single hash Exchange, found $hashEx:\n$p")
+    assert(!p.contains("pivotfirst"), "two-phase pivot plan crept in")
+  }
+
   test("t_fingerprint plan shuffles nothing before the distinct") {
     // one-pass winnowing: scan → project/explode → distinct; the only
     // exchanges belong to the distinct + presentation sort (2), never

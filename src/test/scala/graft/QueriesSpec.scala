@@ -420,6 +420,44 @@ class QueriesSpec extends SparkSpec {
     assert(c.filter(col("n_leaked") < 1).count() === 0)
   }
 
+  test("d_curate_corpus coheres with its component queries") {
+    val curated = SparkEntry.queries("d_curate_corpus")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val dedupKeep = SparkEntry.queries("d_dedup_corpus")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val contaminated = SparkEntry.queries("d_contaminate")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val kept = SparkEntry.queries("t_filter")(spark, sf)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    assert(curated.nonEmpty, "curation must keep a non-empty corpus")
+    assert(curated.subsetOf(dedupKeep), "curated doc not a dedup keeper")
+    assert(curated.intersect(contaminated).isEmpty,
+      "contaminated doc survived curation")
+    assert(curated.subsetOf(kept), "quality-dropped doc survived curation")
+    // eval carve-out: no curated doc hashes into the 0x0_/0x1_ sample
+    val evalPred = (id: Long) => {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val first = "%02x".format(h(0)).charAt(0)
+      first == '0' || first == '1'
+    }
+    assert(!curated.exists(evalPred), "eval doc survived curation")
+  }
+
+  test("t_filter: bitmask reasons are live and keep matches flags") {
+    val f = SparkEntry.queries("t_filter")(spark, sf)
+    assert(f.filter(col("keep") =!= (col("flags") === 0L)).count() === 0)
+    // the synthetic corpus must exercise more than one drop reason,
+    // or the filter is a dead path at test scale
+    val reasons = f.filter(col("flags") > 0)
+      .select(explode(expr(
+        "filter(transform(sequence(0, 4), b -> " +
+          "CASE WHEN (shiftright(flags, b) & 1) = 1 THEN b END), " +
+          "x -> x IS NOT NULL)")).as("bit"))
+      .select("bit").distinct().count()
+    assert(reasons >= 2, s"only $reasons drop reasons fire on test data")
+  }
+
   test("s_ann_ivf: one cell scanned, scores true, assignment map-only") {
     val ivf = SparkEntry.queries("s_ann_ivf")(spark, sf)
     val rows = ivf.collect()
