@@ -31,6 +31,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
         functions.CosineSim(exprs(0), exprs(1))
       }))
+    // the explicit bloom-prefilter pair (see functions.BloomMembership)
+    // — available from plain SQL in any extension-built session
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.aggregate" +
+          ".BloomFilterAggregate", "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.length <= 2,
+          s"graft_bloom_agg takes 1-2 arguments, got ${exprs.length}")
+        if (exprs.length == 2)
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(exprs(0), exprs(1))
+        else
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(exprs(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions" +
+          ".BloomFilterMightContain", "graft_bloom_contains"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_bloom_contains takes 2 arguments, got ${exprs.length}")
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1))
+      }))
   }
 }
 

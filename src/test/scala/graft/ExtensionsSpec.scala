@@ -35,6 +35,33 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("withExtensions session resolves the bloom pair from plain SQL") {
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      GraftCatalog.registerAll(ext, sf)
+      // membership prefilter straight from SQL: every probed key that
+      // IS in the build side must pass (no false negatives)
+      val n = ext.sql(
+        """SELECT count(*) AS n FROM documents
+          |WHERE graft_bloom_contains(
+          |  (SELECT graft_bloom_agg(xxhash64(doc_id), 10000L)
+          |   FROM documents),
+          |  xxhash64(doc_id))""".stripMargin).head().getLong(0)
+      val total = ext.sql("SELECT count(*) FROM documents")
+        .head().getLong(0)
+      assert(n === total, "bloom must never reject a present key")
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("GraftCatalog registers every table for the SQL front door") {
     GraftCatalog.registerAll(spark, sf)
     for (t <- GraftCatalog.tableNames)

@@ -143,6 +143,33 @@ class StreamingSpec extends SparkSpec {
       "streamed star facts must be row-identical to the batch backfill")
   }
 
+  test("H13 quality gate filters documents in-flight identically to " +
+    "batch") {
+    // the curation filter is a stateless scan-stage predicate, so the
+    // SAME expression gates a document stream with zero state and
+    // exactly the batch keep set — curation pipelines filter at
+    // ingest, not in a second pass
+    val in = tempDir("graft_filter_in")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$in/documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream
+      .schema(Tables.documents(spark, sf).schema)
+      .parquet(in)
+      .filter(graft.operators.TextAnalysis.filterKeep)
+      .select("doc_id")
+    val q = stream.writeStream.format("memory").queryName("filtered_docs")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val streamed = spark.table("filtered_docs").collect()
+      .map(_.getLong(0)).toSet
+    val batch = SparkEntry.queries("t_filter")(spark, sf)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    assert(streamed === batch,
+      "in-flight keep set must equal the batch filter's")
+  }
+
   test("D9 dropDuplicatesWithinWatermark removes replayed rows") {
     val in = tempDir("graft_ddw_in")
     // stage the SAME events twice: every event_id arrives duplicated
