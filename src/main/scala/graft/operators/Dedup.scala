@@ -382,18 +382,36 @@ object Dedup {
     * FOR: drop every near-dup cluster member except the canonical
     * representative (the cluster's min doc_id), keep all singleton
     * docs untouched. One anti-join of the corpus against the
-    * non-representative members; at 100 TB the drop list is tiny
-    * next to the corpus (near-dup density), so AQE turns the
-    * anti-join into a broadcast and the corpus pass stays map-only.
+    * non-representative members; at 100 TB the drop list is usually
+    * tiny next to the corpus (near-dup density), and the size-gated
+    * broadcast ([[sizeGatedBroadcast]]) turns the anti-join into a
+    * broadcast whenever the materialized list proves small — the
+    * corpus pass stays map-only.
     * Consumes the MATERIALIZED cluster map ([[clusterMap]]): when F8
     * already ran in this session the corpus pass reads the handle
     * instead of rebuilding the whole LSH pipeline.
     */
+  /** The F9/F11 near-dup join-strategy judgment, as code instead of a
+    * comment: the drop list scales with dup density — usually tiny
+    * next to the corpus, but NOT provably broadcast-safe at 100 TB.
+    * The list rides the MATERIALIZED cluster-map handle, so sizing it
+    * is one cheap count over checkpointed blocks (no plan re-run):
+    * broadcast the anti-join when the list is provably small, keep
+    * the conservative shuffled shape when the dup mass is
+    * corpus-scale. ~1M bigint ids ≈ 8 MB — inside Spark's own default
+    * broadcast ceiling. Only call this on checkpointed/cached inputs;
+    * on a raw plan the count would re-run the whole LSH pipeline.
+    */
+  val MaxBroadcastDropIds = 1000000L
+  private def sizeGatedBroadcast(dropIds: DataFrame): DataFrame =
+    if (dropIds.count() <= MaxBroadcastDropIds) broadcast(dropIds)
+    else dropIds
+
   val dDedupCorpus: Q = Q(
     (s, dir) => {
-      val drop = clusterMap(s, dir)
+      val drop = sizeGatedBroadcast(clusterMap(s, dir)
         .filter(col("doc_id") =!= col("cluster_id"))
-        .select("doc_id")
+        .select("doc_id"))
       Tables.documents(s, dir)
         .join(drop, Seq("doc_id"), "left_anti")
         .select("doc_id", "source", "n_chars")
@@ -607,16 +625,17 @@ object Dedup {
     * predicates are scan-stage expressions. The contamination drop
     * list is bounded by the benchmark suite — that anti-join always
     * broadcasts. The near-dup drop list scales with dup density and
-    * is NOT always broadcast-safe at corpus scale, so its join
-    * strategy is deliberately left to stats: broadcast when small, a
-    * shuffled anti-join when the dup mass is corpus-scale (the
-    * conservative-correct shape). Plan-audited.
+    * is NOT always broadcast-safe at corpus scale, so its join runs
+    * through [[sizeGatedBroadcast]]: the materialized list is counted
+    * (cheap — checkpointed blocks) and broadcast when provably small,
+    * falling back to the conservative shuffled anti-join when the dup
+    * mass is corpus-scale. Plan-audited.
     */
   val dCurateCorpus: Q = Q(
     (s, dir) => {
-      val drop = clusterMap(s, dir)
+      val drop = sizeGatedBroadcast(clusterMap(s, dir)
         .filter(col("doc_id") =!= col("cluster_id"))
-        .select("doc_id")
+        .select("doc_id"))
       val sh = docShingles(s, dir)
       val evalSh = sh.filter(inEvalSample(col("doc_id")))
         .select(col("sh")).distinct()

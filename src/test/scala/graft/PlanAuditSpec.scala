@@ -229,16 +229,17 @@ class PlanAuditSpec extends SparkSpec {
     df.collect() // finalize AQE on THIS plan
     val p = plan(df)
     // the contamination drop list is benchmark-suite-bounded — that
-    // anti-join must broadcast. The near-dup drop list scales with
-    // dup density (NOT always broadcastable at 100 TB), so its join
-    // strategy is left to stats: here it shows up as the plan's only
-    // permitted shuffled join
+    // anti-join must broadcast. The near-dup drop list goes through
+    // the size gate (Dedup.sizeGatedBroadcast): at test scale the
+    // materialized list proves small, so BOTH anti-joins must
+    // broadcast and the corpus side never shuffles; only a
+    // corpus-scale dup mass may fall back to the shuffled shape
     assert(p.linesIterator.exists(l =>
       l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
       s"the contamination anti-join must broadcast:\n$p")
     val smj = p.linesIterator.count(_.contains("SortMergeJoin"))
-    assert(smj <= 1,
-      s"only the cluster-map anti-join may shuffle, found $smj SMJs:\n$p")
+    assert(smj === 0,
+      s"size-gated drop lists must broadcast here, found $smj SMJs:\n$p")
     // the quality gate must be fused into the corpus scan, not a
     // separate pass: the scan's DataFilters carry the text predicates
     assert(p.contains("regexp_extract_all"),

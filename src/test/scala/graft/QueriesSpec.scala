@@ -483,6 +483,37 @@ class QueriesSpec extends SparkSpec {
       "the only join must be the broadcast probe join")
   }
 
+  test("s_ann_ivf_probe: nprobe=2 widens the scan, recall is monotone") {
+    val one = SparkEntry.queries("s_ann_ivf")(spark, sf).collect()
+    val probe2 = SparkEntry.queries("s_ann_ivf_probe")(spark, sf)
+    val two = probe2.collect()
+    assert(two.nonEmpty && two.length <= 10)
+    // candidates come from at most NProbe cells
+    assert(two.map(_.getAs[Long]("cell")).distinct.length <=
+      graft.operators.Similarity.NProbe)
+    // candidates(nprobe=2) ⊇ candidates(nprobe=1) and the rerank is
+    // the exact kernel, so recall@10 vs brute force cannot drop …
+    val exact = SparkEntry.queries("s_cosine_topk")(spark, sf)
+      .collect().take(10).map(_.getLong(0)).toSet
+    val r1 = one.map(_.getLong(0)).toSet
+    val r2 = two.map(_.getLong(0)).toSet
+    assert((exact & r2).size >= (exact & r1).size,
+      "widening the probe must never lose recall")
+    // … and with a full result the 10th-best score can only improve
+    if (one.length == 10 && two.length == 10)
+      assert(two.map(_.getAs[Long]("score_micro")).min >=
+        one.map(_.getAs[Long]("score_micro")).min,
+        "top-10 floor must be monotone in nprobe")
+    // the exploded probe cells keep the fetch a broadcast EQUI-join:
+    // no nested-loop membership test, no shuffle of the corpus side
+    val p = probe2.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") &&
+      !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the candidate fetch must stay a broadcast equi-join")
+  }
+
   test("d_contaminate_bloom: sketch prefilter is row-identical to exact") {
     val exact = SparkEntry.queries("d_contaminate")(spark, sf)
       .collect().toSeq
