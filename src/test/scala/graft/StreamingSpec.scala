@@ -170,6 +170,46 @@ class StreamingSpec extends SparkSpec {
       "in-flight keep set must equal the batch filter's")
   }
 
+  test("F11 curation runs at ingest: stream-static anti-joins against " +
+    "compiled artifacts reproduce the batch corpus, zero state") {
+    // the production shape of the capstone: the expensive halves
+    // (near-dup clustering, contamination scan) are compiled OFFLINE
+    // into lake artifacts; ingest then curates in-flight with the
+    // stateless quality/eval predicates plus stream-static anti-joins
+    // against those artifacts — no stream state, no second corpus pass
+    val in = tempDir("graft_curate_in")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$in/documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val drop = SparkEntry.queries("d_dup_clusters")(spark, sf)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val contaminated = SparkEntry.queries("d_contaminate")(spark, sf)
+      .select("doc_id")
+    val evalPred =
+      expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) IN ('0', '1')")
+    val stream = spark.readStream
+      .schema(Tables.documents(spark, sf).schema)
+      .parquet(in)
+      .filter(!evalPred)
+      .filter(graft.operators.TextAnalysis.filterKeep)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    val q = stream.writeStream.format("memory").queryName("curated_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stateless = Option(q.lastProgress)
+      .forall(_.stateOperators.isEmpty)
+    q.stop()
+    assert(stateless, "ingest-time curation must carry zero stream state")
+    val streamed = spark.table("curated_stream").collect()
+      .map(_.getLong(0)).toSet
+    val batch = SparkEntry.queries("d_curate_corpus")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed === batch,
+      "in-flight curated set must equal the batch capstone's")
+  }
+
   test("D9 dropDuplicatesWithinWatermark removes replayed rows") {
     val in = tempDir("graft_ddw_in")
     // stage the SAME events twice: every event_id arrives duplicated
