@@ -466,7 +466,113 @@ object Analytics {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin)
 
+  // ---------------------------------------------------------------- E13
+  /** Ordered conversion funnel view → click → purchase — the product-
+    * analytics read (ClickHouse `windowFunnel`, Amplitude funnels)
+    * over the events stream: for each user, the first view, the first
+    * click strictly AFTER that view, and the first purchase strictly
+    * after that click, plus the stage reached (1–3).
+    *
+    * Spark-first shape: each stage is a per-user conditional min — a
+    * map-side-combinable groupBy — and every stage join hashes on the
+    * SAME key (`user_id`) as the aggregations, so at 100 TB the fact
+    * scan is filtered by event_type at the parquet reader and the
+    * per-stage relations are |users| rows co-partitioned end to end
+    * (no second wide shuffle; the stage tables are user-cardinality,
+    * broadcastable when users ≪ events). No collect_list-and-sort per
+    * user: state per user is three timestamps, not the event list.
+    */
+  val qFunnel: Q = Q(
+    (s, dir) => {
+      val e = Tables.events(s, dir).select("user_id", "ts", "event_type")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("first_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("first_view"))
+        .groupBy("user_id").agg(min("ts").as("first_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("first_click"))
+        .groupBy("user_id").agg(min("ts").as("first_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("first_view"), col("first_click"),
+          col("first_purchase"),
+          (lit(1L) + when(col("first_click").isNotNull, 1L).otherwise(0L)
+            + when(col("first_purchase").isNotNull, 1L).otherwise(0L))
+            .as("funnel_stage"))
+        .orderBy("user_id")
+    },
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS first_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS first_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.first_view
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS first_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+      |  GROUP BY e.user_id)
+      |SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+      |  CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+      |    AS funnel_stage
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin)
+
+  // ---------------------------------------------------------------- E14
+  /** Cohort retention matrix — the other canonical product-analytics
+    * read: users grouped by signup week (ISO-Monday `date_trunc`,
+    * identical on both engines), activity bucketed into integer week
+    * offsets from each user's own cohort date, distinct active users
+    * per (cohort_week, week_offset) cell. Week offsets are exact
+    * integer day arithmetic (`datediff DIV 7`), never float.
+    *
+    * Scale shape: the signup cohort and the distinct (user, day)
+    * activity relation both hash on `user_id`, the join is
+    * co-partitioned with both aggregations, and the final cell count
+    * is a two-phase distinct over a matrix that is at most
+    * |cohort weeks| × |offsets| rows — tiny whatever the corpus.
+    */
+  val qRetention: Q = Q(
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val cohort = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_date"))
+      val act = e.select(col("user_id"), to_date(col("ts")).as("act_date"))
+        .distinct()
+      cohort.join(act, "user_id")
+        .filter(col("act_date") >= col("cohort_date"))
+        .select(
+          date_trunc("week", col("cohort_date").cast("timestamp"))
+            .cast("date").as("cohort_week"),
+          expr("CAST(datediff(act_date, cohort_date) DIV 7 AS BIGINT)")
+            .as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    """WITH cohort AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |act AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_date FROM events)
+      |SELECT CAST(date_trunc('week', cohort_date) AS DATE) AS cohort_week,
+      |  CAST((act_date - cohort_date) // 7 AS BIGINT) AS week_offset,
+      |  CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users
+      |FROM cohort c JOIN act a ON c.user_id = a.user_id
+      |WHERE act_date >= cohort_date
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "q_funnel" -> qFunnel,
+    "q_retention" -> qRetention,
     "q_pivot" -> qPivot,
     "q_interval_attr" -> qIntervalAttr,
     "q_band_join" -> qBandJoin,

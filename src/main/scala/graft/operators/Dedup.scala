@@ -709,7 +709,57 @@ object Dedup {
        |WHERE NOT ($inEvalSampleSql)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  // ---------------------------------------------------------------- F12
+  /** Span-level duplicate detection — the winnowing answer to "these
+    * two docs share a long copied PASSAGE" (partial overlap that
+    * whole-doc MinHash under-scores): doc pairs sharing at least
+    * [[MinSharedFp]] distinct winnowed fingerprints (H4's relation,
+    * shared code). Winnowing guarantees any shared substring ≥ 11
+    * chars (gram 8 + window 4) leaves at least one common fingerprint,
+    * so a threshold of 3 ≈ a shared span of a few dozen chars or
+    * several scattered clones.
+    *
+    * Scale shape is the F3 playbook applied to fingerprints:
+    * fingerprints shared by more than [[MaxBucket]] docs are
+    * boilerplate (license headers, navigation chrome) and are dropped
+    * BEFORE the self-join — the join cost is Σ df² over surviving
+    * fingerprints, bounded per fingerprint by the cap, never corpus².
+    * The capped relation is cached once and feeds both join sides.
+    */
+  val MinSharedFp = 3
+
+  val dSpanDup: Q = Q(
+    (s, dir) => {
+      val fp = TextAnalysis.fpRelation(s, dir)
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp_hash")))
+        .filter(col("df") <= MaxBucket)
+        .select("doc_id", "fp_hash")
+        .cache()
+      val a = fp.select(col("doc_id").as("doc_a"), col("fp_hash"))
+      val b = fp.select(col("doc_id").as("doc_b"), col("fp_hash"))
+      a.join(b, "fp_hash")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= MinSharedFp)
+        .orderBy("doc_a", "doc_b")
+    },
+    s"""WITH ${TextAnalysis.fpRelationCteSql},
+       |capped AS (
+       |  SELECT doc_id, fp_hash FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY fp_hash) AS df FROM fp)
+       |  WHERE df <= $MaxBucket)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM capped a JOIN capped b
+       |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING count(*) >= $MinSharedFp
+       |ORDER BY doc_a, doc_b""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "d_span_dup" -> dSpanDup,
     "d_contaminate" -> dContaminate,
     "d_contaminate_bloom" -> dContaminateBloom,
     "d_curate_corpus" -> dCurateCorpus,

@@ -531,6 +531,122 @@ object Similarity {
        |FROM assigned, p WHERE vec_id <> 0 AND cell = pcell
        |ORDER BY score_micro DESC, vec_id LIMIT 10""".stripMargin)
 
+  // ---------------------------------------------------------------- G9
+  /** Product-quantization ANN (ADC) — the memory side of the 100 TB
+    * ANN answer: IVF (G7/G8) bounds how much of the corpus a probe
+    * SCANS; PQ bounds how many bytes per vector the scan READS. The
+    * 64-dim vector is split into [[PqSub]] subspaces of [[PqSubDim]]
+    * dims; each subvector is encoded as the id of its nearest
+    * sub-centroid (codebook = G7's trained per-label centroids, sliced
+    * per subspace — train once, ship as literals, exactly the
+    * [[ivfCodebook]] artifact stance), so a vector compresses to 4
+    * small codes (4 bytes vs 256 — a 98% scan-byte reduction at
+    * corpus scale). Query = asymmetric distance computation: the probe
+    * stays exact, each candidate contributes the integer squared-L2
+    * between the probe and its RECONSTRUCTION (the concatenated winning
+    * sub-centroids — arithmetic identical to summing per-subspace
+    * lookup-table entries, stated as one zip_with so the expression
+    * stays whole-stage-codegen); top-10 by approx distance, then the
+    * exact cosine kernel reranks only those 10. All-integer encode +
+    * ADC ⇒ bit-identical on both engines, oracle-gated; the
+    * encode/assignment pass is map-only (no join, no shuffle), the
+    * only wide op is the TakeOrdered.
+    */
+  val PqSub = 4
+  val PqSubDim: Int = Dim / PqSub
+
+  private def microOf(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1e6).cast("long"))
+
+  /** PQ reconstruction of `embedding` under the shipped codebook: per
+    * subspace, argmin sub-centroid by exact integer squared-L2 (ties →
+    * smallest cell id, matching the oracle's `ORDER BY dist, clabel`),
+    * concatenated back to a 64-long micro vector. The micro vector is
+    * bound ONCE as a lambda variable (the fingerprint idiom) so
+    * projection collapse cannot re-derive it per subspace×centroid.
+    */
+  private def pqRecon(codebook: Array[(Long, Array[Long])]): Column = {
+    val em = microOf(col("embedding"))
+    element_at(transform(array(em), m =>
+      concat((0 until PqSub).map { j =>
+        val sub = slice(m, j * PqSubDim + 1, PqSubDim)
+        val best = array_min(array(codebook.map { case (lbl, cvec) =>
+          val scvec = cvec.slice(j * PqSubDim, (j + 1) * PqSubDim)
+          struct(
+            aggregate(zip_with(sub, typedlit(scvec.toSeq),
+              (x, c) => (x - c) * (x - c)), lit(0L), (acc, d) => acc + d)
+              .as("dist"),
+            lit(lbl).as("cell"))
+        }: _*)).getField("cell")
+        val cbm = map_from_arrays(
+          typedlit(codebook.map(_._1).toSeq),
+          typedlit(codebook.map(_._2.slice(j * PqSubDim,
+            (j + 1) * PqSubDim).toSeq).toSeq))
+        element_at(cbm, best)
+      }: _*)), 1)
+  }
+
+  val sAnnPq: Q = Q(
+    (s, dir) => {
+      val cb = ivfCodebook(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"))
+      emb.filter(col("vec_id") =!= 0)
+        .withColumn("recon", pqRecon(cb))
+        .crossJoin(broadcast(probe))
+        .withColumn("approx_dist",
+          aggregate(zip_with(microOf(col("probe")), col("recon"),
+            (x, c) => (x - c) * (x - c)), lit(0L), (acc, d) => acc + d))
+        .orderBy(col("approx_dist"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), col("approx_dist"),
+          nativeScoreMicro(s, "embedding", "probe").as("score_micro"))
+        .orderBy(col("approx_dist"), col("vec_id"))
+    },
+    s"""WITH cent AS (
+       |  SELECT label AS clabel, list(c ORDER BY pos) AS cvec FROM (
+       |    SELECT label, pos,
+       |      CAST(floor(CAST(sum(x_micro) AS DOUBLE) / count(*)) AS BIGINT)
+       |        AS c
+       |    FROM (
+       |      SELECT label,
+       |        generate_subscripts(embedding, 1) - 1 AS pos,
+       |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+       |          AS BIGINT) AS x_micro
+       |      FROM embeddings)
+       |    GROUP BY label, pos)
+       |  GROUP BY label),
+       |sub AS (
+       |  SELECT clabel, j,
+       |    list_slice(cvec, j * $PqSubDim + 1, (j + 1) * $PqSubDim)
+       |      AS scvec
+       |  FROM cent, (SELECT unnest(range(0, $PqSub)) AS j)),
+       |q AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS em
+       |  FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id, j, scvec,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY
+       |      list_sum(list_transform(
+       |        list_zip(list_slice(em, j * $PqSubDim + 1,
+       |          (j + 1) * $PqSubDim), scvec),
+       |        z -> (z[1] - z[2]) * (z[1] - z[2]))), clabel) AS rn
+       |  FROM q, sub),
+       |recon AS (
+       |  SELECT vec_id, flatten(list(scvec ORDER BY j)) AS rvec
+       |  FROM codes WHERE rn = 1 GROUP BY vec_id),
+       |p AS (SELECT em AS pem, embedding AS probe FROM q WHERE vec_id = 0)
+       |SELECT q.vec_id AS vec_id, q.label AS label,
+       |  CAST(list_sum(list_transform(list_zip(p.pem, r.rvec),
+       |    z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS approx_dist,
+       |  ${scoreMicroSql("q.embedding", "p.probe")} AS score_micro
+       |FROM q JOIN recon r ON q.vec_id = r.vec_id, p
+       |WHERE q.vec_id <> 0
+       |ORDER BY approx_dist, q.vec_id LIMIT 10""".stripMargin)
+
   // ---------------------------------------------------------------- G6
   /** Per-label embedding centroids — the aggregation behind IVF coarse
     * quantizers, topic vectors, and class prototypes. Exactness
@@ -577,5 +693,6 @@ object Similarity {
     "s_knn_join" -> sKnnJoin,
     "s_knn_topk_agg" -> sKnnTopkAgg,
     "s_ann_ivf" -> sAnnIvf,
-    "s_ann_ivf_probe" -> sAnnIvfProbe)
+    "s_ann_ivf_probe" -> sAnnIvfProbe,
+    "s_ann_pq" -> sAnnPq)
 }

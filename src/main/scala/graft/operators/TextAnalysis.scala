@@ -202,44 +202,58 @@ object TextAnalysis {
     * winnowing — per-window min, distinct). The fingerprint set is
     * what plagiarism/near-dup detectors index; map-only + one window.
     */
-  val tFingerprint: Q = Q(
-    (s, dir) =>
-      // One-pass, map-only winnowing — NO shuffle of gram rows. The
-      // gram-hash array is bound ONCE as a lambda variable (the
-      // transform(array(x), h -> ...) idiom) so projection collapse
-      // cannot inline and recompute the md5 array per position — the
-      // r1 slice/array_min form did exactly that and cost 1335s at
-      // sf0.1. The sliding window-4 min is least() of 4 index-clamped
-      // element_at reads: O(len) per doc, zero slice allocations.
-      // Docs shorter than the gram width produce zero fingerprints
-      // (guard) — matching the oracle's empty range().
-      Tables.documents(s, dir)
-        .select(col("doc_id"), lower(col("text")).as("norm"))
-        .select(col("doc_id"), explode(expr(
-          """transform(
-            |  array(CASE WHEN char_length(norm) >= 8 THEN
-            |    transform(sequence(1, char_length(norm)-7),
-            |      i -> substr(md5(substring(norm, i, 8)), 1, 8))
-            |    ELSE array() END),
-            |  h -> CASE WHEN size(h) >= 1 THEN
-            |    array_distinct(transform(sequence(1, size(h)), i ->
-            |      least(element_at(h, i),
-            |            element_at(h, greatest(i-1, 1)),
-            |            element_at(h, greatest(i-2, 1)),
-            |            element_at(h, greatest(i-3, 1)))))
-            |    ELSE array() END)[0]""".stripMargin))
-          .as("fp_hash"))
-        .orderBy("doc_id", "fp_hash"),
-    """WITH g AS (
+  /** The winnowed (doc_id, fp_hash) relation — tFingerprint's body,
+    * shared with Dedup's span-level duplicate detector (F12).
+    */
+  private[graft] def fpRelation(s: SparkSession, dir: String): DataFrame =
+    // One-pass, map-only winnowing — NO shuffle of gram rows. The
+    // gram-hash array is bound ONCE as a lambda variable (the
+    // transform(array(x), h -> ...) idiom) so projection collapse
+    // cannot inline and recompute the md5 array per position — the
+    // r1 slice/array_min form did exactly that and cost 1335s at
+    // sf0.1. The sliding window-4 min is least() of 4 index-clamped
+    // element_at reads: O(len) per doc, zero slice allocations.
+    // Docs shorter than the gram width produce zero fingerprints
+    // (guard) — matching the oracle's empty range().
+    Tables.documents(s, dir)
+      .select(col("doc_id"), lower(col("text")).as("norm"))
+      .select(col("doc_id"), explode(expr(
+        """transform(
+          |  array(CASE WHEN char_length(norm) >= 8 THEN
+          |    transform(sequence(1, char_length(norm)-7),
+          |      i -> substr(md5(substring(norm, i, 8)), 1, 8))
+          |    ELSE array() END),
+          |  h -> CASE WHEN size(h) >= 1 THEN
+          |    array_distinct(transform(sequence(1, size(h)), i ->
+          |      least(element_at(h, i),
+          |            element_at(h, greatest(i-1, 1)),
+          |            element_at(h, greatest(i-2, 1)),
+          |            element_at(h, greatest(i-3, 1)))))
+          |    ELSE array() END)[0]""".stripMargin))
+        .as("fp_hash"))
+
+  /** DuckDB twin of [[fpRelation]], as CTE text (`g` + final select);
+    * callers embed it as `WITH $fpRelationCteSql` and select from
+    * `fp`.
+    */
+  private[graft] val fpRelationCteSql: String =
+    """g AS (
       |  SELECT doc_id, CAST(t.pos AS INT) AS pos,
       |    substr(md5(substring(norm, CAST(t.pos AS INT), 8)), 1, 8)
       |      AS gram_hash
       |  FROM (SELECT doc_id, lower(text) AS norm FROM documents),
-      |       unnest(range(1, length(norm) - 6)) AS t(pos))
-      |SELECT DISTINCT doc_id,
-      |  min(gram_hash) OVER (PARTITION BY doc_id ORDER BY pos
-      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp_hash
-      |FROM g ORDER BY doc_id, fp_hash""".stripMargin)
+      |       unnest(range(1, length(norm) - 6)) AS t(pos)),
+      |fp AS (
+      |  SELECT DISTINCT doc_id,
+      |    min(gram_hash) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp_hash
+      |  FROM g)""".stripMargin
+
+  val tFingerprint: Q = Q(
+    (s, dir) => fpRelation(s, dir).orderBy("doc_id", "fp_hash"),
+    s"""WITH $fpRelationCteSql
+       |SELECT doc_id, fp_hash FROM fp
+       |ORDER BY doc_id, fp_hash""".stripMargin)
 
   // ---------------------------------------------------------------- H5
   /** PII scrubbing — the redaction pass every training-data pipeline
@@ -527,7 +541,91 @@ object TextAnalysis {
         max("n_chars").as("max_chars"))
       .orderBy("source")
 
+  // --------------------------------------------------------------- H14
+  /** Temperature-based source mixing (the `p_s ∝ mass_s^α` resampling
+    * rule of multilingual/multi-source LLM corpora, α = 1/2): the
+    * per-source sampling PLAN — raw doc/char mass, the temperature
+    * weight, the target take, and the integer hash threshold that
+    * implements it. Exactness discipline: masses are BIGINT sums; the
+    * weight is `floor(sqrt(mass))` (one correctly-rounded IEEE sqrt of
+    * an exact integer — bit-identical on both engines); every division
+    * after that is integer floor division, so the plan is hash-exact
+    * with zero float-summation-order exposure. The target corpus is
+    * half the doc count, apportioned ∝ weight.
+    *
+    * `thresh_s` is the whole sampling rule: a doc is selected iff its
+    * 32-bit md5 hash is below it (see [[tMixSample]]). Precomputing
+    * the threshold per source keeps the per-doc decision one integer
+    * compare against a broadcast 20-row plan.
+    */
+  private val mixPlanCte: String =
+    """stats AS (
+      |  SELECT source, count(*) AS cnt_s, sum(n_chars) AS mass_s,
+      |    CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE))) AS BIGINT) AS w_s
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT sum(cnt_s) AS n_total, sum(w_s) AS w_total FROM stats),
+      |plan AS (
+      |  SELECT source, cnt_s, mass_s, w_s,
+      |    (n_total // 2) * w_s // w_total AS n_s,
+      |    ((n_total // 2) * w_s // w_total) * 4294967296 // cnt_s
+      |      AS thresh_s
+      |  FROM stats, tot)""".stripMargin
+
+  private def mixPlanDf(s: SparkSession, dir: String) = {
+    val stats = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("cnt_s"), sum("n_chars").as("mass_s"))
+      .withColumn("w_s",
+        floor(sqrt(col("mass_s").cast("double"))).cast("long"))
+    val tot = stats.agg(sum("cnt_s").as("n_total"), sum("w_s").as("w_total"))
+    stats.crossJoin(broadcast(tot))
+      .withColumn("n_s", expr("(n_total DIV 2) * w_s DIV w_total"))
+      .withColumn("thresh_s", expr("n_s * 4294967296 DIV cnt_s"))
+      .select("source", "cnt_s", "mass_s", "w_s", "n_s", "thresh_s")
+  }
+
+  val tMixPlan: Q = Q(
+    (s, dir) => mixPlanDf(s, dir).orderBy("source"),
+    s"""WITH $mixPlanCte
+       |SELECT source, CAST(cnt_s AS BIGINT) AS cnt_s,
+       |  CAST(mass_s AS BIGINT) AS mass_s, w_s,
+       |  CAST(n_s AS BIGINT) AS n_s, CAST(thresh_s AS BIGINT) AS thresh_s
+       |FROM plan ORDER BY source""".stripMargin)
+
+  /** The resampled corpus itself: H14's plan applied as a map-only
+    * selection — keep a doc iff its 32-bit id hash (md5, the H8
+    * idiom) falls below its source's precomputed threshold, i.e. a
+    * deterministic per-source Bernoulli at rate ≈ n_s/cnt_s with zero
+    * RNG, reproducible across runs, engines, and partitionings.
+    *
+    * Scale shape: the plan is #sources rows (broadcast); the corpus
+    * pass is one scan + one integer compare per doc — no shuffle of
+    * document rows at all. At 100 TB the selection cost is the scan,
+    * exactly like H8's stratified carve-out. Overflow ceiling: the
+    * threshold multiply is n_s·2³² < 2⁶³ ⇒ fine for any per-source
+    * take below 2³¹ docs (a single source larger than that splits
+    * into shards long before the sampler sees it).
+    */
+  val tMixSample: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .join(broadcast(mixPlanDf(s, dir).select("source", "thresh_s")),
+          "source")
+        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long") < col("thresh_s"))
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id"),
+    s"""WITH $mixPlanCte
+       |SELECT d.doc_id, d.source, d.lang, d.n_chars
+       |FROM documents d JOIN plan r ON d.source = r.source
+       |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+       |        AS BIGINT) < r.thresh_s
+       |ORDER BY d.doc_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "t_mix_plan" -> tMixPlan,
+    "t_mix_sample" -> tMixSample,
     "t_tokens" -> tTokens,
     "t_quality" -> tQuality,
     "t_langid" -> tLangid,

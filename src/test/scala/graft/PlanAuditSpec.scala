@@ -266,4 +266,29 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(SparkEntry.queries("t_fingerprint")(spark, sf))
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"))
   }
+
+  test("t_mix_sample: the plan joins broadcast; the corpus never sorts") {
+    // the 20-row sampling plan must reach the corpus scan as a
+    // broadcast — a shuffled join here would re-partition the whole
+    // corpus to apply a map-only integer compare
+    val df = SparkEntry.queries("t_mix_sample")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"sampling plan must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side must not shuffle for the plan join:\n$p")
+  }
+
+  test("s_ann_pq: encode is map-only, top-k tree-reduces") {
+    val df = SparkEntry.queries("s_ann_pq")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ADC top-k must tree-reduce, not globally sort:\n$p")
+    // PQ encode (argmin over the shipped codebook) is a projection —
+    // no join or shuffle may appear below the probe broadcast
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"PQ encode must stay map-only:\n$p")
+  }
 }

@@ -565,4 +565,98 @@ class QueriesSpec extends SparkSpec {
     assert(!scan.contains("ReadSchema: struct<doc_id:bigint,text:string,lang")
       || !scan.contains("n_chars"), "scan should not read unused columns")
   }
+
+  test("q_funnel: stage timestamps strictly ordered, stages monotone") {
+    val f = SparkEntry.queries("q_funnel")(spark, sf).cache()
+    // a reached stage's timestamp is strictly after the previous one
+    assert(f.filter(col("first_click").isNotNull &&
+      !(col("first_click") > col("first_view"))).count() === 0)
+    assert(f.filter(col("first_purchase").isNotNull &&
+      (col("first_click").isNull ||
+        !(col("first_purchase") > col("first_click")))).count() === 0)
+    // stage flag coheres with which timestamps are present
+    assert(f.filter(col("funnel_stage") === 1 &&
+      col("first_click").isNotNull).count() === 0)
+    assert(f.filter(col("funnel_stage") === 3 &&
+      col("first_purchase").isNull).count() === 0)
+    val Seq(s1, s2, s3) = Seq(1, 2, 3).map(k =>
+      f.filter(col("funnel_stage") >= k).count())
+    assert(s1 >= s2 && s2 >= s3 && s1 > 0, s"not monotone: $s1/$s2/$s3")
+    f.unpersist()
+  }
+
+  test("q_retention: offset-0 cells equal cohort sizes, Mondays only") {
+    val r = SparkEntry.queries("q_retention")(spark, sf).cache()
+    assert(r.filter(col("week_offset") < 0).count() === 0)
+    // ISO week truncation: every cohort week is a Monday (dayofweek=2)
+    assert(r.filter(dayofweek(col("cohort_week")) =!= 2).count() === 0)
+    // the signup event itself is activity at offset 0, so the offset-0
+    // cell must hold the entire cohort
+    val cohorts = Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("cd"))
+      .groupBy(date_trunc("week", col("cd").cast("timestamp")).cast("date")
+        .as("cohort_week"))
+      .agg(countDistinct("user_id").as("cohort_n"))
+    val mismatch = r.filter(col("week_offset") === 0)
+      .join(cohorts, "cohort_week")
+      .filter(col("n_users") =!= col("cohort_n")).count()
+    assert(mismatch === 0, "offset-0 retention cell lost cohort members")
+    r.unpersist()
+  }
+
+  test("t_mix_sample coheres with t_mix_plan and is deterministic") {
+    val plan = SparkEntry.queries("t_mix_plan")(spark, sf).cache()
+    val sel = SparkEntry.queries("t_mix_sample")(spark, sf).cache()
+    assert(sel.count() > 0)
+    // every selected doc is below its source's hash threshold
+    val offPlan = sel.join(plan, "source")
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long") >= col("thresh_s")).count()
+    assert(offPlan === 0, "selected doc above its source threshold")
+    // never selects more than the source holds; plan masses positive
+    assert(sel.groupBy("source").count().join(plan, "source")
+      .filter(col("count") > col("cnt_s")).count() === 0)
+    assert(plan.filter(col("w_s") <= 0 || col("thresh_s") < 0).count() === 0)
+    // zero-RNG selection: a second run is row-identical
+    val again = SparkEntry.queries("t_mix_sample")(spark, sf)
+    assert(sel.exceptAll(again).count() === 0 &&
+      again.exceptAll(sel).count() === 0)
+    plan.unpersist(); sel.unpersist()
+  }
+
+  test("d_span_dup: shared counts equal the exact fp intersection") {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = SparkEntry.queries("d_span_dup")(spark, sf)
+      .limit(5).collect()
+    assert(pairs.nonEmpty)
+    val capped = graft.operators.TextAnalysis.fpRelation(spark, sf)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp_hash")))
+      .filter(col("df") <= graft.operators.Dedup.MaxBucket)
+      .select("doc_id", "fp_hash").cache()
+    for (row <- pairs) {
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      assert(a < b, "pair not canonically ordered")
+      val inter = capped.filter(col("doc_id") === a)
+        .join(capped.filter(col("doc_id") === b), "fp_hash").count()
+      assert(inter === row.getAs[Long]("n_shared"),
+        s"pair ($a,$b): reported ${row.getAs[Long]("n_shared")}, exact $inter")
+    }
+    capped.unpersist()
+  }
+
+  test("s_ann_pq: ADC order sound, rerank exact, finds true neighbors") {
+    val pq = SparkEntry.queries("s_ann_pq")(spark, sf).collect()
+    assert(pq.length === 10)
+    val ad = pq.map(_.getAs[Long]("approx_dist"))
+    assert(ad.zip(ad.tail).forall { case (x, y) => x <= y },
+      "approx distances not ascending")
+    val brute = SparkEntry.queries("s_cosine_topk")(spark, sf).collect()
+    val top1 = brute.head.getAs[Long]("score_micro")
+    // the rerank is the exact kernel, so no PQ score can beat brute top-1
+    assert(pq.forall(_.getAs[Long]("score_micro") <= top1))
+    val overlap = pq.map(_.getAs[Long]("vec_id")).toSet
+      .intersect(brute.take(10).map(_.getAs[Long]("vec_id")).toSet)
+    assert(overlap.nonEmpty, "PQ top-10 shares nothing with brute top-10")
+  }
 }
