@@ -198,20 +198,26 @@ object Similarity {
     * micro-units. The capped relation is cached: it feeds both
     * self-join sides, so the plane dot products run once.
     */
+  val EmbedDupMinMicro = 350000L
+
+  /** The F6 near-dup pair relation (vec_a < vec_b, same capped cell,
+    * cosine ≥ threshold) — shared by F6's report and F14's clustering.
+    */
+  private def embedDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = cells(Tables.embeddings(s, dir)).cache()
+    val a = e.select(col("vec_id").as("vec_a"), col("bucket"),
+      col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("bucket"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("score_micro", nativeScoreMicro(s, "emb_a", "emb_b"))
+      .filter(col("score_micro") >= EmbedDupMinMicro)
+      .select(col("vec_a"), col("vec_b"), col("bucket"), col("score_micro"))
+  }
+
   val dEmbedDup: Q = Q(
-    (s, dir) => {
-      val e = cells(Tables.embeddings(s, dir)).cache()
-      val a = e.select(col("vec_id").as("vec_a"), col("bucket"),
-        col("embedding").as("emb_a"))
-      val b = e.select(col("vec_id").as("vec_b"), col("bucket"),
-        col("embedding").as("emb_b"))
-      a.join(b, Seq("bucket"))
-        .filter(col("vec_a") < col("vec_b"))
-        .withColumn("score_micro", nativeScoreMicro(s, "emb_a", "emb_b"))
-        .filter(col("score_micro") >= 350000L)
-        .select(col("vec_a"), col("vec_b"), col("bucket"), col("score_micro"))
-        .orderBy("vec_a", "vec_b")
-    },
+    (s, dir) => embedDupPairs(s, dir).orderBy("vec_a", "vec_b"),
     s"""WITH e AS (${cellsSql()})
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
        |  ${scoreMicroSql("a.embedding", "b.embedding")} AS score_micro
@@ -531,6 +537,56 @@ object Similarity {
        |FROM assigned, p WHERE vec_id <> 0 AND cell = pcell
        |ORDER BY score_micro DESC, vec_id LIMIT 10""".stripMargin)
 
+  // ---------------------------------------------------------------- F14
+  /** Semantic (embedding-space) dedup clustering — the SemDeDup shape:
+    * connected components over the F6 cosine near-dup pairs, so
+    * paraphrase/re-encode duplicates that share no literal n-grams
+    * still collapse into one cluster with a canonical (min vec_id)
+    * representative. Reuses [[Dedup.propagate]] — the bounded
+    * min-label propagation with per-round eager checkpoints and
+    * converge-early exit — over edges from the capped quantizer
+    * cells, so both the pair generation AND the clustering carry the
+    * same per-cell bounds as F6 (pair count tracks near-dup density,
+    * never corpus²). The oracle runs the same fixed-round propagation
+    * as F8's.
+    */
+  val dEmbedClusters: Q = Q(
+    (s, dir) => {
+      val p = embedDupPairs(s, dir).select("vec_a", "vec_b")
+      val edges = p.unionAll(p.select(col("vec_b").as("vec_a"),
+          col("vec_a").as("vec_b")))
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        .localCheckpoint(true)
+      val labels0 = edges.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+      Dedup.propagate(edges, labels0, Dedup.Iters)
+        .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
+        .orderBy("vec_id")
+    }, {
+      val iters = Dedup.Iters
+      val l = (1 to iters).map { i =>
+        s"""l$i AS (
+           |  SELECT l.vec_id, least(l.label, coalesce(
+           |    (SELECT min(l2.label) FROM edges e2
+           |     JOIN l${i - 1} l2 ON l2.vec_id = e2.vec_b
+           |     WHERE e2.vec_a = l.vec_id), l.label)) AS label
+           |  FROM l${i - 1} l)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (${cellsSql()}),
+         |p0 AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM e a JOIN e b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${scoreMicroSql("a.embedding", "b.embedding")}
+         |    >= $EmbedDupMinMicro),
+         |edges AS (SELECT vec_a, vec_b FROM p0
+         |          UNION ALL SELECT vec_b AS vec_a, vec_a AS vec_b FROM p0),
+         |l0 AS (SELECT DISTINCT vec_a AS vec_id, vec_a AS label FROM edges),
+         |$l
+         |SELECT vec_id, label AS cluster_id FROM l$iters
+         |ORDER BY vec_id""".stripMargin
+    })
+
   // ---------------------------------------------------------------- G9
   /** Product-quantization ANN (ADC) — the memory side of the 100 TB
     * ANN answer: IVF (G7/G8) bounds how much of the corpus a probe
@@ -694,5 +750,6 @@ object Similarity {
     "s_knn_topk_agg" -> sKnnTopkAgg,
     "s_ann_ivf" -> sAnnIvf,
     "s_ann_ivf_probe" -> sAnnIvfProbe,
-    "s_ann_pq" -> sAnnPq)
+    "s_ann_pq" -> sAnnPq,
+    "d_embed_clusters" -> dEmbedClusters)
 }

@@ -645,6 +645,41 @@ class QueriesSpec extends SparkSpec {
     capped.unpersist()
   }
 
+  test("d_incr_dedup: covers the whole batch, dups point at the index") {
+    val batch = SparkEntry.queries("d_incr_dedup")(spark, sf).cache()
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 4).count()
+    assert(batch.count() === expected, "incremental gate lost batch rows")
+    // dup targets live on the EXISTING side of the split, never in
+    // the batch itself
+    assert(batch.filter(col("dup_of").isNotNull &&
+      col("dup_of") % 5 === 4).count() === 0)
+    assert(batch.filter(col("is_dup") =!=
+      col("dup_of").isNotNull).count() === 0)
+    batch.unpersist()
+  }
+
+  test("d_embed_clusters: every near-dup pair lands in one cluster") {
+    val clusters = SparkEntry.queries("d_embed_clusters")(spark, sf).cache()
+    // min-label CC: a cluster id is the smallest member, so never
+    // exceeds its vec and is itself a clustered vec
+    assert(clusters.filter(col("cluster_id") > col("vec_id")).count() === 0)
+    val ids = clusters.select(col("cluster_id").as("vec_id")).distinct()
+    assert(ids.join(clusters, "vec_id").count() === ids.count(),
+      "cluster representative missing from its own cluster")
+    // THE defining property: both ends of every F6 pair share a cluster
+    val pairs = SparkEntry.queries("d_embed_dup")(spark, sf)
+      .select("vec_a", "vec_b")
+    val split = pairs
+      .join(clusters.select(col("vec_id").as("vec_a"),
+        col("cluster_id").as("ca")), "vec_a")
+      .join(clusters.select(col("vec_id").as("vec_b"),
+        col("cluster_id").as("cb")), "vec_b")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(split === 0, s"$split near-dup pairs split across clusters")
+    clusters.unpersist()
+  }
+
   test("s_ann_pq: ADC order sound, rerank exact, finds true neighbors") {
     val pq = SparkEntry.queries("s_ann_pq")(spark, sf).collect()
     assert(pq.length === 10)
