@@ -163,6 +163,18 @@ object Dedup {
     * recomputing it (measured 6s → 16s at sf0.1 when cached — the
     * cached relation also loses AQE's join-strategy freedom).
     */
+  /** The distinct-3-gram array as a map-only expression over `text` —
+    * usable on any doc relation, including a stream. The normalized
+    * text is bound once as a lambda variable (the fingerprint idiom)
+    * so projection collapse cannot re-derive it per gram position.
+    */
+  private[graft] def gramArrayCol: Column =
+    element_at(transform(array(lower(col("text"))), n =>
+      when(length(n) >= 3,
+        array_distinct(transform(sequence(lit(1), length(n) - 2),
+          i => n.substr(i, lit(3)))))
+        .otherwise(array().cast("array<string>"))), 1)
+
   private def gramArrays(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), lower(col("text")).as("norm"))
@@ -748,36 +760,74 @@ object Dedup {
         .select("doc_id", "band", "band_hash")
         .localCheckpoint(true))
 
+  /** The whole MinHash signature → banded hashes as ONE map-only
+    * expression over `text`: per band, the md5 of the comma-joined
+    * per-seed minima — byte-identical to [[bands]]'s aggregated form
+    * (same tokens, same seed order inside each band), but computable
+    * on a single row with no explode/groupBy. This is what lets the
+    * incremental gate run on a STREAM with zero state: a band
+    * signature is a per-row projection, not an aggregation. Tokens
+    * are bound once as a lambda variable; an empty token set yields
+    * no bands (matching the aggregated form, which emits no rows).
+    */
+  private[graft] def bandArrayCol: Column = {
+    val toks = array_distinct(filter(
+      split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))
+    element_at(transform(array(toks), tk =>
+      when(size(tk) >= 1,
+        transform(sequence(lit(0), lit(NumHashes / BandRows - 1)), b =>
+          struct(b.cast("long").as("band"),
+            md5(concat_ws(",",
+              transform(sequence(b * BandRows, b * BandRows + (BandRows - 1)),
+                sd => array_min(transform(tk,
+                  t => md5(concat(t, lit("#"), sd.cast("string"))))))))
+              .as("band_hash"))))
+        .otherwise(array().cast(
+          "array<struct<band:bigint,band_hash:string>>"))), 1)
+  }
+
+  /** The incremental gate over an arbitrary new-doc relation (batch
+    * carve or a stream's micro-batch): map-only band signatures →
+    * equi-join against the standing index → exact-Jaccard verify →
+    * one flagged row per input doc.
+    */
+  private[graft] def incrGate(s: SparkSession, newDocs: DataFrame,
+      dir: String): DataFrame = {
+    val newBands = newDocs
+      .select(col("doc_id"), explode(bandArrayCol).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.band_hash").as("band_hash"))
+    val cand = newBands
+      .join(bandIndex(s, dir)
+          .select(col("doc_id").as("old_id"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select(col("doc_id").as("new_id"), col("old_id"))
+      .distinct()
+    val newGrams = newDocs
+      .select(col("doc_id").as("new_id"), gramArrayCol.as("g_a"))
+    val oldGrams = gramArrays(s, dir).filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id").as("old_id"), col("grams").as("g_b"))
+    val dups = cand
+      .join(newGrams, Seq("new_id"))
+      .join(oldGrams, Seq("old_id"))
+      .select(col("new_id"), col("old_id"),
+        size(expr("array_intersect(g_a, g_b)")).cast("long").as("inter"),
+        size(col("g_a")).cast("long").as("n_a"),
+        size(col("g_b")).cast("long").as("n_b"))
+      .filter(expr(s"(inter * 10000) DIV (n_a + n_b - inter)" +
+        s" >= $ClusterMinBp"))
+      .groupBy("new_id")
+      .agg(min("old_id").as("dup_of"))
+    newDocs
+      .join(dups, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
   val dIncrDedup: Q = Q(
-    (s, dir) => {
-      val newBands = bands(s, dir).filter(col("doc_id") % 5 === 4)
-      val cand = newBands
-        .join(bandIndex(s, dir)
-            .select(col("doc_id").as("old_id"), col("band"), col("band_hash")),
-          Seq("band", "band_hash"))
-        .select(col("doc_id").as("new_id"), col("old_id"))
-        .distinct()
-      val garr = gramArrays(s, dir)
-      val dups = cand
-        .join(garr.select(col("doc_id").as("new_id"), col("grams").as("g_a")),
-          Seq("new_id"))
-        .join(garr.select(col("doc_id").as("old_id"), col("grams").as("g_b")),
-          Seq("old_id"))
-        .select(col("new_id"), col("old_id"),
-          size(expr("array_intersect(g_a, g_b)")).cast("long").as("inter"),
-          size(col("g_a")).cast("long").as("n_a"),
-          size(col("g_b")).cast("long").as("n_b"))
-        .filter(expr(s"(inter * 10000) DIV (n_a + n_b - inter)" +
-          s" >= $ClusterMinBp"))
-        .groupBy("new_id")
-        .agg(min("old_id").as("dup_of"))
-      Tables.documents(s, dir)
-        .filter(col("doc_id") % 5 === 4)
-        .join(dups, col("doc_id") === col("new_id"), "left")
-        .select(col("doc_id"), col("source"), col("n_chars"), col("dup_of"),
-          col("dup_of").isNotNull.as("is_dup"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => incrGate(s,
+      Tables.documents(s, dir).filter(col("doc_id") % 5 === 4), dir)
+      .orderBy("doc_id"),
     s"""WITH b AS ($bandsSql),
        |idx AS (
        |  SELECT doc_id, band, band_hash FROM (

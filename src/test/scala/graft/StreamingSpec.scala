@@ -210,6 +210,45 @@ class StreamingSpec extends SparkSpec {
       "in-flight curated set must equal the batch capstone's")
   }
 
+  test("F13 incremental dedup gates a document stream against the " +
+    "standing index, micro-batch == ingest batch") {
+    // the production shape of d_incr_dedup: the historical band index
+    // is a compiled lake artifact; each arriving micro-batch IS an
+    // ingest batch, gated inside foreachBatch with the same map-only
+    // band expression + index join as the batch query — no stream
+    // state, and the union of all micro-batch verdicts must equal the
+    // batch gate's output flag-for-flag
+    val in = tempDir("graft_incr_in")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$in/documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val acc = new scala.collection.mutable.ArrayBuffer[
+      (Long, Option[Long], Boolean)]()
+    val q = spark.readStream
+      .schema(Tables.documents(spark, sf).schema)
+      .parquet(in)
+      .filter(col("doc_id") % 5 === 4)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val flagged = graft.operators.Dedup.incrGate(spark, b, sf).collect()
+        acc.synchronized {
+          acc ++= flagged.map(r => (r.getLong(0),
+            Option(r.get(3)).map(_.asInstanceOf[Long]),
+            r.getBoolean(4)))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val streamed = acc.toSet
+    val batch = SparkEntry.queries("d_incr_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getBoolean(4))).toSet
+    assert(streamed === batch,
+      "in-flight dup verdicts must equal the batch gate's")
+  }
+
   test("D9 dropDuplicatesWithinWatermark removes replayed rows") {
     val in = tempDir("graft_ddw_in")
     // stage the SAME events twice: every event_id arrives duplicated
