@@ -570,7 +570,40 @@ object Analytics {
       |WHERE act_date >= cohort_date
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  // ---------------------------------------------------------------- E15
+  /** Fixed-bucket value histogram per event type — the distribution
+    * panel every monitoring dashboard reads. Buckets are pure integer
+    * arithmetic on cents (`least(vc DIV 1000, 9)`: 10 buckets of
+    * $10, top bucket open) — no float binning, no width_bucket
+    * dialect differences, hash-exact. One map-side-combinable
+    * aggregation; bucket bounds are emitted so the report is
+    * self-describing.
+    */
+  val qHistogram: Q = Q(
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), cents(dec2(col("value"))).as("vc"))
+        .withColumn("bucket",
+          least(expr("vc DIV 1000"), lit(9L)).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n_events"),
+          min("vc").as("min_cents"), max("vc").as("max_cents"))
+        .withColumn("bucket_lo_cents", col("bucket") * 1000L)
+        .orderBy("event_type", "bucket"),
+    """SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_events,
+      |  min(vc) AS min_cents, max(vc) AS max_cents,
+      |  bucket * 1000 AS bucket_lo_cents
+      |FROM (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc,
+      |    least(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 1000,
+      |      9) AS bucket
+      |  FROM events)
+      |GROUP BY event_type, bucket
+      |ORDER BY event_type, bucket""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "q_histogram" -> qHistogram,
     "q_funnel" -> qFunnel,
     "q_retention" -> qRetention,
     "q_pivot" -> qPivot,

@@ -71,7 +71,7 @@ object Dedup {
        |ORDER BY doc_id, seed""".stripMargin)
 
   /** Band rows: signature sliced into bands, each band hashed. */
-  private def bands(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bands(s: SparkSession, dir: String): DataFrame =
     minhashSig(s, dir)
       .withColumn("band", floor(col("seed") / BandRows).cast("long"))
       .groupBy("doc_id", "band")

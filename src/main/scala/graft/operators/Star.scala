@@ -759,7 +759,52 @@ object Star {
        |ORDER BY reported_id, reporting_id, region_id, manual_detect"""
       .stripMargin)
 
+  // --------------------------------------------------------------- C16
+  /** SCD Type-2 historization — the lakehouse answer to the
+    * reference's in-place dimension UPDATE (`player.py:55-72`
+    * overwrites `updated_at`; an auditable warehouse keeps every
+    * version with a validity interval instead). Each user's event
+    * stream collapses into state rows: a new version opens whenever
+    * the observed state (event_type here) CHANGES, `valid_from` = the
+    * change timestamp, `valid_to` = the next change (NULL = current
+    * version — the open row a point-in-time join probes).
+    *
+    * Shape: one lag to detect changes + one lead over the surviving
+    * change rows, both windows partitioned by `user_id` — never
+    * global; state per user is one row, and at 100 TB the dim
+    * history shuffles once on the same key the dim is stored under.
+    */
+  val rDimScd2: Q = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ch = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts"), col("event_id"))
+        .withColumn("prev", lag("state", 1).over(w))
+        .filter(col("prev").isNull || col("state") =!= col("prev"))
+      val w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ch.withColumn("valid_to", lead("ts", 1).over(w2))
+        .select(col("user_id"), col("state"), col("ts").as("valid_from"),
+          col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "state")
+    },
+    """WITH ch AS (
+      |  SELECT user_id, event_type AS state, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events)
+      |SELECT user_id, state, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS valid_to,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    IS NULL AS is_current
+      |FROM ch WHERE prev IS NULL OR state <> prev
+      |ORDER BY user_id, valid_from, state""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "r_dim_scd2" -> rDimScd2,
     "q_heatmap" -> qHeatmap,
     "q_heatmap_daily" -> qHeatmapDaily,
     "q_world_stats" -> qWorldStats,

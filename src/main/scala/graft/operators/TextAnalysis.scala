@@ -623,7 +623,52 @@ object TextAnalysis {
        |        AS BIGINT) < r.thresh_s
        |ORDER BY d.doc_id""".stripMargin)
 
+  // --------------------------------------------------------------- H15
+  /** Character-diversity Gini impurity — the no-logarithm cousin of
+    * character entropy (libm `log` is NOT guaranteed correctly
+    * rounded, so an entropy oracle could drift cross-engine; Gini is
+    * pure integer arithmetic): 1 − Σ(c/N)² over per-character counts,
+    * emitted in basis points as `(N² − Σc²)·10⁴ DIV N²`. Low impurity
+    * = few distinct characters dominating = repetitive/degenerate
+    * text — the cheap corpus-quality signal next to H11's token-level
+    * repetition flags. Same two-level aggregation shape as H11: the
+    * (doc, char) partial counts combine map-side and the per-doc
+    * rollup reuses the partitioning — one exchange total.
+    */
+  val tCharGini: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy("doc_id", "ch")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_chars_counted"),
+          sum(col("c") * col("c")).as("sum_sq"),
+          count(lit(1)).as("n_distinct_chars"))
+        .select(col("doc_id"), col("n_chars_counted"),
+          col("n_distinct_chars"),
+          expr("(n_chars_counted * n_chars_counted - sum_sq) * 10000" +
+            " DIV (n_chars_counted * n_chars_counted)").as("gini_bp"))
+        .orderBy("doc_id"),
+    """SELECT doc_id, n_chars_counted, n_distinct_chars,
+      |  (n_chars_counted * n_chars_counted - sum_sq) * 10000
+      |    // (n_chars_counted * n_chars_counted) AS gini_bp
+      |FROM (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_counted,
+      |    CAST(sum(c * c) AS BIGINT) AS sum_sq,
+      |    CAST(count(*) AS BIGINT) AS n_distinct_chars
+      |  FROM (
+      |    SELECT doc_id, ch, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+      |      FROM documents)
+      |    WHERE ch <> '' GROUP BY doc_id, ch)
+      |  GROUP BY doc_id)
+      |ORDER BY doc_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "t_char_gini" -> tCharGini,
     "t_mix_plan" -> tMixPlan,
     "t_mix_sample" -> tMixSample,
     "t_tokens" -> tTokens,

@@ -283,4 +283,19 @@ class OperatorsSpec extends SparkSpec {
     val up = JdbcSink.upsertSql("report", Seq("a", "b", "c"), Seq("a"))
     assert(up.contains("ON DUPLICATE KEY UPDATE b = VALUES(b), c = VALUES(c)"))
   }
+
+  test("bandArrayCol ≡ aggregated band rows over the whole corpus") {
+    // the map-only per-row band signature (what the streaming gate
+    // uses) must be byte-identical to the explode→groupBy form (what
+    // the standing index is built from) — same tokens, same per-band
+    // seed order, same md5 input string
+    val viaExpr = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(Dedup.bandArrayCol).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.band_hash").as("band_hash"))
+    val viaAgg = Dedup.bands(spark, sf)
+    assert(viaExpr.exceptAll(viaAgg).count() === 0 &&
+      viaAgg.exceptAll(viaExpr).count() === 0,
+      "map-only band signature diverged from the aggregated form")
+  }
 }

@@ -680,6 +680,41 @@ class QueriesSpec extends SparkSpec {
     clusters.unpersist()
   }
 
+  test("r_dim_scd2: versions tile each user's history exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val scd = SparkEntry.queries("r_dim_scd2")(spark, sf).cache()
+    // exactly one open (current) version per user
+    val multiOpen = scd.filter(col("is_current"))
+      .groupBy("user_id").count().filter(col("count") =!= 1).count()
+    assert(multiOpen === 0, "a user has zero or several current versions")
+    // consecutive versions abut: valid_to == next valid_from, and the
+    // state actually changes at each boundary
+    val w = Window.partitionBy("user_id").orderBy("valid_from")
+    val bad = scd
+      .withColumn("next_from", lead("valid_from", 1).over(w))
+      .withColumn("next_state", lead("state", 1).over(w))
+      .filter(col("next_from").isNotNull &&
+        (col("valid_to") =!= col("next_from") ||
+          col("state") === col("next_state")))
+      .count()
+    assert(bad === 0, "SCD2 intervals overlap, gap, or repeat a state")
+    scd.unpersist()
+  }
+
+  test("q_histogram: buckets bounded, masses add up to the corpus") {
+    val h = SparkEntry.queries("q_histogram")(spark, sf).cache()
+    assert(h.filter(col("bucket") < 0 || col("bucket") > 9).count() === 0)
+    // closed buckets hold only in-range cents; the top bucket is open
+    assert(h.filter(col("bucket") < 9 &&
+      (col("min_cents") < col("bucket_lo_cents") ||
+        col("max_cents") >= col("bucket_lo_cents") + 1000)).count() === 0)
+    assert(h.filter(col("bucket") === 9 &&
+      col("min_cents") < 9000).count() === 0)
+    val total = h.agg(sum("n_events")).head().getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+    h.unpersist()
+  }
+
   test("s_ann_pq: ADC order sound, rerank exact, finds true neighbors") {
     val pq = SparkEntry.queries("s_ann_pq")(spark, sf).collect()
     assert(pq.length === 10)
