@@ -267,6 +267,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"))
   }
 
+  test("r_dim_scd2: both windows partition by user_id, never global") {
+    val p = plan(SparkEntry.queries("r_dim_scd2")(spark, sf))
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, "SCD2 needs its lag/lead windows")
+    assert(winLines.forall(_.contains("user_id")),
+      s"a window lost its user_id partitioning:\n${winLines.mkString("\n")}")
+  }
+
+  test("q_funnel: every stage joins/aggregates on user_id, no cartesian") {
+    val df = SparkEntry.queries("q_funnel")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel must stay equi-joined on the user key:\n$p")
+  }
+
   test("t_mix_sample: the plan joins broadcast; the corpus never sorts") {
     // the 20-row sampling plan must reach the corpus scan as a
     // broadcast — a shuffled join here would re-partition the whole
