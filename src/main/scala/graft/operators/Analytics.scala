@@ -602,7 +602,40 @@ object Analytics {
       |GROUP BY event_type, bucket
       |ORDER BY event_type, bucket""".stripMargin)
 
+  // ---------------------------------------------------------------- E16
+  /** Spend-quartile assignment per user (`ntile(4)` over total spend,
+    * ties broken by user_id for a total deterministic order) — the
+    * segmentation read behind "top-quartile users". ntile semantics
+    * (larger remainder buckets first) are ANSI-identical across
+    * engines given the total order. The window is global but over the
+    * ALREADY-AGGREGATED per-user relation (|users| rows, not events)
+    * — the aggregation shuffles on user_id, the ranking sorts the
+    * small rollup; at 100 TB with billions of users you'd swap the
+    * exact ntile for approx_percentile cut points in the same shape
+    * as H9's twin.
+    */
+  val wNtile: Q = Q(
+    (s, dir) => {
+      val w = Window.orderBy(col("spend_cents").desc, col("user_id"))
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(cents(sum(dec2(col("value")))).as("spend_cents"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .orderBy(col("quartile"), col("spend_cents").desc, col("user_id"))
+    },
+    """SELECT user_id,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+      |    AS spend_cents,
+      |  CAST(ntile(4) OVER (ORDER BY
+      |    sum(CAST(value AS DECIMAL(12,2))) * 100 DESC, user_id)
+      |    AS BIGINT) AS quartile
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id
+      |ORDER BY quartile, spend_cents DESC, user_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "w_ntile" -> wNtile,
     "q_histogram" -> qHistogram,
     "q_funnel" -> qFunnel,
     "q_retention" -> qRetention,

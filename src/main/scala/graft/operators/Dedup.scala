@@ -721,6 +721,78 @@ object Dedup {
        |WHERE NOT ($inEvalSampleSql)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  // ---------------------------------------------------------------- F15
+  /** The MinHash ESTIMATOR itself, next to the exact verify it
+    * replaces at scale: for each LSH candidate pair, the fraction of
+    * agreeing signature slots estimates Jaccard (E[agree/k] = J — the
+    * defining property of MinHash), emitted in basis points beside
+    * the exact n-gram-set Jaccard so the estimator's error is a
+    * first-class, oracle-checked column. At 100 TB the exact verify
+    * (gram-array intersection) is the expensive stage; this query is
+    * the evidence for when `est_bp` alone (k=16 ⇒ σ ≤ 1250 bp) can
+    * gate instead. Signature agreement is one equi-join on
+    * (doc pair) over the already-aggregated signature rows — k rows
+    * per doc, never the token relation.
+    *
+    * Estimator-vs-truth caveat stated honestly: signatures hash word
+    * shingles, the exact verify uses char 3-grams — the two measure
+    * slightly different set families, so the spec pins rank
+    * agreement and bounded mean error, not per-pair equality.
+    */
+  val dMinhashEst: Q = Q(
+    (s, dir) => {
+      val sig = minhashSig(s, dir)
+      val cand = lshCandidates(s, dir).select("doc_a", "doc_b")
+      val eq = cand
+        .join(sig.select(col("doc_id").as("doc_a"), col("seed"),
+          col("mh").as("mh_a")), Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("seed"),
+          col("mh").as("mh_b")), Seq("doc_b", "seed"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))
+          .as("n_agree"))
+        .withColumn("est_bp", expr(s"n_agree * 10000 DIV $NumHashes"))
+      val garr = gramArrays(s, dir)
+      eq.join(garr.select(col("doc_id").as("doc_a"), col("grams").as("g_a")),
+          Seq("doc_a"))
+        .join(garr.select(col("doc_id").as("doc_b"), col("grams").as("g_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_agree"), col("est_bp"),
+          size(expr("array_intersect(g_a, g_b)")).cast("long").as("inter"),
+          (size(col("g_a")) + size(col("g_b"))).cast("long").as("sz_sum"))
+        .withColumn("jaccard_bp",
+          expr("inter * 10000 DIV (sz_sum - inter)"))
+        .select("doc_a", "doc_b", "n_agree", "est_bp", "jaccard_bp")
+        .orderBy("doc_a", "doc_b")
+    },
+    s"""WITH cand AS (SELECT doc_a, doc_b FROM ($lshCandidatesSql)),
+       |sig AS ($minhashSigSql),
+       |eq AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_agree
+       |  FROM cand c
+       |  JOIN sig a ON a.doc_id = c.doc_a
+       |  JOIN sig b ON b.doc_id = c.doc_b AND b.seed = a.seed
+       |  GROUP BY c.doc_a, c.doc_b),
+       |g AS ($gramsSql),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g
+       |       GROUP BY doc_id),
+       |inter AS (
+       |  SELECT e.doc_a, e.doc_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM eq e JOIN g a ON a.doc_id = e.doc_a
+       |  JOIN g b ON b.doc_id = e.doc_b AND b.gram = a.gram
+       |  GROUP BY e.doc_a, e.doc_b)
+       |SELECT e.doc_a, e.doc_b, e.n_agree,
+       |  e.n_agree * 10000 // $NumHashes AS est_bp,
+       |  coalesce(i.inter, 0) * 10000
+       |    // (sa.n + sb.n - coalesce(i.inter, 0)) AS jaccard_bp
+       |FROM eq e
+       |LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+       |JOIN sz sa ON sa.doc_id = e.doc_a
+       |JOIN sz sb ON sb.doc_id = e.doc_b
+       |ORDER BY e.doc_a, e.doc_b""".stripMargin)
+
   // ---------------------------------------------------------------- F13
   /** Incremental dedup — the shape a LIVE corpus actually runs: the
     * historical corpus is already indexed (its capped LSH band rows, a
@@ -913,6 +985,7 @@ object Dedup {
   val registry: Map[String, Q] = Map(
     "d_span_dup" -> dSpanDup,
     "d_incr_dedup" -> dIncrDedup,
+    "d_minhash_est" -> dMinhashEst,
     "d_contaminate" -> dContaminate,
     "d_contaminate_bloom" -> dContaminateBloom,
     "d_curate_corpus" -> dCurateCorpus,

@@ -339,4 +339,60 @@ object ReportStream {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(12,2)")).cast("decimal(18,2)")
           .as("sum_value"))
+
+  /** Per-user funnel progress (µs epochs; None = stage not reached). */
+  final case class FunnelState(firstView: Option[Long],
+      firstClick: Option[Long], firstPurchase: Option[Long])
+  final case class FunnelRow(userId: Long, firstView: Option[Long],
+      firstClick: Option[Long], firstPurchase: Option[Long], stage: Long)
+
+  /** D17: the E13 conversion funnel as an ALWAYS-ON state machine —
+    * per-user state is exactly three optional timestamps (the same
+    * bound as the batch query's aggregation state), advanced by
+    * `flatMapGroupsWithState` as events arrive, emitting the user's
+    * refreshed funnel row on every change (Update mode; a dashboard
+    * sink upserts by user_id). Events are sorted by (ts, event_id)
+    * WITHIN each micro-batch before folding; transitions are monotone
+    * (each stage only ever moves earlier or fills in), so replaying a
+    * batch converges to the same state. State never times out here —
+    * a production deployment bounds it with an event-time timeout at
+    * the funnel's attribution horizon.
+    */
+  def streamingFunnel(events: DataFrame): Dataset[FunnelRow] = {
+    val s = events.sparkSession
+    import s.implicits._
+    graft.Tables.nanosToTimestamp(events)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("event_id"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[(Long, Long, String, Long)],
+            state: GroupState[FunnelState]) => {
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          val before = st
+          rows.toSeq.sortBy(r => (r._2, r._4)).foreach { case (_, us, t, _) =>
+            t match {
+              case "view" if st.firstView.forall(us < _) =>
+                st = FunnelState(Some(us), st.firstClick, st.firstPurchase)
+              case "click" if st.firstView.exists(us > _) &&
+                  st.firstClick.forall(us < _) =>
+                st = FunnelState(st.firstView, Some(us), st.firstPurchase)
+              case "purchase" if st.firstClick.exists(us > _) &&
+                  st.firstPurchase.forall(us < _) =>
+                st = FunnelState(st.firstView, st.firstClick, Some(us))
+              case _ =>
+            }
+          }
+          if (st == before && state.exists) Iterator.empty
+          else {
+            state.update(st)
+            val stage = 1L + st.firstClick.size + st.firstPurchase.size
+            if (st.firstView.isEmpty) Iterator.empty
+            else Iterator(FunnelRow(uid, st.firstView, st.firstClick,
+              st.firstPurchase, stage))
+          }
+        })
+  }
 }

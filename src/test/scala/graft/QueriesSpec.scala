@@ -715,6 +715,32 @@ class QueriesSpec extends SparkSpec {
     h.unpersist()
   }
 
+  test("d_minhash_est: the estimator tracks true word-set Jaccard") {
+    // the MinHash contract is E[agree/k] = J over the hashed set
+    // family (word shingles) — so the pin is against exact WORD-set
+    // Jaccard, not the char-3-gram verify column (different family,
+    // systematically higher on near-dups). k=16 ⇒ σ ≤ 1250 bp; 5000
+    // bp = 4σ per pair.
+    val est = SparkEntry.queries("d_minhash_est")(spark, sf)
+      .limit(20).collect()
+    assert(est.nonEmpty)
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "").distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet)
+      .toMap
+    for (r <- est) {
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val estBp = r.getAs[Long]("est_bp")
+      assert(estBp >= 0 && estBp <= 10000)
+      val (sa, sb) = (toks(a), toks(b))
+      val j = sa.intersect(sb).size * 10000L / sa.union(sb).size
+      assert(math.abs(estBp - j) <= 5000,
+        s"pair ($a,$b): est $estBp vs true word Jaccard $j")
+    }
+  }
+
   test("s_ann_pq: ADC order sound, rerank exact, finds true neighbors") {
     val pq = SparkEntry.queries("s_ann_pq")(spark, sf).collect()
     assert(pq.length === 10)

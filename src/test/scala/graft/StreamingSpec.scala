@@ -249,6 +249,32 @@ class StreamingSpec extends SparkSpec {
       "in-flight dup verdicts must equal the batch gate's")
   }
 
+  test("D17 streaming funnel state machine matches the batch funnel") {
+    val in = tempDir("graft_funnel_in")
+    stageEvents(in)
+    val src = ReportStream.fileSource(spark, in, Tables.eventsRaw(spark, sf))
+    val q = ReportStream.streamingFunnel(src)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    // one file ⇒ one micro-batch ⇒ exactly one (final) row per user
+    val streamed = spark.table("funnel_stream")
+      .select("userId", "firstView", "firstClick", "firstPurchase", "stage")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getLong(4))).toSet
+    val batch = SparkEntry.queries("q_funnel")(spark, sf)
+      .select(col("user_id"), unix_micros(col("first_view")),
+        unix_micros(col("first_click")), unix_micros(col("first_purchase")),
+        col("funnel_stage"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getLong(4))).toSet
+    assert(streamed === batch,
+      "streaming funnel state diverged from the batch funnel")
+  }
+
   test("D9 dropDuplicatesWithinWatermark removes replayed rows") {
     val in = tempDir("graft_ddw_in")
     // stage the SAME events twice: every event_id arrives duplicated
