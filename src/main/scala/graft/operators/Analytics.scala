@@ -634,7 +634,40 @@ object Analytics {
       |GROUP BY user_id
       |ORDER BY quartile, spend_cents DESC, user_id""".stripMargin)
 
+  // ---------------------------------------------------------------- E17
+  /** Trailing-hour activity per event — the RANGE-frame window (value
+    * ranges, not row counts: `RANGE BETWEEN <1h of µs> PRECEDING AND
+    * CURRENT ROW`), the frame type behind rate-limiting, rolling
+    * velocity, and fraud-burst features. Stated over exact integer
+    * microseconds on both engines so frame membership is bit-exact;
+    * RANGE includes all ts-peers symmetrically, so the result is
+    * deterministic regardless of peer order. Key-partitioned window,
+    * one shuffle on user_id.
+    */
+  val wTrailing: Q = Q(
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3599999999L, 0)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), dec2(col("value")).as("v"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("cents_1h", cents(sum("v").over(w)))
+        .select("event_id", "user_id", "us", "n_1h", "cents_1h")
+        .orderBy("event_id")
+    },
+    """SELECT event_id, user_id, epoch_us(ts) AS us,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w * 100 AS BIGINT)
+      |    AS cents_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "w_trailing" -> wTrailing,
     "w_ntile" -> wNtile,
     "q_histogram" -> qHistogram,
     "q_funnel" -> qFunnel,

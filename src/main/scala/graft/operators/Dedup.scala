@@ -741,7 +741,9 @@ object Dedup {
     */
   val dMinhashEst: Q = Q(
     (s, dir) => {
-      val sig = minhashSig(s, dir)
+      // cached: the k-row-per-doc signature relation feeds BOTH pair
+      // sides; without it the tokens->minhash subplan runs twice
+      val sig = minhashSig(s, dir).cache()
       val cand = lshCandidates(s, dir).select("doc_a", "doc_b")
       val eq = cand
         .join(sig.select(col("doc_id").as("doc_a"), col("seed"),

@@ -774,22 +774,23 @@ object Star {
     * global; state per user is one row, and at 100 TB the dim
     * history shuffles once on the same key the dim is stored under.
     */
+  private def scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ch = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts"), col("event_id"))
+      .withColumn("prev", lag("state", 1).over(w))
+      .filter(col("prev").isNull || col("state") =!= col("prev"))
+    val w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch.withColumn("valid_to", lead("ts", 1).over(w2))
+      .select(col("user_id"), col("state"), col("ts").as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   val rDimScd2: Q = Q(
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val ch = Tables.events(s, dir)
-        .select(col("user_id"), col("event_type").as("state"),
-          col("ts"), col("event_id"))
-        .withColumn("prev", lag("state", 1).over(w))
-        .filter(col("prev").isNull || col("state") =!= col("prev"))
-      val w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      ch.withColumn("valid_to", lead("ts", 1).over(w2))
-        .select(col("user_id"), col("state"), col("ts").as("valid_from"),
-          col("valid_to"),
-          col("valid_to").isNull.as("is_current"))
-        .orderBy("user_id", "valid_from", "state")
-    },
+    (s, dir) => scd2(s, dir).orderBy("user_id", "valid_from", "state"),
     """WITH ch AS (
       |  SELECT user_id, event_type AS state, ts, event_id,
       |    lag(event_type) OVER (PARTITION BY user_id
@@ -803,7 +804,54 @@ object Star {
       |FROM ch WHERE prev IS NULL OR state <> prev
       |ORDER BY user_id, valid_from, state""".stripMargin)
 
+  // --------------------------------------------------------------- C17
+  /** Point-in-time join over the SCD2 dimension — the read C16 exists
+    * FOR: each purchase resolved against the user's dim version VALID
+    * AT the purchase timestamp (`valid_from ≤ ts < valid_to`, open
+    * row = NULL `valid_to`), i.e. "what state was this user in when
+    * they bought". The user-id equality makes it a plain shuffled
+    * equi-join with the interval as a post-condition — per-key work
+    * bounded by that user's version count (E10's argument), and SCD2
+    * intervals tile (spec-pinned in C16), so exactly ONE version
+    * matches per event: the join is provably 1:1, no dedup pass.
+    */
+  val qPitJoin: Q = Q(
+    (s, dir) => {
+      val p = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value"))
+      val dim = scd2(s, dir)
+        .select(col("user_id").as("d_uid"), col("state"),
+          col("valid_from"), col("valid_to"))
+      p.join(dim,
+          col("user_id") === col("d_uid") &&
+            col("ts") >= col("valid_from") &&
+            (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("state").as("state_at_purchase"))
+        .orderBy("event_id")
+    },
+    """WITH ch AS (
+      |  SELECT user_id, event_type AS state, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |scd AS (
+      |  SELECT user_id, state, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS valid_to
+      |  FROM ch WHERE prev IS NULL OR state <> prev)
+      |SELECT e.event_id, e.user_id, e.ts,
+      |  d.state AS state_at_purchase
+      |FROM events e JOIN scd d
+      |  ON e.user_id = d.user_id AND e.ts >= d.valid_from
+      |  AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY e.event_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "q_pit_join" -> qPitJoin,
     "r_dim_scd2" -> rDimScd2,
     "q_heatmap" -> qHeatmap,
     "q_heatmap_daily" -> qHeatmapDaily,

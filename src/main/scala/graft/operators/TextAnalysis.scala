@@ -667,7 +667,65 @@ object TextAnalysis {
       |  GROUP BY doc_id)
       |ORDER BY doc_id""".stripMargin)
 
+  // --------------------------------------------------------------- H16
+  /** Out-of-vocabulary rate — the no-logarithm cousin of a unigram
+    * LM's perplexity (both score "how surprising are this doc's
+    * tokens", but −Σlog p needs libm `log`, which is not correctly
+    * rounded ⇒ un-oracle-able; the OOV share is pure integer): the
+    * corpus top-[[OovVocabK]] vocabulary is LEARNED first (one
+    * map-side-combined count + TakeOrdered — H7's shape), then every
+    * doc reports the share of its token INSTANCES outside it, in
+    * basis points. High OOV = gibberish, rare-language, or heavy
+    * jargon — the standard cheap LM-quality proxy.
+    *
+    * Scale shape: the vocab is a K-row learned artifact (broadcast —
+    * the same train-then-ship stance as the IVF codebook); the doc
+    * pass is explode → broadcast left-join → per-doc count, one
+    * exchange on doc_id.
+    */
+  val OovVocabK = 100
+
+  val tOov: Q = Q(
+    (s, dir) => {
+      val toksRel = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(toks(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val vocab = toksRel.groupBy("tok")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(OovVocabK)
+        .select(col("tok"), lit(1L).as("in_vocab"))
+      toksRel.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+            .as("n_oov"))
+        .withColumn("oov_bp", expr("n_oov * 10000 DIV n_tokens"))
+        .orderBy("doc_id")
+    },
+    s"""WITH t AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |    FROM documents) WHERE tok <> ''),
+       |vocab AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, count(*) AS n FROM t GROUP BY tok
+       |    ORDER BY n DESC, tok LIMIT $OovVocabK)),
+       |scored AS (
+       |  SELECT t.doc_id, count(*) AS n_tokens,
+       |    sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+       |  FROM t LEFT JOIN vocab v ON v.tok = t.tok
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_oov AS BIGINT) AS n_oov,
+       |  CAST(n_oov AS BIGINT) * 10000 // CAST(n_tokens AS BIGINT)
+       |    AS oov_bp
+       |FROM scored ORDER BY doc_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "t_oov" -> tOov,
     "t_char_gini" -> tCharGini,
     "t_mix_plan" -> tMixPlan,
     "t_mix_sample" -> tMixSample,

@@ -715,6 +715,40 @@ class QueriesSpec extends SparkSpec {
     h.unpersist()
   }
 
+  test("q_pit_join: exactly one SCD2 version resolves per purchase") {
+    val pit = SparkEntry.queries("q_pit_join")(spark, sf).cache()
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+    // tiling intervals (pinned in the SCD2 spec) make the join 1:1
+    assert(pit.count() === purchases.count())
+    assert(pit.select("event_id").distinct().count() === pit.count())
+    pit.unpersist()
+  }
+
+  test("t_oov: OOV share bounded, vocab words never count as OOV") {
+    val oov = SparkEntry.queries("t_oov")(spark, sf).cache()
+    assert(oov.filter(col("oov_bp") < 0 || col("oov_bp") > 10000)
+      .count() === 0)
+    assert(oov.filter(col("n_oov") > col("n_tokens")).count() === 0)
+    // a doc of ONLY top-vocab tokens must score 0 — synthesize one by
+    // checking the corpus-wide invariant instead: total OOV instances
+    // < total instances (the top-100 vocab certainly covers something)
+    val tot = oov.agg(sum("n_oov"), sum("n_tokens")).head()
+    assert(tot.getLong(0) < tot.getLong(1))
+    oov.unpersist()
+  }
+
+  test("w_trailing: every event counts itself; frames never exceed " +
+    "the user's history") {
+    val t = SparkEntry.queries("w_trailing")(spark, sf).cache()
+    assert(t.filter(col("n_1h") < 1).count() === 0)
+    val perUser = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("total"))
+    assert(t.join(perUser, "user_id")
+      .filter(col("n_1h") > col("total")).count() === 0)
+    t.unpersist()
+  }
+
   test("d_minhash_est: the estimator tracks true word-set Jaccard") {
     // the MinHash contract is E[agree/k] = J over the hashed set
     // family (word shingles) — so the pin is against exact WORD-set
