@@ -956,7 +956,10 @@ object Dedup {
 
   val dSpanDup: Q = Q(
     (s, dir) => {
-      val fp = TextAnalysis.fpRelation(s, dir)
+      // consumes the MATERIALIZED fingerprint index (TextAnalysis
+      // .fpIndex): when H4 already ran this session the winnowing
+      // pass is not re-paid — the lake-table shape of a real pipeline
+      val fp = TextAnalysis.fpIndex(s, dir)
         .withColumn("df", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("fp_hash")))
         .filter(col("df") <= MaxBucket)
