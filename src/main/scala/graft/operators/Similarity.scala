@@ -406,9 +406,19 @@ object Similarity {
     * driver as (label, centroid-micro-vector) pairs. k·dim longs
     * whatever the corpus size — the train-then-ship half of IVF.
     */
-  private def ivfCodebook(s: SparkSession, dir: String)
+  private[graft] def ivfCodebook(s: SparkSession, dir: String)
       : Array[(Long, Array[Long])] =
     codebookCache.getOrElseUpdate((s, dir), trainCodebook(s, dir))
+
+  /** The IVF cell assignment as a map-only per-row expression over
+    * `embedding` under a FIXED trained codebook — what index
+    * MAINTENANCE runs: vectors arriving after training (a stream, a
+    * new batch) join their cells with zero shuffle and zero state,
+    * no retraining. Spec-pinned identical to the batch argmin.
+    */
+  private[graft] def ivfCellCol(codebook: Array[(Long, Array[Long])])
+      : Column =
+    array_min(ivfCells(codebook)).getField("cell")
 
   private def trainCodebook(s: SparkSession, dir: String)
       : Array[(Long, Array[Long])] =
@@ -477,7 +487,7 @@ object Similarity {
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val assigned = emb.withColumn("cell",
-        array_min(ivfCells(ivfCodebook(s, dir))).getField("cell"))
+        ivfCellCol(ivfCodebook(s, dir)))
       val probe = assigned.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"), col("cell").as("pcell"))
       assigned.filter(col("vec_id") =!= 0)
@@ -514,8 +524,7 @@ object Similarity {
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cells = ivfCells(ivfCodebook(s, dir))
-      val assigned = emb.withColumn("cell",
-        array_min(cells).getField("cell"))
+      val assigned = emb.withColumn("cell", array_min(cells).getField("cell"))
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"),
           explode(transform(slice(array_sort(cells), 1, NProbe),

@@ -249,6 +249,41 @@ class StreamingSpec extends SparkSpec {
       "in-flight dup verdicts must equal the batch gate's")
   }
 
+  test("G7 IVF index maintenance: a vector stream joins its cells " +
+    "map-only under the fixed trained codebook") {
+    // the production ANN maintenance path: the coarse quantizer is
+    // trained once (the codebook artifact); vectors arriving AFTER
+    // training — here the embeddings table replayed as a stream —
+    // are assigned to their cells by the same map-only argmin
+    // expression, zero state, zero retraining, assignments identical
+    // to the batch index build
+    val in = tempDir("graft_ivf_in")
+    Files.copy(Paths.get(s"$sf/embeddings.parquet"),
+      Paths.get(s"$in/embeddings.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val cb = graft.operators.Similarity.ivfCodebook(spark, sf)
+    val stream = spark.readStream
+      .schema(Tables.embeddings(spark, sf).schema)
+      .parquet(in)
+      .select(col("vec_id"),
+        graft.operators.Similarity.ivfCellCol(cb).as("cell"))
+    val q = stream.writeStream.format("memory").queryName("ivf_assign")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stateless = Option(q.lastProgress)
+      .forall(_.stateOperators.isEmpty)
+    q.stop()
+    assert(stateless, "IVF assignment must carry zero stream state")
+    val streamed = spark.table("ivf_assign").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.operators.Similarity.ivfCellCol(cb).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed === batch,
+      "streamed cell assignments diverged from the batch index")
+  }
+
   test("D17 streaming funnel state machine matches the batch funnel") {
     val in = tempDir("graft_funnel_in")
     stageEvents(in)
