@@ -87,4 +87,35 @@ class ShortDocSpec extends SparkSpec {
     assert(mh.filter(col("doc_id") === 5L).count() === Dedup.NumHashes)
     assert(SparkEntry.queries("d_exact")(spark, dir).count() === 5)
   }
+
+  test("t_char_gini: empty doc drops out, single-char doc scores 0") {
+    val g = SparkEntry.queries("t_char_gini")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("gini_bp")).toMap
+    assert(!g.contains(1L), "empty doc must produce no gini row")
+    assert(g(2L) === 0L, "one distinct char ⇒ zero impurity")
+    assert(g(5L) > 0L)
+  }
+
+  test("t_oov: token-less docs drop out instead of dividing by zero") {
+    val o = SparkEntry.queries("t_oov")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("oov_bp"))).toMap
+    assert(!o.contains(1L))
+    assert(o(5L)._1 > 0)
+  }
+
+  test("d_span_dup: sub-fingerprint docs never pair, normal docs may") {
+    val p = SparkEntry.queries("d_span_dup")(spark, dir)
+    assert(p.filter(col("doc_a") < 5L && col("doc_b") < 5L).count() === 0)
+  }
+
+  test("bandArrayCol: empty token set yields zero bands, not md5('')") {
+    import spark.implicits._
+    val b = Seq((1L, ""), (2L, "   "), (3L, "some words here"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), explode(Dedup.bandArrayCol).as("bs"))
+    assert(b.filter(col("doc_id") < 3L).count() === 0)
+    assert(b.filter(col("doc_id") === 3L).count() ===
+      Dedup.NumHashes / Dedup.BandRows)
+  }
 }
