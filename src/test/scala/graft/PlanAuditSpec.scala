@@ -211,15 +211,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("d_embed_dup: both self-join sides read the cached capped cells") {
+  test("d_embed_dup: both self-join sides read the materialized cells") {
     val df = SparkEntry.queries("d_embed_dup")(spark, sf)
     val p = plan(df)
     // the capped-cell relation (plane dot products + occupancy window)
-    // is the expensive subplan; it must be computed once and served to
-    // both join sides from the cache, never re-derived per side
-    val scans = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    // is the expensive subplan; it is materialized ONCE per session
+    // (Similarity.cellsIndex, an eager localCheckpoint handle) and
+    // both join sides scan the checkpointed rows — the plan must show
+    // RDD scans, never a re-derivation of the plane dot products
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan ExistingRDD") || l.contains("InMemoryTableScan"))
     assert(scans >= 2,
-      s"expected both join sides on InMemoryTableScan, found $scans:\n$p")
+      s"expected both join sides on the materialized cells, found $scans:\n$p")
+    assert(!p.contains("parquet"),
+      s"cells must come from the index handle, not a fresh corpus scan:\n$p")
     spark.catalog.clearCache()
   }
 
