@@ -591,11 +591,15 @@ object TextAnalysis {
       |  FROM stats, tot)""".stripMargin
 
   private def mixPlanDf(s: SparkSession, dir: String) = {
+    // cached: the #sources-row stats relation feeds both the grand
+    // total and the per-source join — without it the corpus aggregates
+    // twice (one full scan per use at 100 TB)
     val stats = Tables.documents(s, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("cnt_s"), sum("n_chars").as("mass_s"))
       .withColumn("w_s",
         floor(sqrt(col("mass_s").cast("double"))).cast("long"))
+      .cache()
     val tot = stats.agg(sum("cnt_s").as("n_total"), sum("w_s").as("w_total"))
     stats.crossJoin(broadcast(tot))
       .withColumn("n_s", expr("(n_total DIV 2) * w_s DIV w_total"))
