@@ -721,6 +721,110 @@ object Dedup {
        |WHERE NOT ($inEvalSampleSql)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  // ---------------------------------------------------------------- F16
+  /** Prefix-filtered set-similarity self-join (the ppjoin/AllPairs
+    * candidate scheme) — the EXACT-threshold sibling of LSH: order
+    * every doc's tokens by global rarity (one consistent total order
+    * across the corpus), take each doc's PREFIX of length
+    * `|d| − ceil(t·|d|) + 1`; the prefix-filter lemma guarantees two
+    * docs with Jaccard ≥ t share at least one prefix token, so the
+    * equi-join on prefix tokens is a LOSSLESS candidate generator —
+    * unlike MinHash LSH there is no false-negative probability, and
+    * the spec proves it against the quadratic join. Prefix tokens are
+    * by construction each doc's RAREST tokens, so candidate lists are
+    * naturally df-bounded — the algorithm's own skew guard (no
+    * MaxBucket needed for correctness; the hot tokens LSH must cap
+    * never enter a prefix).
+    *
+    * All arithmetic integer (t = 1/2 ⇒ prefix length
+    * `sz − (sz+1) DIV 2 + 1`); threshold in basis points on the exact
+    * token-set Jaccard verify. Scale shape: token df is one map-side
+    * agg, ranking windows partition per doc, and the verify touches
+    * only prefix-sharing pairs.
+    *
+    * SCOPE: run over H8's held-out eval carve (the deterministic
+    * md5 ⅛ sample) — the stratum where a LOSSLESS threshold join is
+    * the actual requirement: an eval set must be PROVABLY internally
+    * deduped (an LSH miss there silently inflates benchmark scores),
+    * and the carve is small by construction, so the exact algorithm
+    * is affordable at any corpus size. (On this template-generated
+    * test corpus ~¾ of ALL doc pairs clear 50% token Jaccard, so a
+    * corpus-wide threshold join has inherently quadratic OUTPUT —
+    * no candidate scheme changes that; corpus-scale near-dup control
+    * stays with the LSH family F3/F7.)
+    */
+  val PpJoinMinBp = 5000
+
+  /** H8's eval-carve predicate (md5 first hex digit ∈ {0,1}). */
+  private def evalCarve: Column =
+    substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
+
+  val dPpjoin: Q = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = tokens(s, dir).filter(evalCarve)
+      val df = t.groupBy("tok").agg(count(lit(1)).as("n"))
+      val ranked = t.join(df, "tok")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("n"), col("tok"))))
+        .withColumn("sz", count(lit(1)).over(
+          Window.partitionBy("doc_id")))
+      val prefix = ranked
+        .filter(col("rn") <= col("sz") - expr("(sz + 1) DIV 2") + 1)
+        .select("doc_id", "tok")
+      val cand = prefix.select(col("doc_id").as("doc_a"), col("tok"))
+        .join(prefix.select(col("doc_id").as("doc_b"), col("tok")), "tok")
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val sets = t.groupBy("doc_id")
+        .agg(collect_set("tok").as("toks"))
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("t_a")),
+          Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("t_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(expr("array_intersect(t_a, t_b)")).cast("long").as("inter"),
+          (size(col("t_a")) + size(col("t_b"))).cast("long").as("sz_sum"))
+        .withColumn("jaccard_bp", expr("inter * 10000 DIV (sz_sum - inter)"))
+        .filter(col("jaccard_bp") >= PpJoinMinBp)
+        .select("doc_a", "doc_b", "inter", "jaccard_bp")
+        .orderBy("doc_a", "doc_b")
+    },
+    s"""WITH t AS (
+       |  SELECT * FROM ($tokensSql)
+       |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+       |    IN ('0', '1')),
+       |df AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+       |ranked AS (
+       |  SELECT t.doc_id, t.tok,
+       |    row_number() OVER (PARTITION BY t.doc_id
+       |      ORDER BY df.n, t.tok) AS rn,
+       |    count(*) OVER (PARTITION BY t.doc_id) AS sz
+       |  FROM t JOIN df ON df.tok = t.tok),
+       |prefix AS (
+       |  SELECT doc_id, tok FROM ranked
+       |  WHERE rn <= sz - (sz + 1) // 2 + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM prefix a JOIN prefix b
+       |    ON a.tok = b.tok AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM t
+       |       GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM cand c
+       |  JOIN t a ON a.doc_id = c.doc_a
+       |  JOIN t b ON b.doc_id = c.doc_b AND b.tok = a.tok
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b, i.inter,
+       |  i.inter * 10000 // (sa.n + sb.n - i.inter) AS jaccard_bp
+       |FROM inter i
+       |JOIN sz sa ON sa.doc_id = i.doc_a
+       |JOIN sz sb ON sb.doc_id = i.doc_b
+       |WHERE i.inter * 10000 // (sa.n + sb.n - i.inter) >= $PpJoinMinBp
+       |ORDER BY i.doc_a, i.doc_b""".stripMargin)
+
   // ---------------------------------------------------------------- F15
   /** The MinHash ESTIMATOR itself, next to the exact verify it
     * replaces at scale: for each LSH candidate pair, the fraction of
@@ -991,6 +1095,7 @@ object Dedup {
     "d_span_dup" -> dSpanDup,
     "d_incr_dedup" -> dIncrDedup,
     "d_minhash_est" -> dMinhashEst,
+    "d_ppjoin" -> dPpjoin,
     "d_contaminate" -> dContaminate,
     "d_contaminate_bloom" -> dContaminateBloom,
     "d_curate_corpus" -> dCurateCorpus,

@@ -749,6 +749,33 @@ class QueriesSpec extends SparkSpec {
     t.unpersist()
   }
 
+  test("d_ppjoin: the prefix filter is LOSSLESS vs the quadratic join") {
+    // the prefix-filter lemma says no >=t pair can be missed — prove
+    // it: the full cartesian token-set Jaccard >= 5000bp over the
+    // same carve must equal the prefix-filtered result exactly
+    val pp = SparkEntry.queries("d_ppjoin")(spark, sf)
+      .select("doc_a", "doc_b", "jaccard_bp")
+    val carve = Tables.documents(spark, sf)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1"))
+      .select(col("doc_id"),
+        array_distinct(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => t =!= "")).as("toks"))
+    val quad = carve.select(col("doc_id").as("doc_a"), col("toks").as("t_a"))
+      .crossJoin(carve.select(col("doc_id").as("doc_b"),
+        col("toks").as("t_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(expr("array_intersect(t_a, t_b)")).cast("long").as("inter"),
+        (size(col("t_a")) + size(col("t_b"))).cast("long").as("sz_sum"))
+      .withColumn("jaccard_bp", expr("inter * 10000 DIV (sz_sum - inter)"))
+      .filter(col("jaccard_bp") >= graft.operators.Dedup.PpJoinMinBp)
+      .select("doc_a", "doc_b", "jaccard_bp")
+    assert(pp.exceptAll(quad).count() === 0 &&
+      quad.exceptAll(pp).count() === 0,
+      "prefix filtering lost or invented a >=t pair")
+  }
+
   test("d_minhash_est: the estimator tracks true word-set Jaccard") {
     // the MinHash contract is E[agree/k] = J over the hashed set
     // family (word shingles) — so the pin is against exact WORD-set
