@@ -1,0 +1,109 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Central registry for COMPILED ARTIFACTS — the per-(session, corpus)
+  * handles an engine deployment would materialize as lake tables or
+  * shipped index files: the dup-cluster map, the standing LSH band
+  * index and its gram-array verify relation, the quantizer-cell
+  * assignment, the winnowed fingerprint index, the IVF codebook.
+  *
+  * Lifetime contract (every artifact cache in the engine routes
+  * through here):
+  *
+  *  - An artifact is built at most once per (session, corpus dir) —
+  *    whichever consumer runs first pays the build; later consumers
+  *    read the handle. `spark.catalog.clearCache()` deliberately does
+  *    NOT drop artifacts: they are training/index state, not plan
+  *    caches.
+  *  - [[clear(s)*]] releases every artifact of a session;
+  *    [[clear(s,dir)*]] releases one corpus. Releasing drops the
+  *    registry's strong reference — eagerly-checkpointed DataFrames
+  *    become unreachable and the ContextCleaner reclaims their RDD
+  *    blocks; the next call rebuilds from scratch. Long-lived
+  *    multi-corpus drivers call this between corpora so checkpoint
+  *    storage is bounded by the working set, not session history.
+  *  - Entries are keyed by the session's identity (applicationId +
+  *    identity hash), never by the [[SparkSession]] object itself, and
+  *    a listener evicts the whole session's entries on application
+  *    end — a stopped session cannot be pinned in memory by the
+  *    registry (the r6 advice item on cache eviction).
+  *
+  * Thread-safety: TrieMap CAS semantics; a racing double-build is
+  * possible (both harmless and idempotent — last write wins and both
+  * values are equivalent), matching `TrieMap.getOrElseUpdate`.
+  */
+object Artifacts {
+
+  /** One named artifact family (e.g. "dedup.clusterMap"). */
+  final class Cache[V] private[Artifacts] (val name: String) {
+    private[Artifacts] val entries = TrieMap.empty[(String, String), V]
+
+    def getOrElseUpdate(s: SparkSession, dir: String)(build: => V): V = {
+      installListener(s)
+      entries.getOrElseUpdate((sessionKey(s), dir), build)
+    }
+
+    /** Number of live entries (spec hook). */
+    def size: Int = entries.size
+
+    private[Artifacts] def evict(sk: String): Unit =
+      entries.keys.filter(_._1 == sk).foreach(entries.remove)
+
+    private[Artifacts] def evict(sk: String, dir: String): Unit =
+      entries.remove((sk, dir))
+  }
+
+  private val caches = TrieMap.empty[String, Cache[_]]
+
+  /** Register (or look up) a named artifact cache. Each call site owns
+    * one cache; the registry only needs the name for telemetry and for
+    * the clear()/eviction sweep.
+    */
+  def cache[V](name: String): Cache[V] =
+    caches.getOrElseUpdate(name, new Cache[V](name)).asInstanceOf[Cache[V]]
+
+  /** Session identity WITHOUT retaining the session: applicationId
+    * disambiguates across context restarts, the identity hash across
+    * sibling `newSession()`s in one context.
+    */
+  private def sessionKey(s: SparkSession): String =
+    s.sparkContext.applicationId + "/" +
+      java.lang.Integer.toHexString(System.identityHashCode(s))
+
+  /** Release every artifact belonging to `s` (all corpora). */
+  def clear(s: SparkSession): Unit = {
+    val sk = sessionKey(s)
+    caches.values.foreach(_.evict(sk))
+  }
+
+  /** Release `s`'s artifacts for one corpus dir only. */
+  def clear(s: SparkSession, dir: String): Unit = {
+    val sk = sessionKey(s)
+    caches.values.foreach(_.evict(sk, dir))
+  }
+
+  /** Total live entries across all families (spec/telemetry hook). */
+  def liveEntries: Int = caches.values.map(_.entries.size).sum
+
+  // one eviction listener per session identity: on application end the
+  // whole session's artifacts are dropped so a stopped session never
+  // stays pinned through the registry
+  private val listened = TrieMap.empty[String, Boolean]
+
+  private def installListener(s: SparkSession): Unit = {
+    val sk = sessionKey(s)
+    if (listened.putIfAbsent(sk, true).isEmpty) {
+      s.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(
+            e: SparkListenerApplicationEnd): Unit = {
+          caches.values.foreach(_.evict(sk))
+          listened.remove(sk)
+        }
+      })
+    }
+  }
+}

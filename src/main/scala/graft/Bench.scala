@@ -39,8 +39,19 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // per-query seconds rounded to ms: full double precision tripled
+    // the line length and got the driver's tail capture truncated
+    // mid-map (r6); ms resolution is far below run-to-run noise
+    val entries = results.toSeq.map { case (k, v) =>
+      s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0)
+    }
+    // every query's number ALSO goes out in small standalone chunk
+    // lines ahead of the headline, so any tail capture that clips the
+    // headline's start still contains the full set
+    entries.grouped(12).zipWithIndex.foreach { case (chunk, i) =>
+      println(s"""{"metric":"chunk","i":$i,"queries":${chunk.mkString("{", ",", "}")}}""")
+    }
+    val qs = entries.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -349,13 +349,15 @@ object Dedup {
     * cluster_id) row per near-dup doc), so the checkpoint holds KBs,
     * not corpus-scale state. localCheckpoint blocks are RDD-level:
     * `spark.catalog.clearCache()` does not drop them — exactly as it
-    * would not drop a written lake table.
+    * would not drop a written lake table. Lifetime: registered in
+    * [[graft.Artifacts]] — `Artifacts.clear(session[, dir])` releases
+    * the handle (next call rebuilds), and session stop evicts it.
     */
   private val clusterMapCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Artifacts.cache[DataFrame]("dedup.clusterMap")
 
   private[graft] def clusterMap(s: SparkSession, dir: String): DataFrame =
-    clusterMapCache.getOrElseUpdate((s, dir),
+    clusterMapCache.getOrElseUpdate(s, dir)(
       clustersDf(s, dir).localCheckpoint(true))
 
   /** The cluster CTE chain (pairs → edges → l0..lIters), shared by the
@@ -385,6 +387,98 @@ object Dedup {
 
   val dDupClusters: Q = Q(
     (s, dir) => clusterMap(s, dir).orderBy("doc_id"),
+    s"""WITH $clustersCteSql
+       |SELECT doc_id, label AS cluster_id FROM l$Iters
+       |ORDER BY doc_id""".stripMargin)
+
+  // --------------------------------------------------------- F8 (incr)
+  /** Incremental cluster-map maintenance — how a GROWING corpus keeps
+    * its F8 map current without a corpus-wide recompute: merge a new
+    * batch's dup edges into the standing map, re-propagating ONLY the
+    * components the new edges touch.
+    *
+    * `existing` is a (doc_id, cluster_id) map whose cluster ids are
+    * canonical minima (every F8 map is); `newEdges` the batch's
+    * near-dup edges, both directions present (the shape [[dupEdges]]
+    * emits and the F13 ingest gate discovers). The affected subgraph
+    * is the new edges PLUS each touched cluster compressed to a STAR
+    * (member ↔ its representative — connectivity-equivalent to the
+    * cluster's original edges, and the representative IS a member, so
+    * the component minimum is preserved). Min-label propagation runs
+    * on that subgraph alone; untouched clusters pass through with an
+    * anti-join, bit-identical.
+    *
+    * Cost shape at 100 TB: O(|batch edges| + |touched-cluster
+    * members|) — the propagation input is batch-sized, the standing
+    * map is touched only by one semi-join (touched reps, broadcast-
+    * sized) and one anti-join (the passthrough, map-side with the
+    * same broadcast). New-new-only components, new docs absorbed
+    * into old clusters, and batches whose edges MERGE two standing
+    * clusters all resolve in the same pass (spec-pinned ≡ full
+    * recompute over the union edge set).
+    */
+  private[graft] def mergeClusters(existing: DataFrame,
+      newEdges: DataFrame): DataFrame = {
+    val e = newEdges.localCheckpoint(true)
+    val newNodes = e.select(col("doc_a").as("doc_id")).distinct()
+    // touched is batch-bounded (≤ one rep per batch edge) — size-gate
+    // the hint anyway so a pathological batch degrades to a shuffle
+    // instead of an oversized broadcast
+    val touched = sizeGatedBroadcast(existing.join(newNodes, Seq("doc_id"))
+      .select("cluster_id").distinct().localCheckpoint(true))
+    val touchedMembers = existing.join(touched, Seq("cluster_id"))
+    val untouched = existing.join(touched, Seq("cluster_id"), "left_anti")
+    val starHalf = touchedMembers
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val subEdges = e
+      .unionAll(starHalf)
+      .unionAll(starHalf.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    val labels0 = subEdges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    val merged = propagate(subEdges, labels0, Iters)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+    untouched.select("doc_id", "cluster_id").unionAll(merged)
+  }
+
+  /** The standing cluster map of the "existing" 80% carve — the third
+    * member of the ingest-artifact family beside [[bandIndex]] and
+    * [[gramIndex]] (same Artifacts-registered eager-checkpoint
+    * stance): components over the near-dup edges BOTH of whose
+    * endpoints are historical.
+    */
+  private val oldClusterMapCache =
+    graft.Artifacts.cache[DataFrame]("dedup.clusterMapOld")
+
+  private[graft] def oldClusterMap(s: SparkSession, dir: String): DataFrame =
+    oldClusterMapCache.getOrElseUpdate(s, dir)({
+      val oldE = dupEdges(s, dir)
+        .filter(col("doc_a") % 5 =!= 4 && col("doc_b") % 5 =!= 4)
+        .localCheckpoint(true)
+      val labels0 = oldE.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+      propagate(oldE, labels0, Iters)
+        .select(col("doc_id"), col("label").as("cluster_id"))
+        .localCheckpoint(true)
+    })
+
+  /** The F8 map maintained INCREMENTALLY over the standard 80/20
+    * carve: standing map = components among historical docs, batch
+    * edges = the full edge set's rows touching a batch doc (in
+    * production these arrive from the F13 ingest gate; here they are
+    * carved from the F8 edge relation so the oracle is exact), merged
+    * by [[mergeClusters]]. The oracle is the CORPUS-WIDE recompute —
+    * the whole point: maintenance must be indistinguishable from
+    * rebuilding.
+    */
+  val dIncrClusters: Q = Q(
+    (s, dir) => {
+      val batchE = dupEdges(s, dir)
+        .filter(col("doc_a") % 5 === 4 || col("doc_b") % 5 === 4)
+      mergeClusters(oldClusterMap(s, dir), batchE).orderBy("doc_id")
+    },
     s"""WITH $clustersCteSql
        |SELECT doc_id, label AS cluster_id FROM l$Iters
        |ORDER BY doc_id""".stripMargin)
@@ -866,8 +960,12 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("n_agree"), col("est_bp"),
           size(expr("array_intersect(g_a, g_b)")).cast("long").as("inter"),
           (size(col("g_a")) + size(col("g_b"))).cast("long").as("sz_sum"))
+        // gram-less pairs (both texts < 3 chars) have an UNDEFINED
+        // exact Jaccard: NULL, guarded BEFORE the division (ANSI mode
+        // errors on DIV-by-zero; the oracle carries the same CASE)
         .withColumn("jaccard_bp",
-          expr("inter * 10000 DIV (sz_sum - inter)"))
+          when(col("sz_sum") === col("inter"), lit(null).cast("long"))
+            .otherwise(expr("inter * 10000 DIV (sz_sum - inter)")))
         .select("doc_a", "doc_b", "n_agree", "est_bp", "jaccard_bp")
         .orderBy("doc_a", "doc_b")
     },
@@ -882,8 +980,14 @@ object Dedup {
        |  JOIN sig b ON b.doc_id = c.doc_b AND b.seed = a.seed
        |  GROUP BY c.doc_a, c.doc_b),
        |g AS ($gramsSql),
-       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g
-       |       GROUP BY doc_id),
+       |-- sz must cover GRAM-LESS docs too (text < 3 chars): the Spark
+       |-- side joins per-doc gram ARRAYS, which exist (empty) for every
+       |-- doc — an inner join on g-derived counts would silently drop
+       |-- candidate pairs touching such a doc (r6 advice item 1)
+       |sz AS (SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+       |       FROM documents d LEFT JOIN (
+       |         SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id) c
+       |       ON c.doc_id = d.doc_id),
        |inter AS (
        |  SELECT e.doc_a, e.doc_b, CAST(count(*) AS BIGINT) AS inter
        |  FROM eq e JOIN g a ON a.doc_id = e.doc_a
@@ -891,8 +995,9 @@ object Dedup {
        |  GROUP BY e.doc_a, e.doc_b)
        |SELECT e.doc_a, e.doc_b, e.n_agree,
        |  e.n_agree * 10000 // $NumHashes AS est_bp,
-       |  coalesce(i.inter, 0) * 10000
-       |    // (sa.n + sb.n - coalesce(i.inter, 0)) AS jaccard_bp
+       |  CASE WHEN sa.n + sb.n - coalesce(i.inter, 0) = 0 THEN NULL
+       |    ELSE coalesce(i.inter, 0) * 10000
+       |      // (sa.n + sb.n - coalesce(i.inter, 0)) END AS jaccard_bp
        |FROM eq e
        |LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
        |JOIN sz sa ON sa.doc_id = e.doc_a
@@ -920,15 +1025,16 @@ object Dedup {
     * never a corpus re-scan.
     */
   private val bandIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Artifacts.cache[DataFrame]("dedup.bandIndex")
 
   /** The standing band index of the "existing" corpus side: capped
     * band rows, eagerly checkpointed once per (session, corpus) — the
     * in-session analog of the lake table a production pipeline would
-    * read (same artifact stance as [[clusterMap]]).
+    * read (same artifact stance as [[clusterMap]]; lifetime managed by
+    * [[graft.Artifacts]]).
     */
   private def bandIndex(s: SparkSession, dir: String): DataFrame =
-    bandIndexCache.getOrElseUpdate((s, dir),
+    bandIndexCache.getOrElseUpdate(s, dir)(
       bands(s, dir)
         .filter(col("doc_id") % 5 =!= 4)
         .withColumn("bucket_n", count(lit(1)).over(
@@ -936,6 +1042,27 @@ object Dedup {
             .partitionBy("band", "band_hash")))
         .filter(col("bucket_n") <= MaxBucket)
         .select("doc_id", "band", "band_hash")
+        .localCheckpoint(true))
+
+  private val gramIndexCache =
+    graft.Artifacts.cache[DataFrame]("dedup.gramIndex")
+
+  /** The verify-side companion of [[bandIndex]]: the (doc_id, grams)
+    * arrays of every band-INDEXED doc, materialized once per
+    * (session, corpus) with the same eager-checkpoint stance. Without
+    * it the exact-Jaccard verify of an ingest batch recomputed 3-gram
+    * arrays over the FULL historical corpus on every batch (the r6
+    * verdict's one 100×-scale breach) — with it, a batch's cost is
+    * O(batch + candidates): the historical side contributes only the
+    * standing index artifacts, never a corpus re-scan. A production
+    * deployment lands this relation as a lake table bucketed by
+    * doc_id next to the band index and maintains both under the same
+    * ingest transaction.
+    */
+  private[graft] def gramIndex(s: SparkSession, dir: String): DataFrame =
+    gramIndexCache.getOrElseUpdate(s, dir)(
+      gramArrays(s, dir)
+        .filter(col("doc_id") % 5 =!= 4)
         .localCheckpoint(true))
 
   /** The whole MinHash signature → banded hashes as ONE map-only
@@ -983,7 +1110,9 @@ object Dedup {
       .distinct()
     val newGrams = newDocs
       .select(col("doc_id").as("new_id"), gramArrayCol.as("g_a"))
-    val oldGrams = gramArrays(s, dir).filter(col("doc_id") % 5 =!= 4)
+    // verify side reads the STANDING gram artifact — never a fresh
+    // corpus scan (see gramIndex; plan-audited)
+    val oldGrams = gramIndex(s, dir)
       .select(col("doc_id").as("old_id"), col("grams").as("g_b"))
     val dups = cand
       .join(newGrams, Seq("new_id"))
@@ -1105,6 +1234,7 @@ object Dedup {
     "d_ngram_jaccard" -> dNgramJaccard,
     "d_lsh_jaccard" -> dLshJaccard,
     "d_dup_clusters" -> dDupClusters,
+    "d_incr_clusters" -> dIncrClusters,
     "d_dedup_corpus" -> dDedupCorpus,
     "d_simhash" -> dSimhash,
     "d_simhash_pairs" -> dSimhashPairs)

@@ -153,6 +153,83 @@ object MultiModal {
           i -> substring(content, i * 64 + 1, 64)),
         (x, i) -> i % $stride = 0 AND octet_length(x) > 0)"""))
 
+  /** One decoded frame of a multi-frame container. `decoded=false`
+    * (idx/dims -1) marks undecodable bytes, as in [[ImageFeatures]].
+    */
+  final case class FrameFeatures(doc_id: Long, decoded: Boolean,
+      frame_idx: Int, width: Int, height: Int, mean_luma: Long)
+
+  /** Exact integer mean luma of a decoded raster (sum of per-pixel
+    * (r+g+b)/3, divided once) — shared by the single- and multi-frame
+    * decoders.
+    */
+  private def meanLuma(i: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (i.getWidth, i.getHeight)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = i.getRGB(x, y)
+        sum += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    sum / (w.toLong * h)
+  }
+
+  /** I2b: MULTI-frame decode + sampling in one pass — ImageIO's
+    * sequence reader over the animated format the JDK itself codecs
+    * (GIF), emitting one feature row per kept frame. `stride` IS the
+    * I2 frame sampler applied at decode time: frames the stride skips
+    * are never rasterized (the reader seeks past them), so sampling
+    * cost scales with kept frames, not container length. Same
+    * partition-aware shape and poison-row contract as [[decodeImages]]:
+    * codec setup once per partition, undecodable bytes → one
+    * `decoded=false` row, never a thrown task.
+    */
+  def decodeFrames(media: Dataset[MediaRow],
+      stride: Int = 1): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { m =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[FrameFeatures]
+        if (m.format == "gif") {
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(m.content))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (readers.hasNext) {
+              val r = readers.next()
+              try {
+                r.setInput(iis, false, true)
+                val n = r.getNumImages(true)
+                var i = 0
+                while (i < n) {
+                  if (i % stride == 0) {
+                    val img = r.read(i)
+                    out += FrameFeatures(m.doc_id, decoded = true, i,
+                      img.getWidth, img.getHeight, meanLuma(img))
+                  }
+                  i += 1
+                }
+              } finally {
+                r.dispose()
+                iis.close()
+              }
+            }
+          } catch { case _: java.io.IOException => out.clear() }
+        }
+        if (out.isEmpty)
+          Iterator.single(FrameFeatures(m.doc_id, decoded = false,
+            -1, -1, -1, -1L))
+        else out.iterator
+      }
+    }
+  }
+
   /** Decoded doc + its 64-bit perceptual difference-hash. `decoded =
     * false` (phash -1) marks undecodable bytes, as in [[ImageFeatures]].
     */

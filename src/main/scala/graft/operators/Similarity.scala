@@ -160,10 +160,10 @@ object Similarity {
     * window, the rest read the handle.
     */
   private val cellsIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Artifacts.cache[DataFrame]("similarity.cellsIndex")
 
   private[graft] def cellsIndex(s: SparkSession, dir: String): DataFrame =
-    cellsIndexCache.getOrElseUpdate((s, dir),
+    cellsIndexCache.getOrElseUpdate(s, dir)(
       cells(Tables.embeddings(s, dir)).localCheckpoint(true))
 
   private def cellsSql(maxCell: Int = MaxCell): String =
@@ -415,8 +415,8 @@ object Similarity {
     * not (and should not) drop it — it is a training artifact, not a
     * plan cache.
     */
-  private val codebookCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Array[(Long, Array[Long])]]
+  private val codebookCache =
+    graft.Artifacts.cache[Array[(Long, Array[Long])]]("similarity.ivfCodebook")
 
   /** Train the IVF codebook: the G6 aggregation, collected to the
     * driver as (label, centroid-micro-vector) pairs. k·dim longs
@@ -424,7 +424,7 @@ object Similarity {
     */
   private[graft] def ivfCodebook(s: SparkSession, dir: String)
       : Array[(Long, Array[Long])] =
-    codebookCache.getOrElseUpdate((s, dir), trainCodebook(s, dir))
+    codebookCache.getOrElseUpdate(s, dir)(trainCodebook(s, dir))
 
   /** The IVF cell assignment as a map-only per-row expression over
     * `embedding` under a FIXED trained codebook — what index

@@ -774,12 +774,14 @@ object Star {
     * global; state per user is one row, and at 100 TB the dim
     * history shuffles once on the same key the dim is stored under.
     */
-  private def scd2(s: SparkSession, dir: String): DataFrame = {
+  /** SCD2 build over an arbitrary (user_id, state, ts, event_id)
+    * observation relation — shared by the from-scratch build (C16)
+    * and the merge path's history bootstrap.
+    */
+  private[graft] def scd2Of(obs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val ch = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type").as("state"),
-        col("ts"), col("event_id"))
+    val ch = obs
       .withColumn("prev", lag("state", 1).over(w))
       .filter(col("prev").isNull || col("state") =!= col("prev"))
     val w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -789,8 +791,92 @@ object Star {
         col("valid_to").isNull.as("is_current"))
   }
 
+  private def scd2(s: SparkSession, dir: String): DataFrame =
+    scd2Of(Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts"), col("event_id")))
+
   val rDimScd2: Q = Q(
     (s, dir) => scd2(s, dir).orderBy("user_id", "valid_from", "state"),
+    """WITH ch AS (
+      |  SELECT user_id, event_type AS state, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events)
+      |SELECT user_id, state, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS valid_to,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    IS NULL AS is_current
+      |FROM ch WHERE prev IS NULL OR state <> prev
+      |ORDER BY user_id, valid_from, state""".stripMargin)
+
+  // --------------------------------------------- C16 (MERGE maintenance)
+  /** Incremental SCD2 maintenance — what production actually runs: the
+    * history table stands; a batch of NEW observations merges in by
+    * (1) collapsing the batch into change rows, where the batch's
+    * FIRST row per user is compared against the user's standing OPEN
+    * version (equal state ⇒ no new version), (2) closing the open
+    * interval of every user that got a new version (`valid_to` = the
+    * first new version's `valid_from`), and (3) appending the new
+    * versions. Contract: each user's batch observations are LATER
+    * than their standing history (append-only growth — the SCD2 merge
+    * assumption everywhere; retro-dated data needs a rebuild of the
+    * affected keys). Under it, merge(history, batch) is row-identical
+    * to rebuilding over the concatenation — spec-pinned.
+    *
+    * Scale shape: every window is `user_id`-partitioned over the
+    * BATCH only, and the standing history is touched by one left join
+    * against the batch's per-user first-change row (`user_id`-keyed,
+    * batch-sized ⇒ broadcastable) — the history is never re-windowed,
+    * so maintenance cost is O(batch + touched keys), not O(history).
+    */
+  private[graft] def scd2Merge(existing: DataFrame,
+      changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cur = existing.filter(col("is_current"))
+      .select(col("user_id"), col("state").as("cur_state"))
+    val ch = changes
+      .withColumn("prev_in_batch", lag("state", 1).over(w))
+      .join(cur, Seq("user_id"), "left")
+      .withColumn("prev",
+        coalesce(col("prev_in_batch"), col("cur_state")))
+      .filter(col("prev").isNull || col("state") =!= col("prev"))
+    val newRows = ch.withColumn("valid_to", lead("ts", 1).over(w))
+      .select(col("user_id"), col("state"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+    val firstNew = newRows.groupBy("user_id")
+      .agg(min("valid_from").as("close_at"))
+    val closed = existing
+      .join(firstNew, Seq("user_id"), "left")
+      .select(col("user_id"), col("state"), col("valid_from"),
+        when(col("is_current") && col("close_at").isNotNull,
+          col("close_at")).otherwise(col("valid_to")).as("valid_to"),
+        (col("is_current") && col("close_at").isNull).as("is_current"))
+    closed.unionByName(newRows)
+  }
+
+  /** The merge path as an oracle-gated query: history = the SCD2
+    * build over the first 80% of the event-time range, batch = the
+    * remaining 20%, merged. The oracle is the FULL REBUILD over all
+    * events — maintenance must be indistinguishable from rebuilding
+    * (the same stance as `d_incr_clusters`). The cutoff is two
+    * driver-side longs (min/max event time), not a data pass.
+    */
+  val rScd2Merge: Q = Q(
+    (s, dir) => {
+      val obs = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts"), col("event_id"))
+      val r = obs.agg(unix_micros(min("ts")).as("mn"),
+        unix_micros(max("ts")).as("mx")).head()
+      val cutoff = timestamp_micros(
+        lit(r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 5 * 4))
+      val hist = scd2Of(obs.filter(col("ts") < cutoff))
+      scd2Merge(hist, obs.filter(col("ts") >= cutoff))
+        .orderBy("user_id", "valid_from", "state")
+    },
     """WITH ch AS (
       |  SELECT user_id, event_type AS state, ts, event_id,
       |    lag(event_type) OVER (PARTITION BY user_id
@@ -853,6 +939,7 @@ object Star {
   val registry: Map[String, Q] = Map(
     "q_pit_join" -> qPitJoin,
     "r_dim_scd2" -> rDimScd2,
+    "r_scd2_merge" -> rScd2Merge,
     "q_heatmap" -> qHeatmap,
     "q_heatmap_daily" -> qHeatmapDaily,
     "q_world_stats" -> qWorldStats,

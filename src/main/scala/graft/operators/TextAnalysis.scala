@@ -261,10 +261,10 @@ object TextAnalysis {
     * a training/index artifact, not a plan cache).
     */
   private val fpIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Artifacts.cache[DataFrame]("text.fpIndex")
 
   private[graft] def fpIndex(s: SparkSession, dir: String): DataFrame =
-    fpIndexCache.getOrElseUpdate((s, dir),
+    fpIndexCache.getOrElseUpdate(s, dir)(
       fpRelation(s, dir).localCheckpoint(true))
 
   val tFingerprint: Q = Q(
@@ -657,6 +657,20 @@ object TextAnalysis {
     * (doc, char) partial counts combine map-side and the per-doc
     * rollup reuses the partitioning — one exchange total.
     */
+  /** Gini basis points, overflow-safe: n²·10⁴ overflows BIGINT for
+    * docs beyond ~3e7 chars (silently wrapping under Spark's non-ANSI
+    * default while DuckDB raises — the r6 advice's latent divergence),
+    * so the products run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB):
+    * exact for any document a JVM string can hold (≤ 2³¹ chars ⇒
+    * ≤ ~5e22 intermediate, 16 digits of headroom). Result fits BIGINT
+    * by construction (≤ 10⁴).
+    */
+  private[graft] def giniBpCol: Column = expr(
+    "CAST((CAST(n_chars_counted AS DECIMAL(38,0)) * n_chars_counted" +
+      " - sum_sq) * 10000" +
+      " DIV (CAST(n_chars_counted AS DECIMAL(38,0)) * n_chars_counted)" +
+      " AS BIGINT)")
+
   val tCharGini: Q = Q(
     (s, dir) =>
       Tables.documents(s, dir)
@@ -671,12 +685,13 @@ object TextAnalysis {
           count(lit(1)).as("n_distinct_chars"))
         .select(col("doc_id"), col("n_chars_counted"),
           col("n_distinct_chars"),
-          expr("(n_chars_counted * n_chars_counted - sum_sq) * 10000" +
-            " DIV (n_chars_counted * n_chars_counted)").as("gini_bp"))
+          giniBpCol.as("gini_bp"))
         .orderBy("doc_id"),
     """SELECT doc_id, n_chars_counted, n_distinct_chars,
-      |  (n_chars_counted * n_chars_counted - sum_sq) * 10000
-      |    // (n_chars_counted * n_chars_counted) AS gini_bp
+      |  CAST((CAST(n_chars_counted AS HUGEINT) * n_chars_counted - sum_sq)
+      |    * 10000
+      |    // (CAST(n_chars_counted AS HUGEINT) * n_chars_counted)
+      |    AS BIGINT) AS gini_bp
       |FROM (
       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_counted,
       |    CAST(sum(c * c) AS BIGINT) AS sum_sq,

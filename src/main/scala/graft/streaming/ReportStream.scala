@@ -340,58 +340,113 @@ object ReportStream {
         sum(col("value").cast("decimal(12,2)")).cast("decimal(18,2)")
           .as("sum_value"))
 
-  /** Per-user funnel progress (µs epochs; None = stage not reached). */
-  final case class FunnelState(firstView: Option[Long],
-      firstClick: Option[Long], firstPurchase: Option[Long])
+  /** Per-user funnel state: the earliest view plus the click/purchase
+    * CANDIDATE timestamps that could still become the resolved
+    * first_click / first_purchase under a future view regression (µs
+    * epochs). Candidates above the currently-resolved stage timestamp
+    * are pruned every batch (they can never win — resolution is a min
+    * over a set that only grows downward), so the lists hold only
+    * out-of-order stragglers: empty on an ordered stream, bounded by
+    * the attribution horizon otherwise.
+    */
+  final case class FunnelState(minView: Option[Long],
+      clicks: List[Long], purchases: List[Long])
   final case class FunnelRow(userId: Long, firstView: Option[Long],
       firstClick: Option[Long], firstPurchase: Option[Long], stage: Long)
 
-  /** D17: the E13 conversion funnel as an ALWAYS-ON state machine —
-    * per-user state is exactly three optional timestamps (the same
-    * bound as the batch query's aggregation state), advanced by
-    * `flatMapGroupsWithState` as events arrive, emitting the user's
-    * refreshed funnel row on every change (Update mode; a dashboard
-    * sink upserts by user_id). Events are sorted by (ts, event_id)
-    * WITHIN each micro-batch before folding; transitions are monotone
-    * (each stage only ever moves earlier or fills in), so replaying a
-    * batch converges to the same state. State never times out here —
-    * a production deployment bounds it with an event-time timeout at
-    * the funnel's attribution horizon.
+  /** The batch-funnel resolution over the candidate sets: first_click
+    * = min click strictly after first_view, first_purchase = min
+    * purchase strictly after first_click — E13's exact semantics,
+    * re-derived from state on every batch.
     */
-  def streamingFunnel(events: DataFrame): Dataset[FunnelRow] = {
+  private def resolveFunnel(st: FunnelState)
+      : (Option[Long], Option[Long], Option[Long]) = {
+    val fv = st.minView
+    val fc = fv.flatMap(v => st.clicks.filter(_ > v).minOption)
+    val fp = fc.flatMap(c => st.purchases.filter(_ > c).minOption)
+    (fv, fc, fp)
+  }
+
+  /** D17: the E13 conversion funnel as an ALWAYS-ON state machine,
+    * robust to CROSS-micro-batch out-of-order arrival: instead of
+    * discarding a click/purchase the current view ordering rejects
+    * (the r6 finding — a late EARLIER view could never resurrect it),
+    * state keeps the still-viable candidates and re-resolves all
+    * three stages each batch, so a view regression in batch N+1
+    * recovers a click rejected in batch N and the emitted row equals
+    * the batch `q_funnel` over everything seen (spec-pinned across
+    * batch boundaries). Fold order within a batch is immaterial —
+    * min/accumulate are commutative.
+    *
+    * State is bounded two ways: candidates above the resolved stage
+    * are pruned per batch (an ordered stream keeps ZERO candidates),
+    * and an EVENT-TIME TIMEOUT evicts the whole row once the
+    * watermark passes the user's last activity plus the attribution
+    * horizon — after that the funnel is final (rows were already
+    * emitted on every change; events older than the watermark are
+    * dropped upstream). Update mode; a dashboard sink upserts by
+    * user_id.
+    */
+  def streamingFunnel(events: DataFrame,
+      horizonMs: Long = 24L * 3600 * 1000): Dataset[FunnelRow] = {
     val s = events.sparkSession
     import s.implicits._
+    val streaming = events.isStreaming
+    // batch runs (the spec's ground-truth twin) have no watermark to
+    // drive an event-time timeout — NoTimeout there, horizon on streams
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    // the watermarked ts column itself rides along into the stateful
+    // operator (projecting it away would strip the watermark the
+    // event-time timeout needs); the fold reads the µs twin
     graft.Tables.nanosToTimestamp(events)
-      .select(col("user_id"), unix_micros(col("ts")).as("us"),
-        col("event_type"), col("event_id"))
-      .as[(Long, Long, String, Long)]
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(
-        OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (uid: Long, rows: Iterator[(Long, Long, String, Long)],
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
             state: GroupState[FunnelState]) => {
-          var st = state.getOption.getOrElse(FunnelState(None, None, None))
-          val before = st
-          rows.toSeq.sortBy(r => (r._2, r._4)).foreach { case (_, us, t, _) =>
-            t match {
-              case "view" if st.firstView.forall(us < _) =>
-                st = FunnelState(Some(us), st.firstClick, st.firstPurchase)
-              case "click" if st.firstView.exists(us > _) &&
-                  st.firstClick.forall(us < _) =>
-                st = FunnelState(st.firstView, Some(us), st.firstPurchase)
-              case "purchase" if st.firstClick.exists(us > _) &&
-                  st.firstPurchase.forall(us < _) =>
-                st = FunnelState(st.firstView, st.firstClick, Some(us))
-              case _ =>
+          if (state.hasTimedOut) {
+            // attribution horizon passed: the funnel is final — free
+            // the per-user state
+            state.remove()
+            Iterator.empty
+          } else {
+            val existed = state.exists
+            var st = state.getOption.getOrElse(FunnelState(None, Nil, Nil))
+            val before = resolveFunnel(st)
+            var maxUs = Long.MinValue
+            rows.foreach { case (_, _, us, t) =>
+              maxUs = math.max(maxUs, us)
+              t match {
+                case "view" if st.minView.forall(us < _) =>
+                  st = st.copy(minView = Some(us))
+                case "click" => st = st.copy(clicks = us :: st.clicks)
+                case "purchase" =>
+                  st = st.copy(purchases = us :: st.purchases)
+                case _ =>
+              }
             }
-          }
-          if (st == before && state.exists) Iterator.empty
-          else {
-            state.update(st)
-            val stage = 1L + st.firstClick.size + st.firstPurchase.size
-            if (st.firstView.isEmpty) Iterator.empty
-            else Iterator(FunnelRow(uid, st.firstView, st.firstClick,
-              st.firstPurchase, stage))
+            val res = resolveFunnel(st)
+            val (fv, fc, fp) = res
+            // prune: a candidate strictly between the stage anchor and
+            // the resolved winner cannot exist, and one above the
+            // winner can never win — keep only potential regression
+            // beneficiaries (≤ anchor) plus the winner itself
+            state.update(FunnelState(st.minView,
+              st.clicks.distinct
+                .filter(c => fv.forall(c <= _) || fc.contains(c)).sorted,
+              st.purchases.distinct
+                .filter(p => fc.forall(p <= _) || fp.contains(p)).sorted))
+            if (streaming && maxUs != Long.MinValue)
+              state.setTimeoutTimestamp(math.max(maxUs / 1000 + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
+            if ((res == before && existed) || fv.isEmpty) Iterator.empty
+            else Iterator(FunnelRow(uid, fv, fc, fp,
+              1L + fc.size + fp.size))
           }
         })
   }

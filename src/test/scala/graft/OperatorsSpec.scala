@@ -7,6 +7,21 @@ import graft.streaming.JdbcSink
 /** Semantics pins for the round-2 operator wave. */
 class OperatorsSpec extends SparkSpec {
 
+  test("t_char_gini arithmetic is exact past the BIGINT overflow " +
+    "boundary (~3e7 chars)") {
+    import spark.implicits._
+    // n²·10⁴ = 1.6e19 > Long.MaxValue: the pre-r7 formula silently
+    // wrapped here (non-ANSI) while DuckDB errored; the DECIMAL(38,0)
+    // path must return the mathematically exact basis points
+    val n = 40000000L
+    val ssq = 800000000000000L // a plausible Σc² for that length
+    val row = Seq((n, ssq)).toDF("n_chars_counted", "sum_sq")
+      .select(graft.operators.TextAnalysis.giniBpCol.as("g")).head()
+    val exact = ((BigInt(n) * n - ssq) * 10000 / (BigInt(n) * n)).toLong
+    assert(row.getLong(0) === exact)
+    assert(exact === 5000L, "sanity: Σc²/n² = 0.5 ⇒ gini 5000 bp")
+  }
+
   test("d_simhash: identical token sets get identical signatures") {
     // the corpus has planted near-dups with equal token sets; their
     // simhash (a token-set function) must collide
@@ -146,6 +161,55 @@ class OperatorsSpec extends SparkSpec {
     assert(!feats(3).decoded && feats(3).width === -1,
       "corrupt bytes must mark, not throw")
     assert(!feats(4).decoded, "non-image formats skip the image codec")
+  }
+
+  test("multimodal: ImageIO sequence reader decodes a real animated " +
+    "GIF; stride samples frames; poison rows mark, not throw") {
+    import spark.implicits._
+    def animatedGif(lumas: Seq[Int], w: Int, h: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (v <- lumas) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.close()
+      bos.toByteArray
+    }
+    val gif = animatedGif(Seq(0, 80, 160, 255), 10, 6)
+    val rows = Seq(
+      MultiModal.MediaRow(1L, gif, "gif", 10, 6),
+      MultiModal.MediaRow(2L, Array[Byte](4, 5, 6), "gif", 0, 0),
+      MultiModal.MediaRow(3L, gif, "png", 10, 6))
+    val all = MultiModal.decodeFrames(spark.createDataset(rows))
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    val frames = all.filter(_.doc_id == 1L)
+    assert(frames.length === 4, "every frame of the sequence decodes")
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 1, 2, 3))
+    assert(frames.forall(f => f.decoded && f.width === 10 && f.height === 6))
+    // GIF palettizes but a uniform grey survives (near-)exactly
+    for ((f, expected) <- frames.zip(Seq(0L, 80L, 160L, 255L)))
+      assert(math.abs(f.mean_luma - expected) <= 3L,
+        s"frame ${f.frame_idx}: luma ${f.mean_luma} vs $expected")
+    // stride=2 keeps frames 0 and 2 only — I2 sampling on real frames
+    val sampled = MultiModal.decodeFrames(spark.createDataset(rows), 2)
+      .collect().filter(_.doc_id == 1L).sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq === Seq(0, 2))
+    assert(sampled.map(_.mean_luma).zip(Seq(0L, 160L))
+      .forall { case (a, b) => math.abs(a - b) <= 3L })
+    // poison bytes and non-gif formats mark decoded=false
+    assert(all.filter(_.doc_id == 2L).toSeq
+      .forall(f => !f.decoded && f.frame_idx === -1))
+    assert(all.filter(_.doc_id == 3L).forall(!_.decoded))
   }
 
   test("multimodal: dHash is brightness-invariant and the banded " +

@@ -280,6 +280,14 @@ class PlanAuditSpec extends SparkSpec {
       s"a window lost its user_id partitioning:\n${winLines.mkString("\n")}")
   }
 
+  test("r_scd2_merge: every window is user_id-partitioned, never global") {
+    val p = plan(SparkEntry.queries("r_scd2_merge")(spark, sf))
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, "the merge needs its batch lag/lead windows")
+    assert(winLines.forall(_.contains("user_id")),
+      s"a maintenance window lost its key partitioning:\n${winLines.mkString("\n")}")
+  }
+
   test("q_funnel: every stage joins/aggregates on user_id, no cartesian") {
     val df = SparkEntry.queries("q_funnel")(spark, sf)
     df.collect()
@@ -300,6 +308,26 @@ class PlanAuditSpec extends SparkSpec {
       s"sampling plan must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"corpus side must not shuffle for the plan join:\n$p")
+  }
+
+  test("d_incr_dedup: verify side reads the standing gram artifact, " +
+    "never a corpus re-scan") {
+    // the r6 verdict's one 100×-scale breach, pinned closed: an ingest
+    // batch may scan the documents table ONLY for its own carve
+    // (doc_id % 5 = 4); the historical side contributes the band index
+    // AND the gram-array verify relation as materialized artifacts
+    // (Scan ExistingRDD), so batch cost is O(batch + candidates)
+    val df = SparkEntry.queries("d_incr_dedup")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    val rddScans = p.linesIterator.count(_.contains("Scan ExistingRDD"))
+    assert(rddScans >= 2,
+      s"band index AND gram artifact must be RDD scans, found $rddScans:\n$p")
+    // the historical carve's filter is NOT ((doc_id % 5) = 4) — if it
+    // appears anywhere, the verify side re-derived grams from the
+    // corpus instead of reading the artifact
+    assert(!p.contains("NOT ((doc_id"),
+      s"historical corpus re-scan crept back into the verify side:\n$p")
   }
 
   test("s_ann_pq: encode is map-only, top-k tree-reduces") {

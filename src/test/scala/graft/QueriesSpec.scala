@@ -659,6 +659,39 @@ class QueriesSpec extends SparkSpec {
     batch.unpersist()
   }
 
+  test("d_incr_clusters: incremental merge ≡ corpus-wide recompute") {
+    // THE maintenance contract: merging the 20% batch's edges into the
+    // standing 80%-carve map is indistinguishable from rebuilding the
+    // map over the whole corpus
+    val incr = SparkEntry.queries("d_incr_clusters")(spark, sf)
+      .collect().map(_.toString).sorted
+    val full = SparkEntry.queries("d_dup_clusters")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(incr.length === full.length)
+    assert(incr.toSeq === full.toSeq,
+      "incremental maintenance diverged from the full recompute")
+  }
+
+  test("mergeClusters: a batch edge bridging two standing clusters " +
+    "merges them; untouched clusters pass through bit-identical") {
+    import spark.implicits._
+    // standing map: {1,2,3} (rep 1), {10,11} (rep 10), {20,21} (rep 20)
+    val existing = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L), (20L, 20L), (21L, 20L))
+      .toDF("doc_id", "cluster_id")
+    // batch: new doc 30 bridges clusters 1 and 10 (via members 3 and
+    // 11); new docs 40,41 form their own component; cluster 20 untouched
+    val half = Seq((30L, 3L), (30L, 11L), (40L, 41L))
+      .toDF("doc_a", "doc_b")
+    val edges = half.unionAll(
+      half.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val merged = graft.operators.Dedup.mergeClusters(existing, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L,
+      11L -> 1L, 30L -> 1L, 40L -> 40L, 41L -> 40L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("d_embed_clusters: every near-dup pair lands in one cluster") {
     val clusters = SparkEntry.queries("d_embed_clusters")(spark, sf).cache()
     // min-label CC: a cluster id is the smallest member, so never
@@ -699,6 +732,47 @@ class QueriesSpec extends SparkSpec {
       .count()
     assert(bad === 0, "SCD2 intervals overlap, gap, or repeat a state")
     scd.unpersist()
+  }
+
+  test("r_scd2_merge: merge(history, batch) ≡ rebuild over the union") {
+    val merged = SparkEntry.queries("r_scd2_merge")(spark, sf)
+      .collect().map(_.toString).sorted
+    val rebuilt = SparkEntry.queries("r_dim_scd2")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(merged.length === rebuilt.length)
+    assert(merged.toSeq === rebuilt.toSeq,
+      "SCD2 maintenance diverged from the from-scratch rebuild")
+  }
+
+  test("scd2Merge: same-state batch opens NO version; a change closes " +
+    "the open row at the change timestamp") {
+    import spark.implicits._
+    def ts(min: Long): java.sql.Timestamp =
+      new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // standing history: user 1 open on state "view" since m0; user 2
+    // open on "click" since m5 (after a closed "view" row)
+    val existing = Seq(
+      (1L, "view", ts(0), None: Option[java.sql.Timestamp], true),
+      (2L, "view", ts(0), Some(ts(5)), false),
+      (2L, "click", ts(5), None, true))
+      .toDF("user_id", "state", "valid_from", "valid_to", "is_current")
+    // batch: user 1 re-observes "view" (no change) then moves to
+    // "purchase"; user 2 only re-observes "click"; user 3 is new
+    val batch = Seq(
+      (1L, "view", ts(10), 101L), (1L, "purchase", ts(12), 102L),
+      (2L, "click", ts(11), 103L),
+      (3L, "view", ts(13), 104L))
+      .toDF("user_id", "state", "ts", "event_id")
+    val out = graft.operators.Star.scd2Merge(existing, batch)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(3)).map(_.toString), r.getBoolean(4))).toSet
+    assert(out === Set(
+      (1L, "view", Some(ts(12).toString), false), // closed AT the change
+      (1L, "purchase", None, true),
+      (2L, "view", Some(ts(5).toString), false), // untouched passthrough
+      (2L, "click", None, true), // same-state batch ⇒ still open
+      (3L, "view", None, true))) // new key bootstraps
   }
 
   test("q_histogram: buckets bounded, masses add up to the corpus") {

@@ -109,6 +109,27 @@ class ShortDocSpec extends SparkSpec {
     assert(p.filter(col("doc_a") < 5L && col("doc_b") < 5L).count() === 0)
   }
 
+  test("d_minhash_est: a candidate pair of sub-3-char docs is KEPT, " +
+    "jaccard_bp NULL (engine/oracle agree on gram-less docs)") {
+    // two identical 2-char docs: one shared token ⇒ identical
+    // signatures ⇒ they share every band (an LSH candidate), but both
+    // gram sets are empty ⇒ exact Jaccard is undefined. The r6 advice
+    // divergence: the oracle's inner join on gram-derived sizes
+    // DROPPED such pairs while Spark kept them — both must keep, with
+    // est_bp = 10000 and jaccard_bp NULL (DIV by zero ⇒ NULL)
+    val d = Files.createTempDirectory("graft_shortest").toString
+    Seq((1L, "ab"), (2L, "ab"),
+      (3L, "an ordinary document long enough for character grams"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val est = SparkEntry.queries("d_minhash_est")(spark, d).collect()
+    val pair = est.filter(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(pair.length === 1, "the short-doc candidate pair must survive")
+    assert(pair.head.getAs[Long]("est_bp") === 10000L)
+    assert(pair.head.isNullAt(pair.head.fieldIndex("jaccard_bp")),
+      "undefined exact Jaccard must surface as NULL, not 0 or a crash")
+  }
+
   test("bandArrayCol: empty token set yields zero bands, not md5('')") {
     import spark.implicits._
     val b = Seq((1L, ""), (2L, "   "), (3L, "some words here"))

@@ -310,6 +310,69 @@ class StreamingSpec extends SparkSpec {
       "streaming funnel state diverged from the batch funnel")
   }
 
+  test("D17 funnel recovers a click rejected in an earlier micro-batch " +
+    "when a LATE earlier view arrives (out-of-order across batches)") {
+    import spark.implicits._
+    // batch 1: user 100 gets view@20m, click@10m (rejected: before the
+    // view), purchase@12m (rejected: no click). batch 2: a LATE view@5m
+    // arrives — the r6 finding: the old state machine had discarded the
+    // click forever; the candidate-tracking one must re-resolve to
+    // view=5m, click=10m, purchase=12m, stage 3, exactly the batch
+    // q_funnel over the union. user 200 is the in-order control.
+    val base = 1767225600L * 1000000L // 2026-01-01 00:00 UTC, µs
+    def ns(min: Long): Long = (base + min * 60000000L) * 1000L
+    val in = tempDir("graft_ooo_in")
+    val b1 = Seq(
+      (1L, 100L, ns(20), "view"), (2L, 100L, ns(10), "click"),
+      (3L, 100L, ns(12), "purchase"),
+      (4L, 200L, ns(1), "view"), (5L, 200L, ns(2), "click"))
+    val b2 = Seq(
+      (6L, 100L, ns(5), "view"),
+      (7L, 200L, ns(3), "purchase"))
+    // the file source lists FLAT files — land each batch as one
+    // part-file copied up from a scratch dir, mod-times forcing the
+    // batch order (the source sorts by timestamp)
+    def stage(rows: Seq[(Long, Long, Long, String)], f: String,
+        tMs: Long): Unit = {
+      val scratch = tempDir("graft_ooo_scratch")
+      rows.toDF("event_id", "user_id", "ts", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = Files.list(Paths.get(scratch)).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+      Files.copy(Paths.get(part), Paths.get(s"$in/$f"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(s"$in/$f"),
+        java.nio.file.attribute.FileTime.fromMillis(tMs))
+    }
+    stage(b1, "b1.parquet", 1000000)
+    stage(b2, "b2.parquet", 2000000)
+    val src = spark.readStream
+      .schema("event_id LONG, user_id LONG, ts LONG, event_type STRING")
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = ReportStream.streamingFunnel(src)
+      .writeStream.format("memory").queryName("funnel_ooo")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    // Update mode: the LAST row per user is the live state
+    val winName = org.apache.spark.sql.expressions.Window
+      .partitionBy("userId")
+    val fin = spark.table("funnel_ooo")
+      .withColumn("rn", monotonically_increasing_id())
+      .withColumn("mx", max("rn").over(winName))
+      .filter(col("rn") === col("mx"))
+      .collect()
+      .map(r => r.getAs[Long]("userId") ->
+        (Option(r.get(r.fieldIndex("firstView"))),
+          Option(r.get(r.fieldIndex("firstClick"))),
+          Option(r.get(r.fieldIndex("firstPurchase"))),
+          r.getAs[Long]("stage"))).toMap
+    def us(min: Long): Long = base + min * 60000000L
+    assert(fin(100L) === ((Some(us(5)), Some(us(10)), Some(us(12)), 3L)),
+      "late earlier view must resurrect the rejected click + purchase")
+    assert(fin(200L) === ((Some(us(1)), Some(us(2)), Some(us(3)), 3L)))
+  }
+
   test("D9 dropDuplicatesWithinWatermark removes replayed rows") {
     val in = tempDir("graft_ddw_in")
     // stage the SAME events twice: every event_id arrives duplicated
