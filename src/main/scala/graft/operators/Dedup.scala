@@ -1220,7 +1220,170 @@ object Dedup {
        |HAVING count(*) >= $MinSharedFp
        |ORDER BY doc_a, doc_b""".stripMargin)
 
+  // ---------------------------------------------------------------- F17
+  /** Duplicated-span coverage — the ExactSubstr dedup METRIC (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"):
+    * for each doc, the share of token positions covered by a word
+    * 8-gram that also occurs in ANOTHER doc, in basis points. This is
+    * the decision column for span-level REMOVAL (cut the covered
+    * spans, keep the rest) where whole-doc dedup (F8/F9) would either
+    * drop a mostly-unique doc or keep a mostly-copied one; F12 finds
+    * the PAIRS sharing spans, this measures per-doc how much is
+    * copied.
+    *
+    * Scale shape: the positional gram relation is map-only; the
+    * cross-doc test is one distinct-doc count per gram (map-side
+    * combinable) semi-joined back — per-row fan-out is the fixed
+    * gram width (8 positions), never pair-shaped, so cost is
+    * O(corpus tokens), not O(pairs). Docs shorter than the gram
+    * width keep a 0-bp row (nothing can be a duplicated span).
+    */
+  val SpanGramN = 8
+
+  val dDupSpanRatio: Q = Q(
+    (s, dir) => {
+      val tRel = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          filter(split(lower(trim(col("text"))), "\\s+"),
+            x => x =!= "").as("t"))
+      val grams = tRel.select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(t) >= $SpanGramN THEN
+           |  transform(sequence(1, size(t) - ${SpanGramN - 1}),
+           |    i -> named_struct('pos', CAST(i AS BIGINT),
+           |      'gram', md5(concat_ws(' ', slice(t, i, $SpanGramN)))))
+           |ELSE array() END""".stripMargin)).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"),
+          col("g.gram").as("gram"))
+      val dupGrams = grams.groupBy("gram")
+        .agg(countDistinct("doc_id").as("dc"))
+        .filter(col("dc") >= 2).select("gram")
+      val cov = grams.join(dupGrams, Seq("gram"))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"),
+            col("pos") + (SpanGramN - 1))).as("cp"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_pos"))
+      tRel.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"))
+        .withColumn("dup_span_bp",
+          expr("n_dup_pos * 10000 DIV greatest(n_tokens, 1)"))
+        .orderBy("doc_id")
+    },
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |      x -> x <> '') AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    md5(array_to_string(t[i:i + ${SpanGramN - 1}], ' ')) AS gram
+       |  FROM t, unnest(range(1, greatest(len(t) - ${SpanGramN - 2}, 1)))
+       |    AS u(i)),
+       |dup AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, count(DISTINCT doc_id) AS dc FROM g GROUP BY gram)
+       |  WHERE dc >= 2),
+       |cov AS (
+       |  SELECT DISTINCT g.doc_id, g.pos + o AS cp
+       |  FROM g JOIN dup USING (gram), unnest(range($SpanGramN)) AS v(o)),
+       |cnt AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_pos
+       |  FROM cov GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       |  coalesce(c.n_dup_pos, 0) AS n_dup_pos,
+       |  coalesce(c.n_dup_pos, 0) * 10000
+       |    // greatest(CAST(len(t.t) AS BIGINT), 1) AS dup_span_bp
+       |FROM t LEFT JOIN cnt c ON c.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin)
+
+  // ---------------------------------------------------------------- F18
+  /** Duplicated-span REMOVAL — ExactSubstr dedup's action step (F17
+    * measures, this cuts): every token position covered by a
+    * cross-doc duplicated word 8-gram is dropped and the doc is
+    * rebuilt from the surviving tokens, in order. Output carries the
+    * before/after token counts and an md5 of the cleaned text, so the
+    * oracle pins the rebuild byte-exactly (and `n_kept = 0` rows —
+    * fully-copied docs — fall out as candidates for whole-doc
+    * removal). The 100 TB shape adds one doc_id-keyed aggregation of
+    * kept positions over F17's coverage relation and one join back to
+    * the token arrays — still O(corpus tokens), no pair join
+    * anywhere.
+    */
+  val dStripSpans: Q = Q(
+    (s, dir) => {
+      val tRel = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          filter(split(lower(trim(col("text"))), "\\s+"),
+            x => x =!= "").as("t"))
+      val grams = tRel.select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(t) >= $SpanGramN THEN
+           |  transform(sequence(1, size(t) - ${SpanGramN - 1}),
+           |    i -> named_struct('pos', CAST(i AS BIGINT),
+           |      'gram', md5(concat_ws(' ', slice(t, i, $SpanGramN)))))
+           |ELSE array() END""".stripMargin)).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"),
+          col("g.gram").as("gram"))
+      val dupGrams = grams.groupBy("gram")
+        .agg(countDistinct("doc_id").as("dc"))
+        .filter(col("dc") >= 2).select("gram")
+      val dropPos = grams.join(dupGrams, Seq("gram"))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"),
+            col("pos") + (SpanGramN - 1))).as("cp"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(collect_set("cp").as("drop_pos"))
+      tRel.join(dropPos, Seq("doc_id"), "left")
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+          expr("filter(transform(t, (x, i) -> " +
+            "named_struct('keep', drop_pos IS NULL OR " +
+            "NOT array_contains(drop_pos, CAST(i + 1 AS BIGINT)), " +
+            "'tok', x)), p -> p.keep)").as("kept"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("kept")).cast("long").as("n_kept"),
+          md5(concat_ws(" ", expr("transform(kept, p -> p.tok)")))
+            .as("clean_md5"))
+        .orderBy("doc_id")
+    },
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |      x -> x <> '') AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    md5(array_to_string(t[i:i + ${SpanGramN - 1}], ' ')) AS gram
+       |  FROM t, unnest(range(1, greatest(len(t) - ${SpanGramN - 2}, 1)))
+       |    AS u(i)),
+       |dup AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, count(DISTINCT doc_id) AS dc FROM g GROUP BY gram)
+       |  WHERE dc >= 2),
+       |cov AS (
+       |  SELECT DISTINCT g.doc_id, g.pos + o AS cp
+       |  FROM g JOIN dup USING (gram), unnest(range($SpanGramN)) AS v(o)),
+       |ktoks AS (
+       |  SELECT t.doc_id, CAST(i AS BIGINT) AS i,
+       |    t.t[CAST(i AS INT)] AS tok
+       |  FROM t, unnest(range(1, len(t.t) + 1)) AS u(i)
+       |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+       |    WHERE c.doc_id = t.doc_id AND c.cp = CAST(i AS BIGINT))),
+       |kept AS (
+       |  SELECT doc_id, list(tok ORDER BY i) AS k
+       |  FROM ktoks GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(len(k.k), 0) AS BIGINT) AS n_kept,
+       |  -- array_to_string of an EMPTY list is NULL in DuckDB while
+       |  -- Spark's concat_ws gives '' — coalesce at the string level
+       |  md5(coalesce(array_to_string(k.k, ' '), '')) AS clean_md5
+       |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "d_dup_span_ratio" -> dDupSpanRatio,
+    "d_strip_spans" -> dStripSpans,
     "d_span_dup" -> dSpanDup,
     "d_incr_dedup" -> dIncrDedup,
     "d_minhash_est" -> dMinhashEst,

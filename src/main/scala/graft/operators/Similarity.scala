@@ -765,7 +765,105 @@ object Similarity {
       |  GROUP BY label, pos)
       |ORDER BY label, pos""".stripMargin)
 
+  // --------------------------------------------------------------- G10
+  /** Label-free coarse-quantizer TRAINING — Lloyd's k-means, the step
+    * the IVF family (G6-G9) was missing: the shipped codebook there is
+    * aggregated from ground-truth labels, which a real corpus does not
+    * have. Deterministic throughout so the oracle is exact: init =
+    * the [[KmeansK]] smallest vec_ids' vectors (cl 0..k-1 in id
+    * order), [[KmeansRounds]] Lloyd rounds in integer MICRO units
+    * (assign by squared-L2 argmin with ties to the smaller cluster id
+    * — the same `array_min` struct trick as the IVF assignment, whose
+    * expression this reuses — then per-dim `floor(Σ/n)` centroid
+    * refresh), output = the final assignment. A cluster losing all
+    * members simply drops out of the next codebook, both engines
+    * alike.
+    *
+    * Scale shape: each round is one map-only assignment expression
+    * over a SHIPPED k×dim-long codebook plus one map-side-combinable
+    * (cl, pos) aggregation — the train-then-ship stance of
+    * [[ivfCodebook]], now with the training loop included; driver
+    * state is k×dim longs per round regardless of corpus size.
+    */
+  val KmeansK = 8
+  val KmeansRounds = 2
+
+  private def microVec: Column =
+    transform(col("embedding"),
+      x => round(x.cast("double") * 1e6).cast("long"))
+
+  private def kmeansInit(s: SparkSession, dir: String)
+      : Array[(Long, Array[Long])] =
+    Tables.embeddings(s, dir).orderBy("vec_id").limit(KmeansK)
+      .select(col("vec_id"), microVec.as("v")).collect()
+      .sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toArray) }
+
+  private def kmeansRound(s: SparkSession, dir: String,
+      cents: Array[(Long, Array[Long])]): Array[(Long, Array[Long])] =
+    Tables.embeddings(s, dir)
+      // two selects: a generator in the same projection as the argmin
+      // struct would re-plan the struct without its field names
+      .select(ivfCellCol(cents).as("cl"), col("embedding"))
+      .select(col("cl"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cl", "pos")
+      .agg(floor(sum(round(col("x").cast("double") * 1e6).cast("long"))
+        .cast("double") / count(lit(1))).cast("long").as("c"))
+      .groupBy("cl")
+      .agg(sort_array(collect_list(struct(col("pos"), col("c"))))
+        .as("cvec"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toArray))
+      .sortBy(_._1)
+
+  /** One Lloyd assignment in DuckDB: nearest centroid from `c`, ties
+    * to the smaller cluster id.
+    */
+  private def kmAssignSql(c: String): String =
+    s"""SELECT vec_id, cl FROM (
+       |  SELECT e.vec_id, c.cl,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_sum(list_transform(list_zip(e.v, c.v),
+       |        z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cl) AS rn
+       |  FROM e CROSS JOIN $c c) WHERE rn = 1""".stripMargin
+
+  /** One centroid refresh in DuckDB from assignment `a`. */
+  private def kmRefreshSql(a: String): String =
+    s"""SELECT cl, list(cc ORDER BY pos) AS v FROM (
+       |  SELECT a.cl, i AS pos,
+       |    CAST(floor(CAST(sum(e.v[CAST(i AS INT)]) AS DOUBLE)
+       |      / count(*)) AS BIGINT) AS cc
+       |  FROM $a a JOIN e ON e.vec_id = a.vec_id,
+       |    unnest(range(1, len(e.v) + 1)) AS u(i)
+       |  GROUP BY a.cl, i) GROUP BY cl""".stripMargin
+
+  val sKmeans: Q = Q(
+    (s, dir) => {
+      var cents = kmeansInit(s, dir)
+      for (_ <- 1 to KmeansRounds) cents = kmeansRound(s, dir, cents)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), ivfCellCol(cents).as("cluster"))
+        .orderBy("vec_id")
+    },
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |    AS cl, v
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $KmeansK)),
+       |a1 AS (${kmAssignSql("c0")}),
+       |c1 AS (${kmRefreshSql("a1")}),
+       |a2 AS (${kmAssignSql("c1")}),
+       |c2 AS (${kmRefreshSql("a2")}),
+       |fin AS (${kmAssignSql("c2")})
+       |SELECT vec_id, cl AS cluster FROM fin
+       |ORDER BY vec_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "s_kmeans" -> sKmeans,
     "s_cosine_topk" -> sCosineTopk,
     "s_centroids" -> sCentroids,
     "d_embed_dup" -> dEmbedDup,

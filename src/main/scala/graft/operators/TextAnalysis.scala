@@ -761,7 +761,88 @@ object TextAnalysis {
        |    AS oov_bp
        |FROM scored ORDER BY doc_id""".stripMargin)
 
+  // --------------------------------------------------------------- H17
+  /** Context-window chunking — the step between curation and the
+    * trainer: every doc explodes into fixed [[ChunkW]]-token windows
+    * advancing by [[ChunkStride]] (overlap = W − stride keeps spans
+    * that straddle a boundary learnable). A trailing window that adds
+    * NO tokens beyond the previous one (n − start ≤ W − stride) is
+    * dropped — it would be a strict sub-window. Output rows carry the
+    * window's exact token count and an md5 over the joined tokens, so
+    * the oracle pins both the boundaries and the content bit-exactly.
+    *
+    * Scale shape: pure map-only explode (one codegen'd projection, no
+    * shuffle but the presentation sort) — the 100 TB cost is one scan;
+    * downstream shuffling is the trainer's sampler, not this op.
+    */
+  val ChunkW = 128
+  val ChunkStride = 96
+
+  val tChunk: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          filter(toks(col("text")), x => x =!= "").as("t"))
+        .select(col("doc_id"), explode(expr(
+          s"""CASE WHEN size(t) >= 1 THEN
+             |  filter(transform(sequence(0, (size(t) - 1) DIV $ChunkStride),
+             |    k -> named_struct(
+             |      'chunk_idx', CAST(k AS BIGINT),
+             |      'chunk', slice(t, k * $ChunkStride + 1, $ChunkW))),
+             |    c -> c.chunk_idx = 0 OR
+             |      size(t) - c.chunk_idx * $ChunkStride >
+             |        ${ChunkW - ChunkStride})
+             |ELSE array() END""".stripMargin)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          size(col("c.chunk")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("c.chunk"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx"),
+    s"""SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+       |  CAST(len(t[k * $ChunkStride + 1 : k * $ChunkStride + $ChunkW])
+       |    AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(
+       |    t[k * $ChunkStride + 1 : k * $ChunkStride + $ChunkW], ' '))
+       |    AS chunk_md5
+       |FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS t
+       |      FROM documents),
+       |  unnest(range((len(t) - 1) // $ChunkStride + 1)) AS u(k)
+       |WHERE len(t) >= 1 AND (k = 0 OR
+       |  len(t) - k * $ChunkStride > ${ChunkW - ChunkStride})
+       |ORDER BY doc_id, chunk_idx""".stripMargin)
+
+  // --------------------------------------------------------------- H18
+  /** Deterministic train/val/test assignment — the split every run of
+    * the pipeline must reproduce bit-identically: a doc's split is a
+    * pure function of its id (two hex chars of md5 ⇒ 256 buckets:
+    * 'ff' test, 'fe' val, rest train — ~0.4%/0.4%/99.2%), so adding
+    * or removing OTHER docs never moves an existing doc across splits
+    * (the property random shuffles lack and hash splits exist for).
+    * Map-only; the spec checks per-source proportions land near the
+    * bucket shares — stratification emerges from hash uniformity
+    * rather than per-stratum bookkeeping.
+    */
+  val tSplitAssign: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          substring(md5(col("doc_id").cast("string")), 1, 2).as("h"))
+        .select(col("doc_id"), col("source"),
+          when(col("h") >= "ff", "test")
+            .when(col("h") >= "fe", "val")
+            .otherwise("train").as("split"))
+        .orderBy("doc_id"),
+    """SELECT doc_id, source,
+      |  CASE WHEN h >= 'ff' THEN 'test'
+      |       WHEN h >= 'fe' THEN 'val'
+      |       ELSE 'train' END AS split
+      |FROM (SELECT doc_id, source,
+      |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "t_chunk" -> tChunk,
+    "t_split_assign" -> tSplitAssign,
     "t_oov" -> tOov,
     "t_char_gini" -> tCharGini,
     "t_mix_plan" -> tMixPlan,

@@ -692,6 +692,108 @@ class QueriesSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("t_chunk: windows tile every doc exactly — full stride steps, " +
+    "no sub-window tails, bounded width") {
+    val chunks = SparkEntry.queries("t_chunk")(spark, sf).cache()
+    assert(chunks.filter(col("n_tokens") > graft.operators.TextAnalysis
+      .ChunkW).count() === 0, "a window exceeded W")
+    // a non-first window must add tokens beyond the previous one
+    val minTail = graft.operators.TextAnalysis.ChunkW -
+      graft.operators.TextAnalysis.ChunkStride
+    assert(chunks.filter(col("chunk_idx") > 0 &&
+      col("n_tokens") <= minTail).count() === 0,
+      "a kept window was a strict sub-window of its predecessor")
+    // coverage: the last window ends exactly at the doc's token count
+    val stride = graft.operators.TextAnalysis.ChunkStride
+    val ends = chunks
+      .groupBy("doc_id")
+      .agg(max(col("chunk_idx") * stride + col("n_tokens")).as("covered"),
+        count(lit(1)).as("n_chunks"), max("chunk_idx").as("max_idx"))
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(filter(
+        split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))
+        .cast("long").as("n"))
+    assert(ends.join(toks, "doc_id")
+      .filter(col("covered") =!= col("n")).count() === 0,
+      "window union must cover the doc exactly")
+    chunks.unpersist()
+  }
+
+  test("d_dup_span_ratio: exact-duplicate docs are fully covered; " +
+    "short docs score zero") {
+    val ratio = SparkEntry.queries("d_dup_span_ratio")(spark, sf).cache()
+    assert(ratio.filter(col("dup_span_bp") < 0 ||
+      col("dup_span_bp") > 10000).count() === 0)
+    assert(ratio.filter(col("n_dup_pos") > col("n_tokens")).count() === 0)
+    assert(ratio.filter(col("n_tokens") < graft.operators.Dedup.SpanGramN
+      && col("dup_span_bp") =!= 0).count() === 0,
+      "nothing shorter than the gram width can be a duplicated span")
+    // a doc with an EXACT copy elsewhere shares every 8-gram ⇒ 100%
+    val dupDocs = Tables.documents(spark, sf)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("doc_id"))
+      .filter(col("n") >= 2).select("doc_id")
+    val under = ratio.join(dupDocs, "doc_id")
+      .filter(col("n_tokens") >= graft.operators.Dedup.SpanGramN &&
+        col("dup_span_bp") =!= 10000).count()
+    assert(under === 0, "an exact duplicate doc must be 100% covered")
+    ratio.unpersist()
+  }
+
+  test("d_strip_spans: removal is exactly F17's coverage — kept = " +
+    "total − covered; exact dups strip to nothing") {
+    val strip = SparkEntry.queries("d_strip_spans")(spark, sf).cache()
+    val ratio = SparkEntry.queries("d_dup_span_ratio")(spark, sf)
+    // the two views must agree doc by doc: what F17 counts as covered
+    // is precisely what F18 removes
+    val mismatch = strip.join(ratio, Seq("doc_id"))
+      .filter(strip("n_kept") =!= ratio("n_tokens") - ratio("n_dup_pos"))
+      .count()
+    assert(mismatch === 0, "strip/ratio accounting diverged")
+    // a doc with an exact copy elsewhere loses every token
+    val dupDocs = Tables.documents(spark, sf)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("doc_id"))
+      .filter(col("n") >= 2).select("doc_id")
+    assert(strip.join(dupDocs, "doc_id")
+      .filter(col("n_tokens") >= graft.operators.Dedup.SpanGramN &&
+        col("n_kept") =!= 0).count() === 0)
+    strip.unpersist()
+  }
+
+  test("s_kmeans: assignment lands in trained clusters and actually " +
+    "partitions the corpus") {
+    val a = SparkEntry.queries("s_kmeans")(spark, sf).cache()
+    assert(a.count() === Tables.embeddings(spark, sf).count(),
+      "every vector gets exactly one cluster")
+    val k = graft.operators.Similarity.KmeansK
+    assert(a.filter(col("cluster") < 0 || col("cluster") >= k)
+      .count() === 0)
+    val used = a.select("cluster").distinct().count()
+    assert(used >= 2 && used <= k,
+      s"degenerate clustering: $used clusters in use")
+    a.unpersist()
+  }
+
+  test("t_split_assign: deterministic, and split shares track the " +
+    "hash-bucket design per source") {
+    val s1 = SparkEntry.queries("t_split_assign")(spark, sf)
+      .collect().map(_.toString)
+    val s2 = SparkEntry.queries("t_split_assign")(spark, sf)
+      .collect().map(_.toString)
+    assert(s1.toSeq === s2.toSeq, "split must be a pure function of ids")
+    val counts = SparkEntry.queries("t_split_assign")(spark, sf)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    // 254/1/1 of 256 buckets: train dominates, both holdouts small
+    // but the corpus (500 docs) is small enough that either holdout
+    // may draw zero docs — only the upper bounds are meaningful
+    assert(counts.getOrElse("train", 0L) > total * 9 / 10)
+    assert(counts.getOrElse("val", 0L) < total / 20)
+    assert(counts.getOrElse("test", 0L) < total / 20)
+  }
+
   test("d_embed_clusters: every near-dup pair lands in one cluster") {
     val clusters = SparkEntry.queries("d_embed_clusters")(spark, sf).cache()
     // min-label CC: a cluster id is the smallest member, so never

@@ -373,6 +373,57 @@ class StreamingSpec extends SparkSpec {
     assert(fin(200L) === ((Some(us(1)), Some(us(2)), Some(us(3)), 3L)))
   }
 
+  test("F8-incr: cluster map maintained across edge micro-batches — " +
+    "streamed merges converge to the batch incremental result") {
+    import graft.operators.Dedup
+    // the production shape: the F13 gate discovers dup edges at
+    // ingest; each micro-batch's edges fold into the standing map via
+    // mergeClusters. Correctness hinges on merge associativity:
+    // merge(merge(M, E1), E2) must equal the single-batch merge over
+    // E1 ∪ E2 — proven here by replaying the d_incr_clusters edge set
+    // in TWO micro-batches through a real stream and pinning the
+    // final map to the batch query's output.
+    val batchE = Dedup.dupEdges(spark, sf)
+      .filter(col("doc_a") % 5 === 4 || col("doc_b") % 5 === 4)
+      .withColumn("half",
+        substring(md5(concat_ws(",",
+          least(col("doc_a"), col("doc_b")),
+          greatest(col("doc_a"), col("doc_b")))), 1, 1) < "8")
+      .cache()
+    val in = tempDir("graft_edges_in")
+    def stageHalf(flag: Boolean, f: String, tMs: Long): Unit = {
+      val scratch = tempDir("graft_edges_scratch")
+      batchE.filter(col("half") === flag).select("doc_a", "doc_b")
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = Files.list(Paths.get(scratch)).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+      Files.copy(Paths.get(part), Paths.get(s"$in/$f"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(s"$in/$f"),
+        java.nio.file.attribute.FileTime.fromMillis(tMs))
+    }
+    stageHalf(flag = true, "e1.parquet", 1000000)
+    stageHalf(flag = false, "e2.parquet", 2000000)
+    var state = Dedup.oldClusterMap(spark, sf)
+    val src = spark.readStream.schema("doc_a LONG, doc_b LONG")
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = src.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = Dedup.mergeClusters(state, b).localCheckpoint(true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val streamed = state.collect().map(_.toString).sorted
+    val batch = SparkEntry.queries("d_incr_clusters")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq,
+      "streamed per-batch merges diverged from the one-shot merge")
+    batchE.unpersist()
+  }
+
   test("D9 dropDuplicatesWithinWatermark removes replayed rows") {
     val in = tempDir("graft_ddw_in")
     // stage the SAME events twice: every event_id arrives duplicated
