@@ -666,7 +666,51 @@ object Analytics {
       |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin)
 
+  // --------------------------------------------------------------- E18
+  /** DAU / MAU stickiness — the product-analytics ratio (what share of
+    * the monthly actives showed up today) every engagement dashboard
+    * leads with. The naive form is a rolling COUNT(DISTINCT) over a
+    * 28-day RANGE window — a global sort plus per-frame distinct that
+    * dies at 100 TB. Restated distributively: pre-distinct (day, user)
+    * once, then each active day FANS OUT to the 28 window-end days it
+    * contributes to (a bounded 28× map-only explode of the already
+    * day-collapsed relation), and MAU is a plain map-side-combinable
+    * count per window-end after a second distinct. No window function,
+    * no range join, shuffle keyed by day — the aggregation tree a
+    * 1000-executor cluster wants. Days are emitted only where DAU
+    * exists (an inner join back), and the ratio is integer bp.
+    */
+  val qStickiness: Q = Q(
+    (s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      val mau = du
+        .select(explode(sequence(col("day"), date_add(col("day"), 27)))
+          .as("day"), col("user_id"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("mau"))
+      dau.join(mau, Seq("day"))
+        .select(col("day"), col("dau"), col("mau"),
+          expr("dau * 10000 DIV mau").as("stickiness_bp"))
+        .orderBy("day")
+    },
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dau AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day),
+      |fan AS (
+      |  SELECT DISTINCT day + CAST(o AS INT) AS day, user_id
+      |  FROM du, unnest(range(28)) AS u(o)),
+      |mau AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS mau FROM fan GROUP BY day)
+      |SELECT dau.day AS day, dau.dau AS dau, mau.mau AS mau,
+      |  dau.dau * 10000 // mau.mau AS stickiness_bp
+      |FROM dau JOIN mau USING (day)
+      |ORDER BY day""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "q_stickiness" -> qStickiness,
     "w_trailing" -> wTrailing,
     "w_ntile" -> wNtile,
     "q_histogram" -> qHistogram,

@@ -667,6 +667,32 @@ object Similarity {
       }: _*)), 1)
   }
 
+  /** Per-row PQ CODES under the shipped codebook — the encode half of
+    * [[pqRecon]] exposed on its own: the [[PqSub]] winning
+    * sub-centroid ids (argmin by exact integer squared-L2, ties →
+    * smallest cell id) as an `array<long>`. Map-only — this is the
+    * expression streaming index maintenance runs per micro-batch to
+    * append 4-byte codes for vectors arriving after training, with
+    * zero state and zero retraining (the G7 cell-assignment stance,
+    * applied to the PQ code table).
+    */
+  private[graft] def pqCodesCol(
+      codebook: Array[(Long, Array[Long])]): Column = {
+    val em = microOf(col("embedding"))
+    element_at(transform(array(em), m =>
+      array((0 until PqSub).map { j =>
+        val sub = slice(m, j * PqSubDim + 1, PqSubDim)
+        array_min(array(codebook.map { case (lbl, cvec) =>
+          val scvec = cvec.slice(j * PqSubDim, (j + 1) * PqSubDim)
+          struct(
+            aggregate(zip_with(sub, typedlit(scvec.toSeq),
+              (x, c) => (x - c) * (x - c)), lit(0L), (acc, d) => acc + d)
+              .as("dist"),
+            lit(lbl).as("cell"))
+        }: _*)).getField("cell")
+      }: _*)), 1)
+  }
+
   val sAnnPq: Q = Q(
     (s, dir) => {
       val cb = ivfCodebook(s, dir)

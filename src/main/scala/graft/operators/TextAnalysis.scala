@@ -840,9 +840,152 @@ object TextAnalysis {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin)
 
+  // --------------------------------------------------------------- H19
+  /** Bigram language-model quality score — the CCNet shape (Wenzek et
+    * al.: score each doc under a corpus LM, bucket into head / middle
+    * / tail, keep the head): the LM here is the corpus's own bigram
+    * conditional frequencies, so the score is "how typical is this
+    * doc's word-to-word flow of the corpus" — boilerplate and fluent
+    * prose score high, keyboard mash and lorem-noise score low.
+    * All-integer so the oracle is hash-exact: a bigram's probability
+    * is `count(a,b) * 10000 DIV count(a as first)` in bp, a doc's
+    * `lm_bp` is the floor-average over its bigram positions, and the
+    * head/middle/tail cut is against scalar corpus thresholds
+    * (≥ 1.25× / < 0.75× of the corpus mean — the sample-derived
+    * cutoffs of CCNet re-expressed as exact integer arithmetic; a
+    * global ntile would mean a single-partition sort at 100 TB, two
+    * broadcast scalars do not). Docs with < 2 tokens carry lm_bp 0
+    * and land in `tail`.
+    *
+    * Scale shape: the count model is two map-side-combinable
+    * aggregations (bigram, first-token); scoring joins the corpus
+    * bigram stream to those counts by key — O(corpus tokens)
+    * shuffle, never pair-shaped; the thresholds are one scalar agg
+    * cross-joined (broadcast) into a map-only bucket assignment.
+    */
+  val tLmScore: Q = Q(
+    (s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          filter(toks(col("text")), x => x =!= "").as("t"))
+      val big = t.select(col("doc_id"), explode(expr(
+        """CASE WHEN size(t) >= 2 THEN
+          |  transform(sequence(1, size(t) - 1),
+          |    i -> named_struct('a', t[i - 1], 'b', t[i]))
+          |ELSE array() END""".stripMargin)).as("g"))
+        .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
+      val c2 = big.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      val c1 = big.groupBy("a").agg(count(lit(1)).as("n_a"))
+      val scored = big.join(c2, Seq("a", "b")).join(c1, Seq("a"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(expr("n_ab * 10000 DIV n_a")).as("p_sum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("p_sum DIV n_bigrams").as("lm_bp"))
+      val docs = t.select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("lm_bp"), lit(0L)).as("lm_bp"))
+      val mean = docs.filter(col("n_bigrams") > 0)
+        .agg(expr("sum(lm_bp) DIV count(*)").as("mean_bp"))
+      docs.crossJoin(broadcast(mean))
+        .select(col("doc_id"), col("n_bigrams"), col("lm_bp"),
+          when(col("n_bigrams") === 0, "tail")
+            .when(col("lm_bp") * 4 >= col("mean_bp") * 5, "head")
+            .when(col("lm_bp") * 4 < col("mean_bp") * 3, "tail")
+            .otherwise("middle").as("bucket"))
+        .orderBy("doc_id")
+    },
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS t
+       |  FROM documents),
+       |big AS (
+       |  SELECT doc_id, t[CAST(i AS INT)] AS a,
+       |    t[CAST(i AS INT) + 1] AS b
+       |  FROM t, unnest(range(1, len(t))) AS u(i)),
+       |c2 AS (SELECT a, b, count(*) AS n_ab FROM big GROUP BY a, b),
+       |c1 AS (SELECT a, count(*) AS n_a FROM big GROUP BY a),
+       |scored AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    sum(n_ab * 10000 // n_a) // count(*) AS lm_bp
+       |  FROM big JOIN c2 USING (a, b) JOIN c1 USING (a)
+       |  GROUP BY doc_id),
+       |docs AS (
+       |  SELECT t.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+       |    coalesce(s.lm_bp, 0) AS lm_bp
+       |  FROM t LEFT JOIN scored s ON s.doc_id = t.doc_id),
+       |m AS (
+       |  SELECT sum(lm_bp) // count(*) AS mean_bp
+       |  FROM docs WHERE n_bigrams > 0)
+       |SELECT doc_id, n_bigrams, lm_bp,
+       |  CASE WHEN n_bigrams = 0 THEN 'tail'
+       |       WHEN lm_bp * 4 >= mean_bp * 5 THEN 'head'
+       |       WHEN lm_bp * 4 < mean_bp * 3 THEN 'tail'
+       |       ELSE 'middle' END AS bucket
+       |FROM docs, m
+       |ORDER BY doc_id""".stripMargin)
+
+  // --------------------------------------------------------------- H20
+  /** Deterministic TF-IDF top terms — the per-doc keyword extraction a
+    * curation report needs (what is this doc ABOUT, which near-dup
+    * cluster member is the most on-topic representative). Integer
+    * weights keep it hash-exact: `idf_w = 10000 * N DIV df` (monotone
+    * in the real idf — ranking-equivalent, no logs to drift), term
+    * weight = `tf * idf_w`, top [[TfidfK]] per doc by (weight DESC,
+    * term ASC — fully deterministic ties). Corpus stopwords price
+    * themselves out: df ≈ N drives idf_w to its 10000 floor.
+    *
+    * Scale shape: tf is one map-side-combinable (doc, term) agg; df
+    * re-aggregates the tf relation (never the token stream); N is one
+    * broadcast scalar; the top-k window is PARTITIONED BY doc — the
+    * key-local sort that scales, not a global one.
+    */
+  val TfidfK = 5
+
+  val tTfidf: Q = Q(
+    (s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(filter(toks(col("text")), x => x =!= "")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("weight").desc, col("term"))
+      tf.join(df, Seq("term")).crossJoin(broadcast(n))
+        .withColumn("weight", expr("tf * (10000 * n_docs DIV df)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TfidfK)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), col("tf"), col("df"), col("weight"))
+        .orderBy("doc_id", "rank")
+    },
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(list_filter($toksSql, x -> x <> ''))
+       |      AS term
+       |    FROM documents)
+       |  GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |ranked AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    tf.tf * (10000 * n.n_docs // df.df) AS weight,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf * (10000 * n.n_docs // df.df) DESC, tf.term)
+       |      AS rank
+       |  FROM tf JOIN df USING (term), n)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, weight
+       |FROM ranked WHERE rank <= $TfidfK
+       |ORDER BY doc_id, rank""".stripMargin)
+
   val registry: Map[String, Q] = Map(
     "t_chunk" -> tChunk,
     "t_split_assign" -> tSplitAssign,
+    "t_lm_score" -> tLmScore,
+    "t_tfidf" -> tTfidf,
     "t_oov" -> tOov,
     "t_char_gini" -> tCharGini,
     "t_mix_plan" -> tMixPlan,

@@ -330,6 +330,40 @@ class PlanAuditSpec extends SparkSpec {
       s"historical corpus re-scan crept back into the verify side:\n$p")
   }
 
+  test("q_stickiness: rolling distinct is restated as fan-out + agg — " +
+    "no window, no range join") {
+    // the naive rolling COUNT(DISTINCT) is a global-sort window; the
+    // scale form must be the 28× explode of the (day,user) distinct
+    // relation with plain hash aggregations — nothing but equi-joins
+    val df = SparkEntry.queries("q_stickiness")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Window"),
+      s"stickiness must not use a window function:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"stickiness must stay equi-joined on day:\n$p")
+  }
+
+  test("t_lm_score: bucket thresholds are broadcast scalars, no window") {
+    // CCNet bucketing via global ntile would be a single-partition
+    // sort; the scalar-mean form keeps the corpus map-only after the
+    // count-model joins
+    val df = SparkEntry.queries("t_lm_score")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Window"),
+      s"lm bucketing must not sort globally:\n$p")
+  }
+
+  test("t_tfidf: the top-k window partitions by doc_id, never global") {
+    val p = plan(SparkEntry.queries("t_tfidf")(spark, sf))
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, "per-doc top-k needs its ranking window")
+    assert(winLines.forall(_.contains("doc_id")),
+      s"the tf-idf window lost its doc partitioning:\n${winLines.mkString("\n")}")
+  }
+
   test("s_ann_pq: encode is map-only, top-k tree-reduces") {
     val df = SparkEntry.queries("s_ann_pq")(spark, sf)
     df.collect()

@@ -794,6 +794,76 @@ class QueriesSpec extends SparkSpec {
     assert(counts.getOrElse("test", 0L) < total / 20)
   }
 
+  test("t_lm_score: buckets follow the scalar thresholds and exact " +
+    "duplicates score identically") {
+    val sc = SparkEntry.queries("t_lm_score")(spark, sf).cache()
+    assert(sc.count() === Tables.documents(spark, sf).count())
+    assert(sc.filter(!col("bucket").isin("head", "middle", "tail"))
+      .count() === 0)
+    assert(sc.filter(col("n_bigrams") === 0 && col("bucket") =!= "tail")
+      .count() === 0, "a doc with no bigrams cannot leave the tail")
+    // bucket assignment must be consistent with the corpus mean
+    val mean = sc.filter(col("n_bigrams") > 0)
+      .agg(expr("sum(lm_bp) DIV count(*)")).head().getLong(0)
+    assert(sc.filter(col("bucket") === "head" &&
+      col("lm_bp") * 4 < mean * 5).count() === 0)
+    assert(sc.filter(col("bucket") === "tail" && col("n_bigrams") > 0 &&
+      col("lm_bp") * 4 >= mean * 3).count() === 0)
+    // the LM is a pure function of text ⇒ exact dups score identically
+    val dupPair = Tables.documents(spark, sf)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), collect_list("doc_id").as("ids"))
+      .filter(col("n") >= 2).select(explode(col("ids")).as("doc_id"),
+        col("h"))
+    val spread = sc.join(dupPair, "doc_id")
+      .groupBy("h").agg(countDistinct("lm_bp").as("d"))
+      .filter(col("d") > 1).count()
+    assert(spread === 0, "exact duplicate docs diverged in lm_bp")
+    sc.unpersist()
+  }
+
+  test("t_tfidf: per-doc top-k is bounded, contiguous, and weight-" +
+    "monotone with deterministic ties") {
+    val tf = SparkEntry.queries("t_tfidf")(spark, sf).cache()
+    val k = graft.operators.TextAnalysis.TfidfK
+    val bad = tf.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"),
+        min("rank").as("mn"))
+      .filter(col("n") > k || col("mx") =!= col("n") || col("mn") =!= 1)
+      .count()
+    assert(bad === 0, "ranks must be 1..n with n <= k")
+    // weight non-increasing in rank; equal weights break ties by term
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("rank")
+    val viol = tf
+      .withColumn("pw", lag("weight", 1).over(w))
+      .withColumn("pt", lag("term", 1).over(w))
+      .filter(col("pw").isNotNull && (col("pw") < col("weight") ||
+        (col("pw") === col("weight") && col("pt") >= col("term"))))
+      .count()
+    assert(viol === 0, "top-k ordering must be (weight DESC, term ASC)")
+    tf.unpersist()
+  }
+
+  test("q_stickiness: MAU dominates DAU and the earliest day is its " +
+    "own month") {
+    val st = SparkEntry.queries("q_stickiness")(spark, sf).cache()
+    assert(st.filter(col("mau") < col("dau")).count() === 0)
+    assert(st.filter(col("stickiness_bp") <= 0 ||
+      col("stickiness_bp") > 10000).count() === 0)
+    // the first active day's 28-day window holds only itself
+    val first = st.orderBy("day").head()
+    assert(first.getLong(1) === first.getLong(2),
+      "earliest day must have MAU == DAU")
+    // spot-check one day's DAU against a direct distinct count
+    val d = first.getDate(0)
+    val direct = Tables.events(spark, sf)
+      .filter(to_date(col("ts")) === lit(d))
+      .select("user_id").distinct().count()
+    assert(first.getLong(1) === direct)
+    st.unpersist()
+  }
+
   test("d_embed_clusters: every near-dup pair lands in one cluster") {
     val clusters = SparkEntry.queries("d_embed_clusters")(spark, sf).cache()
     // min-label CC: a cluster id is the smallest member, so never

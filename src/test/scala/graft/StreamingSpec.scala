@@ -284,6 +284,45 @@ class StreamingSpec extends SparkSpec {
       "streamed cell assignments diverged from the batch index")
   }
 
+  test("G9 PQ index maintenance: a vector stream encodes to codes " +
+    "map-only under the fixed trained codebook") {
+    // the PQ sibling of the G7 maintenance path: the sub-centroid
+    // codebook is trained once; vectors arriving after training are
+    // encoded to their PqSub codes by the same map-only argmin
+    // expression — zero state, zero retraining, codes identical to
+    // the batch encode that built the standing code table
+    val in = tempDir("graft_pq_in")
+    Files.copy(Paths.get(s"$sf/embeddings.parquet"),
+      Paths.get(s"$in/embeddings.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val cb = graft.operators.Similarity.ivfCodebook(spark, sf)
+    val stream = spark.readStream
+      .schema(Tables.embeddings(spark, sf).schema)
+      .parquet(in)
+      .select(col("vec_id"),
+        graft.operators.Similarity.pqCodesCol(cb).as("codes"))
+    val q = stream.writeStream.format("memory").queryName("pq_encode")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stateless = Option(q.lastProgress)
+      .forall(_.stateOperators.isEmpty)
+    q.stop()
+    assert(stateless, "PQ encode must carry zero stream state")
+    val streamed = spark.table("pq_encode").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    val batch = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.operators.Similarity.pqCodesCol(cb).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    assert(streamed === batch,
+      "streamed PQ codes diverged from the batch code table")
+    val labels = cb.map(_._1).toSet
+    assert(streamed.values.forall(c =>
+      c.length === graft.operators.Similarity.PqSub &&
+        c.forall(labels.contains)),
+      "every code must be a trained sub-centroid id")
+  }
+
   test("D17 streaming funnel state machine matches the batch funnel") {
     val in = tempDir("graft_funnel_in")
     stageEvents(in)
