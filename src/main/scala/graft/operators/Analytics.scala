@@ -709,7 +709,49 @@ object Analytics {
       |FROM dau JOIN mau USING (day)
       |ORDER BY day""".stripMargin)
 
+  // --------------------------------------------------------------- E19
+  /** Top event paths — the "what do users actually do" query behind
+    * every product-analytics path/Sankey view: each user's events in
+    * (ts, event_id) total order yield their consecutive 3-step
+    * sequences, counted corpus-wide, top 10 by frequency with full
+    * lexicographic tie-break so the cut is deterministic.
+    *
+    * Scale shape: the sequence window is PARTITIONED BY user_id (the
+    * key-local sort a cluster distributes; never a global one), the
+    * triple count is map-side combinable, and the final top-10 is a
+    * TakeOrdered tree-reduce — the same three-stage shape as q3_topk
+    * over a window instead of a join.
+    */
+  val qPaths: Q = Q(
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("step2", lead("event_type", 1).over(w))
+        .withColumn("step3", lead("event_type", 2).over(w))
+        .filter(col("step2").isNotNull && col("step3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+        .agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("n_paths").desc, col("step1"), col("step2"),
+          col("step3"))
+        .limit(10)
+    },
+    """WITH seq AS (
+      |  SELECT event_type AS step1,
+      |    lead(event_type, 1) OVER w AS step2,
+      |    lead(event_type, 2) OVER w AS step3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id))
+      |SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths
+      |FROM seq WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+      |GROUP BY step1, step2, step3
+      |ORDER BY n_paths DESC, step1, step2, step3
+      |LIMIT 10""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "q_paths" -> qPaths,
     "q_stickiness" -> qStickiness,
     "w_trailing" -> wTrailing,
     "w_ntile" -> wNtile,

@@ -299,17 +299,14 @@ object MultiModal {
     }
   }
 
-  /** I3b: near-duplicate image pairs by banded dHash — F4's
-    * 16-bit-band trick on the perceptual hash, so the pair search is
-    * a bucket equi-join (any pair within Hamming ≤ maxHamming of a
-    * 64-bit hash must agree exactly on at least one of the 4 bands),
-    * never an n² comparison. Output: (doc_a, doc_b, hamming), doc_a <
-    * doc_b, distinct.
+  /** Banded 64-bit-hash pair search — F4's 16-bit-band trick: any
+    * pair within Hamming ≤ 15 must agree exactly on at least one of
+    * the 4 bands, so candidates come from a bucket equi-join, never an
+    * n² comparison. Shared by the image (dHash) and audio (energy
+    * hash) near-dup paths. Input needs (doc_id, phash); output
+    * (doc_a, doc_b, hamming), doc_a < doc_b, distinct.
     */
-  def imageNearDupPairs(hashes: Dataset[ImageHash],
-      maxHamming: Int = 6): DataFrame = {
-    val h = hashes.toDF().filter(col("decoded"))
-      .select(col("doc_id"), col("phash"))
+  private def bandedHashPairs(h: DataFrame, maxHamming: Int): DataFrame = {
     val banded = h.select(col("doc_id"), col("phash"),
         explode(expr("sequence(0, 3)")).as("band_idx"))
       .withColumn("band_val",
@@ -324,6 +321,87 @@ object MultiModal {
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** I3b: near-duplicate image pairs by banded dHash. */
+  def imageNearDupPairs(hashes: Dataset[ImageHash],
+      maxHamming: Int = 6): DataFrame =
+    bandedHashPairs(hashes.toDF().filter(col("decoded"))
+      .select(col("doc_id"), col("phash")), maxHamming)
+
+  final case class AudioHash(doc_id: Long, decoded: Boolean, ahash: Long)
+
+  // ---------------------------------------------------------------- I4
+  /** I4a: 64-bit audio fingerprint over REAL decoded PCM — the audio
+    * sibling of I3's dHash: the WAV's 16-bit samples are bucketed into
+    * 65 equal time segments, each segment's mean absolute amplitude
+    * (its energy envelope, exact integer rationals — `sum·cnt`
+    * cross-multiplied, never divided) is compared to its neighbor,
+    * and each bit records a rises/falls step of the envelope. Like
+    * dHash's brightness invariance, the comparisons are EXACTLY
+    * invariant to positive volume scaling (c·a < c·b ⇔ a < b), so a
+    * re-mastered / gain-normalized copy of a track lands within a few
+    * bits while unrelated audio disagrees on ~half. Same
+    * `mapPartitions` + poison-row contract as every decoder here;
+    * non-PCM-16LE or sub-segment-length audio yields `decoded=false`.
+    */
+  def audioFingerprint(media: Dataset[MediaRow]): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    val segs = 65
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val sig =
+          if (m.format != "wav") None
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(m.content))
+            try {
+              val f = ais.getFormat
+              if (f.getSampleSizeInBits != 16 || f.isBigEndian) None
+              else {
+                val bytes = ais.readAllBytes()
+                val n = bytes.length / 2
+                if (n < segs) None
+                else {
+                  val energy = new Array[Long](segs)
+                  val cnt = new Array[Long](segs)
+                  var i = 0
+                  while (i < n) {
+                    val s = ((bytes(2 * i + 1) << 8) |
+                      (bytes(2 * i) & 0xff)).toShort.toLong
+                    val k = (i.toLong * segs / n).toInt
+                    energy(k) += math.abs(s)
+                    cnt(k) += 1
+                    i += 1
+                  }
+                  var bits = 0L
+                  var k = 0
+                  while (k < segs - 1) {
+                    // mean-energy compare as exact integer rationals
+                    if (energy(k) * cnt(k + 1) < energy(k + 1) * cnt(k))
+                      bits |= 1L << k
+                    k += 1
+                  }
+                  Some(bits)
+                }
+              }
+            } finally ais.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            case _: java.io.IOException => None
+          }
+        sig match {
+          case Some(b) => AudioHash(m.doc_id, decoded = true, b)
+          case None => AudioHash(m.doc_id, decoded = false, -1L)
+        }
+      }
+    }
+  }
+
+  /** I4b: near-duplicate audio pairs by the shared banded search. */
+  def audioNearDupPairs(hashes: Dataset[AudioHash],
+      maxHamming: Int = 6): DataFrame =
+    bandedHashPairs(hashes.toDF().filter(col("decoded"))
+      .select(col("doc_id"), col("ahash").as("phash")), maxHamming)
 
   // ---------------------------------------------------------------- I1
   /** Metadata extraction as an oracle-checked query: byte length and

@@ -276,6 +276,59 @@ class OperatorsSpec extends SparkSpec {
     assert(!feats(2).decoded, "non-audio formats skip the audio codec")
   }
 
+  test("multimodal: audio energy fingerprint is volume-invariant and " +
+    "the banded pair search finds the re-mastered twins") {
+    import spark.implicits._
+    // deterministic per-seed segment envelope over 16-bit PCM mono;
+    // gainNum/gainDen scales every sample — the re-mastered copy.
+    // Amplitudes are even so a half gain divides exactly and the
+    // invariance assert is exact, not approximate.
+    def wavTone(seed: Int, gainNum: Int, gainDen: Int): Array[Byte] = {
+      val n = 6500 // 65 segments × 100 samples
+      val pcm = new Array[Byte](n * 2)
+      var state = seed * 2654435761L + 1
+      val env = Array.tabulate(65) { _ =>
+        state = state * 6364136223846793005L + 1442695040888963407L
+        ((state >>> 33) % 113 + 8).toInt
+      }
+      for (i <- 0 until n) {
+        val k = i * 65 / n
+        val base = env(k) * 100
+        val s0 = if (i % 8 < 4) base else -base
+        val s = (s0 * gainNum / gainDen).toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // doc 2k = track k; doc 2k+1 = the same track at half volume —
+    // each even/odd pair is the ONLY expected near-dup
+    val rows = (0 until 5).flatMap { k =>
+      Seq(MultiModal.MediaRow(2L * k, wavTone(k, 1, 1), "wav", 0, 0),
+        MultiModal.MediaRow(2L * k + 1, wavTone(k, 1, 2), "wav", 0, 0))
+    } :+ MultiModal.MediaRow(99L, Array[Byte](1, 2), "wav", 0, 0)
+    val hashes = MultiModal.audioFingerprint(spark.createDataset(rows))
+    val byId = hashes.collect().map(f => f.doc_id -> f).toMap
+    assert(!byId(99L).decoded, "poison bytes must mark, not throw")
+    for (k <- 0 until 5)
+      assert(byId(2L * k).ahash === byId(2L * k + 1).ahash,
+        s"half-volume master must not move the energy hash (track $k)")
+    val pairs = MultiModal.audioNearDupPairs(hashes, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 5).map(k => (2L * k, 2L * k + 1)).toSet
+    assert((expected -- pairs).isEmpty,
+      s"banded search missed re-mastered twins: ${expected -- pairs}")
+    for ((a, b) <- pairs -- expected)
+      assert(java.lang.Long.bitCount(byId(a).ahash ^ byId(b).ahash) <= 6,
+        "reported pair violates the hamming bound")
+  }
+
   test("multimodal frame sampling chunks binary content") {
     val media = MultiModal.mediaTable(spark, sf).toDF()
     val framed = MultiModal.frameSample(media, 2)

@@ -364,6 +364,19 @@ class PlanAuditSpec extends SparkSpec {
       s"the tf-idf window lost its doc partitioning:\n${winLines.mkString("\n")}")
   }
 
+  test("q_paths: sequence window is user-partitioned; top-10 " +
+    "tree-reduces") {
+    val df = SparkEntry.queries("q_paths")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, "path extraction needs its lead() window")
+    assert(winLines.forall(_.contains("user_id")),
+      s"the sequence window lost its user partitioning:\n${winLines.mkString("\n")}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 paths must tree-reduce, not globally sort:\n$p")
+  }
+
   test("s_ann_pq: encode is map-only, top-k tree-reduces") {
     val df = SparkEntry.queries("s_ann_pq")(spark, sf)
     df.collect()
