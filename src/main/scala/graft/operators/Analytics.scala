@@ -750,7 +750,59 @@ object Analytics {
       |ORDER BY n_paths DESC, step1, step2, step3
       |LIMIT 10""".stripMargin)
 
+  // --------------------------------------------------------------- E20
+  /** ANALYZE-style table statistics — the (n_rows, per-column
+    * non-null / NDV / min / max) relation a cost-based optimizer eats
+    * and every lake catalog materializes. Plan shape matters more
+    * than it looks: a single aggregate with one countDistinct PER
+    * column plans through Expand — the fact's rows multiply by the
+    * column count before the shuffle (measured 5× slower here).
+    * The union-of-branches form below scans once per column instead,
+    * and COLUMNAR pruning makes each branch a one-column read, so
+    * total bytes ≈ one full-width scan while every branch keeps the
+    * cheap 2-phase single-distinct plan. At real corpus scale the
+    * exact NDV swaps for approx_count_distinct the same way C11's
+    * HLL twin does; here it is exact so the oracle can gate it.
+    * min/max surface as strings so one schema carries every type.
+    */
+  private val statCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_returnflag", "l_linestatus", "l_shipday")
+
+  val qTableStats: Q = Q(
+    (s, dir) => {
+      def li = Tables.lineitem(s, dir)
+        .withColumn("l_shipday", to_date(col("l_shipdate")))
+      val nRows = li.agg(count(lit(1)).as("n_rows"))
+      statCols.map { c =>
+        li.agg(count(col(c)).as("n_nonnull"),
+            countDistinct(col(c)).as("ndv"),
+            min(col(c)).cast("string").as("min_val"),
+            max(col(c)).cast("string").as("max_val"))
+          .select(lit(c).as("col_name"), col("n_nonnull"), col("ndv"),
+            col("min_val"), col("max_val"))
+      }.reduce(_.unionAll(_))
+        .crossJoin(broadcast(nRows))
+        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+          col("ndv"), col("min_val"), col("max_val"))
+        .orderBy("col_name")
+    }, {
+      val perCol = statCols.map { c =>
+        s"""SELECT '$c' AS col_name, n.n_rows AS n_rows,
+           |  CAST(count($c) AS BIGINT) AS n_nonnull,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM li, n GROUP BY n.n_rows""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH li AS (
+         |  SELECT *, CAST(l_shipdate AS DATE) AS l_shipday FROM lineitem),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM li)
+         |$perCol
+         |ORDER BY col_name""".stripMargin
+    })
+
   val registry: Map[String, Q] = Map(
+    "q_table_stats" -> qTableStats,
     "q_paths" -> qPaths,
     "q_stickiness" -> qStickiness,
     "w_trailing" -> wTrailing,

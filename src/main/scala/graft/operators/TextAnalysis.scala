@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -863,17 +863,22 @@ object TextAnalysis {
     * shuffle, never pair-shaped; the thresholds are one scalar agg
     * cross-joined (broadcast) into a map-only bucket assignment.
     */
+  private def lmTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      filter(toks(col("text")), x => x =!= "").as("t"))
+
+  private def lmBigrams(t: DataFrame): DataFrame =
+    t.select(col("doc_id"), explode(expr(
+      """CASE WHEN size(t) >= 2 THEN
+        |  transform(sequence(1, size(t) - 1),
+        |    i -> named_struct('a', t[i - 1], 'b', t[i]))
+        |ELSE array() END""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
+
   val tLmScore: Q = Q(
     (s, dir) => {
-      val t = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          filter(toks(col("text")), x => x =!= "").as("t"))
-      val big = t.select(col("doc_id"), explode(expr(
-        """CASE WHEN size(t) >= 2 THEN
-          |  transform(sequence(1, size(t) - 1),
-          |    i -> named_struct('a', t[i - 1], 'b', t[i]))
-          |ELSE array() END""".stripMargin)).as("g"))
-        .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
+      val t = lmTokens(Tables.documents(s, dir))
+      val big = lmBigrams(t)
       val c2 = big.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
       val c1 = big.groupBy("a").agg(count(lit(1)).as("n_a"))
       val scored = big.join(c2, Seq("a", "b")).join(c1, Seq("a"))
@@ -925,6 +930,60 @@ object TextAnalysis {
        |       ELSE 'middle' END AS bucket
        |FROM docs, m
        |ORDER BY doc_id""".stripMargin)
+
+  /** H19-maint: the bigram model as a STANDING artifact + the scorer
+    * that runs against it — the ingest-gate shape of F13/G9-maint
+    * applied to quality scoring. A production pipeline trains the LM
+    * on the standing corpus (or a carve), materializes the count
+    * relations, and scores every ARRIVING batch as a pure function of
+    * (doc, model) — no retrain, no corpus re-scan, zero stream state.
+    * Returns (bigram counts, first-token counts, corpus mean) —
+    * the count relations eagerly checkpointed (the band-index
+    * stance), the mean one scalar. Transitions unseen by the model
+    * contribute 0 bp (the honest OOV-transition convention;
+    * impossible when scoring the training corpus itself, which is
+    * what the equivalence spec pins).
+    */
+  private[graft] def lmModel(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long) = {
+    val big = lmBigrams(lmTokens(Tables.documents(s, dir)))
+    val c2 = big.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(true)
+    val c1 = big.groupBy("a").agg(count(lit(1)).as("n_a"))
+      .localCheckpoint(true)
+    val mean = lmScoreRaw(Tables.documents(s, dir), c2, c1)
+      .filter(col("n_bigrams") > 0)
+      .agg(expr("sum(lm_bp) DIV count(*)")).head().getLong(0)
+    (c2, c1, mean)
+  }
+
+  private[graft] def lmScoreRaw(docs: DataFrame, c2: DataFrame,
+      c1: DataFrame): DataFrame = {
+    val t = lmTokens(docs)
+    val scored = lmBigrams(t)
+      .join(c2, Seq("a", "b"), "left").join(c1, Seq("a"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(expr("n_ab * 10000 DIV n_a"), lit(0L))).as("p_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("p_sum DIV n_bigrams").as("lm_bp"))
+    t.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_bp"), lit(0L)).as("lm_bp"))
+  }
+
+  /** Score a batch under a fixed model, bucketing against the model's
+    * own mean — output schema identical to `t_lm_score`.
+    */
+  private[graft] def lmScoreWith(docs: DataFrame, c2: DataFrame,
+      c1: DataFrame, meanBp: Long): DataFrame =
+    lmScoreRaw(docs, c2, c1)
+      .select(col("doc_id"), col("n_bigrams"), col("lm_bp"),
+        when(col("n_bigrams") === 0, "tail")
+          .when(col("lm_bp") * 4 >= lit(meanBp) * 5, "head")
+          .when(col("lm_bp") * 4 < lit(meanBp) * 3, "tail")
+          .otherwise("middle").as("bucket"))
 
   // --------------------------------------------------------------- H20
   /** Deterministic TF-IDF top terms — the per-doc keyword extraction a
@@ -980,6 +1039,41 @@ object TextAnalysis {
        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, weight
        |FROM ranked WHERE rank <= $TfidfK
        |ORDER BY doc_id, rank""".stripMargin)
+
+  final case class CompressStats(doc_id: Long, n_bytes: Long,
+      n_deflate: Long, ratio_bp: Long)
+
+  // --------------------------------------------------------------- H21
+  /** Compression-ratio quality signal — the classic "does this doc
+    * carry information" proxy (boilerplate, repeated spans, and
+    * machine-generated filler deflate far below clean prose, which is
+    * why large-corpus quality filters gate on it). DEFLATE via the
+    * JDK's zlib with one `Deflater` instance reused per PARTITION
+    * (the MultiModal codec stance: setup once per partition, never
+    * per row); ratio in integer bp of the UTF-8 byte length. Byte
+    * sizes from a specific zlib level are implementation-detailed, so
+    * this is spec-gated on ORDER properties (repetitive ≪ prose ≪
+    * random), not oracle-hashed — the decision column is the
+    * comparison, not the absolute size.
+    */
+  def compressRatio(docs: DataFrame): Dataset[CompressStats] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(6, true)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          CompressStats(id, in.length.toLong, out,
+            if (in.isEmpty) 10000L else out * 10000L / in.length)
+        }
+      }
+  }
 
   val registry: Map[String, Q] = Map(
     "t_chunk" -> tChunk,

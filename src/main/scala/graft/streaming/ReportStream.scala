@@ -108,18 +108,36 @@ object ReportStream {
     */
   def pipeline(events: DataFrame, outDir: String,
       checkpointDir: String): StreamingQuery = {
+    // D18: per-micro-batch telemetry via the Observation API — the
+    // counts an operator pages on (rows in, dead-letter share, high-
+    // water mark) computed INSIDE the running plan (no second pass,
+    // no sink read-back) and surfaced on every StreamingQueryProgress
+    // as `observedMetrics["graft_pipe"]`. Aggregate-only expressions,
+    // so the observation merges map-side like any partial agg.
     val parsed = parsedEvents(events)
+      .observe("graft_pipe",
+        count(lit(1)).as("n_rows"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"),
+        max(col("event_id")).as("max_event_id"))
     parsed.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val valid = batch.filter(col("event_type") =!= "error")
-        val dead = batch.filter(col("event_type") === "error")
-          .withColumn("reason", lit("bad_type"))
-        appendDedup(valid, s"$outDir/reports", Seq("event_id"))
-        if (!dead.isEmpty)
-          withRequeueJson(dead)
-            .write.mode("append").parquet(s"$outDir/dead_letter")
+        // persist: the batch feeds TWO sinks plus an emptiness probe —
+        // uncached, every action re-runs the source scan (and would
+        // triple-count the D18 observation); cached, the micro-batch
+        // materializes exactly once
+        batch.persist()
+        try {
+          val valid = batch.filter(col("event_type") =!= "error")
+          val dead = batch.filter(col("event_type") === "error")
+            .withColumn("reason", lit("bad_type"))
+          appendDedup(valid, s"$outDir/reports", Seq("event_id"))
+          if (!dead.isEmpty)
+            withRequeueJson(dead)
+              .write.mode("append").parquet(s"$outDir/dead_letter")
+        } finally batch.unpersist()
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -142,14 +160,18 @@ object ReportStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val valid = batch.filter(col("event_type") =!= "error")
-        val dead = batch.filter(col("event_type") === "error")
-          .withColumn("reason", lit("bad_type"))
-        appendDedup(graft.operators.Star.factProjection(valid),
-          s"$outDir/fact_report", Seq("event_id"), tsCol = "reported_at")
-        if (!dead.isEmpty)
-          withRequeueJson(dead)
-            .write.mode("append").parquet(s"$outDir/dead_letter")
+        // same persist stance as [[pipeline]]: two sinks, one scan
+        batch.persist()
+        try {
+          val valid = batch.filter(col("event_type") =!= "error")
+          val dead = batch.filter(col("event_type") === "error")
+            .withColumn("reason", lit("bad_type"))
+          appendDedup(graft.operators.Star.factProjection(valid),
+            s"$outDir/fact_report", Seq("event_id"), tsCol = "reported_at")
+          if (!dead.isEmpty)
+            withRequeueJson(dead)
+              .write.mode("append").parquet(s"$outDir/dead_letter")
+        } finally batch.unpersist()
         ()
       }
       .trigger(Trigger.AvailableNow())

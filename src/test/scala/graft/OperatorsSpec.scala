@@ -329,6 +329,39 @@ class OperatorsSpec extends SparkSpec {
         "reported pair violates the hamming bound")
   }
 
+  test("compression ratio orders repetitive < prose < random, and " +
+    "degenerate docs don't divide by zero") {
+    import spark.implicits._
+    val rep = Seq.fill(400)("spam").mkString(" ")
+    val prose = (0 until 400).map(i =>
+      s"word${i % 97} item${(i * 31) % 89} note${(i * 57) % 83}")
+      .mkString(" ")
+    // deterministic pseudo-random hex — close to incompressible
+    var st = 12345L
+    val rand = (0 until 400).map { _ =>
+      st = st * 6364136223846793005L + 1442695040888963407L
+      java.lang.Long.toHexString(st)
+    }.mkString(" ")
+    val docs = Seq((1L, rep), (2L, prose), (3L, rand), (4L, ""))
+      .toDF("doc_id", "text")
+    val byId = graft.operators.TextAnalysis.compressRatio(docs)
+      .collect().map(c => c.doc_id -> c).toMap
+    assert(byId(1L).ratio_bp < byId(2L).ratio_bp,
+      "repeated boilerplate must deflate below prose")
+    assert(byId(2L).ratio_bp < byId(3L).ratio_bp,
+      "structured prose must deflate below random hex")
+    assert(byId(3L).ratio_bp > 5000L,
+      "random hex should stay near-incompressible")
+    assert(byId(1L).ratio_bp < 500L,
+      "pure repetition should collapse to a fraction of its size")
+    assert(byId(4L).n_bytes === 0L && byId(4L).ratio_bp === 10000L,
+      "empty docs carry the neutral ratio, not a division error")
+    // full-corpus smoke: every doc gets a ratio in (0, ~10000]
+    val corpus = graft.operators.TextAnalysis
+      .compressRatio(Tables.documents(spark, sf))
+    assert(corpus.filter(col("ratio_bp") <= 0).count() === 0)
+  }
+
   test("multimodal frame sampling chunks binary content") {
     val media = MultiModal.mediaTable(spark, sf).toDF()
     val framed = MultiModal.frameSample(media, 2)

@@ -43,6 +43,35 @@ class StreamingSpec extends SparkSpec {
     assert(rq.filter(col("version") === "v2.0.0").count() === nErr)
   }
 
+  test("D18 observe telemetry: per-micro-batch metrics sum to the " +
+    "batch truth without a second pass") {
+    val in = tempDir("graft_obs_in")
+    val out = tempDir("graft_obs_out")
+    val ck = tempDir("graft_obs_ck")
+    // two files ⇒ two micro-batches (fileSource maxFilesPerTrigger=1)
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$in/e1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$in/e2.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val src = ReportStream.fileSource(spark, in, Tables.eventsRaw(spark, sf))
+    val q = ReportStream.pipeline(src, out, ck)
+    q.awaitTermination(120000)
+    q.stop()
+    val obs = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("graft_pipe")))
+    assert(obs.size === 2, "expected one observation per micro-batch")
+    val events = Tables.events(spark, sf)
+    val nAll = events.count()
+    val nErr = events.filter(col("event_type") === "error").count()
+    assert(obs.map(_.getAs[Long]("n_rows")).sum === 2 * nAll,
+      "observed row counts must sum to the rows actually streamed")
+    assert(obs.map(_.getAs[Long]("n_errors")).sum === 2 * nErr,
+      "observed dead-letter counts must match the error share")
+    assert(obs.map(_.getAs[Long]("max_event_id")).max ===
+      events.agg(max("event_id")).head().getLong(0),
+      "the high-water mark must reach the corpus maximum")
+  }
+
   test("D3 idempotent sink: replaying the same batch adds no rows") {
     val out = tempDir("graft_sink")
     val batch = Tables.events(spark, sf).limit(100)
@@ -282,6 +311,51 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(streamed === batch,
       "streamed cell assignments diverged from the batch index")
+  }
+
+  test("H19 model-as-artifact: a document stream scores per micro-" +
+    "batch against the standing bigram model, identical to batch") {
+    // the quality-gate-at-ingest shape: train the LM once on the
+    // standing corpus (count relations = eager artifacts), then each
+    // arriving micro-batch scores as a pure function of (doc, model)
+    // — no retrain, no corpus re-scan, zero stream state. Replaying
+    // the training corpus itself in two halves must reproduce the
+    // batch query's rows exactly.
+    import graft.operators.TextAnalysis
+    val (c2, c1, mean) = TextAnalysis.lmModel(spark, sf)
+    val in = tempDir("graft_lm_in")
+    def stageHalf(even: Boolean, f: String): Unit = {
+      val scratch = tempDir("graft_lm_scratch")
+      Tables.documents(spark, sf)
+        .filter((col("doc_id") % 2 === 0) === even)
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = Files.list(Paths.get(scratch)).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+      Files.copy(Paths.get(part), Paths.get(s"$in/$f"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    stageHalf(even = true, "d1.parquet")
+    stageHalf(even = false, "d2.parquet")
+    val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+    val src = spark.readStream
+      .schema(Tables.documents(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = src.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc ++= TextAnalysis.lmScoreWith(b, c2, c1, mean)
+          .collect().map(_.toString)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stateless = Option(q.lastProgress)
+      .forall(_.stateOperators.isEmpty)
+    q.stop()
+    assert(stateless, "ingest scoring must carry zero stream state")
+    val batch = SparkEntry.queries("t_lm_score")(spark, sf)
+      .collect().map(_.toString)
+    assert(acc.sorted.toSeq === batch.sorted.toSeq,
+      "streamed scores diverged from the batch query")
   }
 
   test("G9 PQ index maintenance: a vector stream encodes to codes " +
