@@ -801,7 +801,103 @@ object Analytics {
          |ORDER BY col_name""".stripMargin
     })
 
+  // --------------------------------------------------------------- E21
+  /** Skew diagnostic — the per-key frequency report that DECIDES the
+    * E8 salting / AQE-skew-join treatment: heaviest join keys with
+    * their corpus share in bp. One map-side-combinable count, one
+    * broadcast total, a TakeOrdered top-10 — the report itself must
+    * not be skew-shaped, and isn't. On a cluster this runs over a
+    * sample or the previous load's key histogram; semantics are
+    * identical.
+    */
+  val qSkewKeys: Q = Q(
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val tot = e.agg(count(lit(1)).as("n_total"))
+      e.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(tot))
+        .select(col("user_id"), col("n_events"),
+          expr("n_events * 10000 DIV n_total").as("share_bp"))
+        .orderBy(col("n_events").desc, col("user_id"))
+        .limit(10)
+    },
+    """WITH c AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY user_id),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM events)
+      |SELECT user_id, n_events, n_events * 10000 // n_total AS share_bp
+      |FROM c, t ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin)
+
+  // --------------------------------------------------------------- E22
+  /** RFM customer segmentation — recency / frequency / monetary, the
+    * marketing-analytics staple. Each dimension scores 0/1/2 against
+    * broadcast scalar thresholds (±25% of the corpus mean — the same
+    * no-global-sort stance as H19's buckets; the classic quintile cut
+    * is a global ntile, which is a single-partition sort at scale),
+    * recency inverted (fewer days since last order = better).
+    * `rfm_code` = r·100 + f·10 + m, so 222 is the best segment.
+    * Money stays decimal-exact until the integer-cents emit; one
+    * shuffle on custkey, two broadcast scalars.
+    */
+  val qRfm: Q = Q(
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val cust = o.groupBy("o_custkey")
+        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+          count(lit(1)).as("n_orders"),
+          cents(sum(dec2(col("o_totalprice")))).as("m_cents"))
+      val anchor = o.agg(max(to_date(col("o_orderdate"))).as("anchor"))
+      val rfm = cust.crossJoin(broadcast(anchor))
+        .withColumn("r_days",
+          datediff(col("anchor"), col("last_day")).cast("long"))
+      val means = rfm.agg(
+        expr("sum(r_days) DIV count(*)").as("mean_r"),
+        expr("sum(n_orders) DIV count(*)").as("mean_f"),
+        expr("sum(m_cents) DIV count(*)").as("mean_m"))
+      def score(c: String, mean: String, invert: Boolean): Column = {
+        val hi = col(c) * 4 >= col(mean) * 5
+        val lo = col(c) * 4 < col(mean) * 3
+        if (invert) when(lo, 2L).when(hi, 0L).otherwise(1L)
+        else when(hi, 2L).when(lo, 0L).otherwise(1L)
+      }
+      rfm.crossJoin(broadcast(means))
+        .select(col("o_custkey").as("custkey"), col("r_days"),
+          col("n_orders"), col("m_cents"),
+          (score("r_days", "mean_r", invert = true) * 100 +
+            score("n_orders", "mean_f", invert = false) * 10 +
+            score("m_cents", "mean_m", invert = false)).as("rfm_code"))
+        .orderBy("custkey")
+    },
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    max(CAST(o_orderdate AS DATE)) AS last_day,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+      |      AS m_cents
+      |  FROM orders GROUP BY o_custkey),
+      |a AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+      |rfm AS (
+      |  SELECT o_custkey, n_orders, m_cents,
+      |    CAST(date_diff('day', last_day, anchor) AS BIGINT) AS r_days
+      |  FROM cust, a),
+      |m AS (
+      |  SELECT sum(r_days) // count(*) AS mean_r,
+      |    sum(n_orders) // count(*) AS mean_f,
+      |    sum(m_cents) // count(*) AS mean_m
+      |  FROM rfm)
+      |SELECT o_custkey AS custkey, r_days, n_orders, m_cents,
+      |  (CASE WHEN r_days * 4 < mean_r * 3 THEN 2
+      |        WHEN r_days * 4 >= mean_r * 5 THEN 0 ELSE 1 END) * 100 +
+      |  (CASE WHEN n_orders * 4 >= mean_f * 5 THEN 2
+      |        WHEN n_orders * 4 < mean_f * 3 THEN 0 ELSE 1 END) * 10 +
+      |  (CASE WHEN m_cents * 4 >= mean_m * 5 THEN 2
+      |        WHEN m_cents * 4 < mean_m * 3 THEN 0 ELSE 1 END) AS rfm_code
+      |FROM rfm, m
+      |ORDER BY custkey""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "q_skew_keys" -> qSkewKeys,
+    "q_rfm" -> qRfm,
     "q_table_stats" -> qTableStats,
     "q_paths" -> qPaths,
     "q_stickiness" -> qStickiness,

@@ -754,6 +754,75 @@ object Similarity {
        |WHERE q.vec_id <> 0
        |ORDER BY approx_dist, q.vec_id LIMIT 10""".stripMargin)
 
+  // --------------------------------------------------------------- G11
+  /** IVF+PQ composed — THE production ANN query shape (what FAISS
+    * calls IVFPQ): the coarse quantizer bounds how much of the corpus
+    * the probe SCANS (only the probe's cell), PQ bounds the BYTES per
+    * scanned vector (4 codes vs 256), ADC ranks the candidates, and
+    * the exact cosine kernel reranks only the top 10. G7 and G9 each
+    * demonstrated one bound; a 100 TB deployment always runs both —
+    * cell restriction caps the shuffle-free scan at ~corpus/k rows
+    * and the code table keeps that scan in cache-line territory.
+    * Candidate fetch is the G7 broadcast equi-join; encode/ADC are
+    * the G9 map-only expressions; all-integer arithmetic end to end,
+    * so the oracle gates the whole composition.
+    */
+  val sAnnIvfPq: Q = Q(
+    (s, dir) => {
+      val cb = ivfCodebook(s, dir)
+      val assigned = Tables.embeddings(s, dir)
+        .withColumn("cell", ivfCellCol(cb))
+      val probe = assigned.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"), col("cell").as("pcell"))
+      assigned.filter(col("vec_id") =!= 0)
+        .join(broadcast(probe), col("cell") === col("pcell"))
+        .withColumn("recon", pqRecon(cb))
+        .withColumn("approx_dist",
+          aggregate(zip_with(microOf(col("probe")), col("recon"),
+            (x, c) => (x - c) * (x - c)), lit(0L), (acc, d) => acc + d))
+        .orderBy(col("approx_dist"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), col("cell"),
+          col("approx_dist"),
+          nativeScoreMicro(s, "embedding", "probe").as("score_micro"))
+        .orderBy(col("approx_dist"), col("vec_id"))
+    },
+    s"""WITH $ivfRankedCteSql,
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, cell FROM ranked WHERE rn = 1),
+       |p AS (
+       |  SELECT embedding AS probe, cell AS pcell,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS pem
+       |  FROM ranked WHERE vec_id = 0 AND rn = 1),
+       |sub AS (
+       |  SELECT clabel, j,
+       |    list_slice(cvec, j * $PqSubDim + 1, (j + 1) * $PqSubDim)
+       |      AS scvec
+       |  FROM cent, (SELECT unnest(range(0, $PqSub)) AS j)),
+       |cand AS (
+       |  SELECT a.vec_id, a.label, a.cell, a.embedding,
+       |    list_transform(a.embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS em
+       |  FROM assigned a, p WHERE a.vec_id <> 0 AND a.cell = p.pcell),
+       |codes AS (
+       |  SELECT vec_id, j, scvec,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY
+       |      list_sum(list_transform(
+       |        list_zip(list_slice(em, j * $PqSubDim + 1,
+       |          (j + 1) * $PqSubDim), scvec),
+       |        z -> (z[1] - z[2]) * (z[1] - z[2]))), clabel) AS rn
+       |  FROM cand, sub),
+       |recon AS (
+       |  SELECT vec_id, flatten(list(scvec ORDER BY j)) AS rvec
+       |  FROM codes WHERE rn = 1 GROUP BY vec_id)
+       |SELECT c.vec_id AS vec_id, c.label AS label, c.cell AS cell,
+       |  CAST(list_sum(list_transform(list_zip(p.pem, r.rvec),
+       |    z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS approx_dist,
+       |  ${scoreMicroSql("c.embedding", "p.probe")} AS score_micro
+       |FROM cand c JOIN recon r ON c.vec_id = r.vec_id, p
+       |ORDER BY approx_dist, c.vec_id LIMIT 10""".stripMargin)
+
   // ---------------------------------------------------------------- G6
   /** Per-label embedding centroids — the aggregation behind IVF coarse
     * quantizers, topic vectors, and class prototypes. Exactness
@@ -889,6 +958,7 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin)
 
   val registry: Map[String, Q] = Map(
+    "s_ann_ivfpq" -> sAnnIvfPq,
     "s_kmeans" -> sKmeans,
     "s_cosine_topk" -> sCosineTopk,
     "s_centroids" -> sCentroids,

@@ -377,6 +377,19 @@ class PlanAuditSpec extends SparkSpec {
       s"top-10 paths must tree-reduce, not globally sort:\n$p")
   }
 
+  test("s_ann_ivfpq: cell fetch is a broadcast equi-join; ADC top-k " +
+    "tree-reduces") {
+    val df = SparkEntry.queries("s_ann_ivfpq")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the cell restriction must be a broadcast equi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ADC top-k must tree-reduce, not globally sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the corpus must not shuffle for the probe:\n$p")
+  }
+
   test("s_ann_pq: encode is map-only, top-k tree-reduces") {
     val df = SparkEntry.queries("s_ann_pq")(spark, sf)
     df.collect()

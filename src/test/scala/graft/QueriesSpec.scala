@@ -864,6 +864,63 @@ class QueriesSpec extends SparkSpec {
     st.unpersist()
   }
 
+  test("s_ann_ivfpq: candidates come only from the probe's cell and " +
+    "emit in ADC order") {
+    val rows = SparkEntry.queries("s_ann_ivfpq")(spark, sf).collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getLong(2)).distinct.length === 1,
+      "every candidate must sit in the probe's coarse cell")
+    val dists = rows.map(_.getLong(3))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b },
+      "output must be ranked by approximate (ADC) distance")
+    // cell restriction is real: all returned ids belong to the cell
+    // the trained quantizer assigns them to, and it is the probe's
+    val cb = graft.operators.Similarity.ivfCodebook(spark, sf)
+    val cellOf = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.operators.Similarity.ivfCellCol(cb).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pcell = cellOf(0L)
+    assert(rows.forall(r => cellOf(r.getLong(0)) === pcell),
+      "returned ids must be the quantizer's own cell members")
+  }
+
+  test("q_skew_keys: top keys are frequency-sorted and shares are " +
+    "consistent with the corpus total") {
+    val sk = SparkEntry.queries("q_skew_keys")(spark, sf).collect()
+    assert(sk.length === 10)
+    val counts = sk.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "top-10 must be non-increasing in frequency")
+    val total = Tables.events(spark, sf).count()
+    val top = Tables.events(spark, sf).groupBy("user_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(counts.head === top, "rank 1 must be the true heaviest key")
+    assert(sk.forall(r => r.getLong(2) === r.getLong(1) * 10000 / total))
+  }
+
+  test("q_rfm: codes are valid tier triples and track the scalar " +
+    "thresholds") {
+    val rfm = SparkEntry.queries("q_rfm")(spark, sf).cache()
+    assert(rfm.count() ===
+      Tables.orders(spark, sf).select("o_custkey").distinct().count(),
+      "every ordering customer gets a segment")
+    val badDigit = rfm.filter(
+      !expr("rfm_code % 10").isin(0, 1, 2) ||
+        !expr("(rfm_code DIV 10) % 10").isin(0, 1, 2) ||
+        !expr("rfm_code DIV 100").isin(0, 1, 2)).count()
+    assert(badDigit === 0, "each digit is a 0/1/2 tier")
+    // the monetary digit must follow its threshold: recompute the mean
+    val meanM = rfm.agg(expr("sum(m_cents) DIV count(*)")).head().getLong(0)
+    assert(rfm.filter(col("m_cents") * 4 >= lit(meanM) * 5 &&
+      col("rfm_code") % 10 =!= 2).count() === 0,
+      "high spenders must carry the top monetary tier")
+    assert(rfm.filter(col("m_cents") * 4 < lit(meanM) * 3 &&
+      col("rfm_code") % 10 =!= 0).count() === 0,
+      "low spenders must carry the bottom monetary tier")
+    rfm.unpersist()
+  }
+
   test("d_embed_clusters: every near-dup pair lands in one cluster") {
     val clusters = SparkEntry.queries("d_embed_clusters")(spark, sf).cache()
     // min-label CC: a cluster id is the smallest member, so never
