@@ -895,7 +895,48 @@ object Analytics {
       |FROM rfm, m
       |ORDER BY custkey""".stripMargin)
 
+  // --------------------------------------------------------------- E23
+  /** Latency distribution in power-of-two buckets — the quantile-free
+    * histogram a latency dashboard actually renders (p50/p99 need a
+    * global sort or a non-oracle-able sketch; log2 buckets need
+    * neither): per purchase, seconds since the user's previous event,
+    * bucketed by the LENGTH OF THE BINARY REPRESENTATION (`bin()` —
+    * bucket k covers [2^(k-1), 2^k), pure integer, bit-identical in
+    * both engines where floating log2 is not). The lag window is
+    * user-partitioned; the bucket agg is map-side combinable — at
+    * 100 TB this is one key-local sort plus a ~64-row reduce.
+    */
+  val qLatencyHist: Q = Q(
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("prev_us").isNotNull)
+        .withColumn("lat_s", expr("(us - prev_us) DIV 1000000"))
+        .withColumn("bucket", length(expr("bin(lat_s)")).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("lat_s").as("min_lat_s"),
+          max("lat_s").as("max_lat_s"))
+        .orderBy("bucket")
+    },
+    """WITH g AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events),
+      |lat AS (
+      |  SELECT (us - prev_us) // 1000000 AS lat_s FROM g
+      |  WHERE event_type = 'purchase' AND prev_us IS NOT NULL)
+      |SELECT CAST(length(bin(lat_s)) AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  min(lat_s) AS min_lat_s, max(lat_s) AS max_lat_s
+      |FROM lat GROUP BY bucket ORDER BY bucket""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "q_latency_hist" -> qLatencyHist,
     "q_skew_keys" -> qSkewKeys,
     "q_rfm" -> qRfm,
     "q_table_stats" -> qTableStats,

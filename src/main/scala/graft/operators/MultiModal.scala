@@ -299,12 +299,18 @@ object MultiModal {
     }
   }
 
-  /** Banded 64-bit-hash pair search — F4's 16-bit-band trick: any
-    * pair within Hamming ≤ 15 must agree exactly on at least one of
-    * the 4 bands, so candidates come from a bucket equi-join, never an
-    * n² comparison. Shared by the image (dHash) and audio (energy
-    * hash) near-dup paths. Input needs (doc_id, phash); output
-    * (doc_a, doc_b, hamming), doc_a < doc_b, distinct.
+  /** Banded 64-bit-hash pair search — F4's 16-bit-band trick:
+    * candidates come from a bucket equi-join on any shared band,
+    * never an n² comparison. Recall contract (pigeonhole over 4
+    * bands): a pair within Hamming ≤ 3 CANNOT touch every band, so
+    * it is found with certainty — spec-proven against brute force;
+    * above 3 differing bits recall is probabilistic (4+ bits can
+    * spread across all 4 bands), the standard banding trade-off every
+    * LSH pair search makes. Reported pairs are always verified
+    * exactly (`bit_count`), so precision is 1 at any threshold.
+    * Shared by the image (dHash) and audio (energy hash) near-dup
+    * paths. Input needs (doc_id, phash); output (doc_a, doc_b,
+    * hamming), doc_a < doc_b, distinct.
     */
   private def bandedHashPairs(h: DataFrame, maxHamming: Int): DataFrame = {
     val banded = h.select(col("doc_id"), col("phash"),

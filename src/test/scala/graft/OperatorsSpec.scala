@@ -329,6 +329,46 @@ class OperatorsSpec extends SparkSpec {
         "reported pair violates the hamming bound")
   }
 
+  test("banded pair search: exact ≤ 3-bit recall (the pigeonhole " +
+    "band lemma) and perfect precision vs brute force") {
+    import spark.implicits._
+    // the honest banding contract over 4×16-bit bands: a pair within
+    // Hamming ≤ 3 cannot touch all 4 bands, so the bucket join finds
+    // it with CERTAINTY; wider pairs are probabilistic (4+ bits can
+    // spread across every band); reported pairs are exact-verified,
+    // so nothing outside the threshold ever surfaces
+    var st = 987654321L
+    def nxt(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; st }
+    val base = (0 until 150).map(i => (i.toLong * 2, nxt()))
+    // plant a twin with 1..3 flipped bits for every 5th hash —
+    // inside the guarantee
+    val twins = base.collect { case (id, h) if id % 10 == 0 =>
+      val flips = (0 until 1 + (id % 3).toInt)
+        .map(k => 1L << (((id * 7 + k * 13) % 64).toInt))
+        .foldLeft(0L)(_ | _)
+      (id + 1, h ^ flips)
+    }
+    val all = base ++ twins
+    val hashes = all.map { case (id, h) =>
+      graft.operators.MultiModal.ImageHash(id, decoded = true, h)
+    }
+    val got = graft.operators.MultiModal
+      .imageNearDupPairs(spark.createDataset(hashes), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteLe3 = (for {
+      (a, ha) <- all; (b, hb) <- all if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(bruteLe3.nonEmpty, "the planted twins must exercise the lemma")
+    assert((bruteLe3 -- got).isEmpty,
+      s"≤3-bit pairs are guaranteed found; missed ${bruteLe3 -- got}")
+    // precision: everything reported genuinely meets the threshold
+    val hOf = all.toMap
+    assert(got.forall { case (a, b) =>
+      java.lang.Long.bitCount(hOf(a) ^ hOf(b)) <= 6
+    }, "a reported pair violated the exact hamming verify")
+  }
+
   test("compression ratio orders repetitive < prose < random, and " +
     "degenerate docs don't divide by zero") {
     import spark.implicits._
