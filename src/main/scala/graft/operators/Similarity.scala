@@ -823,6 +823,78 @@ object Similarity {
        |FROM cand c JOIN recon r ON c.vec_id = r.vec_id, p
        |ORDER BY approx_dist, c.vec_id LIMIT 10""".stripMargin)
 
+  // --------------------------------------------------------------- G12
+  /** IVFPQ with multi-cell probing — G11 with G8's recall dial: the
+    * probe scans its [[NProbe]] nearest cells instead of one, cells
+    * EXPLODED into (probe, pcell) rows so the fetch stays a broadcast
+    * EQUI-join; ADC and the exact rerank are unchanged. Candidates
+    * are a superset of G11's and each candidate still matches exactly
+    * one probed cell (its own assignment), so no dedup pass is
+    * needed. This is the full production ANN surface: nprobe trades
+    * scan volume for recall, PQ bounds bytes, rerank restores exact
+    * order on the shortlist.
+    */
+  val sAnnIvfPqProbe: Q = Q(
+    (s, dir) => {
+      val cb = ivfCodebook(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val cells = ivfCells(cb)
+      val assigned = emb.withColumn("cell",
+        array_min(cells).getField("cell"))
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"),
+          explode(transform(slice(array_sort(cells), 1, NProbe),
+            c => c.getField("cell"))).as("pcell"))
+      assigned.filter(col("vec_id") =!= 0)
+        .join(broadcast(probe), col("cell") === col("pcell"))
+        .withColumn("recon", pqRecon(cb))
+        .withColumn("approx_dist",
+          aggregate(zip_with(microOf(col("probe")), col("recon"),
+            (x, c) => (x - c) * (x - c)), lit(0L), (acc, d) => acc + d))
+        .orderBy(col("approx_dist"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), col("cell"),
+          col("approx_dist"),
+          nativeScoreMicro(s, "embedding", "probe").as("score_micro"))
+        .orderBy(col("approx_dist"), col("vec_id"))
+    },
+    s"""WITH $ivfRankedCteSql,
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, cell FROM ranked WHERE rn = 1),
+       |p AS (
+       |  SELECT embedding AS probe, cell AS pcell,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS pem
+       |  FROM ranked WHERE vec_id = 0 AND rn <= $NProbe),
+       |sub AS (
+       |  SELECT clabel, j,
+       |    list_slice(cvec, j * $PqSubDim + 1, (j + 1) * $PqSubDim)
+       |      AS scvec
+       |  FROM cent, (SELECT unnest(range(0, $PqSub)) AS j)),
+       |cand AS (
+       |  SELECT a.vec_id, a.label, a.cell, a.embedding, p.pem,
+       |    list_transform(a.embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS em,
+       |    p.probe
+       |  FROM assigned a, p WHERE a.vec_id <> 0 AND a.cell = p.pcell),
+       |codes AS (
+       |  SELECT vec_id, j, scvec,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY
+       |      list_sum(list_transform(
+       |        list_zip(list_slice(em, j * $PqSubDim + 1,
+       |          (j + 1) * $PqSubDim), scvec),
+       |        z -> (z[1] - z[2]) * (z[1] - z[2]))), clabel) AS rn
+       |  FROM (SELECT DISTINCT vec_id, em FROM cand), sub),
+       |recon AS (
+       |  SELECT vec_id, flatten(list(scvec ORDER BY j)) AS rvec
+       |  FROM codes WHERE rn = 1 GROUP BY vec_id)
+       |SELECT c.vec_id AS vec_id, c.label AS label, c.cell AS cell,
+       |  CAST(list_sum(list_transform(list_zip(c.pem, r.rvec),
+       |    z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS approx_dist,
+       |  ${scoreMicroSql("c.embedding", "c.probe")} AS score_micro
+       |FROM cand c JOIN recon r ON c.vec_id = r.vec_id
+       |ORDER BY approx_dist, c.vec_id LIMIT 10""".stripMargin)
+
   // ---------------------------------------------------------------- G6
   /** Per-label embedding centroids — the aggregation behind IVF coarse
     * quantizers, topic vectors, and class prototypes. Exactness
@@ -959,6 +1031,7 @@ object Similarity {
 
   val registry: Map[String, Q] = Map(
     "s_ann_ivfpq" -> sAnnIvfPq,
+    "s_ann_ivfpq_probe" -> sAnnIvfPqProbe,
     "s_kmeans" -> sKmeans,
     "s_cosine_topk" -> sCosineTopk,
     "s_centroids" -> sCentroids,

@@ -885,6 +885,21 @@ class QueriesSpec extends SparkSpec {
       "returned ids must be the quantizer's own cell members")
   }
 
+  test("s_ann_ivfpq_probe: nprobe=2 candidates span at most 2 cells " +
+    "and the ADC optimum is monotone in nprobe") {
+    val two = SparkEntry.queries("s_ann_ivfpq_probe")(spark, sf).collect()
+    val one = SparkEntry.queries("s_ann_ivfpq")(spark, sf).collect()
+    assert(two.length === 10)
+    assert(two.map(_.getLong(2)).distinct.length <=
+      graft.operators.Similarity.NProbe)
+    // superset candidacy: the best approximate distance can only
+    // improve (or tie) when a second cell is probed
+    assert(two.head.getLong(3) <= one.head.getLong(3),
+      "widening the probe must not worsen the ADC optimum")
+    val dists = two.map(_.getLong(3))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+  }
+
   test("q_skew_keys: top keys are frequency-sorted and shares are " +
     "consistent with the corpus total") {
     val sk = SparkEntry.queries("q_skew_keys")(spark, sf).collect()
