@@ -130,6 +130,46 @@ class ShortDocSpec extends SparkSpec {
       "undefined exact Jaccard must surface as NULL, not 0 or a crash")
   }
 
+  test("t_chunk: degenerate docs chunk cleanly — empty yields no " +
+    "window, tiny docs exactly one") {
+    val c = SparkEntry.queries("t_chunk")(spark, dir).collect()
+    assert(!c.exists(_.getLong(0) == 1L), "no tokens → no windows")
+    val tiny = c.filter(r => r.getLong(0) >= 2L && r.getLong(0) <= 4L)
+    assert(tiny.length === 3)
+    assert(tiny.forall(r => r.getLong(1) == 0L && r.getLong(2) == 1L),
+      "a sub-stride doc is exactly one window holding its one token")
+  }
+
+  test("d_dup_span_ratio / d_strip_spans: a corpus with no shared " +
+    "8-grams scores zero and strips nothing") {
+    val ratio = SparkEntry.queries("d_dup_span_ratio")(spark, dir)
+      .collect()
+    assert(ratio.length === 5, "every doc keeps a coverage row")
+    assert(ratio.forall(_.getAs[Long]("dup_span_bp") == 0L))
+    val strip = SparkEntry.queries("d_strip_spans")(spark, dir).collect()
+    assert(strip.length === 5)
+    assert(strip.forall(r =>
+      r.getAs[Long]("n_kept") == r.getAs[Long]("n_tokens")),
+      "nothing cross-doc-duplicated ⇒ nothing removed")
+  }
+
+  test("t_lm_score: bigram-less docs land in tail; the one real doc " +
+    "still scores") {
+    val sc = SparkEntry.queries("t_lm_score")(spark, dir).collect()
+    assert(sc.length === 5)
+    val tiny = sc.filter(_.getLong(0) <= 4L)
+    assert(tiny.forall(r => r.getAs[Long]("n_bigrams") == 0L &&
+      r.getAs[String]("bucket") == "tail"))
+    assert(sc.find(_.getLong(0) == 5L).get.getAs[Long]("n_bigrams") > 0L)
+  }
+
+  test("t_tfidf: token-less docs are absent, a one-token doc ranks " +
+    "its single term") {
+    val tf = SparkEntry.queries("t_tfidf")(spark, dir).collect()
+    assert(!tf.exists(_.getLong(0) == 1L), "no tokens → no terms")
+    assert(tf.count(_.getLong(0) == 2L) === 1)
+  }
+
   test("bandArrayCol: empty token set yields zero bands, not md5('')") {
     import spark.implicits._
     val b = Seq((1L, ""), (2L, "   "), (3L, "some words here"))
