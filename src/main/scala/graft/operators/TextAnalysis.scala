@@ -944,18 +944,22 @@ object TextAnalysis {
     * impossible when scoring the training corpus itself, which is
     * what the equivalence spec pins).
     */
+  private val lmModelCache =
+    graft.Artifacts.cache[(DataFrame, DataFrame, Long)]("text.lmModel")
+
   private[graft] def lmModel(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, Long) = {
-    val big = lmBigrams(lmTokens(Tables.documents(s, dir)))
-    val c2 = big.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-      .localCheckpoint(true)
-    val c1 = big.groupBy("a").agg(count(lit(1)).as("n_a"))
-      .localCheckpoint(true)
-    val mean = lmScoreRaw(Tables.documents(s, dir), c2, c1)
-      .filter(col("n_bigrams") > 0)
-      .agg(expr("sum(lm_bp) DIV count(*)")).head().getLong(0)
-    (c2, c1, mean)
-  }
+      : (DataFrame, DataFrame, Long) =
+    lmModelCache.getOrElseUpdate(s, dir) {
+      val big = lmBigrams(lmTokens(Tables.documents(s, dir)))
+      val c2 = big.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        .localCheckpoint(true)
+      val c1 = big.groupBy("a").agg(count(lit(1)).as("n_a"))
+        .localCheckpoint(true)
+      val mean = lmScoreRaw(Tables.documents(s, dir), c2, c1)
+        .filter(col("n_bigrams") > 0)
+        .agg(expr("sum(lm_bp) DIV count(*)")).head().getLong(0)
+      (c2, c1, mean)
+    }
 
   private[graft] def lmScoreRaw(docs: DataFrame, c2: DataFrame,
       c1: DataFrame): DataFrame = {
