@@ -1381,7 +1381,30 @@ object Dedup {
        |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id
        |ORDER BY t.doc_id""".stripMargin)
 
+  // ---------------------------------------------------------------- F19
+  /** Dup-cluster size distribution — the corpus-health panel every
+    * dedup report leads with (how much mass sits in 2-doc pairs vs
+    * boilerplate mega-clusters decides whether near-dup removal or
+    * template stripping is the next move). Second consumer of the
+    * materialized [[clusterMap]] artifact: the histogram costs two
+    * tiny aggregations over the (doc_id, cluster_id) handle, never a
+    * pipeline re-run. Only clustered (near-dup) docs appear — a
+    * singleton has no cluster row by construction.
+    */
+  val dClusterSizes: Q = Q(
+    (s, dir) =>
+      clusterMap(s, dir)
+        .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+        .groupBy("n_members").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("n_members"),
+    s"""WITH $clustersCteSql
+       |SELECT n_members, CAST(count(*) AS BIGINT) AS n_clusters FROM (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM l$Iters GROUP BY label)
+       |GROUP BY n_members ORDER BY n_members""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "d_cluster_sizes" -> dClusterSizes,
     "d_dup_span_ratio" -> dDupSpanRatio,
     "d_strip_spans" -> dStripSpans,
     "d_span_dup" -> dSpanDup,

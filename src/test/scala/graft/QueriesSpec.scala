@@ -885,6 +885,18 @@ class QueriesSpec extends SparkSpec {
       "returned ids must be the quantizer's own cell members")
   }
 
+  test("d_cluster_sizes: histogram mass equals the cluster map and " +
+    "no cluster is a singleton") {
+    val h = SparkEntry.queries("d_cluster_sizes")(spark, sf).collect()
+    assert(h.nonEmpty)
+    assert(h.forall(_.getLong(0) >= 2L),
+      "a cluster exists only where near-dups do — sizes start at 2")
+    val mass = h.map(r => r.getLong(0) * r.getLong(1)).sum
+    val mapRows = SparkEntry.queries("d_dup_clusters")(spark, sf).count()
+    assert(mass === mapRows,
+      "every clustered doc must be counted exactly once")
+  }
+
   test("s_ann_ivfpq_probe: nprobe=2 candidates span at most 2 cells " +
     "and the ADC optimum is monotone in nprobe") {
     val two = SparkEntry.queries("s_ann_ivfpq_probe")(spark, sf).collect()
