@@ -935,7 +935,109 @@ object Analytics {
       |  min(lat_s) AS min_lat_s, max(lat_s) AS max_lat_s
       |FROM lat GROUP BY bucket ORDER BY bucket""".stripMargin)
 
+  // --------------------------------------------------------------- E24
+  /** Equi-depth histogram over order value — the table-stats companion
+    * E20's min/max rows cannot express: selectivity estimation on a
+    * skewed value column needs equal-DEPTH buckets, not equal-width
+    * ones. Two passes, both cluster-shaped: pass 1 computes the 7
+    * inner octile boundaries with `percentile` (Spark ≡ DuckDB
+    * `quantile_cont` linear interpolation — the H9 contract — floored
+    * to integer cents so every later comparison is exact integer);
+    * pass 2 broadcasts the 7-long boundary array and assigns every row
+    * its bucket with one comparison fold (map-only, values equal to a
+    * boundary fall LOW) before a map-side-combinable count/min/max.
+    * No global sort anywhere. At 100 TB pass 1 swaps to
+    * approx_percentile exactly as H9's GK twin does (boundaries are
+    * estimates by nature); pass 2 is unchanged — this two-pass
+    * boundary-broadcast shape is how a lake catalog actually builds
+    * its histograms.
+    */
+  private val octiles = "0.125,0.25,0.375,0.5,0.625,0.75,0.875"
+
+  val qEquidepth: Q = Q(
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(cents(dec2(col("o_totalprice"))).as("v"))
+      val bounds = o.agg(
+        transform(expr(s"percentile(v, array($octiles))"),
+          q => floor(q).cast("long")).as("qs"))
+      o.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          aggregate(col("qs"), lit(1L),
+            (acc, q) => acc + when(col("v") > q, 1L).otherwise(0L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          min("v").as("lo_cents"), max("v").as("hi_cents"))
+        .orderBy("bucket")
+    },
+    s"""WITH o AS (
+       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |    AS v FROM orders),
+       |b AS (
+       |  SELECT list_transform(quantile_cont(v, [$octiles]),
+       |    q -> CAST(floor(q) AS BIGINT)) AS qs FROM o)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+       |  min(v) AS lo_cents, max(v) AS hi_cents
+       |FROM (
+       |  SELECT v,
+       |    CAST(1 + len(list_filter(qs, q -> v > q)) AS BIGINT) AS bucket
+       |  FROM o, b)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin)
+
+  // --------------------------------------------------------------- E25
+  /** Daily-volume anomaly flags — the "did ingest spike or stall"
+    * monitoring panel, stated without sqrt or floats: with n days,
+    * S = Σc, Q = Σc², day c is a two-sigma outlier iff
+    * |c·n − S| > 2·n·σ ⇔ (c·n − S)² > 4·(n·Q − S²) — Chebyshev's test
+    * cross-multiplied into pure integer arithmetic (a float σ would
+    * put an un-oracle-able sqrt on the flag boundary). The squared
+    * terms run in DECIMAL(38,0) / HUGEINT (the t_char_gini overflow
+    * lesson): a corpus of 1e9-event days at n=10⁴ days keeps
+    * (c·n−S)² ≈ 1e26 comfortably inside 38 digits where BIGINT wraps.
+    * Deviation is emitted as |dev| in bp of the mean plus its sign,
+    * so integer division truncates identically on both engines (DIV
+    * truncates toward zero, DuckDB's // floors — they agree only on
+    * non-negatives). One map-side-combinable day count, one 3-scalar
+    * broadcast, one map-only flag pass — nothing here is corpus-
+    * or even day-count-shaped.
+    */
+  val qAnomaly: Q = Q(
+    (s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val days = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val stats = days.agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("q"))
+      days.crossJoin(broadcast(stats))
+        .withColumn("dev", col("c") * col("n") - col("s"))
+        .select(col("day"), col("c").as("n_events"),
+          signum(col("dev")).cast("long").as("dev_sign"),
+          expr("abs(dev) * 10000 DIV s").as("abs_dev_bp"),
+          when(col("dev").cast(d38) * col("dev").cast(d38) >
+            (col("n").cast(d38) * col("q").cast(d38) -
+              col("s").cast(d38) * col("s").cast(d38)) * 4, 1L)
+            .otherwise(0L).as("is_outlier"))
+        .orderBy("day")
+    },
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY day),
+      |st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+      |  FROM d)
+      |SELECT day, c AS n_events,
+      |  CAST(sign(c * n - s) AS BIGINT) AS dev_sign,
+      |  CAST(abs(c * n - s) * 10000 // s AS BIGINT) AS abs_dev_bp,
+      |  CAST(CASE WHEN CAST(c * n - s AS HUGEINT) * (c * n - s) >
+      |    4 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+      |FROM d, st ORDER BY day""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "q_equidepth" -> qEquidepth,
+    "q_anomaly" -> qAnomaly,
     "q_latency_hist" -> qLatencyHist,
     "q_skew_keys" -> qSkewKeys,
     "q_rfm" -> qRfm,
