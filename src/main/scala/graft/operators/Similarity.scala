@@ -754,6 +754,118 @@ object Similarity {
        |WHERE q.vec_id <> 0
        |ORDER BY approx_dist, q.vec_id LIMIT 10""".stripMargin)
 
+  // --------------------------------------------------------------- G13
+  /** Scalar-quantization ANN (SQ8) — the middle rung of the ANN memory
+    * ladder: raw floats (256 B/vector) > SQ8 (64 B) > PQ (4 B). SQ8
+    * keeps PER-DIM resolution that PQ's subspace codebooks trade away
+    * (each dim quantizes independently to 255 levels between its own
+    * corpus min/max), so it is the standard choice when the index must
+    * shrink 4× but recall near the exact kernel still matters — FAISS'
+    * SQ8, Lucene/HNSW's int8 quantization. Train = ONE
+    * map-side-combinable posexplode agg (per-dim min/max — 64 rows at
+    * any corpus size) shipped as literals, the [[ivfCodebook]]
+    * artifact stance; encode = map-only integer arithmetic; query =
+    * integer ADC vs each candidate's midpoint reconstruction, top-10
+    * tree-reduced, exact-kernel rerank of only those 10.
+    *
+    * Integer division inside a zip_with lambda has no DIV operator, so
+    * exact floor division is stated as `(n - pmod(n, d)) / d` — the
+    * subtraction makes the numerator exactly divisible, and a double
+    * division of exactly-divisible longs ≤ 2^53 is exact (here
+    * ≤ ~1e9). All operands non-negative, so Spark's truncation and
+    * DuckDB's `//` floor agree, keeping every code, reconstruction,
+    * and distance bit-identical cross-engine — the oracle gates the
+    * full composition.
+    */
+  private val sq8BoundsCache =
+    graft.Artifacts.cache[(Array[Long], Array[Long])]("similarity.sq8Bounds")
+
+  /** Per-dim (min, span) of the micro-unit corpus — the SQ8 codebook:
+    * 2·dim longs whatever the corpus size, trained once per
+    * (session, corpus) and shipped inside the encode expression.
+    */
+  private[graft] def sq8Bounds(s: SparkSession, dir: String)
+      : (Array[Long], Array[Long]) =
+    sq8BoundsCache.getOrElseUpdate(s, dir) {
+      val rows = Tables.embeddings(s, dir)
+        .select(posexplode(microOf(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(min("x").as("mn"), max("x").as("mx"))
+        .orderBy("pos")
+        .collect()
+      (rows.map(_.getLong(1)), rows.map(r => r.getLong(2) - r.getLong(1)))
+    }
+
+  /** Exact non-negative floor division as a codegen-friendly Column. */
+  private def idiv(n: Column, d: Column): Column =
+    ((n - pmod(n, d)) / d).cast("long")
+
+  /** SQ8 midpoint reconstruction of `embedding` under shipped per-dim
+    * bounds: code = (x−mn)·255 DIV (span+1) ∈ [0,255), recon = mn +
+    * (2·code+1)·(span+1) DIV 510 — the cell midpoint. Map-only.
+    */
+  private def sq8Recon(mn: Array[Long], span: Array[Long]): Column = {
+    val codes = zip_with(
+      zip_with(microOf(col("embedding")), typedlit(mn.toSeq),
+        (x, m) => x - m),
+      typedlit(span.toSeq), (d, sp) => idiv(d * 255, sp + 1))
+    zip_with(
+      zip_with(codes, typedlit(mn.toSeq),
+        (c, m) => struct(c.as("c"), m.as("m"))),
+      typedlit(span.toSeq),
+      (cm, sp) => cm.getField("m") +
+        idiv((cm.getField("c") * 2 + 1) * (sp + 1), lit(510L)))
+  }
+
+  val sAnnSq8: Q = Q(
+    (s, dir) => {
+      val (mn, span) = sq8Bounds(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"))
+      emb.filter(col("vec_id") =!= 0)
+        .withColumn("recon", sq8Recon(mn, span))
+        .crossJoin(broadcast(probe))
+        .withColumn("approx_dist",
+          aggregate(zip_with(microOf(col("probe")), col("recon"),
+            (x, c) => (x - c) * (x - c)), lit(0L), (acc, d) => acc + d))
+        .orderBy(col("approx_dist"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), col("approx_dist"),
+          nativeScoreMicro(s, "embedding", "probe").as("score_micro"))
+        .orderBy(col("approx_dist"), col("vec_id"))
+    },
+    s"""WITH mm AS (
+       |  SELECT list(mn ORDER BY pos) AS mnv, list(mx - mn ORDER BY pos)
+       |    AS spv
+       |  FROM (
+       |    SELECT pos, min(x) AS mn, max(x) AS mx FROM (
+       |      SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+       |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+       |          AS BIGINT) AS x
+       |      FROM embeddings)
+       |    GROUP BY pos)),
+       |q AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS em
+       |  FROM embeddings),
+       |r AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_transform(list_zip(
+       |      list_transform(list_zip(em, mnv, spv),
+       |        z -> ((z[1] - z[2]) * 255) // (z[3] + 1)),
+       |      mnv, spv),
+       |      z -> z[2] + ((z[1] * 2 + 1) * (z[3] + 1)) // 510) AS recon
+       |  FROM q, mm),
+       |p AS (SELECT em AS pem, embedding AS probe FROM q WHERE vec_id = 0)
+       |SELECT r.vec_id AS vec_id, r.label AS label,
+       |  CAST(list_sum(list_transform(list_zip(p.pem, r.recon),
+       |    z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS approx_dist,
+       |  ${scoreMicroSql("r.embedding", "p.probe")} AS score_micro
+       |FROM r, p WHERE r.vec_id <> 0
+       |ORDER BY approx_dist, r.vec_id LIMIT 10""".stripMargin)
+
   // --------------------------------------------------------------- G11
   /** IVF+PQ composed — THE production ANN query shape (what FAISS
     * calls IVFPQ): the coarse quantizer bounds how much of the corpus
@@ -1043,5 +1155,6 @@ object Similarity {
     "s_ann_ivf" -> sAnnIvf,
     "s_ann_ivf_probe" -> sAnnIvfProbe,
     "s_ann_pq" -> sAnnPq,
+    "s_ann_sq8" -> sAnnSq8,
     "d_embed_clusters" -> dEmbedClusters)
 }

@@ -401,4 +401,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
       s"PQ encode must stay map-only:\n$p")
   }
+
+  test("s_ann_sq8: encode is map-only, top-k tree-reduces") {
+    val df = SparkEntry.queries("s_ann_sq8")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ADC top-k must tree-reduce, not globally sort:\n$p")
+    // SQ8 encode/reconstruct (shipped per-dim bounds) is a projection —
+    // no join or shuffle may appear below the probe broadcast
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"SQ8 encode must stay map-only:\n$p")
+  }
 }

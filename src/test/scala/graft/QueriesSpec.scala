@@ -1146,4 +1146,24 @@ class QueriesSpec extends SparkSpec {
       .intersect(brute.take(10).map(_.getAs[Long]("vec_id")).toSet)
     assert(overlap.nonEmpty, "PQ top-10 shares nothing with brute top-10")
   }
+
+  test("s_ann_sq8: ADC order sound, rerank exact, recall ≥ PQ's") {
+    val sq = SparkEntry.queries("s_ann_sq8")(spark, sf).collect()
+    assert(sq.length === 10)
+    val ad = sq.map(_.getAs[Long]("approx_dist"))
+    assert(ad.zip(ad.tail).forall { case (x, y) => x <= y },
+      "approx distances not ascending")
+    val brute = SparkEntry.queries("s_cosine_topk")(spark, sf).collect()
+    val top1 = brute.head.getAs[Long]("score_micro")
+    // the rerank is the exact kernel, so no SQ8 score can beat brute top-1
+    assert(sq.forall(_.getAs[Long]("score_micro") <= top1))
+    // 64 B/vector of per-dim resolution should recall at least as much
+    // of the true top-10 as PQ's 4 B subspace codes on this corpus
+    val bruteTop = brute.take(10).map(_.getAs[Long]("vec_id")).toSet
+    val sqHits = sq.map(_.getAs[Long]("vec_id")).toSet.intersect(bruteTop)
+    val pqHits = SparkEntry.queries("s_ann_pq")(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet.intersect(bruteTop)
+    assert(sqHits.size >= pqHits.size,
+      s"SQ8 recalled ${sqHits.size} of brute top-10, PQ ${pqHits.size}")
+  }
 }
