@@ -1079,7 +1079,156 @@ object TextAnalysis {
       }
   }
 
+  // ---------------------------------------------------------------- H22
+  /** BPE merge training as a dataflow — the tokenizer-TRAINING step
+    * every LLM data pipeline runs before t_chunk can mean anything:
+    * learn the first [[BpeRounds]] byte-pair merges of the classic BPE
+    * algorithm (Sennrich et al.), each round = count adjacent symbol
+    * pairs weighted by token frequency, take the argmax, rewrite.
+    *
+    * The trainer's working set is the token TYPE table (distinct word
+    * + count — vocab-sized), never the corpus token stream: the one
+    * corpus-scale pass is the initial frequency count, after which
+    * each round is a map-side-combinable pair aggregation over ~|V|
+    * rows, one 1-row broadcast, and a map-only rewrite — exactly how
+    * SentencePiece-style trainers scale, here as Catalyst plans.
+    *
+    * The symbol string encodes each symbol PREFIXED by '_' (a char
+    * the [a-z]+ token alphabet cannot contain), so the merge rewrite
+    * is plain left-to-right non-overlapping `replace` of `_lhs_rhs`
+    * with `_lhsrhs` — the marker anchors both symbol boundaries,
+    * making a substring match impossible ("ab|c" can never match the
+    * pair "b|c"), and left-to-right non-overlap IS the BPE merge
+    * order ("aaa" under (a,a) → "aa|a"). Spark's `replace` and
+    * DuckDB's agree on those semantics, so the whole iterative train
+    * is oracle-gated. Ties break (weight DESC, lhs, rhs). Each
+    * round's 1-row winner and rewritten type table are eagerly
+    * checkpointed — without that the plan doubles per round.
+    */
+  val BpeRounds = 5
+
+  /** The trainer over an arbitrary docs relation (needs a `text`
+    * column) — parameterized so specs can pin the merge table on a
+    * hand-computed corpus.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    var types = docs
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("tok"), "(.)", "_$1").as("sym"),
+        col("cnt"))
+      .localCheckpoint(true)
+    val merges = (1 to rounds).map { r =>
+      val arr = expr("filter(split(sym, '_'), x -> x <> '')")
+      val best = types
+        .select(col("cnt"), explode(zip_with(
+          slice(arr, lit(1), size(arr) - 1),
+          slice(arr, lit(2), size(arr) - 1),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("cnt").as("w"))
+        .orderBy(col("w").desc, col("lhs"), col("rhs")).limit(1)
+        .localCheckpoint(true)
+      types = types.crossJoin(broadcast(best))
+        .select(replace(col("sym"),
+          concat(lit("_"), col("lhs"), lit("_"), col("rhs")),
+          concat(lit("_"), col("lhs"), col("rhs"))).as("sym"),
+          col("cnt"))
+        .localCheckpoint(true)
+      best.select(lit(r.toLong).as("step"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("w"))
+    }
+    merges.reduce(_.unionAll(_)).orderBy("step")
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS w FROM (
+         |    SELECT s.cnt, s.arr[i] AS lhs, s.arr[i + 1] AS rhs
+         |    FROM (SELECT cnt,
+         |            list_filter(string_split(sym, '_'), x -> x <> '')
+         |              AS arr
+         |          FROM t${r - 1}) s,
+         |      unnest(range(1, len(s.arr))) AS u(i))
+         |  GROUP BY lhs, rhs),
+         |b$r AS (SELECT lhs, rhs, w FROM p$r
+         |        ORDER BY w DESC, lhs, rhs LIMIT 1),
+         |t$r AS (
+         |  SELECT replace(sym, '_' || lhs || '_' || rhs,
+         |    '_' || lhs || rhs) AS sym, cnt
+         |  FROM t${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS step, lhs, rhs,
+         |  lhs || rhs AS merged, w FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t0 AS (
+       |  SELECT regexp_replace(tok, '(.)', '_\\1', 'g') AS sym,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+       |          AS tok FROM documents)
+       |  GROUP BY 1),
+       |$roundCtes
+       |SELECT * FROM ($rows) ORDER BY step""".stripMargin
+  }
+
+  val tBpe: Q = Q(
+    (s, dir) => bpeMerges(Tables.documents(s, dir), BpeRounds),
+    bpeOracleSql(BpeRounds))
+
+  // ---------------------------------------------------------------- H23
+  /** Token-distribution drift between two corpus snapshots — the
+    * monitoring panel a continuously-crawled corpus runs between
+    * dumps (a new spam campaign, a template change, a scraper bug all
+    * surface as token-rate shifts long before quality metrics move).
+    * Snapshots stand in as the deterministic doc_id-parity halves;
+    * in production the two sides are two crawl dates. Per token: the
+    * occurrence rate in each half in integer bp, ranked by absolute
+    * rate difference. One map-side-combinable conditional-sum
+    * aggregation (no per-half join), one 2-scalar broadcast, a
+    * TakeOrdered top-20 — nothing vocabulary- or corpus-shaped
+    * shuffles twice.
+    */
+  val tDrift: Q = Q(
+    (s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select((col("doc_id") % 2 === 0).as("in_a"),
+          explode(toks(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("in_a"), 0L).otherwise(1L)).as("n_b"))
+      val totals = counts.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("tok"), col("n_a"), col("n_b"),
+          expr("n_a * 10000 DIV t_a").as("rate_a_bp"),
+          expr("n_b * 10000 DIV t_b").as("rate_b_bp"))
+        .withColumn("drift_bp", abs(col("rate_a_bp") - col("rate_b_bp")))
+        .orderBy(col("drift_bp").desc, col("tok"))
+        .limit(20)
+    },
+    s"""WITH tk AS (
+       |  SELECT doc_id % 2 = 0 AS in_a, unnest($toksSql) AS tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT tok,
+       |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+       |  FROM tk WHERE tok <> '' GROUP BY tok),
+       |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+       |             CAST(sum(n_b) AS BIGINT) AS t_b FROM c)
+       |SELECT tok, n_a, n_b,
+       |  n_a * 10000 // t_a AS rate_a_bp,
+       |  n_b * 10000 // t_b AS rate_b_bp,
+       |  abs(n_a * 10000 // t_a - n_b * 10000 // t_b) AS drift_bp
+       |FROM c, t
+       |ORDER BY drift_bp DESC, tok LIMIT 20""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "t_bpe" -> tBpe,
+    "t_drift" -> tDrift,
     "t_chunk" -> tChunk,
     "t_split_assign" -> tSplitAssign,
     "t_lm_score" -> tLmScore,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, MultiModal, Similarity}
+import graft.operators.{Dedup, MultiModal, Similarity, TextAnalysis}
 import graft.streaming.JdbcSink
 
 /** Semantics pins for the round-2 operator wave. */
@@ -487,5 +487,46 @@ class OperatorsSpec extends SparkSpec {
     assert(viaExpr.exceptAll(viaAgg).count() === 0 &&
       viaAgg.exceptAll(viaExpr).count() === 0,
       "map-only band signature diverged from the aggregated form")
+  }
+
+  test("t_bpe: merge table matches hand-computed BPE on a known corpus") {
+    import spark.implicits._
+    // "abab"+"ab": round 1 must merge (a,b) with weight 3 (two
+    // occurrences in abab, one in ab), round 2 (ab,ab) weight 1,
+    // round 3 finds no pairs and emits nothing
+    val docs = Seq("abab", "ab").toDF("text")
+    val m = TextAnalysis.bpeMerges(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m.toSeq === Seq(
+      (1L, "a", "b", "ab", 3L),
+      (2L, "ab", "ab", "abab", 1L)))
+  }
+
+  test("t_bpe: overlapping pair occurrences merge left-to-right") {
+    import spark.implicits._
+    // classic BPE order: "aaa" under merge (a,a) becomes (aa, a),
+    // never (a, aa) — and the weight counts non-overlapping
+    // occurrences only (2 in "aaa" would double-count the middle)
+    val m = TextAnalysis.bpeMerges(Seq("aaa").toDF("text"), 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m.head === ((1L, "a", "a", "aa", 2L)))
+    assert(m(1) === ((2L, "aa", "a", "aaa", 1L)))
+  }
+
+  test("t_bpe: merged symbols cannot false-match inside longer symbols") {
+    import spark.implicits._
+    // after (a,b)→ab, the pair (b,c) must not rewrite "ab c" (the
+    // marker-prefix encoding anchors both symbol boundaries); with
+    // xb present, (b,c) pairs exist only where b is a whole symbol
+    val m = TextAnalysis.bpeMerges(
+      Seq("abc", "abc", "bc").toDF("text"), 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // round 1: (a,b) w=2 vs (b,c) w=3 → (b,c) wins
+    assert(m.head === ((1L, "b", "c", "bc", 3L)))
+    // round 2: remaining pairs: (a,bc) w=2 — NOT (ab,c) or (b,c)
+    assert(m(1) === ((2L, "a", "bc", "abc", 2L)))
   }
 }
