@@ -70,6 +70,20 @@ object Sources {
           org.apache.spark.sql.functions.col(tsCol)))
       .write.mode("overwrite").partitionBy(partCol).parquet(path)
 
+  /** Parquet read under SCHEMA EVOLUTION — the lake contract every
+    * long-lived table eventually exercises: a column added to the
+    * writer mid-corpus unions into the read schema, pre-evolution
+    * files surfacing NULL for it. `mergeSchema` is a footer-level
+    * union at planning time (parquet footers only — no data pages
+    * read), NOT inference over rows; a reader that already knows the
+    * final schema should pass it explicitly and skip even that footer
+    * pass. Column pruning and predicate pushdown are unaffected — the
+    * scan still reads only requested columns, old files simply
+    * null-fill the missing ones (SourcesSpec pins both).
+    */
+  def parquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** ORC lake tables — the other columnar format Spark codecs
     * natively (predicate pushdown, column pruning, vectorized read
     * all apply exactly as for parquet). Schema passed explicitly for

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.graphx.{Edge, Graph}
+import graft.operators.Dedup
+
+/** Independent cross-validation of the dedup clustering: the engine's
+  * bounded min-label propagation ([[Dedup.propagate]] — converge-early
+  * DataFrame loop) must produce EXACTLY the connected components that
+  * GraphX's Pregel implementation finds on the same edge set. Both
+  * label a component by its minimum vertex id, so the maps must be
+  * row-identical — a completely separate implementation (RDD/Pregel vs
+  * Catalyst plans) agreeing on every row is strong evidence the
+  * propagation reaches the true fixpoint, not just a stable-looking
+  * state. GraphX stays test-side only: the engine's own clustering
+  * remains the declarative DataFrame form.
+  */
+class GraphXCrossSpec extends SparkSpec {
+
+  test("d_dup_clusters ≡ GraphX connectedComponents on the same edges") {
+    val ours = SparkEntry.queries("d_dup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Dedup.dupEdges(spark, sf)
+      .collect().map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    assert(edges.nonEmpty, "test corpus produced no dup edges")
+    val g = Graph.fromEdges(spark.sparkContext.parallelize(edges.toSeq), 1)
+    val cc = g.connectedComponents().vertices.collect().toMap
+    assert(ours.keySet === cc.keySet,
+      "cluster map covers a different vertex set than GraphX")
+    for ((doc, label) <- ours)
+      assert(label === cc(doc),
+        s"doc $doc: propagate said $label, GraphX said ${cc(doc)}")
+  }
+}

@@ -123,6 +123,35 @@ class SourcesSpec extends SparkSpec {
     assert(read.count() === expected && expected > 0)
   }
 
+  test("schema evolution: a column added mid-corpus merges into the " +
+    "read, old rows null-fill, pruning still holds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    // era 1: the table before the new column existed
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    // era 2: the writer gained a column
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "extra")
+      .write.mode("append").parquet(dir)
+    val df = Sources.parquetMerged(spark, dir)
+    assert(df.columns.sorted.toSeq === Seq("extra", "id", "v"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    val ex = rows.map(r =>
+      if (r.isNullAt(r.fieldIndex("extra"))) -1L
+      else r.getLong(r.fieldIndex("extra")))
+    assert(ex.toSeq === Seq(-1L, -1L, 30L, 40L),
+      "pre-evolution rows must null-fill the new column")
+    // evolution must not cost pruning: a 1-column projection still
+    // reads a 1-column schema
+    val f = df.select("id").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val rs = f.linesIterator
+      .find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(rs.contains("id") && !rs.contains("extra") && !rs.contains("v"),
+      s"merged-schema read did not prune columns:\n$f")
+  }
+
   test("q_heatmap_daily served off the date-partitioned lake layout: " +
     "the day predicate prunes whole fact partitions") {
     val dir = Files.createTempDirectory("graft_lake_fact").toString + "/fact"
