@@ -1142,7 +1142,10 @@ object TextAnalysis {
     merges.reduce(_.unionAll(_)).orderBy("step")
   }
 
-  private def bpeOracleSql(rounds: Int): String = {
+  /** The unrolled training CTE chain (t0 → p_r/b_r/t_r per round) —
+    * shared by the t_bpe and t_bpe_encode oracles.
+    */
+  private def bpeTrainCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS (
          |  SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS w FROM (
@@ -1160,23 +1163,89 @@ object TextAnalysis {
          |    '_' || lhs || rhs) AS sym, cnt
          |  FROM t${r - 1}, b$r)""".stripMargin
     }.mkString(",\n")
-    val rows = (1 to rounds).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS step, lhs, rhs,
-         |  lhs || rhs AS merged, w FROM b$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH t0 AS (
+    s"""t0 AS (
        |  SELECT regexp_replace(tok, '(.)', '_\\1', 'g') AS sym,
        |    CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
        |          AS tok FROM documents)
        |  GROUP BY 1),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS step, lhs, rhs,
+         |  lhs || rhs AS merged, w FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeTrainCtes(rounds)}
        |SELECT * FROM ($rows) ORDER BY step""".stripMargin
   }
 
   val tBpe: Q = Q(
     (s, dir) => bpeMerges(Tables.documents(s, dir), BpeRounds),
     bpeOracleSql(BpeRounds))
+
+  /** The learned merge table as a standing artifact — `rounds`
+    * (lhs, rhs) pairs in priority order, [[graft.Artifacts]]-registered
+    * like every trained model in the engine (IVF codebook, bigram LM):
+    * train once per (session, corpus), encode forever.
+    */
+  private val bpeMergesCache =
+    graft.Artifacts.cache[Array[(String, String)]]("text.bpeMerges")
+
+  private[graft] def bpeMergeTable(s: SparkSession, dir: String)
+      : Array[(String, String)] =
+    bpeMergesCache.getOrElseUpdate(s, dir)(
+      bpeMerges(Tables.documents(s, dir), BpeRounds).collect()
+        .map(r => (r.getString(1), r.getString(2))))
+
+  /** BPE ENCODE — the consumer half of [[tBpe]], and what a tokenizer
+    * actually does at ingest: apply the learned merges, in priority
+    * order, to every document. Train and encode share ONE rewrite
+    * primitive (left-to-right non-overlapping `replace` of the
+    * marker-anchored pair), so encoding replays the training rewrite
+    * exactly — OperatorsSpec pins the resulting conservation law
+    * (Σ n_sym = total letters − Σ merge weights). Token encodings
+    * are space-joined before the replaces, and since the pair pattern
+    * contains no space a merge can never cross a token boundary, so
+    * the whole document encodes in [[BpeRounds]] chained map-only
+    * string rewrites — zero joins, zero shuffles, the F13/G9-maint
+    * ingest-gate shape applied to tokenization (the streaming twin is
+    * the same expression verbatim: it is stateless). Emits the symbol
+    * count (one '_' marker per symbol) and the md5 of the encoded
+    * string, pinning boundaries AND content cross-engine.
+    */
+  val tBpeEncode: Q = Q(
+    (s, dir) => {
+      val merges = bpeMergeTable(s, dir)
+      val enc0 = array_join(transform(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)"),
+        t => regexp_replace(t, "(.)", "_$1")), " ")
+      val enc = merges.foldLeft(enc0) { case (c, (l, r)) =>
+        replace(c, lit(s"_${l}_$r"), lit(s"_$l$r"))
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (length(enc) - length(replace(enc, lit("_"), lit(""))))
+            .cast("long").as("n_sym"),
+          md5(enc).as("enc_md5"))
+        .orderBy("doc_id")
+    }, {
+      val enc0 = "array_to_string(list_transform(" +
+        "regexp_extract_all(lower(text), '[a-z]+')," +
+        " t -> regexp_replace(t, '(.)', '_\\1', 'g')), ' ')"
+      val enc = (1 to BpeRounds).foldLeft(enc0)((c, r) =>
+        s"replace($c, '_' || b$r.lhs || '_' || b$r.rhs," +
+          s" '_' || b$r.lhs || b$r.rhs)")
+      val bs = (1 to BpeRounds).map(r => s"b$r").mkString(", ")
+      s"""WITH ${bpeTrainCtes(BpeRounds)}
+         |SELECT doc_id,
+         |  CAST(length(e) - length(replace(e, '_', '')) AS BIGINT)
+         |    AS n_sym,
+         |  md5(e) AS enc_md5
+         |FROM (SELECT doc_id, $enc AS e FROM documents, $bs)
+         |ORDER BY doc_id""".stripMargin
+    })
 
   // ---------------------------------------------------------------- H23
   /** Token-distribution drift between two corpus snapshots — the
@@ -1228,6 +1297,7 @@ object TextAnalysis {
 
   val registry: Map[String, Q] = Map(
     "t_bpe" -> tBpe,
+    "t_bpe_encode" -> tBpeEncode,
     "t_drift" -> tDrift,
     "t_chunk" -> tChunk,
     "t_split_assign" -> tSplitAssign,

@@ -529,4 +529,20 @@ class OperatorsSpec extends SparkSpec {
     // round 2: remaining pairs: (a,bc) w=2 — NOT (ab,c) or (b,c)
     assert(m(1) === ((2L, "a", "bc", "abc", 2L)))
   }
+
+  test("t_bpe_encode conserves symbols: Σ n_sym = letters − Σ weights") {
+    // encode replays the training rewrite exactly (shared replace
+    // primitive), and every weighted merge occurrence removes exactly
+    // one symbol — so the corpus-wide symbol count after encoding is
+    // the initial letter count minus the sum of the merge weights
+    val letters = Tables.documents(spark, sf)
+      .select(sum(length(regexp_replace(
+        lower(col("text")), "[^a-z]", ""))).cast("long")).head().getLong(0)
+    val weights = SparkEntry.queries("t_bpe")(spark, sf)
+      .agg(sum("w")).head().getLong(0)
+    val nSym = SparkEntry.queries("t_bpe_encode")(spark, sf)
+      .agg(sum("n_sym")).head().getLong(0)
+    assert(nSym === letters - weights,
+      s"symbols $nSym, letters $letters, merge weights $weights")
+  }
 }
