@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Env-driven runtime settings — the engine's single config surface
+  * (the reference centralizes its operational knobs the same way:
+  * ref src/core/config.py:1-12 reads the broker/DB/batch knobs from
+  * the environment into one settings object). Every `SPARK_GRAFT_*`
+  * variable the driver contract mentions is read HERE, once, with its
+  * default beside it — operators never touch `sys.env`.
+  *
+  * @param sfDir    corpus directory (`SPARK_GRAFT_SF_DIR`)
+  * @param cpus     local worker threads AND shuffle partitions
+  *                 (`SPARK_GRAFT_CPUS`) — on a real cluster the
+  *                 master/partition settings come from spark-submit
+  *                 and this knob is ignored
+  * @param repeat   bench repetitions per query (`SPARK_GRAFT_REPEAT`)
+  * @param queries  optional bench/verify subset (`SPARK_GRAFT_QUERIES`,
+  *                 comma-separated)
+  */
+final case class Settings(
+    sfDir: String,
+    cpus: Int,
+    repeat: Int,
+    queries: Option[Set[String]]) {
+
+  /** The standard local session under these settings. `aqe = true`
+    * matches Spark's own default; the knob exists so a main that is
+    * pure streaming can silence the per-query AQE-disable warnings.
+    */
+  def buildSession(aqe: Boolean): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", aqe.toString)
+      .config("spark.ui.enabled", "false")
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+object Settings {
+  def fromEnv(env: Map[String, String] = sys.env): Settings = Settings(
+    sfDir = env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    cpus = env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
+    repeat = env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt,
+    queries = env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet))
+}

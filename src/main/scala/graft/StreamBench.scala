@@ -2,8 +2,6 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.SparkSession
-
 /** End-to-end streaming throughput: drive the full star pipeline
   * (cleanse → split → fact projection → bounded idempotent sink →
   * DLQ with v2 requeue) over the events table as a file stream and
@@ -15,15 +13,9 @@ import org.apache.spark.sql.SparkSession
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val settings = Settings.fromEnv()
+    val sfDir = settings.sfDir
+    val spark = settings.buildSession(aqe = true)
 
     val in = Files.createTempDirectory("graft_sb_in").toString
     val out = Files.createTempDirectory("graft_sb_out").toString

@@ -22,15 +22,24 @@ object Tables {
     if (name == "events") nanosToTimestamp(df) else df
   }
 
-  /** Rebuild a µs timestamp from the nanos-as-long `ts` column (no-op
-    * if `ts` is already a timestamp).
+  /** Normalize the `ts` column to a session-tz TIMESTAMP regardless of
+    * how the generator wrote it: nanos-as-long (old testdata),
+    * timestamp[us] without timezone → Spark TIMESTAMP_NTZ (new
+    * testdata), or already TIMESTAMP (no-op). The session timezone is
+    * pinned to UTC everywhere, so the NTZ→TZ cast is the identity on
+    * the underlying micros — exactly how DuckDB reads the same file.
     */
   def nanosToTimestamp(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", df("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Events with `ts` still a raw long of nanos — the schema a file
     * stream over the same parquet must declare.

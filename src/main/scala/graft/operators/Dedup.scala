@@ -365,22 +365,32 @@ object Dedup {
     * final cluster map.
     */
   private val clustersCteSql: String = {
+    // Every CTE is MATERIALIZED and the per-round min-neighbor is a
+    // grouped LEFT JOIN, not a correlated subquery: DuckDB re-inlines
+    // plain CTEs per consumer, so the original correlated chain
+    // re-planned the whole LSH pipeline at every level — 4–8 MINUTES
+    // per oracle at sf0.01, which blew the driver's correctness-gate
+    // budget (r8/r9 came back empty). Materialized, each level is
+    // computed once and the full chain runs in seconds. Semantics are
+    // bit-identical (same fixed Iters rounds of min-label
+    // propagation).
     val l = (1 to Iters).map { i =>
-      s"""l$i AS (
+      s"""l$i AS MATERIALIZED (
          |  SELECT l.doc_id,
-         |    least(l.label, coalesce(
-         |      (SELECT min(l2.label) FROM edges e
-         |       JOIN l${i - 1} l2 ON l2.doc_id = e.doc_b
-         |       WHERE e.doc_a = l.doc_id), l.label)) AS label
-         |  FROM l${i - 1} l)""".stripMargin
+         |    least(l.label, coalesce(m.nbr_min, l.label)) AS label
+         |  FROM l${i - 1} l
+         |  LEFT JOIN (SELECT e.doc_a AS doc_id, min(l2.label) AS nbr_min
+         |             FROM edges e
+         |             JOIN l${i - 1} l2 ON l2.doc_id = e.doc_b
+         |             GROUP BY e.doc_a) m ON m.doc_id = l.doc_id)""".stripMargin
     }.mkString(",\n")
-    s"""pairs AS (
+    s"""pairs AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM ($lshJaccardSql)
        |  WHERE jaccard_bp >= $ClusterMinBp),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |l0 AS (
+       |l0 AS MATERIALIZED (
        |  SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges),
        |$l""".stripMargin
   }
@@ -524,7 +534,7 @@ object Dedup {
         .orderBy("doc_id")
     },
     s"""WITH $clustersCteSql,
-       |drop_ids AS (
+       |drop_ids AS MATERIALIZED (
        |  SELECT doc_id FROM l$Iters WHERE doc_id <> label)
        |SELECT d.doc_id, d.source, d.n_chars
        |FROM documents d
@@ -757,11 +767,12 @@ object Dedup {
         .orderBy("doc_id")
     },
     s"""WITH $clustersCteSql,
-       |drop_ids AS (
+       |drop_ids AS MATERIALIZED (
        |  SELECT doc_id FROM l$Iters WHERE doc_id <> label),
-       |sh AS ($docShinglesSql),
-       |ev AS (SELECT DISTINCT sh FROM sh WHERE $inEvalSampleSql),
-       |contaminated AS (
+       |sh AS MATERIALIZED ($docShinglesSql),
+       |ev AS MATERIALIZED (
+       |  SELECT DISTINCT sh FROM sh WHERE $inEvalSampleSql),
+       |contaminated AS MATERIALIZED (
        |  SELECT DISTINCT doc_id FROM sh JOIN ev USING (sh)
        |  WHERE NOT ($inEvalSampleSql))
        |SELECT d.doc_id, d.source, d.n_chars

@@ -588,25 +588,33 @@ object Similarity {
         .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
         .orderBy("vec_id")
     }, {
+      // MATERIALIZED + join-based min-neighbor, as in Dedup's cluster
+      // CTE chain: plain CTEs re-inline the whole pair pipeline at
+      // every propagation level (this oracle alone cost ~15 s at
+      // sf0.01 — the driver-budget lesson of r8/r9)
       val iters = Dedup.Iters
       val l = (1 to iters).map { i =>
-        s"""l$i AS (
-           |  SELECT l.vec_id, least(l.label, coalesce(
-           |    (SELECT min(l2.label) FROM edges e2
-           |     JOIN l${i - 1} l2 ON l2.vec_id = e2.vec_b
-           |     WHERE e2.vec_a = l.vec_id), l.label)) AS label
-           |  FROM l${i - 1} l)""".stripMargin
+        s"""l$i AS MATERIALIZED (
+           |  SELECT l.vec_id,
+           |    least(l.label, coalesce(m.nbr_min, l.label)) AS label
+           |  FROM l${i - 1} l
+           |  LEFT JOIN (SELECT e2.vec_a AS vec_id, min(l2.label) AS nbr_min
+           |             FROM edges e2
+           |             JOIN l${i - 1} l2 ON l2.vec_id = e2.vec_b
+           |             GROUP BY e2.vec_a) m ON m.vec_id = l.vec_id)""".stripMargin
       }.mkString(",\n")
-      s"""WITH e AS (${cellsSql()}),
-         |p0 AS (
+      s"""WITH e AS MATERIALIZED (${cellsSql()}),
+         |p0 AS MATERIALIZED (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM e a JOIN e b
          |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |  WHERE ${scoreMicroSql("a.embedding", "b.embedding")}
          |    >= $EmbedDupMinMicro),
-         |edges AS (SELECT vec_a, vec_b FROM p0
-         |          UNION ALL SELECT vec_b AS vec_a, vec_a AS vec_b FROM p0),
-         |l0 AS (SELECT DISTINCT vec_a AS vec_id, vec_a AS label FROM edges),
+         |edges AS MATERIALIZED (
+         |  SELECT vec_a, vec_b FROM p0
+         |  UNION ALL SELECT vec_b AS vec_a, vec_a AS vec_b FROM p0),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT vec_a AS vec_id, vec_a AS label FROM edges),
          |$l
          |SELECT vec_id, label AS cluster_id FROM l$iters
          |ORDER BY vec_id""".stripMargin

@@ -1146,8 +1146,13 @@ object TextAnalysis {
     * shared by the t_bpe and t_bpe_encode oracles.
     */
   private def bpeTrainCtes(rounds: Int): String = {
+    // All round CTEs MATERIALIZED: t${r-1} is consumed by BOTH p$r and
+    // t$r, so plain CTEs re-inline the whole prior chain twice per
+    // round — 2^rounds plan copies, minutes of DuckDB planning at
+    // sf0.01, and the driver's correctness-gate budget blown (r8/r9).
+    // Materialized, each round runs once; same fixed-round semantics.
     val roundCtes = (1 to rounds).map { r =>
-      s"""p$r AS (
+      s"""p$r AS MATERIALIZED (
          |  SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS w FROM (
          |    SELECT s.cnt, s.arr[i] AS lhs, s.arr[i + 1] AS rhs
          |    FROM (SELECT cnt,
@@ -1156,14 +1161,14 @@ object TextAnalysis {
          |          FROM t${r - 1}) s,
          |      unnest(range(1, len(s.arr))) AS u(i))
          |  GROUP BY lhs, rhs),
-         |b$r AS (SELECT lhs, rhs, w FROM p$r
+         |b$r AS MATERIALIZED (SELECT lhs, rhs, w FROM p$r
          |        ORDER BY w DESC, lhs, rhs LIMIT 1),
-         |t$r AS (
+         |t$r AS MATERIALIZED (
          |  SELECT replace(sym, '_' || lhs || '_' || rhs,
          |    '_' || lhs || rhs) AS sym, cnt
          |  FROM t${r - 1}, b$r)""".stripMargin
     }.mkString(",\n")
-    s"""t0 AS (
+    s"""t0 AS MATERIALIZED (
        |  SELECT regexp_replace(tok, '(.)', '_\\1', 'g') AS sym,
        |    CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))

@@ -472,4 +472,49 @@ object ReportStream {
           }
         })
   }
+
+  /** Graceful shutdown — the reference installs SIGINT/SIGTERM
+    * handlers that drain its queues before stopping the consumer (ref
+    * src/gracefull_shutdown.py:8-21); the Structured Streaming analog
+    * is: let each active query's IN-FLIGHT trigger finish, then
+    * `stop()` it. Without the drain, a rollout lands `stop()` in the
+    * middle of a micro-batch; the checkpoint replays it on restart,
+    * which is only safe because every graft sink is idempotent — the
+    * drain avoids paying that replay on every deploy. The wait is
+    * deadline-bounded: a hung batch must not block JVM exit (the
+    * idempotent-sink + checkpoint contract makes the forced stop safe,
+    * exactly as a SIGKILL after the reference's drain window would
+    * be).
+    */
+  def drainAndStop(queries: Seq[StreamingQuery],
+      drainTimeoutMs: Long = 30000L): Unit =
+    queries.foreach { q =>
+      val deadline = System.nanoTime() + drainTimeoutMs * 1000000L
+      try {
+        while (q.isActive && q.status.isTriggerActive &&
+            System.nanoTime() < deadline)
+          Thread.sleep(20)
+        if (q.isActive) q.stop()
+        q.awaitTermination()
+      } catch {
+        // a query that already died delivers its failure here; the
+        // shutdown path's job is to stop the others, not to re-throw
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      }
+    }
+
+  /** Register [[drainAndStop]] over the session's active queries as a
+    * JVM shutdown hook (SIGINT/SIGTERM both run shutdown hooks — the
+    * exact trigger set the reference's signal handlers cover). Returns
+    * the hook thread so a spec can exercise it by direct `run()` and
+    * a deployment can deregister it.
+    */
+  def shutdownHook(spark: SparkSession,
+      drainTimeoutMs: Long = 30000L): Thread = {
+    val t = new Thread(
+      () => drainAndStop(spark.streams.active.toSeq, drainTimeoutMs),
+      "graft-stream-drain")
+    Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
 }

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.ReportStream
+
+/** Graceful shutdown (ref src/gracefull_shutdown.py:8-21: SIGINT/
+  * SIGTERM → drain and stop): [[ReportStream.drainAndStop]] must let
+  * the in-flight micro-batch finish before stopping, and a stop
+  * triggered mid-stream must leave the idempotent sink exactly-once
+  * after a checkpoint restart — the every-rollout path of the
+  * always-on pipes.
+  */
+class GracefulShutdownSpec extends SparkSpec {
+
+  private def tempDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("graceful stop mid-stream: drained batches commit whole, and a " +
+    "checkpoint restart keeps the sink exactly-once") {
+    val in = tempDir("graft_drain_in")
+    val out = tempDir("graft_drain_out")
+    val ck = tempDir("graft_drain_ck")
+    // three input files ⇒ three micro-batches (maxFilesPerTrigger=1);
+    // identical content so the event_id dedup is what keeps the sink
+    // exactly-once however the stop lands between them
+    (1 to 3).foreach { i =>
+      Files.copy(Paths.get(s"$sf/events.parquet"),
+        Paths.get(s"$in/e$i.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val src = ReportStream.fileSource(spark, in, Tables.eventsRaw(spark, sf))
+    val q = ReportStream.pipeline(src, out, ck)
+    // the deploy signal arrives while batches are in flight: drain —
+    // wait out the current trigger, stop, and NEVER kill mid-batch
+    ReportStream.drainAndStop(Seq(q))
+    assert(!q.isActive, "drainAndStop must leave the query terminated")
+
+    val events = Tables.events(spark, sf)
+    val nAll = events.count()
+    val nErr = events.filter(col("event_type") === "error").count()
+    // whatever committed before the stop is whole batches: the dead
+    // letters (append-only, no dedup) count a multiple of the per-file
+    // error share — a torn batch would leave a non-multiple
+    val deadDir = new java.io.File(s"$out/dead_letter")
+    if (deadDir.exists()) {
+      val nDead = spark.read.parquet(s"$out/dead_letter").count()
+      assert(nDead % nErr === 0,
+        s"dead-letter count $nDead must be whole batches of $nErr")
+    }
+
+    // rollout completes: restart from the same checkpoint processes
+    // exactly the unprocessed remainder
+    val q2 = ReportStream.pipeline(
+      ReportStream.fileSource(spark, in, Tables.eventsRaw(spark, sf)),
+      out, ck)
+    q2.awaitTermination(120000)
+    q2.stop()
+    val reports = spark.read.parquet(s"$out/reports")
+    assert(reports.count() === nAll - nErr,
+      "sink must hold each valid event exactly once across the stop")
+    assert(reports.groupBy("event_id").count()
+      .filter(col("count") > 1).count() === 0,
+      "no event may be duplicated by the stop/restart")
+    // all three files were processed exactly once in total: the
+    // non-deduped dead-letter path shows each file's error share once
+    assert(spark.read.parquet(s"$out/dead_letter").count() === 3 * nErr,
+      "each micro-batch must run exactly once across the stop/restart")
+  }
+
+  test("shutdownHook: the registered JVM hook drains active queries " +
+    "and stops them (direct invocation)") {
+    val in = tempDir("graft_hook_in")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$in/e1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val nAll = Tables.events(spark, sf).count()
+    val src = ReportStream.fileSource(spark, in, Tables.eventsRaw(spark, sf))
+    // an ALWAYS-ON query (ProcessingTime, not AvailableNow): without a
+    // stop it would run forever — exactly what a rollout interrupts
+    val q = ReportStream.parsedEvents(src)
+      .writeStream.format("memory").queryName("graft_drain_hook")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    val hook = ReportStream.shutdownHook(spark)
+    try {
+      // deliver the "signal": shutdown hooks are plain threads — run it
+      hook.run()
+      assert(!q.isActive, "the hook must stop every active query")
+      // memory-sink rows arrive in whole batches only; the drained stop
+      // must not have torn the in-flight one
+      val n = spark.table("graft_drain_hook").count()
+      assert(n % nAll === 0,
+        s"committed rows $n must be whole micro-batches of $nAll")
+    } finally {
+      Runtime.getRuntime.removeShutdownHook(hook)
+      if (q.isActive) q.stop()
+    }
+  }
+}

@@ -8,6 +8,7 @@ import glob
 import json
 import math
 import sys
+import time
 
 import duckdb
 
@@ -44,6 +45,7 @@ def main():
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
                     f"'{sf_dir}/{name}.parquet'")
     n_ok = n_bad = 0
+    t_all = time.monotonic()
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
@@ -55,6 +57,7 @@ def main():
         got = con.sql(
             f"SELECT * FROM read_parquet({files!r})")
         gcols, grows = got.columns, got.fetchall()
+        t0 = time.monotonic()
         try:
             exp = con.sql(sql)
             ecols, erows = exp.columns, exp.fetchall()
@@ -62,6 +65,7 @@ def main():
             print(f"FAIL {name}: oracle error: {e}")
             n_bad += 1
             continue
+        dt = time.monotonic() - t0
         gc, gr = table(grows, gcols)
         ec, er = table(erows, ecols)
         if gc != ec:
@@ -78,9 +82,10 @@ def main():
                   f"first: spark={bad[0][0]} oracle={bad[0][1]} cols={gc}")
             n_bad += 1
             continue
-        print(f"ok   {name} ({len(gr)} rows)")
+        print(f"ok   {name} ({len(gr)} rows, oracle {dt:.1f}s)")
         n_ok += 1
-    print(f"== {n_ok} ok, {n_bad} fail")
+    print(f"== {n_ok} ok, {n_bad} fail, "
+          f"oracle sweep {time.monotonic() - t_all:.0f}s")
     sys.exit(1 if n_bad else 0)
 
 
