@@ -22,6 +22,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the per-key top-k whole-operator (plans/TopK.scala): rewrite
+    // rule + planner strategy; marker-gated, so it can never change a
+    // plan that didn't opt in via TopK.perKey
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRankLimitToTopK)
+    ext.injectPlannerStrategy(_ => graft.plans.PerKeyTopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[functions.CosineSim].getName,

@@ -1035,7 +1035,38 @@ object Analytics {
       |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
       |FROM d, st ORDER BY day""".stripMargin)
 
+  // --------------------------------------------------------------- E26
+  /** Per-user event leaderboard — k best rows per key, stated in the
+    * declarative rank-filter form ([[graft.plans.TopK.perKey]]) and
+    * executed by the [[graft.plans.PerKeyTopK]] whole-operator
+    * extension: bounded per-key heaps instead of sort + window +
+    * filter, map-side shrink to ≤ keys·k rows before the shuffle
+    * (plans/TopK.scala has the full plan story). The un-rewritten
+    * plan is the identical window form — same rows — so the oracle
+    * is plain ANSI row_number; PlanAuditSpec pins that the rewrite
+    * actually fired. The reference's "latest report per entity"
+    * upsert reads (ref src/db/report.py:170-314) are k=1 of exactly
+    * this operator.
+    */
+  val qUserTopk: Q = Q(
+    (s, dir) => {
+      graft.plans.TopK.enable(s)
+      graft.plans.TopK.perKey(
+        Tables.events(s, dir)
+          .select("user_id", "event_id", "event_type", "value"),
+        Seq(col("user_id")),
+        Seq(col("value").desc, col("event_id")), 3)
+        .orderBy("user_id", "event_id")
+    },
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY value DESC NULLS LAST, event_id) AS rn
+      |  FROM events) WHERE rn <= 3
+      |ORDER BY user_id, event_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "q_user_topk" -> qUserTopk,
     "q_equidepth" -> qEquidepth,
     "q_anomaly" -> qAnomaly,
     "q_latency_hist" -> qLatencyHist,

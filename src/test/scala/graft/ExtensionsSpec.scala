@@ -62,6 +62,33 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("withExtensions session plans TopK.perKey on the heap operator " +
+    "with no enable() call") {
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import org.apache.spark.sql.functions.col
+      val events = Tables.events(ext, sf)
+        .select("user_id", "event_id", "value")
+      val df = graft.plans.TopK.perKey(events, Seq(col("user_id")),
+        Seq(col("value").desc, col("event_id")), 2)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("PerKeyTopK"),
+        s"config-injected rewrite must fire without enable():\n$p")
+      assert(!p.contains("Window"), s"WindowExec must be gone:\n$p")
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("GraftCatalog registers every table for the SQL front door") {
     GraftCatalog.registerAll(spark, sf)
     for (t <- GraftCatalog.tableNames)

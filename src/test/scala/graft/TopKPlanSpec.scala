@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.plans.TopK
+
+/** The per-key top-k whole-operator (plans/TopK.scala): results must
+  * be row-identical to the window form it rewrites, and the executed
+  * plan must actually BE the heap operator — no WindowExec, no sort
+  * of the input, partial phase below the exchange.
+  */
+class TopKPlanSpec extends SparkSpec {
+
+  TopK.enable(spark)
+
+  private def events: DataFrame =
+    Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "value")
+
+  /** The same query with a NON-marker rank column: stays on Spark's
+    * own window path (the rewrite is marker-gated), giving the
+    * ground-truth rows.
+    */
+  private def windowForm(k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  private def sortedRows(df: DataFrame) =
+    df.orderBy("user_id", "event_id").collect().toSeq
+
+  test("perKey(k=3) ≡ the row_number window form, row for row") {
+    val got = TopK.perKey(events, Seq(col("user_id")),
+      Seq(col("value").desc, col("event_id")), 3)
+    assert(sortedRows(got) === sortedRows(windowForm(3)))
+  }
+
+  test("k=1 (the upsert-latest shape) and k larger than any group") {
+    val one = TopK.perKey(events, Seq(col("user_id")),
+      Seq(col("value").desc, col("event_id")), 1)
+    assert(sortedRows(one) === sortedRows(windowForm(1)))
+    // k beyond every group size: top-k must be the identity
+    val all = TopK.perKey(events, Seq(col("user_id")),
+      Seq(col("value").desc, col("event_id")), 1000000)
+    assert(all.count() === events.count())
+  }
+
+  test("empty input yields empty output") {
+    val none = TopK.perKey(events.filter(col("user_id") < 0),
+      Seq(col("user_id")), Seq(col("value").desc, col("event_id")), 3)
+    assert(none.count() === 0)
+  }
+
+  /** Executed plan, FINAL adaptive section only (AQE's toString also
+    * prints the initial plan — counting nodes across both would
+    * double everything).
+    */
+  private def finalPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+
+  test("plan: heap operator replaces sort+window+filter, partial " +
+    "below the exchange") {
+    val df = TopK.perKey(events, Seq(col("user_id")),
+      Seq(col("value").desc, col("event_id")), 3)
+    df.collect() // finalize any adaptive planning before reading it
+    val p = finalPlan(df)
+    assert(p.contains("PerKeyTopK"), s"rewrite did not fire:\n$p")
+    assert(!p.contains("Window"), s"WindowExec survived the rewrite:\n$p")
+    assert(!p.contains("Sort "), s"the input must never be sorted:\n$p")
+    // two phases: partial (map-side) + final, exchange between them
+    assert(p.linesIterator.count(_.contains("PerKeyTopK")) === 2,
+      s"expected partial+final pair:\n$p")
+    assert(p.contains("Exchange hashpartitioning"),
+      s"final phase must cluster on the keys:\n$p")
+  }
+
+  test("co-partitioned child: no extra exchange above the existing one") {
+    val pre = events.repartition(col("user_id"))
+    val df = TopK.perKey(pre, Seq(col("user_id")),
+      Seq(col("value").desc, col("event_id")), 3)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"the repartition's exchange must be reused, not doubled:\n$p")
+  }
+
+  test("rank column that is NOT the marker is left untouched") {
+    val df = windowForm(3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("PerKeyTopK"),
+      s"non-marker rank filters must keep their window plan:\n$p")
+  }
+}
