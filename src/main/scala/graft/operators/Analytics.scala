@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1065,7 +1065,91 @@ object Analytics {
       |  FROM events) WHERE rn <= 3
       |ORDER BY user_id, event_id""".stripMargin)
 
+  // --------------------------------------------------------------- E27
+  /** The catalog's equi-depth histogram TABLE — E24 generalized to
+    * the multi-column artifact a cost-based optimizer stores beside
+    * E20's row/NDV panel: one 8-bucket equal-height histogram per
+    * profiled column, emitted as a single relation keyed by column
+    * name (the shape a lake catalog materializes at ANALYZE time and
+    * selectivity estimation reads forever after). The octile
+    * BOUNDARIES are trained once per (session, corpus) and held in
+    * [[graft.Artifacts]] (3 columns × 7 longs — the codebook stance),
+    * so each column's histogram pass is a map-only bucket fold over a
+    * single-column pruned scan plus an 8-row map-side-combinable
+    * aggregate; nothing sorts, nothing row-shaped crosses the driver.
+    * All-integer (cents / floored quantities) so the whole relation
+    * oracle-gates; at 100 TB the boundary pass swaps to
+    * approx_percentile exactly as E24 documents.
+    */
+  private def histProfile(s: SparkSession, dir: String)
+      : Seq[(String, DataFrame, Column)] = Seq(
+    ("l_quantity", Tables.lineitem(s, dir),
+      floor(col("l_quantity")).cast("long")),
+    ("o_totalprice_cents", Tables.orders(s, dir),
+      cents(dec2(col("o_totalprice")))),
+    ("value_cents", Tables.events(s, dir), cents(dec2(col("value")))))
+
+  private val histBoundsCache =
+    graft.Artifacts.cache[Map[String, Array[Long]]]("analytics.histBounds")
+
+  private def histBounds(s: SparkSession, dir: String)
+      : Map[String, Array[Long]] =
+    histBoundsCache.getOrElseUpdate(s, dir)(
+      histProfile(s, dir).map { case (name, df, v) =>
+        name -> df.select(v.as("v"))
+          .agg(transform(expr(s"percentile(v, array($octiles))"),
+            q => floor(q).cast("long")).as("qs"))
+          .head().getSeq[Long](0).toArray
+      }.toMap)
+
+  val qStatsHist: Q = Q(
+    (s, dir) => {
+      val bounds = histBounds(s, dir)
+      histProfile(s, dir).map { case (name, df, v) =>
+        val bs = bounds(name)
+        df.select(v.as("v"))
+          .withColumn("bucket", bs.foldLeft(lit(1L))((acc, q) =>
+            acc + when(col("v") > q, 1L).otherwise(0L)))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min("v").as("lo"), max("v").as("hi"))
+          .select(lit(name).as("col_name"), col("bucket"),
+            col("n_rows"), col("lo"), col("hi"))
+      }.reduce(_.unionAll(_))
+        .orderBy("col_name", "bucket")
+    }, {
+      def block(i: Int, name: String, src: String): String =
+        s"""s$i AS MATERIALIZED ($src),
+           |b$i AS (SELECT list_transform(quantile_cont(v, [$octiles]),
+           |  q -> CAST(floor(q) AS BIGINT)) AS qs FROM s$i),
+           |h$i AS (
+           |  SELECT '$name' AS col_name, bucket,
+           |    CAST(count(*) AS BIGINT) AS n_rows,
+           |    min(v) AS lo, max(v) AS hi
+           |  FROM (SELECT v,
+           |      CAST(1 + len(list_filter(qs, q -> v > q)) AS BIGINT)
+           |        AS bucket
+           |    FROM s$i, b$i)
+           |  GROUP BY bucket)""".stripMargin
+      val blocks = Seq(
+        block(1, "l_quantity",
+          "SELECT CAST(floor(l_quantity) AS BIGINT) AS v FROM lineitem"),
+        block(2, "o_totalprice_cents",
+          "SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100" +
+            " AS BIGINT) AS v FROM orders"),
+        block(3, "value_cents",
+          "SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100" +
+            " AS BIGINT) AS v FROM events")).mkString(",\n")
+      s"""WITH $blocks
+         |SELECT * FROM (
+         |  SELECT * FROM h1 UNION ALL
+         |  SELECT * FROM h2 UNION ALL
+         |  SELECT * FROM h3)
+         |ORDER BY col_name, bucket""".stripMargin
+    })
+
   val registry: Map[String, Q] = Map(
+    "q_stats_hist" -> qStatsHist,
     "q_user_topk" -> qUserTopk,
     "q_equidepth" -> qEquidepth,
     "q_anomaly" -> qAnomaly,

@@ -221,11 +221,17 @@ object Star {
     */
   val rUpsertLatest: Q = Q(
     (s, dir) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
-      Tables.events(s, dir)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      // "latest report wins" is k=1 of the PerKeyTopK whole-operator
+      // (plans/TopK.scala): bounded per-key state instead of the
+      // window plan's full per-partition sort — at 100 TB the sort
+      // (and its spill) is the entire cost of this read. Same rows,
+      // same oracle; TopKPlanSpec pins plan + equivalence.
+      graft.plans.TopK.enable(s)
+      graft.plans.TopK.perKey(
+        Tables.events(s, dir)
+          .select("user_id", "event_id", "event_type", "value", "ts"),
+        Seq(col("user_id")),
+        Seq(col("ts").desc, col("event_id").desc), 1)
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_type"), col("value").as("last_value"))
         .orderBy("user_id")

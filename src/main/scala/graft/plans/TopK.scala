@@ -135,8 +135,11 @@ object RewriteRankLimitToTopK extends Rule[LogicalPlan] {
 object PerKeyTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case PerKeyTopK(part, order, k, child) =>
-      PerKeyTopKExec(part, order, k, partial = false,
-        PerKeyTopKExec(part, order, k, partial = true,
+      val flushKeys = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.flushKeys",
+          PerKeyTopKExec.DefaultFlushKeys.toString).toInt
+      PerKeyTopKExec(part, order, k, partial = false, flushKeys,
+        PerKeyTopKExec(part, order, k, partial = true, flushKeys,
           planLater(child))) :: Nil
     case _ => Nil
   }
@@ -148,16 +151,17 @@ object PerKeyTopKStrategy extends SparkStrategy {
   * row, one compare per rejected one.
   *
   * The partial phase is a candidate PRE-FILTER, so it may legally
-  * emit supersets: if a skewed task accumulates more than
-  * [[PerKeyTopKExec.FlushKeys]] distinct keys, it flushes its heaps
-  * downstream and starts fresh — memory stays bounded no matter how
-  * many keys land in one input split, and the final phase (keys
-  * clustered, so per-task key count is 1/numPartitions of the total)
-  * re-applies the exact bound.
+  * emit supersets: if a skewed task accumulates more than `flushKeys`
+  * distinct keys ([[PerKeyTopKExec.DefaultFlushKeys]], conf
+  * `spark.graft.topk.flushKeys`), it flushes its heaps downstream and
+  * starts fresh — memory stays bounded no matter how many keys land
+  * in one input split, and the final phase (keys clustered, so
+  * per-task key count is 1/numPartitions of the total) re-applies the
+  * exact bound.
   */
 case class PerKeyTopKExec(partitionSpec: Seq[Expression],
     orderSpec: Seq[SortOrder], k: Int, partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    flushKeys: Int, child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
@@ -171,7 +175,7 @@ case class PerKeyTopKExec(partitionSpec: Seq[Expression],
     val kk = k
     val isPartial = partial
     val childOutput = child.output
-    val flushKeys = PerKeyTopKExec.FlushKeys
+    val flushAt = flushKeys
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
       val ord = GenerateOrdering.generate(order, childOutput)
@@ -187,7 +191,7 @@ case class PerKeyTopKExec(partitionSpec: Seq[Expression],
         val key = keyProj(row)
         var pq = heaps.get(key)
         if (pq == null) {
-          if (isPartial && heaps.size() >= flushKeys) {
+          if (isPartial && heaps.size() >= flushAt) {
             // skew guard (partial only): emit current candidates and
             // reset — a superset is fine, the final phase re-bounds
             val it = heaps.values().iterator()
@@ -220,9 +224,10 @@ case class PerKeyTopKExec(partitionSpec: Seq[Expression],
 }
 
 object PerKeyTopKExec {
-  /** Max distinct keys a PARTIAL task holds before flushing. At k≤16
-    * and ~100-byte rows this caps heap state near 200 MB worst-case;
-    * typical tasks never hit it.
+  /** Default max distinct keys a PARTIAL task holds before flushing
+    * (override: `spark.graft.topk.flushKeys`). At k≤16 and ~100-byte
+    * rows this caps heap state near 200 MB worst-case; typical tasks
+    * never hit it.
     */
-  val FlushKeys: Int = 1 << 17
+  val DefaultFlushKeys: Int = 1 << 17
 }

@@ -88,6 +88,39 @@ class TopKPlanSpec extends SparkSpec {
       s"the repartition's exchange must be reused, not doubled:\n$p")
   }
 
+  test("partial-phase flush (skew guard): a tiny flushKeys cap still " +
+    "yields exact results") {
+    // force the partial phase to flush every 2 distinct keys — the
+    // emitted superset must still reduce to the exact per-key top-k
+    spark.conf.set("spark.graft.topk.flushKeys", "2")
+    try {
+      val got = TopK.perKey(events, Seq(col("user_id")),
+        Seq(col("value").desc, col("event_id")), 3)
+      got.collect() // plan under the tiny cap
+      val p = finalPlan(got)
+      assert(p.contains("PerKeyTopK"), s"rewrite did not fire:\n$p")
+      assert(sortedRows(got) === sortedRows(windowForm(3)))
+    } finally spark.conf.unset("spark.graft.topk.flushKeys")
+  }
+
+  test("randomized: perKey ≡ model sort-take over arbitrary data") {
+    import scala.util.Random
+    import spark.implicits._
+    val rnd = new Random(1234)
+    for (trial <- 1 to 3) {
+      val k = 1 + rnd.nextInt(4)
+      val rows = List.fill(500 + rnd.nextInt(500))(
+        (rnd.nextInt(40).toLong, rnd.nextLong(), rnd.nextInt(50).toLong))
+      val df = rows.toDF("key", "id", "score").repartition(7)
+      val got = TopK.perKey(df, Seq(col("key")),
+        Seq(col("score").desc, col("id")), k)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = rows.groupBy(_._1).values.flatMap(g =>
+        g.sortBy(t => (-t._3, t._2)).take(k)).toSet
+      assert(got === want, s"trial $trial (k=$k)")
+    }
+  }
+
   test("rank column that is NOT the marker is left untouched") {
     val df = windowForm(3)
     df.collect()
