@@ -473,6 +473,62 @@ object ReportStream {
         })
   }
 
+  /** One kept leaderboard entry; ordered value DESC, event_id ASC —
+    * the E26 `q_user_topk` total order exactly.
+    */
+  final case class TopEntry(value: Double, eventId: Long,
+      eventType: String)
+  final case class LeaderState(version: Long, top: List[TopEntry])
+  final case class LeaderRow(userId: Long, version: Long,
+      top: Seq[TopEntry])
+
+  /** The E26 per-key top-k VIEW kept current AT INGEST — the
+    * streaming maintenance twin of the PerKeyTopK batch operator
+    * (plans/TopK.scala), same stance as G9-maint and the F13 ingest
+    * gate: state per key is the k kept entries and NOTHING else
+    * (every arriving row either displaces the key's current worst or
+    * is dropped on the spot), so a leaderboard over a billion-event
+    * stream holds exactly keys × k rows of state — the streaming form
+    * of the batch operator's bounded-heap argument. Each micro-batch
+    * emits the keys it touched with their updated top-k and a
+    * monotonic per-key version (Update-mode sinks upsert by key;
+    * the version makes "latest emission" explicit for replay specs).
+    * Works identically over a batch Dataset (NoTimeout + one pass) —
+    * the spec pins both paths to the batch operator's rows.
+    */
+  def streamingLeaderboard(events: DataFrame, k: Int = 3)
+      : Dataset[LeaderRow] = {
+    val s = events.sparkSession
+    import s.implicits._
+    graft.Tables.nanosToTimestamp(events)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"))
+      .as[(Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[(Long, Long, String, Double)],
+            state: GroupState[LeaderState]) => {
+          val st = state.getOption.getOrElse(LeaderState(0L, Nil))
+          var top = st.top
+          rows.foreach { case (_, eid, et, v) =>
+            // at-least-once guard: a redelivered event whose original
+            // is KEPT is skipped; one whose original was DROPPED
+            // cannot enter either, because the kept set only ever
+            // improves (it rejected the original against a weaker
+            // top) — so replays are exact no-ops, spec-pinned by
+            // streaming the corpus twice. Insert-then-trim keeps the
+            // list at k: the displaced worst never returns — this IS
+            // the bounded heap
+            if (!top.exists(_.eventId == eid))
+              top = (TopEntry(v, eid, et) :: top)
+                .sortBy(e => (-e.value, e.eventId)).take(k)
+          }
+          val next = LeaderState(st.version + 1, top)
+          state.update(next)
+          LeaderRow(uid, next.version, next.top)
+        })
+  }
+
   /** Graceful shutdown — the reference installs SIGINT/SIGTERM
     * handlers that drain its queues before stopping the consumer (ref
     * src/gracefull_shutdown.py:8-21); the Structured Streaming analog

@@ -121,6 +121,43 @@ class TopKPlanSpec extends SparkSpec {
     }
   }
 
+  test("streaming leaderboard twin: two-batch replay converges on the " +
+    "batch operator's rows, with k-bounded state") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.ReportStream
+    val in = Files.createTempDirectory("graft_topk_stream").toString
+    // two files ⇒ two micro-batches: the leaderboard must converge to
+    // the same top-3 whether rows arrived together or split
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$in/e1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$in/e2.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val src = ReportStream.fileSource(spark, in,
+      Tables.eventsRaw(spark, sf))
+    val q = ReportStream.streamingLeaderboard(src, 3)
+      .writeStream.format("memory").queryName("graft_leaderboard")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    import spark.implicits._
+    val emitted = spark.table("graft_leaderboard")
+      .as[ReportStream.LeaderRow].collect()
+    // latest emission per key = the row with that key's max version
+    val fin = emitted.groupBy(_.userId).map { case (_, rs) =>
+      rs.maxBy(_.version) }.toSeq
+    assert(fin.forall(_.top.size <= 3), "state must stay k-bounded")
+    val want = TopK.perKey(events, Seq(col("user_id")),
+      Seq(col("value").desc, col("event_id")), 3)
+      .as[(Long, Long, String, Double)].collect()
+      .groupBy(_._1).map { case (uid, rs) =>
+        uid -> rs.sortBy(t => (-t._4, t._2))
+          .map(t => ReportStream.TopEntry(t._4, t._2, t._3)).toSeq }
+    val got = fin.map(r => r.userId -> r.top).toMap
+    assert(got === want,
+      "streamed top-k must equal the batch operator per key")
+  }
+
   test("rank column that is NOT the marker is left untouched") {
     val df = windowForm(3)
     df.collect()
