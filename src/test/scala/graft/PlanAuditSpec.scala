@@ -413,4 +413,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
       s"SQ8 encode must stay map-only:\n$p")
   }
+
+  test("q_stats_hist: per-column passes scan ONE column each; the " +
+    "only sort is the 24-row presentation orderBy") {
+    val df = SparkEntry.queries("q_stats_hist")(spark, sf)
+    val f = formatted(df)
+    val schemas = f.linesIterator
+      .filter(_.trim.startsWith("ReadSchema")).map(_.trim).toSeq
+    assert(schemas.size === 3,
+      s"expected exactly three profiled-column scans:\n${schemas.mkString("\n")}")
+    // equal-height histograms must not widen the scan: one column per
+    // ReadSchema struct (a comma would mean a second field)
+    assert(schemas.forall(s => !s.substringAfter("struct<").contains(",")),
+      s"a histogram scan reads more than its own column:\n${schemas.mkString("\n")}")
+    assert(Seq("l_quantity", "o_totalprice", "value").forall(c =>
+      schemas.exists(_.contains(c))))
+    val p = plan(df)
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+  }
+
+  private implicit class SubstrAfter(private val s: String) {
+    def substringAfter(sep: String): String = {
+      val i = s.indexOf(sep)
+      if (i < 0) s else s.substring(i + sep.length)
+    }
+  }
 }
