@@ -1092,32 +1092,65 @@ object Analytics {
   private val histBoundsCache =
     graft.Artifacts.cache[Map[String, Array[Long]]]("analytics.histBounds")
 
+  /** Train one column's octile boundaries with the given quantile
+    * SQL function (`percentile` exact / `approx_percentile` sketch).
+    * Null-safe: an empty or all-null column trains ZERO boundaries,
+    * so its histogram degrades to one bucket instead of crashing the
+    * whole catalog pass.
+    */
+  private def trainBounds(df: DataFrame, v: Column,
+      quantileCall: String): Array[Long] = {
+    val qs = df.select(v.as("v"))
+      .agg(transform(expr(quantileCall), q => floor(q).cast("long"))
+        .as("qs"))
+      .head().getSeq[Long](0)
+    if (qs == null) Array.empty else qs.toArray
+  }
+
   private def histBounds(s: SparkSession, dir: String)
       : Map[String, Array[Long]] =
     histBoundsCache.getOrElseUpdate(s, dir)(
       histProfile(s, dir).map { case (name, df, v) =>
-        name -> df.select(v.as("v"))
-          .agg(transform(expr(s"percentile(v, array($octiles))"),
-            q => floor(q).cast("long")).as("qs"))
-          .head().getSeq[Long](0).toArray
+        name -> trainBounds(df, v, s"percentile(v, array($octiles))")
+      }.toMap)
+
+  /** The histogram relation under a trained bounds map — shared by
+    * the oracle-gated exact form and the approx scale twin.
+    */
+  private def histRelation(s: SparkSession, dir: String,
+      bounds: Map[String, Array[Long]]): DataFrame =
+    histProfile(s, dir).map { case (name, df, v) =>
+      val bs = bounds(name)
+      df.select(v.as("v"))
+        .withColumn("bucket", bs.foldLeft(lit(1L))((acc, q) =>
+          acc + when(col("v") > q, 1L).otherwise(0L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("v").as("lo"), max("v").as("hi"))
+        .select(lit(name).as("col_name"), col("bucket"),
+          col("n_rows"), col("lo"), col("hi"))
+    }.reduce(_.unionAll(_))
+      .orderBy("col_name", "bucket")
+
+  /** E27's 100 TB path, BUILT (the H9-twin stance): boundaries from
+    * `approx_percentile` (GK sketch, rank error ≤ 1e-4) instead of
+    * the exact interpolating `percentile` — per-column training state
+    * O(1/eps · log(eps·N)) and fully map-side-combinable, where the
+    * exact form materializes each column's value multiset in one
+    * aggregation. The bucket-assignment pass is byte-identical to the
+    * exact form (same fold, same trained-artifact shape). Sketch
+    * values are engine-specific ⇒ ScalaTest-gated against the exact
+    * histogram (QueriesSpec), not oracle-gated.
+    */
+  def statsHistApprox(s: SparkSession, dir: String): DataFrame =
+    histRelation(s, dir,
+      histProfile(s, dir).map { case (name, df, v) =>
+        name -> trainBounds(df, v,
+          s"approx_percentile(v, array($octiles), 10000)")
       }.toMap)
 
   val qStatsHist: Q = Q(
-    (s, dir) => {
-      val bounds = histBounds(s, dir)
-      histProfile(s, dir).map { case (name, df, v) =>
-        val bs = bounds(name)
-        df.select(v.as("v"))
-          .withColumn("bucket", bs.foldLeft(lit(1L))((acc, q) =>
-            acc + when(col("v") > q, 1L).otherwise(0L)))
-          .groupBy("bucket")
-          .agg(count(lit(1)).as("n_rows"),
-            min("v").as("lo"), max("v").as("hi"))
-          .select(lit(name).as("col_name"), col("bucket"),
-            col("n_rows"), col("lo"), col("hi"))
-      }.reduce(_.unionAll(_))
-        .orderBy("col_name", "bucket")
-    }, {
+    (s, dir) => histRelation(s, dir, histBounds(s, dir)), {
       def block(i: Int, name: String, src: String): String =
         s"""s$i AS MATERIALIZED ($src),
            |b$i AS (SELECT list_transform(quantile_cont(v, [$octiles]),

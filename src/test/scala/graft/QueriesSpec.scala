@@ -166,6 +166,35 @@ class QueriesSpec extends SparkSpec {
       "scale path must aggregate a sketch, not sort groups")
   }
 
+  test("q_stats_hist approx twin tracks the exact catalog histogram") {
+    val exact = SparkEntry.queries("q_stats_hist")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val approx = graft.operators.Analytics.statsHistApprox(spark, sf)
+      .collect()
+    val colRows = exact.groupBy(_._1._1).view.mapValues(_.values.sum)
+    // equal-height mass must be conserved per column...
+    val approxCols = approx.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum)
+    for ((c, n) <- colRows) assert(approxCols(c) === n,
+      s"histogram for $c must cover every row")
+    // ...and each bucket's count may differ from the exact form only
+    // by boundary drift (the sketch returns a sample where the exact
+    // form interpolates): ≤ 2% of the column's rows per bucket
+    for (r <- approx) {
+      val key = (r.getString(0), r.getLong(1))
+      val tol = math.max(2L, colRows(r.getString(0)) / 50)
+      assert(math.abs(r.getLong(2) - exact.getOrElse(key, 0L)) <= tol,
+        s"bucket $key: approx ${r.getLong(2)} vs exact ${exact.get(key)}")
+    }
+    // the returned relation carries the boundaries as TRAINED
+    // LITERALS (the codebook stance): no quantile of either kind may
+    // appear in the consuming plan
+    val plan = graft.operators.Analytics.statsHistApprox(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"),
+      s"boundaries must ride as literals, not in-plan quantiles:\n$plan")
+  }
+
   test("s_knn_topk_agg: bounded-heap agg equals the window form") {
     val win = SparkEntry.queries("s_knn_join")(spark, sf).collect().toSeq
     val agg = SparkEntry.queries("s_knn_topk_agg")(spark, sf).collect().toSeq
