@@ -761,9 +761,11 @@ object Analytics {
     * and COLUMNAR pruning makes each branch a one-column read, so
     * total bytes ≈ one full-width scan while every branch keeps the
     * cheap 2-phase single-distinct plan. At real corpus scale the
-    * exact NDV swaps for approx_count_distinct the same way C11's
-    * HLL twin does; here it is exact so the oracle can gate it.
-    * min/max surface as strings so one schema carries every type.
+    * exact NDV swaps for approx_count_distinct — [[tableStatsApprox]]
+    * below IS that twin, and it also collapses the 8 scans into one
+    * (HLL has no Expand trap); here NDV is exact so the oracle can
+    * gate it. min/max surface as strings so one schema carries every
+    * type.
     */
   private val statCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
     "l_linenumber", "l_returnflag", "l_linestatus", "l_shipday")
@@ -800,6 +802,39 @@ object Analytics {
          |$perCol
          |ORDER BY col_name""".stripMargin
     })
+
+  /** E20's 100 TB twin, BUILT (the statsHistApprox stance): exact NDV
+    * becomes `approx_count_distinct` (HLL++ at 2% rsd) — and the plan
+    * SHAPE flips, not just the aggregate: the exact form needs one
+    * scan PER column because multi-countDistinct in a single
+    * aggregate plans through Expand (rows × column-count before the
+    * shuffle); HLL sketches have no distinct-expansion at all — every
+    * column's sketch merges map-side in ONE full-width scan and one
+    * single-row shuffle, then the 7-row stats relation unpivots from
+    * the 1-row aggregate map-only. At 100 TB that is 1 pass instead
+    * of 8. Row counts / non-null / min / max are EXACT (spec-pinned
+    * equal to E20); NDV is the sketch estimate (spec-pinned within
+    * tolerance) — sketches are engine-specific, so ScalaTest gates
+    * this twin, not the oracle.
+    */
+  def tableStatsApprox(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .withColumn("l_shipday", to_date(col("l_shipdate")))
+    val aggs = count(lit(1)).as("n_rows") +: statCols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        approx_count_distinct(col(c), 0.02).as(s"ndv_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(statCols.map(c =>
+        struct(lit(c).as("col_name"), col("n_rows"),
+          col(s"nn_$c").as("n_nonnull"), col(s"ndv_$c").as("ndv"),
+          col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"))): _*))
+        .as("r"))
+      .select("r.*")
+      .orderBy("col_name")
+  }
 
   // --------------------------------------------------------------- E21
   /** Skew diagnostic — the per-key frequency report that DECIDES the

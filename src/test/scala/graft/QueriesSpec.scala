@@ -166,6 +166,35 @@ class QueriesSpec extends SparkSpec {
       "scale path must aggregate a sketch, not sort groups")
   }
 
+  test("q_table_stats approx twin: one-scan HLL plan, exact everywhere " +
+    "but NDV, NDV inside the sketch band") {
+    val exact = SparkEntry.queries("q_table_stats")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = graft.operators.Analytics.tableStatsApprox(spark, sf)
+    val rows = approx.collect()
+    assert(rows.length === exact.size)
+    for (r <- rows; e = exact(r.getString(0))) {
+      assert(r.getLong(1) === e.getLong(1), "n_rows must be exact")
+      assert(r.getLong(2) === e.getLong(2), "n_nonnull must be exact")
+      assert(r.getString(4) === e.getString(4), "min must be exact")
+      assert(r.getString(5) === e.getString(5), "max must be exact")
+      val (got, want) = (r.getLong(3), e.getLong(3))
+      // 2% rsd HLL++: allow 3 sigma plus integer slack on tiny NDVs
+      assert(math.abs(got - want) <= math.max(2L, want * 6 / 100),
+        s"ndv for ${r.getString(0)}: $got vs exact $want")
+    }
+    // THE scale claim: sketches kill the Expand trap — every column's
+    // stats come from ONE full-width scan, not a scan per column
+    // (final adaptive section only; AQE's toString repeats the
+    // initial plan below it)
+    val p = approx.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.linesIterator.count(_.contains("FileScan")) === 1,
+      s"approx twin must make exactly one pass:\n$p")
+    assert(!p.contains("Expand"),
+      s"HLL aggregation must not expand rows per column:\n$p")
+  }
+
   test("q_stats_hist approx twin tracks the exact catalog histogram") {
     val exact = SparkEntry.queries("q_stats_hist")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
