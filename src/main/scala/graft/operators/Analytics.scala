@@ -982,8 +982,10 @@ object Analytics {
     * its bucket with one comparison fold (map-only, values equal to a
     * boundary fall LOW) before a map-side-combinable count/min/max.
     * No global sort anywhere. At 100 TB pass 1 swaps to
-    * approx_percentile exactly as H9's GK twin does (boundaries are
-    * estimates by nature); pass 2 is unchanged — this two-pass
+    * approx_percentile (boundaries are estimates by nature) —
+    * [[statsHistApprox]] below IS that built, spec-pinned twin over
+    * the E27 multi-column generalization, this same orders-cents
+    * column included; pass 2 is unchanged — this two-pass
     * boundary-broadcast shape is how a lake catalog actually builds
     * its histograms.
     */
@@ -1113,8 +1115,9 @@ object Analytics {
     * single-column pruned scan plus an 8-row map-side-combinable
     * aggregate; nothing sorts, nothing row-shaped crosses the driver.
     * All-integer (cents / floored quantities) so the whole relation
-    * oracle-gates; at 100 TB the boundary pass swaps to
-    * approx_percentile exactly as E24 documents.
+    * oracle-gates; the approx_percentile boundary training for the
+    * 100 TB regime is [[statsHistApprox]], built and spec-pinned
+    * below.
     */
   private def histProfile(s: SparkSession, dir: String)
       : Seq[(String, DataFrame, Column)] = Seq(
