@@ -1219,7 +1219,84 @@ object Analytics {
          |ORDER BY col_name, bucket""".stripMargin
     })
 
+  // --------------------------------------------------------------- E28
+  /** Promo revenue share per ship month — the TPC-H Q14 shape, and
+    * the first consumer of the `part` dimension: lineitem ⋈
+    * broadcast(part) (a 2-column pruned dim read), revenue exact at
+    * decimal scale 4, share emitted in integer bp (promo·10⁴ DIV
+    * total — no float division to drift cross-engine). One broadcast
+    * join + one month-keyed map-side-combinable aggregation: the fact
+    * table is read once and never shuffled except on ~month-count
+    * grouped rows. Oracle-gated.
+    */
+  val qPromoShare: Q = Q(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_shipdate"), discPrice.as("rev"))
+      li.join(broadcast(
+          Tables.part(s, dir).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
+          .as("ship_month"))
+        .agg(count(lit(1)).as("n_items"),
+          u4(coalesce(sum(when(col("p_type") === "PROMO", col("rev"))),
+            lit(0).cast(DecimalType(16, 4)))).as("promo_u4"),
+          u4(sum(col("rev"))).as("total_u4"))
+        .withColumn("promo_bp", expr("promo_u4 * 10000 DIV total_u4"))
+        .orderBy("ship_month")
+    },
+    """SELECT ship_month, n_items, promo_u4, total_u4,
+      |  promo_u4 * 10000 // total_u4 AS promo_bp
+      |FROM (
+      |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+      |    CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN rev END), 0)
+      |         * 10000 AS BIGINT) AS promo_u4,
+      |    CAST(sum(rev) * 10000 AS BIGINT) AS total_u4
+      |  FROM (SELECT l_shipdate, p_type,
+      |          CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |          (CAST(1 AS DECIMAL(3,2)) -
+      |           CAST(l_discount AS DECIMAL(12,2))) AS rev
+      |        FROM lineitem JOIN part ON l_partkey = p_partkey)
+      |  GROUP BY ship_month)
+      |ORDER BY ship_month""".stripMargin)
+
+  // --------------------------------------------------------------- E29
+  /** Top suppliers by revenue — the TPC-H Q15 view, and the first
+    * consumer of the `supplier` dimension: fact aggregates once on
+    * l_suppkey (map-side combinable), the ~|suppliers| result joins
+    * the supplier and nation dims as broadcasts, top-10 tie-broken on
+    * suppkey tree-reduces through TakeOrdered — no global sort, no
+    * fact-side dim shuffle. Oracle-gated.
+    */
+  val qTopSuppliers: Q = Q(
+    (s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), discPrice.as("rev"))
+        .groupBy("l_suppkey")
+        .agg(u4(sum(col("rev"))).as("revenue_u4"))
+      rev.join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          col("revenue_u4"))
+        .orderBy(col("revenue_u4").desc, col("s_suppkey"))
+        .limit(10)
+    },
+    """SELECT s_suppkey, s_name, n_name, revenue_u4 FROM (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2))))
+      |         * 10000 AS BIGINT) AS revenue_u4
+      |  FROM lineitem GROUP BY l_suppkey)
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |ORDER BY revenue_u4 DESC, s_suppkey LIMIT 10""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "q_promo_share" -> qPromoShare,
+    "q_top_suppliers" -> qTopSuppliers,
     "q_stats_hist" -> qStatsHist,
     "q_user_topk" -> qUserTopk,
     "q_equidepth" -> qEquidepth,

@@ -414,6 +414,25 @@ class PlanAuditSpec extends SparkSpec {
       s"SQ8 encode must stay map-only:\n$p")
   }
 
+  test("q_promo_share: part dim broadcasts; fact never dim-shuffles") {
+    val df = SparkEntry.queries("q_promo_share")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the part dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the fact side must never shuffle for the dim:\n$p")
+  }
+
+  test("q_top_suppliers: dims broadcast, top-10 tree-reduces") {
+    val df = SparkEntry.queries("q_top_suppliers")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must tree-reduce, not globally sort:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"supplier/nation dims must broadcast:\n$p")
+  }
+
   test("q_stats_hist: per-column passes scan ONE column each; the " +
     "only sort is the 24-row presentation orderBy") {
     val df = SparkEntry.queries("q_stats_hist")(spark, sf)
