@@ -610,9 +610,9 @@ object Analytics {
     * engines given the total order. The window is global but over the
     * ALREADY-AGGREGATED per-user relation (|users| rows, not events)
     * — the aggregation shuffles on user_id, the ranking sorts the
-    * small rollup; at 100 TB with billions of users you'd swap the
-    * exact ntile for approx_percentile cut points in the same shape
-    * as H9's twin.
+    * small rollup; at 100 TB with billions of users the exact ntile
+    * swaps for approx_percentile cut points — [[ntileApprox]] below
+    * IS that twin, window-free and spec-pinned.
     */
   val wNtile: Q = Q(
     (s, dir) => {
@@ -633,6 +633,35 @@ object Analytics {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id
       |ORDER BY quartile, spend_cents DESC, user_id""".stripMargin)
+
+  /** E16's 100 TB twin, BUILT (the statsHistApprox stance): the
+    * EXACT ntile(4) must rank the whole per-user rollup through one
+    * global WindowExec — the codebase's single global window,
+    * acceptable at |users| rows but not at billions. This twin
+    * replaces the ranking with three sketch-trained spend CUT POINTS
+    * (approx_percentile at 1e-4 rank error over the same rollup —
+    * map-side-combinable, no sort anywhere) and a map-only comparison
+    * fold: quartile = 4 − |{cut < spend}| (quartile 1 = top
+    * spenders, matching the DESC ntile). Rank-based and value-based
+    * quartiles agree everywhere except users tied AT a cut point
+    * (ntile forces equal bucket SIZES; a value cut cannot split a
+    * tie), so the spec pins per-user agreement up to boundary ties
+    * and exact bucket-size tolerance. Sketches are engine-specific ⇒
+    * ScalaTest-gated, not oracle-gated.
+    */
+  def ntileApprox(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(cents(sum(dec2(col("value")))).as("spend_cents"))
+    val cuts = spend.agg(transform(
+      expr("approx_percentile(spend_cents, array(0.25, 0.5, 0.75), 10000)"),
+      q => floor(q).cast("long")).as("qs")).head().getSeq[Long](0)
+    val cutArr = if (cuts == null) Array.empty[Long] else cuts.toArray
+    spend.withColumn("quartile", cutArr.foldLeft(lit(4L))((acc, c) =>
+        acc - when(col("spend_cents") > c, 1L).otherwise(0L)))
+      .orderBy(col("quartile"), col("spend_cents").desc, col("user_id"))
+  }
 
   // ---------------------------------------------------------------- E17
   /** Trailing-hour activity per event — the RANGE-frame window (value

@@ -166,6 +166,40 @@ class QueriesSpec extends SparkSpec {
       "scale path must aggregate a sketch, not sort groups")
   }
 
+  test("w_ntile approx twin: cut-point quartiles track exact ntile " +
+    "with no window anywhere") {
+    val exact = SparkEntry.queries("w_ntile")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = graft.operators.Analytics.ntileApprox(spark, sf)
+    val rows = approx.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === exact.size, "same user set")
+    for ((uid, spend, _) <- rows)
+      assert(spend === exact(uid)._1, s"spend for $uid must be exact")
+    // value-cut quartiles == rank quartiles except at cut-point ties:
+    // each of the 3 boundaries can reassign at most the tied users
+    // around it, and never by more than one bucket
+    val diffs = rows.filter { case (uid, _, q) => q != exact(uid)._2 }
+    assert(diffs.forall { case (uid, _, q) =>
+      math.abs(q - exact(uid)._2) <= 1 },
+      s"a boundary user may move one bucket at most: $diffs")
+    assert(diffs.length <= 6,
+      s"only boundary-tied users may differ: ${diffs.length}")
+    // monotone: more spend can never mean a WORSE (higher) quartile
+    val sorted = rows.sortBy(-_._2)
+    sorted.sliding(2).foreach {
+      case Array((_, sa, qa), (_, sb, qb)) =>
+        if (sa > sb) assert(qa <= qb, s"monotonicity: $sa->$qa vs $sb->$qb")
+      case _ =>
+    }
+    // THE scale claim: no window, no global sort below the
+    // presentation orderBy — the ranking became a broadcast-free
+    // comparison fold over trained literals
+    val p = approx.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Window"), s"no WindowExec may survive:\n$p")
+  }
+
   test("q_table_stats approx twin: one-scan HLL plan, exact everywhere " +
     "but NDV, NDV inside the sketch band") {
     val exact = SparkEntry.queries("q_table_stats")(spark, sf).collect()
