@@ -121,6 +121,25 @@ class TopKPlanSpec extends SparkSpec {
     }
   }
 
+  test("null group keys form one group, exactly as the window form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val rows = List.fill(400)((rnd.nextInt(10).toLong, rnd.nextLong(),
+      rnd.nextInt(30).toLong))
+    val df = rows.toDF("key0", "id", "score")
+      .withColumn("key", when(col("key0") % 5 === 0, lit(null))
+        .otherwise(col("key0")))
+      .drop("key0").repartition(5)
+    val got = TopK.perKey(df, Seq(col("key")),
+      Seq(col("score").desc, col("id")), 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("score").desc, col("id"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+    assert(got.orderBy("id").collect().toSeq ===
+      want.orderBy("id").collect().toSeq)
+  }
+
   test("streaming leaderboard twin: two-batch replay converges on the " +
     "batch operator's rows, with k-bounded state") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
