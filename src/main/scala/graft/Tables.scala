@@ -12,12 +12,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The driver-generated events table stores ts as parquet
-    // TIMESTAMP(NANOS), which Spark refuses by default; read the
-    // nanos as long and rebuild a microsecond timestamp below (the
-    // data has no sub-microsecond component; DuckDB reads it as a
-    // microsecond TIMESTAMP the same way).
+    // Generator-version tolerance, all at the SCAN level:
+    //  - ts as TIMESTAMP(NANOS): Spark refuses by default — read the
+    //    nanos as long and rebuild µs in nanosToTimestamp below.
+    //  - ts as timestamp[us] WITHOUT timezone: with NTZ inference ON
+    //    Spark surfaces TIMESTAMP_NTZ and every downstream
+    //    unix_micros/watermark path needs a cast ABOVE the scan —
+    //    which also blocks ts predicate pushdown. Inference OFF makes
+    //    the scan deliver a session-tz TIMESTAMP directly (the
+    //    session is pinned UTC, so the stored micros are read exactly
+    //    as DuckDB's naive read does), no cast, filters pushable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") nanosToTimestamp(df) else df
   }
@@ -46,6 +52,7 @@ object Tables {
     */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/events.parquet")
   }
 
