@@ -197,11 +197,13 @@ object Similarity {
   private def bucketOfSql(v: String,
       numPlanes: Int = NumPlanes): String = {
     val vq = quantizedSql(v)
+    // CAST: DuckDB types the CASE-sum INTEGER; Spark's bucketOf is
+    // long — the driver hash is type-sensitive (parity TYPEFAIL)
     (0 until numPlanes).map { j =>
       val r = plane(j).mkString("[", ", ", "]")
       s"""(CASE WHEN list_sum(list_transform(list_zip($vq, $r),
          |  z -> z[1] * z[2])) > 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
-    }.mkString("(", " + ", ")")
+    }.mkString("CAST((", " + ", ") AS BIGINT)")
   }
 
   // ---------------------------------------------------------------- F6

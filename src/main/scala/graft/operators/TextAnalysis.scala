@@ -913,12 +913,12 @@ object TextAnalysis {
        |c1 AS (SELECT a, count(*) AS n_a FROM big GROUP BY a),
        |scored AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       |    sum(n_ab * 10000 // n_a) // count(*) AS lm_bp
+       |    CAST(sum(n_ab * 10000 // n_a) // count(*) AS BIGINT) AS lm_bp
        |  FROM big JOIN c2 USING (a, b) JOIN c1 USING (a)
        |  GROUP BY doc_id),
        |docs AS (
        |  SELECT t.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
-       |    coalesce(s.lm_bp, 0) AS lm_bp
+       |    CAST(coalesce(s.lm_bp, 0) AS BIGINT) AS lm_bp
        |  FROM t LEFT JOIN scored s ON s.doc_id = t.doc_id),
        |m AS (
        |  SELECT sum(lm_bp) // count(*) AS mean_bp

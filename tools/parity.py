@@ -35,6 +35,19 @@ def table(rows, cols):
     return [cols[i] for i in idx], out
 
 
+def type_sig(cols, types):
+    """Column-name → DuckDB type string, in sorted-column order.
+
+    The driver's hash is TYPE-sensitive: an oracle whose aggregate comes
+    back HUGEINT while Spark wrote int64 hash-mismatches even when every
+    value is equal (round-10 `t_lm_score`). value-level compare via
+    norm_cell() hides exactly that, so the signature is checked
+    separately and strictly.
+    """
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [(cols[i], str(types[i]).upper()) for i in idx]
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -70,6 +83,13 @@ def main():
         ec, er = table(erows, ecols)
         if gc != ec:
             print(f"FAIL {name}: columns {gc} != {ec}")
+            n_bad += 1
+            continue
+        gsig, esig = type_sig(gcols, got.types), type_sig(ecols, exp.types)
+        if gsig != esig:
+            diff = [(a, b) for a, b in zip(gsig, esig) if a != b]
+            print(f"TYPEFAIL {name}: spark={diff[0][0]} oracle={diff[0][1]}"
+                  f" ({len(diff)} col(s) differ)")
             n_bad += 1
             continue
         if len(gr) != len(er):
