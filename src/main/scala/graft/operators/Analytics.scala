@@ -950,12 +950,13 @@ object Analytics {
       |    sum(m_cents) // count(*) AS mean_m
       |  FROM rfm)
       |SELECT o_custkey AS custkey, r_days, n_orders, m_cents,
-      |  (CASE WHEN r_days * 4 < mean_r * 3 THEN 2
+      |  CAST((CASE WHEN r_days * 4 < mean_r * 3 THEN 2
       |        WHEN r_days * 4 >= mean_r * 5 THEN 0 ELSE 1 END) * 100 +
       |  (CASE WHEN n_orders * 4 >= mean_f * 5 THEN 2
       |        WHEN n_orders * 4 < mean_f * 3 THEN 0 ELSE 1 END) * 10 +
       |  (CASE WHEN m_cents * 4 >= mean_m * 5 THEN 2
-      |        WHEN m_cents * 4 < mean_m * 3 THEN 0 ELSE 1 END) AS rfm_code
+      |        WHEN m_cents * 4 < mean_m * 3 THEN 0 ELSE 1 END)
+      |    AS BIGINT) AS rfm_code
       |FROM rfm, m
       |ORDER BY custkey""".stripMargin)
 
@@ -1103,25 +1104,29 @@ object Analytics {
 
   // --------------------------------------------------------------- E26
   /** Per-user event leaderboard — k best rows per key, stated in the
-    * declarative rank-filter form ([[graft.plans.TopK.perKey]]) and
-    * executed by the [[graft.plans.PerKeyTopK]] whole-operator
-    * extension: bounded per-key heaps instead of sort + window +
-    * filter, map-side shrink to ≤ keys·k rows before the shuffle
-    * (plans/TopK.scala has the full plan story). The un-rewritten
-    * plan is the identical window form — same rows — so the oracle
-    * is plain ANSI row_number; PlanAuditSpec pins that the rewrite
-    * actually fired. The reference's "latest report per entity"
-    * upsert reads (ref src/db/report.py:170-314) are k=1 of exactly
-    * this operator.
+    * VANILLA window idiom (row_number over a partition, filter, drop
+    * the rank — no graft-specific API at all) and still executed by
+    * the [[graft.plans.PerKeyTopK]] whole-operator extension: the
+    * generic rank-limit rewrite (plans/TopK.scala) recognizes the
+    * pattern without any marker opt-in, replacing sort + window +
+    * filter with bounded per-key heaps and a map-side shrink to
+    * ≤ keys·k rows before the shuffle. The un-rewritten plan is the
+    * identical window form — same rows — so the oracle is plain ANSI
+    * row_number; PlanAuditSpec pins that the rewrite actually fired
+    * on this un-marked query. The reference's "latest report per
+    * entity" upsert reads (ref src/db/report.py:170-314) are k=1 of
+    * exactly this operator.
     */
   val qUserTopk: Q = Q(
     (s, dir) => {
       graft.plans.TopK.enable(s)
-      graft.plans.TopK.perKey(
-        Tables.events(s, dir)
-          .select("user_id", "event_id", "event_type", "value"),
-        Seq(col("user_id")),
-        Seq(col("value").desc, col("event_id")), 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, dir)
+        .select("user_id", "event_id", "event_type", "value")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn")
         .orderBy("user_id", "event_id")
     },
     """SELECT user_id, event_id, event_type, value FROM (

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, EqualTo, Expression, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
@@ -29,10 +29,13 @@ import org.apache.spark.sql.functions.{col, row_number}
   * an already-co-partitioned child skips it entirely (bucketed reads,
   * post-aggregation pipelines).
   *
-  * The rewrite fires ONLY on the marker column [[TopK.Marker]] that
-  * [[TopK.perKey]] emits — an explicit opt-in, so enabling the rule
-  * session-wide can never change another query's plan under it, and
-  * un-enabled sessions run the identical declarative window form
+  * The rewrite fires on the GENERIC pattern — any
+  * `Filter(rn <= k)` over a single `row_number()` window whose rank
+  * column is projected away above the filter — so every downstream
+  * query written in the vanilla window idiom gets the heap operator
+  * without opting in (`spark.graft.topk.rewrite=marker` narrows it
+  * back to the explicit [[TopK.Marker]] column; `off` disables it).
+  * Un-enabled sessions run the identical declarative window form
   * (same rows, same oracle). This is the (c)-level rung of the
   * extension ladder: [[graft.functions.TopKAgg]] is the typed-
   * aggregator (b)-level answer for a fixed (id, score) shape; this
@@ -43,7 +46,9 @@ import org.apache.spark.sql.functions.{col, row_number}
   * of exactly this operator.
   */
 object TopK {
-  /** The opt-in marker: only rank columns with this name rewrite. */
+  /** Rank-column name [[perKey]] emits. Rewrites regardless of the
+    * `spark.graft.topk.rewrite` mode (explicit opt-in always wins).
+    */
   val Marker = "__graft_topk_rn"
 
   /** The declarative form (always correct, accelerated when
@@ -86,11 +91,17 @@ case class PerKeyTopK(partitionSpec: Seq[Expression],
       newChild: LogicalPlan): PerKeyTopK = copy(child = newChild)
 }
 
-/** Rewrites the marker-gated rank-filter pattern
+/** Rewrites the rank-filter pattern
   * `Project(cols, Filter(rn <= k, Window(rn := row_number() ...)))`
-  * to [[PerKeyTopK]]. Runs in the user batch (after Spark's own
-  * optimizer), so it also strips the `WindowGroupLimit` node
-  * `InferWindowGroupLimit` has inserted below the window by then.
+  * to [[PerKeyTopK]] — for ANY rank-column name, provided the rank is
+  * projected away above the filter (it is only a selection device, so
+  * replacing the sort+window with bounded heaps is row-equivalent).
+  * `spark.graft.topk.rewrite` gates the generic match: `generic`
+  * (default) rewrites every such plan, `marker` only the explicit
+  * [[TopK.Marker]] column, `off` none (the marker still honors
+  * marker-mode — it IS the opt-in). Runs in the user batch (after
+  * Spark's own optimizer), so it also strips the `WindowGroupLimit`
+  * node `InferWindowGroupLimit` has inserted below the window by then.
   */
 object RewriteRankLimitToTopK extends Rule[LogicalPlan] {
 
@@ -102,15 +113,31 @@ object RewriteRankLimitToTopK extends Rule[LogicalPlan] {
           if a.semanticEquals(rn) => Some(k - 1)
       case EqualTo(a: Attribute, IntegerLiteral(1))
           if a.semanticEquals(rn) => Some(1)
+      // reversed literal-first spellings (`k >= rn`) — Catalyst does
+      // not canonicalize comparison orientation before the user batch
+      case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute)
+          if a.semanticEquals(rn) => Some(k)
+      case GreaterThan(IntegerLiteral(k), a: Attribute)
+          if a.semanticEquals(rn) => Some(k - 1)
+      case EqualTo(IntegerLiteral(1), a: Attribute)
+          if a.semanticEquals(rn) => Some(1)
       case _ => None
     }
+
+  private def mode: String = conf.getConfString(
+    "spark.graft.topk.rewrite", "generic")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case Project(projectList, Filter(cond,
         Window(Seq(alias @ Alias(WindowExpression(RowNumber(),
-          WindowSpecDefinition(part, order, _)), TopK.Marker)),
+          WindowSpecDefinition(part, order, _)), name)),
           _, _, wchild, _)))
         if part.nonEmpty && order.nonEmpty &&
+          (mode match {
+            case "off"    => false
+            case "marker" => name == TopK.Marker
+            case _        => true
+          }) &&
           limitOf(cond, alias.toAttribute).exists(_ >= 1) &&
           // the rank column must be projected AWAY above the filter:
           // PerKeyTopK emits child rows only, never the rank itself
@@ -153,11 +180,13 @@ object PerKeyTopKStrategy extends SparkStrategy {
   * The partial phase is a candidate PRE-FILTER, so it may legally
   * emit supersets: if a skewed task accumulates more than `flushKeys`
   * distinct keys ([[PerKeyTopKExec.DefaultFlushKeys]], conf
-  * `spark.graft.topk.flushKeys`), it flushes its heaps downstream and
-  * starts fresh — memory stays bounded no matter how many keys land
-  * in one input split, and the final phase (keys clustered, so
-  * per-task key count is 1/numPartitions of the total) re-applies the
-  * exact bound.
+  * `spark.graft.topk.flushKeys`), it ends the current SEGMENT — the
+  * segment's heaps stream downstream immediately (a lazy segment
+  * iterator, not a buffer held to partition end) and a fresh heap map
+  * starts. Task memory is therefore bounded at O(flushKeys × k) rows
+  * no matter how many keys land in one input split, and the final
+  * phase (keys clustered, so per-task key count is 1/numPartitions of
+  * the total) re-applies the exact bound.
   */
 case class PerKeyTopKExec(partitionSpec: Seq[Expression],
     orderSpec: Seq[SortOrder], k: Int, partial: Boolean,
@@ -183,39 +212,48 @@ case class PerKeyTopKExec(partitionSpec: Seq[Expression],
         override def compare(a: InternalRow, b: InternalRow): Int =
           ord.compare(b, a)
       }
-      val heaps = new java.util.HashMap[UnsafeRow,
-        java.util.PriorityQueue[InternalRow]]()
-      val flushed = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var pq = heaps.get(key)
-        if (pq == null) {
-          if (isPartial && heaps.size() >= flushAt) {
-            // skew guard (partial only): emit current candidates and
-            // reset — a superset is fine, the final phase re-bounds
-            val it = heaps.values().iterator()
-            while (it.hasNext) {
-              val pit = it.next().iterator()
-              while (pit.hasNext) flushed += pit.next()
+      // Lazy SEGMENTS: each next() consumes input until either the
+      // input ends or (partial only, skew guard) a new key would push
+      // the heap map past flushAt — the segment's heaps then stream
+      // downstream right away instead of accumulating to partition
+      // end, so a billion-key skewed split never holds more than
+      // O(flushAt × k) row copies at once. A flushed superset is
+      // fine: the final phase re-applies the exact per-key bound.
+      var pendingRow: InternalRow = null // the row that tripped the cap
+      new Iterator[Iterator[InternalRow]] {
+        override def hasNext: Boolean = pendingRow != null || iter.hasNext
+        override def next(): Iterator[InternalRow] = {
+          val heaps = new java.util.HashMap[UnsafeRow,
+            java.util.PriorityQueue[InternalRow]]()
+          var capped = false
+          while (!capped && (pendingRow != null || iter.hasNext)) {
+            val row = if (pendingRow != null) {
+              val r = pendingRow; pendingRow = null; r
+            } else iter.next()
+            val key = keyProj(row)
+            var pq = heaps.get(key)
+            if (pq == null && isPartial && heaps.size() >= flushAt) {
+              // the row opens the NEXT segment (copy: the child may
+              // reuse its row buffer across next() calls)
+              pendingRow = row.copy()
+              capped = true
+            } else {
+              if (pq == null) {
+                pq = new java.util.PriorityQueue[InternalRow](kk + 1,
+                  worstFirst)
+                heaps.put(key.copy(), pq)
+              }
+              if (pq.size() < kk) pq.add(row.copy())
+              else if (ord.compare(row, pq.peek()) < 0) {
+                pq.poll(); pq.add(row.copy())
+              }
             }
-            heaps.clear()
           }
-          pq = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
-          heaps.put(key.copy(), pq)
+          // heaps is final for this segment — drain it lazily too
+          import scala.jdk.CollectionConverters._
+          heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
         }
-        if (pq.size() < kk) pq.add(row.copy())
-        else if (ord.compare(row, pq.peek()) < 0) {
-          pq.poll(); pq.add(row.copy())
-        }
-      }
-      val tail = new scala.collection.mutable.ArrayBuffer[InternalRow]()
-      val hit = heaps.values().iterator()
-      while (hit.hasNext) {
-        val pit = hit.next().iterator()
-        while (pit.hasNext) tail += pit.next()
-      }
-      (flushed.iterator ++ tail.iterator)
+      }.flatten
     }, preservesPartitioning = true)
   }
 

@@ -17,9 +17,9 @@ class TopKPlanSpec extends SparkSpec {
     Tables.events(spark, sf)
       .select("user_id", "event_id", "event_type", "value")
 
-  /** The same query with a NON-marker rank column: stays on Spark's
-    * own window path (the rewrite is marker-gated), giving the
-    * ground-truth rows.
+  /** The vanilla window spelling of per-key top-k (no marker). Under
+    * the default `generic` rewrite mode this ALSO plans the heap
+    * operator, so ground truth runs it under [[withMode]]("off").
     */
   private def windowForm(k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -29,19 +29,32 @@ class TopKPlanSpec extends SparkSpec {
       .filter(col("rn") <= k).drop("rn")
   }
 
+  /** Evaluate `body` (collects included) under a rewrite mode — the
+    * rule reads the conf at optimization time, so wrapping the action
+    * is enough.
+    */
+  private def withMode[A](mode: String)(body: => A): A = {
+    spark.conf.set("spark.graft.topk.rewrite", mode)
+    try body finally spark.conf.unset("spark.graft.topk.rewrite")
+  }
+
   private def sortedRows(df: DataFrame) =
     df.orderBy("user_id", "event_id").collect().toSeq
+
+  /** Ground-truth rows from Spark's own sort+window+filter plan. */
+  private def windowRows(k: Int) =
+    withMode("off")(sortedRows(windowForm(k)))
 
   test("perKey(k=3) ≡ the row_number window form, row for row") {
     val got = TopK.perKey(events, Seq(col("user_id")),
       Seq(col("value").desc, col("event_id")), 3)
-    assert(sortedRows(got) === sortedRows(windowForm(3)))
+    assert(sortedRows(got) === windowRows(3))
   }
 
   test("k=1 (the upsert-latest shape) and k larger than any group") {
     val one = TopK.perKey(events, Seq(col("user_id")),
       Seq(col("value").desc, col("event_id")), 1)
-    assert(sortedRows(one) === sortedRows(windowForm(1)))
+    assert(sortedRows(one) === windowRows(1))
     // k beyond every group size: top-k must be the identity
     val all = TopK.perKey(events, Seq(col("user_id")),
       Seq(col("value").desc, col("event_id")), 1000000)
@@ -99,7 +112,7 @@ class TopKPlanSpec extends SparkSpec {
       got.collect() // plan under the tiny cap
       val p = finalPlan(got)
       assert(p.contains("PerKeyTopK"), s"rewrite did not fire:\n$p")
-      assert(sortedRows(got) === sortedRows(windowForm(3)))
+      assert(sortedRows(got) === windowRows(3))
     } finally spark.conf.unset("spark.graft.topk.flushKeys")
   }
 
@@ -137,7 +150,7 @@ class TopKPlanSpec extends SparkSpec {
     val want = df.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2).drop("rn")
     assert(got.orderBy("id").collect().toSeq ===
-      want.orderBy("id").collect().toSeq)
+      withMode("off")(want.orderBy("id").collect().toSeq))
   }
 
   test("streaming leaderboard twin: two-batch replay converges on the " +
@@ -177,11 +190,52 @@ class TopKPlanSpec extends SparkSpec {
       "streamed top-k must equal the batch operator per key")
   }
 
-  test("rank column that is NOT the marker is left untouched") {
-    val df = windowForm(3)
+  test("GENERIC rewrite: a vanilla sort+window+filter query (no " +
+    "marker, no graft API) plans PerKeyTopKExec and matches the " +
+    "window rows") {
+    val df = windowForm(3) // plain "rn" column — zero opt-in
+    val rows = sortedRows(df)
+    val p = finalPlan(df)
+    assert(p.contains("PerKeyTopK"),
+      s"generic rank-limit pattern must rewrite by default:\n$p")
+    assert(!p.contains("Window"), s"WindowExec survived:\n$p")
+    assert(rows === windowRows(3))
+  }
+
+  test("mode=marker narrows the rewrite back to the opt-in column; " +
+    "mode=off disables even the marker") {
+    withMode("marker") {
+      val vanilla = windowForm(3)
+      vanilla.collect()
+      assert(!finalPlan(vanilla).contains("PerKeyTopK"),
+        "marker mode must leave non-marker rank filters on their " +
+          "window plan")
+      val marked = TopK.perKey(events, Seq(col("user_id")),
+        Seq(col("value").desc, col("event_id")), 3)
+      marked.collect()
+      assert(finalPlan(marked).contains("PerKeyTopK"),
+        "the marker is the explicit opt-in — it rewrites in marker mode")
+    }
+    withMode("off") {
+      val marked = TopK.perKey(events, Seq(col("user_id")),
+        Seq(col("value").desc, col("event_id")), 3)
+      marked.collect()
+      assert(!finalPlan(marked).contains("PerKeyTopK"),
+        "off must disable the rewrite entirely")
+    }
+  }
+
+  test("rank column KEPT in the output is never rewritten (the rank " +
+    "itself is demanded — only a real window can produce it)") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    val df = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3) // no .drop("rn")
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("PerKeyTopK"),
-      s"non-marker rank filters must keep their window plan:\n$p")
+      s"a demanded rank column must keep its window plan:\n$p")
+    assert(df.columns.contains("rn"))
   }
 }
