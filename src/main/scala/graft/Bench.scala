@@ -37,24 +37,37 @@ object Bench {
         val best = times.flatten
         name -> (if (best.isEmpty) Left("err") else Right(best.min))
       }
-    // per-query seconds rounded to ms: full double precision tripled
-    // the line length and got the driver's tail capture truncated
-    // mid-map (r6); ms resolution is far below run-to-run noise
-    val entries = results.map {
+    // Self-contained artifact FIRST: the full per-query map (ms
+    // resolution) goes to a file in the repo, so no timing ever
+    // depends on the driver's tty-tail capture surviving (r10 lost 40
+    // of 115 chunked timings to tail truncation). Overwritten per run;
+    // committed alongside the round's work.
+    val fullEntries = results.map {
       case (k, Right(v)) => s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0)
       case (k, Left(_))  => s"\"" + k + "\":\"err\""
     }
-    // ALL per-query numbers go out in small standalone chunk lines
-    // ahead of the headline; the headline itself stays tiny (totals +
-    // sf only) so the driver's tail capture can never clip it (r9's
-    // full-map headline overflowed and parsed came back null)
-    entries.grouped(12).zipWithIndex.foreach { case (chunk, i) =>
-      println(s"""{"metric":"chunk","i":$i,"queries":${chunk.mkString("{", ",", "}")}}""")
-    }
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val timed = results.collect { case (_, Right(v)) => v }
     val errs = results.collect { case (k, Left(_)) => s"\"$k\"" }
     val total = timed.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_err":${errs.size},"errors":[${errs.mkString(",")}],"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_err":${errs.size},"errors":[${errs.mkString(",")}],"sf":"$sfDir","queries":${fullEntries.mkString("{", ",", "}")}}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
+    catch { case e: Throwable => System.err.println(s"BENCH WARN: could not write $outFile: ${e.getMessage}") }
+    // stdout chunks stay as a redundant channel for the driver, but at
+    // CENTISECOND ints (~half the bytes of ms doubles — r10's tail
+    // window clipped the first 2.5 of 10 chunks; cs resolution is far
+    // below run-to-run noise and halves what the tail must hold)
+    val csEntries = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + math.round(v * 100)
+      case (k, Left(_))  => s"\"" + k + "\":\"err\""
+    }
+    csEntries.grouped(12).zipWithIndex.foreach { case (chunk, i) =>
+      println(s"""{"metric":"chunk","unit":"centisec","i":$i,"queries":${chunk.mkString("{", ",", "}")}}""")
+    }
+    // headline stays tiny (totals + sf only) so the tail capture can
+    // never clip it (r9's full-map headline overflowed → parsed null)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_err":${errs.size},"errors":[${errs.mkString(",")}],"sf":"$sfDir","full_map":"$outFile"}""")
     spark.stop()
   }
 }
