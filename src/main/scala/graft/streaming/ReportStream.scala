@@ -546,16 +546,38 @@ object ReportStream {
       drainTimeoutMs: Long = 30000L): Unit =
     queries.foreach { q =>
       val deadline = System.nanoTime() + drainTimeoutMs * 1000000L
+      def remainingMs: Long =
+        math.max(1L, (deadline - System.nanoTime()) / 1000000L)
       try {
         while (q.isActive && q.status.isTriggerActive &&
             System.nanoTime() < deadline)
           Thread.sleep(20)
-        if (q.isActive) q.stop()
-        q.awaitTermination()
+        // EVERY wait below is bounded by the leftover deadline budget,
+        // not just the trigger poll above: under the default
+        // spark.sql.streaming.stopTimeout=0, q.stop() blocks forever
+        // on a batch whose tasks ignore interrupts — cap it so the
+        // hook can log and move on to the next query
+        if (q.isActive) {
+          val sc = q.sparkSession.sessionState.conf
+          val prev = sc.getConfString("spark.sql.streaming.stopTimeout", "0")
+          sc.setConfString("spark.sql.streaming.stopTimeout",
+            remainingMs.toString)
+          try q.stop()
+          finally sc.setConfString("spark.sql.streaming.stopTimeout", prev)
+        }
+        if (!q.awaitTermination(remainingMs))
+          System.err.println(
+            s"[graft] drain deadline expired for query ${q.name}; " +
+              "abandoning it (idempotent sinks make the replay safe)")
       } catch {
-        // a query that already died delivers its failure here; the
+        // a query that already died delivers its failure here, and a
+        // deadline-expired stop() throws TimeoutException; the
         // shutdown path's job is to stop the others, not to re-throw
         case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+        case _: java.util.concurrent.TimeoutException =>
+          System.err.println(
+            s"[graft] stop() deadline expired for query ${q.name}; " +
+              "abandoning it (idempotent sinks make the replay safe)")
       }
     }
 
