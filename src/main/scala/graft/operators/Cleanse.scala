@@ -30,9 +30,26 @@ object Cleanse {
   val TsMin = 1577883600L
   val TsMax = 1735736400L
 
-  /** ts > 1e10 ⇒ milliseconds; integer-divide down to seconds. */
+  /** ts > 1e10 ⇒ milliseconds; integer-divide down to seconds.
+    * WHOLE-SECOND view — the range gate and second-keyed rollups use
+    * it. Sub-second precision is NOT lost by the pipeline: pair with
+    * [[normalizeEpochMicros]], which carries the reference's
+    * fractional milliseconds (ref src/main.py:128-129 float-divides
+    * and keeps them) as exact int64 microseconds.
+    */
   def normalizeEpoch(raw: Column): Column =
     when(raw > 10000000000L, floor(raw / 1000).cast("long")).otherwise(raw)
+
+  /** The millis-preserving twin of [[normalizeEpoch]]: epoch MICROS.
+    * A v2 message stamped `1700000000123` lands at exactly
+    * .123000 — the same instant the reference's float divide +
+    * `datetime.fromtimestamp` produces (main.py:128-129) — while
+    * staying pure int64 (`ms·1000` / `s·1000000`), so every oracle is
+    * hash-exact where a float path would drift. `timestamp_micros`
+    * turns it into the event-time column.
+    */
+  def normalizeEpochMicros(raw: Column): Column =
+    when(raw > 10000000000L, raw * 1000L).otherwise(raw * 1000000L)
 
   /** Any equipment id over SMALLINT max is a client bug ⇒ 0. */
   def clampSmallint(c: Column): Column =
@@ -174,16 +191,20 @@ object Cleanse {
     (s, dir) =>
       payload(s, dir)
         .withColumn("ts_sec", normalizeEpoch(col("raw_ts")))
+        .withColumn("ts_us", normalizeEpochMicros(col("raw_ts")))
         .filter(col("ts_sec").between(TsMin, TsMax))
         .select(col("event_id"), col("raw_ts"), col("ts_sec"),
-          timestamp_seconds(col("ts_sec")).as("event_time"))
+          col("ts_us"),
+          timestamp_micros(col("ts_us")).as("event_time"))
         .orderBy("event_id"),
     s"""WITH p AS ($payloadSql),
        |n AS (SELECT event_id, raw_ts,
        |        CASE WHEN raw_ts > 10000000000 THEN raw_ts // 1000
-       |             ELSE raw_ts END AS ts_sec FROM p)
-       |SELECT event_id, raw_ts, ts_sec,
-       |       make_timestamp(ts_sec * 1000000) AS event_time
+       |             ELSE raw_ts END AS ts_sec,
+       |        CASE WHEN raw_ts > 10000000000 THEN raw_ts * 1000
+       |             ELSE raw_ts * 1000000 END AS ts_us FROM p)
+       |SELECT event_id, raw_ts, ts_sec, ts_us,
+       |       make_timestamp(ts_us) AS event_time
        |FROM n WHERE ts_sec BETWEEN $TsMin AND $TsMax
        |ORDER BY event_id""".stripMargin)
 

@@ -37,6 +37,25 @@ class QueriesSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("ms→s normalization carries fractional milliseconds (ref " +
+    "main.py:128-129 keeps them): 1700000000123 lands at .123000") {
+    import spark.implicits._
+    val got = Seq(1700000000123L, 1700000000L).toDF("raw")
+      .select(
+        graft.operators.Cleanse.normalizeEpoch(col("raw")).as("sec"),
+        graft.operators.Cleanse.normalizeEpochMicros(col("raw")).as("us"),
+        date_format(
+          timestamp_micros(
+            graft.operators.Cleanse.normalizeEpochMicros(col("raw"))),
+          "SSS").as("millis"))
+      .as[(Long, Long, String)].collect()
+    // ms-stamped: the whole-second view floors, the micros view keeps
+    // the reference's fractional part exactly
+    assert(got(0) === ((1700000000L, 1700000000123000L, "123")))
+    // s-stamped: both views agree at .000
+    assert(got(1) === ((1700000000L, 1700000000000000L, "000")))
+  }
+
   test("r_sanitize_name matches the reference sanitizer") {
     import spark.implicits._
     val got = Seq("  Player_One-Two  ").toDF("c_name")
