@@ -249,6 +249,14 @@ class PlanAuditSpec extends SparkSpec {
     // separate pass: the scan's DataFilters carry the text predicates
     assert(p.contains("regexp_extract_all"),
       "quality gate not fused into the scan stage")
+    // the near-dup drop side must SCAN the materialized cluster-map
+    // handle (Dedup.clusterMap, an eager localCheckpoint), never
+    // re-derive label propagation — the artifact-share stance the
+    // dedup family documents, pinned here so a silently broken share
+    // can be dismissed from the plan alone (r10 bench read 8× on a
+    // contended host; this makes the artifact story auditable)
+    assert(p.linesIterator.exists(_.contains("Scan ExistingRDD")),
+      s"near-dup drop list must read the checkpointed cluster map:\n$p")
     spark.catalog.clearCache()
   }
 
