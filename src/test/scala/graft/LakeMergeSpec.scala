@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.LakeMerge
+
+/** The lakehouse MERGE target (sources/LakeMerge.scala): snapshot
+  * manifests, partition-granular copy-on-write, optimistic
+  * concurrency, time travel, vacuum, and manifest-level data
+  * skipping. The oracle gate covers result-state correctness
+  * (l_merge_upsert / l_merge_history); these specs pin the STORAGE
+  * contracts a SQL oracle cannot see: which files a commit touches,
+  * which files a read opens, what a racing writer observes.
+  */
+class LakeMergeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tempTable(): String =
+    Files.createTempDirectory("graft_lakespec").toString
+
+  /** Tiny 3-partition table: dt in {d1,d2,d3}, keys 0-29, seq 0. */
+  private def baseDf: DataFrame =
+    (0 until 30).map(i =>
+        (i.toLong, s"2024-0${1 + i % 3}", s"p$i", 0L))
+      .toDF("k", "dt", "payload", "seq")
+
+  private def rows(df: DataFrame): Set[(Long, String, String)] =
+    df.select("k", "dt", "payload")
+      .as[(Long, String, String)].collect().toSet
+
+  test("init dedups to latest-per-(dt,key) and read returns it") {
+    val dir = tempTable()
+    // an out-of-order initial load: key 7 appears twice, seq 5 wins
+    val messy = baseDf.unionByName(
+      Seq((7L, "2024-02", "p7-late", 5L)).toDF("k", "dt", "payload", "seq"))
+    val v = LakeMerge.init(spark, dir, messy, "dt", "k", "seq")
+    assert(v === 0)
+    val got = rows(LakeMerge.read(spark, dir))
+    assert(got.size === 30)
+    assert(got.contains((7L, "2024-02", "p7-late")))
+    assert(!got.contains((7L, "2024-02", "p7")))
+  }
+
+  test("merge rewrites ONLY the batch's partitions: untouched entries " +
+    "carry over verbatim, still pointing at version-0 files") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    val m0 = LakeMerge.manifest(spark, dir)
+    // batch hits only dt=2024-02 (keys ≡ 1 mod 3)
+    val batch = Seq((1L, "2024-02", "p1-v2", 1L), (100L, "2024-02", "new", 1L))
+      .toDF("k", "dt", "payload", "seq")
+    val v = LakeMerge.merge(spark, dir, batch)
+    assert(v === 1)
+    val m1 = LakeMerge.manifest(spark, dir)
+    // COW: the two unaffected partitions are the SAME entries (same
+    // version dir, same file names) — zero bytes rewritten for them
+    val untouched0 = m0.partitions.filter(_.dt != "2024-02")
+    val untouched1 = m1.partitions.filter(_.dt != "2024-02")
+    assert(untouched1.toSet === untouched0.toSet)
+    assert(untouched1.forall(_.dir.startsWith("data/v0")))
+    // the hit partition moved to the new version dir
+    assert(m1.partitions.find(_.dt === "2024-02").get.dir.startsWith("data/v1"))
+    // and the content is the upsert result
+    val got = rows(LakeMerge.read(spark, dir))
+    assert(got.contains((1L, "2024-02", "p1-v2")))
+    assert(got.contains((100L, "2024-02", "new")))
+    assert(got.size === 31)
+  }
+
+  test("delete ops remove their match; a partition deleted empty " +
+    "drops out of the manifest") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    // delete EVERY key of dt=2024-03 (keys ≡ 2 mod 3)
+    val dels = (0 until 30).filter(_ % 3 == 2)
+      .map(i => (i.toLong, "2024-03", "x", 1L, LakeMerge.Delete))
+      .toDF("k", "dt", "payload", "seq", "op")
+    LakeMerge.merge(spark, dir, dels, Some("op"))
+    val m = LakeMerge.manifest(spark, dir)
+    assert(!m.partitions.exists(_.dt === "2024-03"),
+      "an emptied partition must leave the manifest")
+    assert(rows(LakeMerge.read(spark, dir)).size === 20)
+  }
+
+  test("time travel: every prior snapshot stays exactly readable " +
+    "after later merges") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    val before = rows(LakeMerge.read(spark, dir))
+    LakeMerge.merge(spark, dir,
+      Seq((1L, "2024-02", "p1-v2", 1L)).toDF("k", "dt", "payload", "seq"))
+    LakeMerge.merge(spark, dir,
+      Seq((2L, "2024-03", "p2-v3", 2L)).toDF("k", "dt", "payload", "seq"))
+    assert(rows(LakeMerge.read(spark, dir, Some(0))) === before)
+    val v1 = rows(LakeMerge.read(spark, dir, Some(1)))
+    assert(v1.contains((1L, "2024-02", "p1-v2")))
+    assert(v1.contains((2L, "2024-03", "p2")))
+  }
+
+  test("optimistic concurrency: two writers merging against the same " +
+    "read-version — the second commit loses and the winner's data " +
+    "is intact") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    // writer A computed against v0 and commits v1
+    LakeMerge.merge(spark, dir,
+      Seq((1L, "2024-02", "pA", 1L)).toDF("k", "dt", "payload", "seq"),
+      baseVersion = Some(0))
+    // writer B ALSO computed against v0 — its v1 claim must lose
+    intercept[java.util.ConcurrentModificationException] {
+      LakeMerge.merge(spark, dir,
+        Seq((2L, "2024-03", "pB", 1L)).toDF("k", "dt", "payload", "seq"),
+        baseVersion = Some(0))
+    }
+    // the winner's snapshot is untouched by the failed commit
+    assert(rows(LakeMerge.read(spark, dir)).contains((1L, "2024-02", "pA")))
+    assert(!rows(LakeMerge.read(spark, dir)).exists(_._3 == "pB"))
+    // B retries against the NEW latest and lands as v2
+    assert(LakeMerge.merge(spark, dir,
+      Seq((2L, "2024-03", "pB", 1L)).toDF("k", "dt", "payload", "seq")) === 2)
+    assert(rows(LakeMerge.read(spark, dir)).contains((2L, "2024-03", "pB")))
+  }
+
+  test("vacuum drops only version dirs no retained snapshot " +
+    "references — carried-forward COW dirs survive") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    LakeMerge.merge(spark, dir,
+      Seq((1L, "2024-02", "p1-v2", 1L)).toDF("k", "dt", "payload", "seq"))
+    LakeMerge.merge(spark, dir,
+      Seq((1L, "2024-02", "p1-v3", 2L)).toDF("k", "dt", "payload", "seq"))
+    // latest (v2) references data/v2 (its rewrite) AND data/v0 (the
+    // two carried partitions) — v1's dir is the only dead one
+    val deleted = LakeMerge.vacuum(spark, dir, keepLast = 1)
+    assert(deleted.size === 1 && deleted.head.startsWith("data/v1"),
+      s"only v1's attempt dir is dead: $deleted")
+    val v0dir = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.startsWith("v0"))
+    assert(v0dir.nonEmpty && v0dir.forall(_.exists()),
+      "carried-forward dirs must survive vacuum")
+    // table still reads correctly after vacuum
+    assert(rows(LakeMerge.read(spark, dir))
+      .contains((1L, "2024-02", "p1-v3")))
+  }
+
+  test("readWhere opens only the selected partitions' files; a " +
+    "fully-pruned read is an empty relation with the right schema") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    val pruned = LakeMerge.readWhere(spark, dir, _ == "2024-01")
+    val files = pruned.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("dt=2024-01")),
+      s"manifest pruning must keep only dt=2024-01 files: ${files.toSeq}")
+    assert(rows(pruned).forall(_._2 == "2024-01"))
+    val none = LakeMerge.readWhere(spark, dir, _ => false)
+    assert(none.count() === 0)
+    assert(none.columns.toSeq === Seq("k", "dt", "payload", "seq"))
+  }
+
+  test("readForKeys skips partitions whose key-range stats exclude " +
+    "the probe — data skipping without opening a file") {
+    val dir = tempTable()
+    // keys are clustered per partition: dt A holds 0-9, B 100-109
+    val df = ((0 until 10).map(i => (i.toLong, "A", s"a$i", 0L)) ++
+      (0 until 10).map(i => (100L + i, "B", s"b$i", 0L)))
+      .toDF("k", "dt", "payload", "seq")
+    LakeMerge.init(spark, dir, df, "dt", "k", "seq")
+    val hit = LakeMerge.readForKeys(spark, dir, 100, 104)
+    assert(hit.inputFiles.forall(_.contains("dt=B")),
+      "stats must skip partition A entirely")
+    assert(rows(hit).map(_._1) === (100L to 104L).toSet)
+  }
+}
