@@ -160,6 +160,180 @@ class LakeMergeSpec extends SparkSpec {
     assert(none.columns.toSeq === Seq("k", "dt", "payload", "seq"))
   }
 
+  test("changes: typed row-level diff — deletes carry the preimage, " +
+    "inserts/updates the postimage, unchanged rows in a rewritten " +
+    "partition are silent") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    // one batch into dt=2024-02: update k=1, delete k=4, insert k=100
+    // (k=7,10,...  of that partition stay untouched but the partition
+    // IS rewritten — they must not appear in the feed)
+    val batch = Seq(
+      (1L, "2024-02", "p1-v2", 1L, LakeMerge.Upsert),
+      (4L, "2024-02", "x", 1L, LakeMerge.Delete),
+      (100L, "2024-02", "new", 1L, LakeMerge.Upsert))
+      .toDF("k", "dt", "payload", "seq", "op")
+    LakeMerge.merge(spark, dir, batch, Some("op"))
+    val feed = LakeMerge.changes(spark, dir, 0)
+    val got = feed.select("_change_type", "k", "payload")
+      .as[(String, Long, String)].collect().toSet
+    assert(got === Set(
+      ("update", 1L, "p1-v2"),   // postimage
+      ("delete", 4L, "p4"),      // preimage
+      ("insert", 100L, "new")))
+  }
+
+  test("changes reads ONLY rewritten partitions: carried-over entries " +
+    "cost zero I/O, proven by inputFiles") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    LakeMerge.merge(spark, dir,
+      Seq((1L, "2024-02", "p1-v2", 1L)).toDF("k", "dt", "payload", "seq"))
+    val feed = LakeMerge.changes(spark, dir, 0)
+    val files = feed.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("dt=2024-02")),
+      s"carried partitions 2024-01/2024-03 must never be listed: ${files.toSeq}")
+  }
+
+  test("changes is a STATE diff: update-then-delete across the range " +
+    "collapses to one delete; per-commit feeds see each step") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    LakeMerge.merge(spark, dir,
+      Seq((1L, "2024-02", "p1-v2", 1L)).toDF("k", "dt", "payload", "seq"))
+    LakeMerge.merge(spark, dir,
+      Seq((1L, "2024-02", "x", 2L, LakeMerge.Delete))
+        .toDF("k", "dt", "payload", "seq", "op"), Some("op"))
+    val collapsed = LakeMerge.changes(spark, dir, 0, Some(2))
+      .select("_change_type", "k", "payload")
+      .as[(String, Long, String)].collect().toSet
+    assert(collapsed === Set(("delete", 1L, "p1")),
+      "v0→v2 must collapse to one preimage delete")
+    val step1 = LakeMerge.changes(spark, dir, 0, Some(1))
+      .select("_change_type", "k", "payload")
+      .as[(String, Long, String)].collect().toSet
+    assert(step1 === Set(("update", 1L, "p1-v2")))
+    val step2 = LakeMerge.changes(spark, dir, 1, Some(2))
+      .select("_change_type", "k", "payload")
+      .as[(String, Long, String)].collect().toSet
+    assert(step2 === Set(("delete", 1L, "p1-v2")))
+  }
+
+  test("compact: key-sorted range-split rewrite — data identical, " +
+    "file ranges tight and disjoint, point probes open one file") {
+    val dir = tempTable()
+    // ONE partition, 120 keys written in shuffled order so the
+    // pre-compact file has no usable clustering
+    val df = scala.util.Random.shuffle((0 until 120).toList)
+      .map(i => (i.toLong, "D", s"p$i", 0L))
+      .toDF("k", "dt", "payload", "seq")
+    LakeMerge.init(spark, dir, df, "dt", "k", "seq")
+    val before = rows(LakeMerge.read(spark, dir))
+    val v = LakeMerge.compact(spark, dir, targetRows = 30)
+    assert(v === 1)
+    // pure re-layout: state unchanged
+    assert(rows(LakeMerge.read(spark, dir)) === before)
+    val e = LakeMerge.manifest(spark, dir).partitions.find(_.dt == "D").get
+    assert(e.files.size === 4, s"120 rows / 30 target = 4 files: ${e.files}")
+    // per-file ranges are tight and DISJOINT (the sort did its job)
+    val ranges = e.fileStats.get.map(s => (s.minKey.get, s.maxKey.get))
+      .sortBy(_._1)
+    assert(ranges.map(_._1).head === 0L && ranges.map(_._2).last === 119L)
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+      assert(hi < lo, s"file ranges must not overlap: $ranges")
+    }
+    // file-granular skipping: a POINT probe opens exactly one of the
+    // 4 files (ranges are disjoint); a short span at most two (it may
+    // straddle one sampled boundary)
+    val point = LakeMerge.readForKeys(spark, dir, 40, 40)
+    assert(point.inputFiles.length === 1,
+      s"point probe should open 1 of 4 range-split files: ${point.inputFiles.toSeq}")
+    assert(rows(point).map(_._1) === Set(40L))
+    val span = LakeMerge.readForKeys(spark, dir, 40, 44)
+    assert(span.inputFiles.length <= 2)
+    assert(rows(span).map(_._1) === (40L to 44L).toSet)
+  }
+
+  test("compact scoped by `keep` carries unselected partitions over " +
+    "verbatim, and the change feed across a compaction is EMPTY — " +
+    "the diff sees state, not layout") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    val m0 = LakeMerge.manifest(spark, dir)
+    val v = LakeMerge.compact(spark, dir, targetRows = 5,
+      keep = _ == "2024-02")
+    assert(v === 1)
+    val m1 = LakeMerge.manifest(spark, dir)
+    assert(m1.partitions.filter(_.dt != "2024-02").toSet ===
+      m0.partitions.filter(_.dt != "2024-02").toSet,
+      "unselected partitions must carry over verbatim")
+    assert(m1.partitions.find(_.dt == "2024-02").get.dir.startsWith("data/v1"))
+    // compaction rewrote real files but changed NO row state
+    assert(LakeMerge.changes(spark, dir, 0, Some(1)).count() === 0)
+    // compacting nothing commits nothing
+    assert(LakeMerge.compact(spark, dir, 5, keep = _ => false) === 1)
+  }
+
+  test("changes with updatePreimages: an update emits a retract/apply " +
+    "pair (old then new values) — the rows an incremental aggregate " +
+    "consumer needs") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    LakeMerge.merge(spark, dir,
+      Seq((1L, "2024-02", "p1-v2", 1L)).toDF("k", "dt", "payload", "seq"))
+    val got = LakeMerge.changes(spark, dir, 0, updatePreimages = true)
+      .select("_change_type", "k", "payload")
+      .as[(String, Long, String)].collect().toSet
+    assert(got === Set(
+      ("update_preimage", 1L, "p1"),
+      ("update_postimage", 1L, "p1-v2")))
+  }
+
+  test("streamingMergeBatch: a real stream merges batch-per-file, the " +
+    "txn watermark makes an at-least-once replay a no-op, and a NEW " +
+    "batch still applies — exactly-once end to end") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    // three CDC files arriving on a stream, one micro-batch each
+    val srcDir = Files.createTempDirectory("graft_lakestream").toString
+    val ckpt = Files.createTempDirectory("graft_lakeckpt").toString
+    Seq((1L, "2024-02", "s0", 1L)).toDF("k", "dt", "payload", "seq")
+      .write.parquet(s"$srcDir/f0")
+    Seq((2L, "2024-03", "s1", 1L)).toDF("k", "dt", "payload", "seq")
+      .write.parquet(s"$srcDir/f1")
+    Seq((200L, "2024-01", "s2", 1L)).toDF("k", "dt", "payload", "seq")
+      .write.parquet(s"$srcDir/f2")
+    val schema = baseDf.schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/f*")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(LakeMerge.streamingMergeBatch(dir, "appX"))
+      .start()
+    q.awaitTermination(120000)
+    assert(LakeMerge.latestVersion(spark, dir) === 3,
+      "three one-file micro-batches → three merge commits")
+    assert(LakeMerge.lastTxn(spark, dir, "appX") === Some(2L))
+    val got = rows(LakeMerge.read(spark, dir))
+    assert(got.contains((1L, "2024-02", "s0")))
+    assert(got.contains((2L, "2024-03", "s1")))
+    assert(got.contains((200L, "2024-01", "s2")))
+    // crash-replay of an already-durable batch: MUST be a no-op
+    val replay = Seq((1L, "2024-02", "DOUBLE-APPLied", 9L))
+      .toDF("k", "dt", "payload", "seq")
+    LakeMerge.streamingMergeBatch(dir, "appX")(replay, 2L)
+    assert(LakeMerge.latestVersion(spark, dir) === 3)
+    assert(rows(LakeMerge.read(spark, dir)).contains((1L, "2024-02", "s0")))
+    // a batch BEYOND the watermark applies normally
+    LakeMerge.streamingMergeBatch(dir, "appX")(
+      Seq((3L, "2024-01", "s3", 1L)).toDF("k", "dt", "payload", "seq"), 3L)
+    assert(LakeMerge.latestVersion(spark, dir) === 4)
+    assert(LakeMerge.lastTxn(spark, dir, "appX") === Some(3L))
+    assert(rows(LakeMerge.read(spark, dir)).contains((3L, "2024-01", "s3")))
+  }
+
   test("readForKeys skips partitions whose key-range stats exclude " +
     "the probe — data skipping without opening a file") {
     val dir = tempTable()
