@@ -107,7 +107,8 @@ object LakeMerge {
   final case class Manifest(version: Int, parent: Int, dtCol: String,
       keyCol: String, orderCol: String, columns: List[String],
       partitions: List[PartitionEntry],
-      txn: Option[Map[String, Long]] = None)
+      txn: Option[Map[String, Long]] = None,
+      schemaDdl: Option[String] = None)
 
   val Upsert = "upsert"
   val Delete = "delete"
@@ -237,6 +238,21 @@ object LakeMerge {
     spark.read.option("basePath", basePath).parquet(dirs: _*)
   }
 
+  /** Add any of `m`'s columns a file group predates as typed nulls —
+    * how an evolved (widened) schema reads files written before the
+    * evolution, without rewriting a byte of them.
+    */
+  private def fillMissing(df: DataFrame, m: Manifest): DataFrame =
+    m.schemaDdl match {
+      case None => df
+      case Some(ddl) =>
+        org.apache.spark.sql.types.StructType.fromDDL(ddl).fields
+          .foldLeft(df) { (d, f) =>
+            if (d.columns.contains(f.name)) d
+            else d.withColumn(f.name, lit(null).cast(f.dataType))
+          }
+    }
+
   private def readEntries(spark: SparkSession, dir: String,
       m: Manifest, entries: Seq[PartitionEntry]): DataFrame = {
     val groups = entries.groupBy(_.dir)
@@ -246,7 +262,7 @@ object LakeMerge {
       readDirs(spark, s"$dir/$rel", paths)
     }
     val cols = m.columns.map(col)
-    parts.map(_.select(cols: _*))
+    parts.map(p => fillMissing(p, m).select(cols: _*))
       .reduceOption(_.unionByName(_))
       .getOrElse {
         // no entry matched (a fully-pruned readWhere/readForKeys):
@@ -281,7 +297,8 @@ object LakeMerge {
       dtCol, keyCol, orderCol)
     val entries = writeVersion(spark, dir, 0, winners, dtCol, keyCol)
     commit(spark, dir, Manifest(0, -1, dtCol, keyCol, orderCol,
-      winners.columns.toList, entries))
+      winners.columns.toList, entries,
+      schemaDdl = Some(winners.schema.toDDL)))
   }
 
   /** MERGE `batch` into the table's latest snapshot (or, for an
@@ -297,7 +314,8 @@ object LakeMerge {
   def merge(spark: SparkSession, dir: String, batch: DataFrame,
       opCol: Option[String] = None,
       baseVersion: Option[Int] = None,
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None,
+      evolveSchema: Boolean = false): Int = {
     graft.plans.TopK.enable(spark)
     val m = manifest(spark, dir, baseVersion)
     val v = m.version + 1
@@ -306,24 +324,35 @@ object LakeMerge {
       case None    => batch.withColumn("_op", lit(Upsert))
     }
     val b = b0.withColumn("_src", lit(1L))
+    // ADDITIVE schema evolution: with evolveSchema the batch's extra
+    // columns widen the table — existing rows (and files) read as
+    // typed nulls, zero rewrites outside the batch's partitions.
+    // Without it the batch must conform (extra columns are dropped).
+    val newCols =
+      if (!evolveSchema) Nil
+      else b0.columns.filterNot(c =>
+        c == "_op" || m.columns.contains(c)).toList
+    val outCols = m.columns ++ newCols
     val affected = b.select(col(m.dtCol)).distinct()
       .collect().map(_.getString(0)).toSet // bounded: batch's dt span
     val (hit, kept) = m.partitions.partition(e => affected(e.dt))
-    val baseCols = m.columns
     val base = if (hit.isEmpty) None
       else Some(readEntries(spark, dir, m, hit)
         .withColumn("_src", lit(0L)).withColumn("_op", lit(Upsert)))
+    val bSel = b.select((outCols ++ Seq("_src", "_op")).map(col): _*)
     val combined = base match {
-      case Some(bd) => bd.unionByName(
-        b.select((baseCols ++ Seq("_src", "_op")).map(col): _*))
-      case None => b.select((baseCols ++ Seq("_src", "_op")).map(col): _*)
+      // allowMissingColumns: rewritten base rows null-fill new columns
+      case Some(bd) => bd.unionByName(bSel, allowMissingColumns = true)
+      case None     => bSel
     }
     val winners = resolve(combined, m.dtCol, m.keyCol, m.orderCol)
+      .select(outCols.map(col): _*)
     val entries = writeVersion(spark, dir, v, winners, m.dtCol, m.keyCol)
     val txns = m.txn.getOrElse(Map.empty) ++ txn
     commit(spark, dir, Manifest(v, m.version, m.dtCol, m.keyCol,
-      m.orderCol, baseCols, kept ++ entries,
-      if (txns.isEmpty) None else Some(txns)))
+      m.orderCol, outCols, kept ++ entries,
+      if (txns.isEmpty) None else Some(txns),
+      schemaDdl = Some(winners.schema.toDDL)))
   }
 
   /** Highest batchId the app `appId` has durably merged (from the
@@ -456,7 +485,7 @@ object LakeMerge {
     val entries =
       writeVersion(spark, dir, v, data, m.dtCol, m.keyCol, Some(layout))
     commit(spark, dir, Manifest(v, m.version, m.dtCol, m.keyCol,
-      m.orderCol, m.columns, carried ++ entries, m.txn))
+      m.orderCol, m.columns, carried ++ entries, m.txn, m.schemaDdl))
   }
 
   /** Row-level change feed between two snapshots — the lake's CDC
@@ -506,8 +535,11 @@ object LakeMerge {
       }
     }
     val dt = mT.dtCol; val key = mT.keyCol
-    val oldDf = readEntries(spark, dir, mF,
-      mF.partitions.filter(e => changedDts(e.dt))).alias("o")
+    // diff in the TO-side's (possibly evolved) schema: the old side
+    // null-fills columns that postdate it, same as a read would
+    val oldDf = fillMissing(readEntries(spark, dir, mF,
+      mF.partitions.filter(e => changedDts(e.dt))), mT)
+      .select(mT.columns.map(col): _*).alias("o")
     val newDf = readEntries(spark, dir, mT,
       mT.partitions.filter(e => changedDts(e.dt))).alias("n")
     val dataCols = mT.columns.filterNot(c => c == dt || c == key)
@@ -709,6 +741,22 @@ object LakeMerge {
        |WHERE k % 5 = 0 AND k <> 0
        |ORDER BY k""".stripMargin)
 
+  /** Iceberg-style METADATA query: per-partition row counts and key
+    * ranges answered from the manifest alone — a LocalRelation, zero
+    * data files opened (`inputFiles` is empty; spec-asserted). At
+    * 100 TB this is how `SELECT count(*) / min / max GROUP BY
+    * partition` should be served: from stats, not a scan.
+    */
+  def metaStats(spark: SparkSession, dir: String,
+      version: Option[Int] = None): DataFrame = {
+    val m = manifest(spark, dir, version)
+    import spark.implicits._
+    m.partitions
+      .map(e => (e.dt, e.rows, e.minKey, e.maxKey))
+      .toDF(m.dtCol, "n_rows", "min_k", "max_k")
+      .orderBy(m.dtCol)
+  }
+
   // ---------------------------------------------------------------- L8
   /** Incremental materialized-view maintenance from the change feed:
     * the per-customer (order count, total cents) view standing at v0
@@ -761,10 +809,31 @@ object LakeMerge {
        |       CAST(sum(price_cents) AS BIGINT) AS total_cents
        |FROM merged GROUP BY cust ORDER BY cust""".stripMargin)
 
+  // ---------------------------------------------------------------- L9
+  /** The metadata query over the CDC-merged table, oracle-gated: the
+    * DuckDB side RECOMPUTES counts and key ranges from the data, so a
+    * green row proves the committed manifest stats exactly match the
+    * data they describe — the integrity contract every stats-skipped
+    * read ([[readForKeys]]) silently relies on.
+    */
+  val lMetaStats: Q = Q(
+    (s, dir) => metaStats(s, mergedTable(s, dir), Some(1)),
+    s"""WITH base AS ($ordersBaseSql),
+       |merged AS (
+       |  SELECT k, dt FROM base WHERE k % 13 <> 0 AND k % 7 <> 0
+       |  UNION ALL
+       |  SELECT k, dt FROM base WHERE k % 7 = 0 AND k % 13 <> 0
+       |  UNION ALL
+       |  SELECT -k, dt FROM base WHERE k % 5 = 0 AND k <> 0)
+       |SELECT dt, CAST(count(*) AS BIGINT) AS n_rows,
+       |       min(k) AS min_k, max(k) AS max_k
+       |FROM merged GROUP BY dt ORDER BY dt""".stripMargin)
+
   val registry: Map[String, Q] = Map(
     "l_merge_upsert" -> lMergeUpsert,
     "l_merge_history" -> lMergeHistory,
     "l_change_feed" -> lChangeFeed,
     "l_compact_read" -> lCompactRead,
-    "l_incr_agg" -> lIncrAgg)
+    "l_incr_agg" -> lIncrAgg,
+    "l_meta_stats" -> lMetaStats)
 }

@@ -334,6 +334,63 @@ class LakeMergeSpec extends SparkSpec {
     assert(rows(LakeMerge.read(spark, dir)).contains((3L, "2024-01", "s3")))
   }
 
+  test("schema evolution: an evolveSchema merge widens the table — " +
+    "pre-evolution files read as typed nulls with zero rewrites, old " +
+    "snapshots keep the old schema, the change feed speaks the new one") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    val m0 = LakeMerge.manifest(spark, dir)
+    // batch hits only dt=2024-02 and carries a NEW column `score`
+    val batch = Seq((1L, "2024-02", "p1-v2", 1L, 0.9),
+        (100L, "2024-02", "new", 1L, 0.5))
+      .toDF("k", "dt", "payload", "seq", "score")
+    LakeMerge.merge(spark, dir, batch, evolveSchema = true)
+    val m1 = LakeMerge.manifest(spark, dir)
+    assert(m1.columns.last === "score")
+    // COW: untouched partitions carried verbatim — evolution rewrote
+    // NOTHING outside the batch's partition
+    assert(m1.partitions.filter(_.dt != "2024-02").toSet ===
+      m0.partitions.filter(_.dt != "2024-02").toSet)
+    val now = LakeMerge.read(spark, dir)
+    assert(now.columns.contains("score"))
+    val scores = now.select("k", "dt", "score")
+      .as[(Long, String, Option[Double])].collect()
+      .map { case (k, d, sc) => (k, d) -> sc }.toMap
+    assert(scores((1L, "2024-02")) === Some(0.9))
+    assert(scores((100L, "2024-02")) === Some(0.5))
+    // a pre-evolution row of the SAME rewritten partition: null score
+    assert(scores((7L, "2024-02")) === None)
+    // an untouched partition (only pre-evolution files): null score
+    val old = LakeMerge.readWhere(spark, dir, _ == "2024-01")
+    assert(old.columns.contains("score"))
+    assert(old.select("score").as[Option[Double]].collect()
+      .forall(_.isEmpty))
+    // time travel: v0 still has the ORIGINAL schema
+    assert(!LakeMerge.read(spark, dir, Some(0)).columns.contains("score"))
+    // the feed diffs in the evolved schema: old side null-filled
+    val feed = LakeMerge.changes(spark, dir, 0)
+      .select("_change_type", "k", "score")
+      .as[(String, Long, Option[Double])].collect().toSet
+    assert(feed === Set(("update", 1L, Some(0.9)),
+      ("insert", 100L, Some(0.5))))
+  }
+
+  test("metaStats answers counts and key ranges from the manifest " +
+    "alone — a LocalRelation, no data file opened — and the numbers " +
+    "match the data") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    val stats = LakeMerge.metaStats(spark, dir)
+    assert(stats.inputFiles.isEmpty,
+      "metadata query must not open any data file")
+    val got = stats.as[(String, Long, Option[Long], Option[Long])]
+      .collect().toSet
+    val want = LakeMerge.read(spark, dir).groupBy("dt")
+      .agg(count(lit(1)), min("k"), max("k"))
+      .as[(String, Long, Option[Long], Option[Long])].collect().toSet
+    assert(got === want, "manifest stats must exactly match the data")
+  }
+
   test("readForKeys skips partitions whose key-range stats exclude " +
     "the probe — data skipping without opening a file") {
     val dir = tempTable()
