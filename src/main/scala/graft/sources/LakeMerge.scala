@@ -90,11 +90,21 @@ object LakeMerge {
     * refines the partition's key range to FILE granularity — after a
     * key-sorted [[compact]], file ranges are tight and disjoint, so a
     * point probe opens one file of a thousand.
+    *
+    * `deleteFiles` are merge-on-read deletion vectors: TABLE-RELATIVE
+    * paths of parquet files holding `(dt, key)` rows removed by
+    * [[deleteKeys]] without rewriting this partition's data. Readers
+    * anti-join them out; `rows` always counts LIVE rows (pending
+    * deletes already subtracted); `minKey`/`maxKey`/`fileStats`
+    * ranges stay conservative (valid for skipping, possibly wide)
+    * until the next rewrite of the partition applies the deletes
+    * physically and clears the list.
     */
   final case class PartitionEntry(dt: String, dir: String,
       files: List[String], rows: Long,
       minKey: Option[Long], maxKey: Option[Long],
-      fileStats: Option[List[FileStat]] = None)
+      fileStats: Option[List[FileStat]] = None,
+      deleteFiles: Option[List[String]] = None)
 
   /** A committed snapshot. `columns` pins the read-side column order
     * (partition-recovered `dt` lands last in a raw scan). `txn` is
@@ -262,7 +272,7 @@ object LakeMerge {
       readDirs(spark, s"$dir/$rel", paths)
     }
     val cols = m.columns.map(col)
-    parts.map(p => fillMissing(p, m).select(cols: _*))
+    val data = parts.map(p => fillMissing(p, m).select(cols: _*))
       .reduceOption(_.unionByName(_))
       .getOrElse {
         // no entry matched (a fully-pruned readWhere/readForKeys):
@@ -271,7 +281,25 @@ object LakeMerge {
         require(m.partitions.nonEmpty, s"$dir snapshot has no data")
         readEntries(spark, dir, m, m.partitions.take(1)).limit(0)
       }
+    // merge-on-read: anti-join pending deletion vectors out. The
+    // delete sets are CDC-batch-sized, so the anti-join broadcasts —
+    // the read-side price of not rewriting a partition per delete.
+    val delPaths = entries.flatMap(_.deleteFiles.getOrElse(Nil))
+    if (delPaths.isEmpty) data
+    else {
+      val dels = delPaths.groupBy(versionDirOf).toSeq.sortBy(_._1)
+        .map { case (rel, ps) =>
+          readDirs(spark, s"$dir/$rel", ps.map(p => s"$dir/$p"))
+            .select(col(m.dtCol).cast("string"), col(m.keyCol))
+        }
+        .reduce(_.unionByName(_)).distinct()
+      data.join(dels, Seq(m.dtCol, m.keyCol), "left_anti")
+    }
   }
+
+  /** "data/vN-attempt" prefix of a table-relative file path. */
+  private def versionDirOf(p: String): String =
+    p.split("/").take(2).mkString("/")
 
   /** The winner-resolution core: latest row per `(dt, key)` —
     * batch over base, then `orderCol` descending — via the engine's
@@ -396,6 +424,70 @@ object LakeMerge {
         }
       }
     }
+  }
+
+  /** Merge-on-read DELETE: remove `keys` — a `(dt, key)` relation —
+    * from the latest snapshot WITHOUT rewriting any data file. The
+    * commit writes the keys as per-partition deletion-vector parquet
+    * files (CDC-batch-sized), attaches them to the affected
+    * partitions' entries, and decrements live row counts exactly
+    * (one COUNT pass over the affected partitions — a read, never a
+    * write; [[metaStats]] stays truthful). Readers anti-join the
+    * vectors out; the next [[merge]] or [[compact]] of a partition
+    * applies them physically and clears the list. A partition whose
+    * live count reaches zero drops out of the manifest.
+    *
+    * This is the other half of the lakehouse write-cost model: COW
+    * merges pay O(affected partitions) writes for read-optimal
+    * files; MOR deletes pay O(batch) writes plus a small read-side
+    * anti-join — a 10-row erasure request against a 1 TB partition
+    * costs a 10-row file, not a terabyte rewrite.
+    */
+  def deleteKeys(spark: SparkSession, dir: String, keys: DataFrame,
+      txn: Option[(String, Long)] = None): Int = {
+    val m = manifest(spark, dir)
+    val v = m.version + 1
+    val k = keys.select(col(m.dtCol).cast("string"), col(m.keyCol))
+      .distinct()
+    val affected = k.select(m.dtCol).distinct()
+      .collect().map(_.getString(0)).toSet // bounded: batch's dt span
+    val (hit, kept) = m.partitions.partition(e => affected(e.dt))
+    if (hit.isEmpty) return m.version // nothing targeted exists
+    val hitDts = hit.map(_.dt)
+    val kHit = k.filter(col(m.dtCol).isin(hitDts: _*))
+    // vectors go to an attempt-unique dir, same commit protocol as data
+    val rel = s"data/v$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    kHit.repartition(col(m.dtCol))
+      .write.partitionBy(m.dtCol).parquet(s"$dir/$rel")
+    val f = fs(spark, dir)
+    val filesByDt = f.listStatus(new Path(s"$dir/$rel"))
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"${m.dtCol}="))
+      .map { d =>
+        val dt = d.getPath.getName.stripPrefix(s"${m.dtCol}=")
+        dt -> f.listStatus(d.getPath).collect {
+          case s if s.getPath.getName.endsWith(".parquet") =>
+            s"$rel/${m.dtCol}=$dt/${s.getPath.getName}"
+        }.toList.sorted
+      }.toMap
+    // exact live-row accounting: readEntries applies PRIOR vectors,
+    // so re-deleting an already-deleted key cannot double-count
+    val matched = readEntries(spark, dir, m, hit)
+      .join(kHit, Seq(m.dtCol, m.keyCol), "left_semi")
+      .groupBy(m.dtCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val updated = hit.flatMap { e =>
+      val lost = matched.getOrElse(e.dt, 0L)
+      if (lost == 0) Some(e) // keys matched nothing live: unchanged
+      else if (e.rows - lost <= 0) None // fully deleted: drop entry
+      else Some(e.copy(rows = e.rows - lost,
+        deleteFiles = Some(
+          e.deleteFiles.getOrElse(Nil) ++ filesByDt.getOrElse(e.dt, Nil))))
+    }
+    val txns = m.txn.getOrElse(Map.empty) ++ txn
+    commit(spark, dir, m.copy(version = v, parent = m.version,
+      partitions = kept ++ updated,
+      txn = if (txns.isEmpty) None else Some(txns)))
   }
 
   /** Read a snapshot (latest by default; `version` time-travels). */
@@ -525,9 +617,12 @@ object LakeMerge {
     val fromByDt = mF.partitions.map(e => e.dt -> e).toMap
     val toByDt = mT.partitions.map(e => e.dt -> e).toMap
     // manifest-level diff: an entry carried over verbatim proves the
-    // partition byte-identical — skip it on BOTH sides, zero I/O
+    // partition byte-identical — skip it on BOTH sides, zero I/O.
+    // deleteFiles count as change: a delete-only (merge-on-read)
+    // commit alters partition STATE while touching no data file.
     def same(a: PartitionEntry, b: PartitionEntry): Boolean =
-      a.dir == b.dir && a.files == b.files
+      a.dir == b.dir && a.files == b.files &&
+        a.deleteFiles == b.deleteFiles
     val changedDts = (fromByDt.keySet ++ toByDt.keySet).filter { dt =>
       (fromByDt.get(dt), toByDt.get(dt)) match {
         case (Some(a), Some(b)) => !same(a, b)
@@ -583,7 +678,10 @@ object LakeMerge {
     val latest = latestVersion(spark, dir)
     val keepFrom = math.max(0, latest - keepLast + 1)
     val live = (keepFrom to latest)
-      .flatMap(v => manifest(spark, dir, Some(v)).partitions.map(_.dir))
+      .flatMap(v => manifest(spark, dir, Some(v)).partitions.flatMap(e =>
+        // a retained snapshot pins its data dirs AND the dirs its
+        // pending deletion vectors live in
+        e.dir :: e.deleteFiles.getOrElse(Nil).map(versionDirOf)))
       .toSet
     val dataRoot = new Path(s"$dir/data")
     val deleted = if (!f.exists(dataRoot)) Nil
@@ -829,11 +927,39 @@ object LakeMerge {
        |       min(k) AS min_k, max(k) AS max_k
        |FROM merged GROUP BY dt ORDER BY dt""".stripMargin)
 
+  // --------------------------------------------------------------- L11
+  /** Merge-on-read delete, read back: every k ≡ 0 (mod 3) order is
+    * erased via deletion vectors (no data file rewritten — the spec
+    * pins that storage contract); the anti-joined read must match
+    * DuckDB's plain WHERE over the base. Own memoized table: MOR
+    * state must not perturb the COW demo table other queries share.
+    */
+  private val morCache = graft.Artifacts.cache[String]("lake.morTable")
+
+  private def morTable(s: SparkSession, dir: String): String =
+    morCache.getOrElseUpdate(s, dir) {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_mor").toString
+      val base = ordersBase(s, dir)
+      init(s, tmp, base, "dt", "k", "seq")
+      deleteKeys(s, tmp, base.filter(col("k") % 3 === 0).select("dt", "k"))
+      tmp
+    }
+
+  val lMorDelete: Q = Q(
+    (s, dir) => read(s, morTable(s, dir))
+      .select("k", "dt", "cust", "price_cents").orderBy("k"),
+    s"""WITH base AS ($ordersBaseSql)
+       |SELECT k, dt, cust, price_cents FROM base
+       |WHERE k % 3 <> 0
+       |ORDER BY k""".stripMargin)
+
   val registry: Map[String, Q] = Map(
     "l_merge_upsert" -> lMergeUpsert,
     "l_merge_history" -> lMergeHistory,
     "l_change_feed" -> lChangeFeed,
     "l_compact_read" -> lCompactRead,
     "l_incr_agg" -> lIncrAgg,
-    "l_meta_stats" -> lMetaStats)
+    "l_meta_stats" -> lMetaStats,
+    "l_mor_delete" -> lMorDelete)
 }

@@ -391,6 +391,86 @@ class LakeMergeSpec extends SparkSpec {
     assert(got === want, "manifest stats must exactly match the data")
   }
 
+  test("deleteKeys (merge-on-read): zero data files rewritten — the " +
+    "entry keeps its dir and files, gains vectors, counts stay exact " +
+    "— and double-deletes cannot double-count") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    val e0 = LakeMerge.manifest(spark, dir).partitions
+      .find(_.dt == "2024-02").get
+    // delete keys 1 and 4 (dt=2024-02) plus a key that does not exist
+    val v = LakeMerge.deleteKeys(spark, dir,
+      Seq((1L, "2024-02"), (4L, "2024-02"), (999L, "2024-02"))
+        .toDF("k", "dt"))
+    assert(v === 1)
+    val e1 = LakeMerge.manifest(spark, dir).partitions
+      .find(_.dt == "2024-02").get
+    // merge-on-read contract: SAME data dir and files, vectors added
+    assert(e1.dir === e0.dir && e1.files === e0.files)
+    assert(e1.deleteFiles.exists(_.nonEmpty))
+    // live count exact: only the 2 EXISTING keys counted
+    assert(e1.rows === e0.rows - 2)
+    val got = rows(LakeMerge.read(spark, dir))
+    assert(got.size === 28)
+    assert(!got.exists(r => r._1 == 1L || r._1 == 4L))
+    // time travel: pre-delete snapshot still has them
+    assert(rows(LakeMerge.read(spark, dir, Some(0))).size === 30)
+    // re-deleting an already-deleted key is a no-op on the count
+    LakeMerge.deleteKeys(spark, dir, Seq((1L, "2024-02")).toDF("k", "dt"))
+    assert(LakeMerge.manifest(spark, dir).partitions
+      .find(_.dt == "2024-02").get.rows === e0.rows - 2)
+    // and metaStats (manifest-only) agrees with the data
+    val stats = LakeMerge.metaStats(spark, dir)
+      .as[(String, Long, Option[Long], Option[Long])].collect()
+      .map(t => t._1 -> t._2).toMap
+    assert(stats("2024-02") === e0.rows - 2)
+  }
+
+  test("deleteKeys composes with the rest of the protocol: the feed " +
+    "emits preimage deletes for a vector-only commit, merge/compact " +
+    "apply vectors physically and clear them, vacuum keeps live " +
+    "vector dirs") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    LakeMerge.deleteKeys(spark, dir, Seq((1L, "2024-02")).toDF("k", "dt"))
+    // the change feed sees the delete though no data file changed
+    val feed = LakeMerge.changes(spark, dir, 0)
+      .select("_change_type", "k", "payload")
+      .as[(String, Long, String)].collect().toSet
+    assert(feed === Set(("delete", 1L, "p1")))
+    // vacuum at this point must NOT reclaim the vector's dir
+    assert(LakeMerge.vacuum(spark, dir, keepLast = 1) === Nil)
+    assert(rows(LakeMerge.read(spark, dir)).size === 29)
+    // a merge into the partition applies the vector physically
+    LakeMerge.merge(spark, dir,
+      Seq((100L, "2024-02", "new", 1L)).toDF("k", "dt", "payload", "seq"))
+    val e = LakeMerge.manifest(spark, dir).partitions
+      .find(_.dt == "2024-02").get
+    assert(e.deleteFiles.forall(_.isEmpty),
+      "a rewrite must clear the partition's vectors")
+    val got = rows(LakeMerge.read(spark, dir))
+    assert(!got.exists(_._1 == 1L) && got.exists(_._1 == 100L))
+    // compact the rest and vacuum: table reads the same afterwards
+    LakeMerge.compact(spark, dir, targetRows = 100)
+    LakeMerge.vacuum(spark, dir, keepLast = 1)
+    assert(rows(LakeMerge.read(spark, dir)) === got)
+    assert(LakeMerge.manifest(spark, dir).partitions
+      .forall(_.deleteFiles.forall(_.isEmpty)))
+  }
+
+  test("deleteKeys: a partition whose last live row is deleted drops " +
+    "out of the manifest") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    // dt=2024-03 holds keys ≡ 2 (mod 3): delete all ten
+    val all03 = (0 until 30).filter(_ % 3 == 2)
+      .map(i => (i.toLong, "2024-03")).toDF("k", "dt")
+    LakeMerge.deleteKeys(spark, dir, all03)
+    val m = LakeMerge.manifest(spark, dir)
+    assert(!m.partitions.exists(_.dt == "2024-03"))
+    assert(rows(LakeMerge.read(spark, dir)).size === 20)
+  }
+
   test("readForKeys skips partitions whose key-range stats exclude " +
     "the probe — data skipping without opening a file") {
     val dir = tempTable()
