@@ -76,13 +76,22 @@ object LakeMerge {
 
   private implicit val formats: Formats = DefaultFormats
 
+  /** Min/max of one (long-castable) column — the unit of multi-column
+    * data skipping. Recorded per file and folded per partition for
+    * the columns a [[compact]] clustered by.
+    */
+  final case class ColRange(col: String, lo: Long, hi: Long)
+
   /** Per-file stats: row count + key range. Written by every commit
     * since file-granular skipping landed; `Option` so older manifests
     * (and hand-edited ones) still parse — absent stats mean "never
-    * skip this file", the safe direction.
+    * skip this file", the safe direction. `colRanges` carries ranges
+    * for additional clustering columns (Z-order), consumed by
+    * [[readForRanges]].
     */
   final case class FileStat(name: String, rows: Long,
-      minKey: Option[Long], maxKey: Option[Long])
+      minKey: Option[Long], maxKey: Option[Long],
+      colRanges: Option[List[ColRange]] = None)
 
   /** One live partition of a snapshot. `dir` is the version dir that
     * last rewrote it (table-relative); `files` its parquet leaves;
@@ -104,7 +113,8 @@ object LakeMerge {
       files: List[String], rows: Long,
       minKey: Option[Long], maxKey: Option[Long],
       fileStats: Option[List[FileStat]] = None,
-      deleteFiles: Option[List[String]] = None)
+      deleteFiles: Option[List[String]] = None,
+      colRanges: Option[List[ColRange]] = None)
 
   /** A committed snapshot. `columns` pins the read-side column order
     * (partition-recovered `dt` lands last in a raw scan). `txn` is
@@ -184,7 +194,8 @@ object LakeMerge {
     */
   private def writeVersion(spark: SparkSession, dir: String, v: Int,
       rows: DataFrame, dtCol: String, keyCol: String,
-      layout: Option[DataFrame => DataFrame] = None)
+      layout: Option[DataFrame => DataFrame] = None,
+      statCols: Seq[String] = Nil)
       : List[PartitionEntry] = {
     // ATTEMPT-unique dir: two writers racing to version v must not
     // write into one directory (their files would interleave — worse
@@ -203,19 +214,33 @@ object LakeMerge {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$dtCol="))
     if (dtDirs.isEmpty) return Nil
     // ONE read-back scan (which doubles as write validation) yields
-    // FILE-granular stats; partition stats fold from them driver-side
+    // FILE-granular stats — key range always, plus min/max of each
+    // requested clustering column; partition stats fold driver-side
+    val aggCols = Seq(count(lit(1)).as("rows"),
+      min(col(keyCol).cast("long")).as("min_k"),
+      max(col(keyCol).cast("long")).as("max_k")) ++
+      statCols.flatMap(sc => Seq(
+        min(col(sc).cast("long")).as(s"_min_$sc"),
+        max(col(sc).cast("long")).as(s"_max_$sc")))
     val perFile = readDirs(spark, s"$dir/$rel",
       dtDirs.map(_.getPath.toString))
       .groupBy(col(dtCol),
         element_at(split(input_file_name(), "/"), -1).as("_f"))
-      .agg(count(lit(1)).as("rows"),
-        min(col(keyCol).cast("long")).as("min_k"),
-        max(col(keyCol).cast("long")).as("max_k"))
+      .agg(aggCols.head, aggCols.tail: _*)
       .collect()
-      .map(r => (r.getString(0), r.getString(1)) ->
-        (r.getLong(2),
-          if (r.isNullAt(3)) None else Some(r.getLong(3)),
-          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .map { r =>
+        def optLong(name: String): Option[Long] = {
+          val i = r.fieldIndex(name)
+          if (r.isNullAt(i)) None else Some(r.getLong(i))
+        }
+        val ranges = statCols.flatMap { sc =>
+          for (lo <- optLong(s"_min_$sc"); hi <- optLong(s"_max_$sc"))
+            yield ColRange(sc, lo, hi)
+        }.toList
+        (r.getString(0), r.getString(1)) ->
+          (r.getAs[Long]("rows"), optLong("min_k"), optLong("max_k"),
+            if (ranges.isEmpty) None else Some(ranges))
+      }
       .toMap
     dtDirs.toList.map { d =>
       val dt = d.getPath.getName.stripPrefix(s"$dtCol=")
@@ -226,14 +251,19 @@ object LakeMerge {
       // a file the scan never attributed (cannot happen for parquet
       // written here, but stats must FAIL SAFE) gets unbounded range
       val stats = files.map(fn => perFile.get((dt, fn)) match {
-        case Some((n, lo, hi)) => FileStat(fn, n, lo, hi)
-        case None              => FileStat(fn, 0L, None, None)
+        case Some((n, lo, hi, cr)) => FileStat(fn, n, lo, hi, cr)
+        case None                  => FileStat(fn, 0L, None, None)
       })
+      val folded = stats.flatMap(_.colRanges.getOrElse(Nil))
+        .groupBy(_.col).toList.sortBy(_._1)
+        .map { case (c, rs) =>
+          ColRange(c, rs.map(_.lo).min, rs.map(_.hi).max) }
       PartitionEntry(dt, rel, files,
         stats.map(_.rows).sum,
         stats.flatMap(_.minKey).reduceOption(_ min _),
         stats.flatMap(_.maxKey).reduceOption(_ max _),
-        Some(stats))
+        Some(stats),
+        colRanges = if (folded.isEmpty) None else Some(folded))
     }
   }
 
@@ -559,8 +589,32 @@ object LakeMerge {
     * version (the current one when `keep` selects nothing — no empty
     * commits).
     */
+  /** Bit-interleaved Z-value: each column is scaled to a 16-bit
+    * bucket of its global `[lo, hi]` range, then bit i of column j
+    * lands at position `i * n + j`. Rows close on the Z-curve are
+    * close in EVERY clustered dimension, so range-splitting files by
+    * Z-value gives each file a tight bounding box — multi-column data
+    * skipping from a single sort order (the Delta/Iceberg `ZORDER BY`
+    * idea). Pure `functions._` arithmetic: stays in codegen.
+    */
+  private def zValue(cols: Seq[(Column, Long, Long)]): Column = {
+    val buckets = cols.map { case (c, lo, hi) =>
+      val span = math.max(1L, hi - lo).toDouble
+      least(lit(65535L), greatest(lit(0L),
+        ((c.cast("double") - lit(lo.toDouble)) / lit(span) * lit(65535.0))
+          .cast("long")))
+    }
+    val n = buckets.size
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      buckets.zipWithIndex.foldLeft(acc) { case (a, (b, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * n + j))
+      }
+    }
+  }
+
   def compact(spark: SparkSession, dir: String, targetRows: Long,
-      keep: String => Boolean = _ => true): Int = {
+      keep: String => Boolean = _ => true,
+      clusterCols: Seq[String] = Nil): Int = {
     require(targetRows > 0, "targetRows must be positive")
     val m = manifest(spark, dir)
     val (hit, carried) = m.partitions.partition(e => keep(e.dt))
@@ -569,15 +623,64 @@ object LakeMerge {
       .select(m.columns.map(col): _*)
     val nTasks = math.max(1,
       math.ceil(hit.map(_.rows).sum.toDouble / targetRows).toInt)
-    val k = col(m.keyCol).cast("long")
+    // cluster order: key sort by default; a single clusterCol sorts
+    // by it; 2+ clusterCols Z-ORDER (interleaved bits over global
+    // ranges — one driver-sized agg to learn them)
+    val clusterExpr: Column =
+      if (clusterCols.isEmpty) col(m.keyCol).cast("long")
+      else if (clusterCols.size == 1) col(clusterCols.head).cast("long")
+      else {
+        val aggs = clusterCols.flatMap(c => Seq(
+          min(col(c).cast("long")), max(col(c).cast("long"))))
+        val bounds = data.agg(aggs.head, aggs.tail: _*).collect()(0)
+        zValue(clusterCols.zipWithIndex.map { case (c, i) =>
+          (col(c).cast("long"), bounds.getLong(2 * i), bounds.getLong(2 * i + 1))
+        })
+      }
     val layout = (d: DataFrame) => d
-      .repartitionByRange(nTasks, col(m.dtCol), k)
-      .sortWithinPartitions(col(m.dtCol), k)
+      .repartitionByRange(nTasks, col(m.dtCol), clusterExpr)
+      .sortWithinPartitions(col(m.dtCol), clusterExpr)
     val v = m.version + 1
-    val entries =
-      writeVersion(spark, dir, v, data, m.dtCol, m.keyCol, Some(layout))
+    val entries = writeVersion(spark, dir, v, data, m.dtCol, m.keyCol,
+      Some(layout), statCols = clusterCols.filterNot(_ == m.keyCol))
     commit(spark, dir, Manifest(v, m.version, m.dtCol, m.keyCol,
       m.orderCol, m.columns, carried ++ entries, m.txn, m.schemaDdl))
+  }
+
+  /** Multi-column stats-skipped read: keep only partitions and files
+    * whose recorded ranges can intersect EVERY constraint in
+    * `ranges` (column → inclusive [lo, hi]). The key column checks
+    * against the always-present key stats; other columns against
+    * [[ColRange]]s recorded by a clustered [[compact]] — a column
+    * with no recorded stats never skips (fail-safe). Survivors still
+    * filter row-level.
+    */
+  def readForRanges(spark: SparkSession, dir: String,
+      ranges: Map[String, (Long, Long)]): DataFrame = {
+    val m = manifest(spark, dir)
+    def hitStats(kLo: Option[Long], kHi: Option[Long],
+        crs: Option[List[ColRange]]): Boolean =
+      ranges.forall { case (c, (lo, hi)) =>
+        if (c == m.keyCol) kLo.forall(_ <= hi) && kHi.forall(_ >= lo)
+        else crs.getOrElse(Nil).find(_.col == c)
+          .forall(r => r.lo <= hi && r.hi >= lo)
+      }
+    val es = m.partitions
+      .filter(e => hitStats(e.minKey, e.maxKey, e.colRanges))
+      .flatMap { e =>
+        e.fileStats match {
+          case Some(st) =>
+            val keepF = st.filter(s =>
+              hitStats(s.minKey, s.maxKey, s.colRanges))
+            if (keepF.isEmpty) None
+            else Some(e.copy(files = keepF.map(_.name)))
+          case None => Some(e)
+        }
+      }
+    ranges.foldLeft(readEntries(spark, dir, m, es)) {
+      case (df, (c, (lo, hi))) =>
+        df.filter(col(c).cast("long").between(lo, hi))
+    }
   }
 
   /** Row-level change feed between two snapshots — the lake's CDC

@@ -471,6 +471,35 @@ class LakeMergeSpec extends SparkSpec {
     assert(rows(LakeMerge.read(spark, dir)).size === 20)
   }
 
+  test("Z-order compact: file bounding boxes are tight in BOTH " +
+    "clustered dimensions, so probes on either column skip most " +
+    "files — and a 2-D box probe prunes hardest") {
+    val dir = tempTable()
+    // a 64x64 grid: x and y independent — no single-column sort can
+    // cluster both
+    val df = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x * 64L + y, "D", x.toLong, y.toLong, 0L))
+      .toDF("k", "dt", "x", "y", "seq")
+    LakeMerge.init(spark, dir, df, "dt", "k", "seq")
+    LakeMerge.compact(spark, dir, targetRows = 256,
+      clusterCols = Seq("x", "y"))
+    val e = LakeMerge.manifest(spark, dir).partitions.head
+    assert(e.files.size >= 12, s"4096/256 ≈ 16 files, got ${e.files.size}")
+    assert(e.colRanges.exists(_.map(_.col).toSet == Set("x", "y")))
+    val px = LakeMerge.readForRanges(spark, dir, Map("x" -> (0L, 7L)))
+    assert(px.inputFiles.length <= e.files.size / 2,
+      s"x-probe must skip most of ${e.files.size} files: ${px.inputFiles.length}")
+    assert(px.count() === 8 * 64)
+    val py = LakeMerge.readForRanges(spark, dir, Map("y" -> (0L, 7L)))
+    assert(py.inputFiles.length <= e.files.size / 2,
+      s"y-probe must skip most of ${e.files.size} files: ${py.inputFiles.length}")
+    assert(py.count() === 8 * 64)
+    val pxy = LakeMerge.readForRanges(spark, dir,
+      Map("x" -> (0L, 7L), "y" -> (0L, 7L)))
+    assert(pxy.inputFiles.length <= px.inputFiles.length)
+    assert(pxy.count() === 64)
+  }
+
   test("readForKeys skips partitions whose key-range stats exclude " +
     "the probe — data skipping without opening a file") {
     val dir = tempTable()

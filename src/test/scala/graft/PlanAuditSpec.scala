@@ -92,14 +92,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("r_upsert_report: window is key-partitioned, never global") {
+  test("r_upsert_report: first-wins ranking is key-partitioned, never " +
+    "global — as a window, or as PerKeyTopK once another consumer has " +
+    "enabled the rank-limit rewrite on the shared session") {
     val p = plan(SparkEntry.queries("r_upsert_report")(spark, sf))
-    assert(p.contains("Window"), "first-wins needs the ranking window")
-    val winLine = p.linesIterator.find(_.contains("Window"))
+    // the generalized rank-limit rewrite (plans/TopK.scala) replaces
+    // the window with the bounded-heap operator when its rule is
+    // installed; both forms must key on the natural key
+    val line = p.linesIterator
+      .find(l => l.contains("PerKeyTopK") || l.contains("Window"))
       .getOrElse("")
-    assert(winLine.contains("reported_id") &&
-      winLine.contains("reporting_id"),
-      s"window must partition by the natural key: $winLine")
+    assert(line.nonEmpty, s"first-wins needs a ranking operator:\n$p")
+    assert(line.contains("reported_id") && line.contains("reporting_id"),
+      s"ranking must partition by the natural key: $line")
   }
 
   test("q_ban_flags: derived-flag filter sits on a 2-column pruned scan") {
