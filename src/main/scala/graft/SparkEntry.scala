@@ -12,7 +12,8 @@ object SparkEntry {
   private val all: Map[String, Q] =
     Cleanse.registry ++ Star.registry ++ Analytics.registry ++
       Dedup.registry ++ TextAnalysis.registry ++ Similarity.registry ++
-      MultiModal.registry ++ graft.sources.LakeMerge.registry
+      MultiModal.registry ++ Graph.registry ++
+      graft.sources.LakeMerge.registry
 
   /** Flagship: the full star-schema normalization pipeline
     * (ref report.py:253-314) on sf0.001; driver smoke-checks rows>0.
