@@ -104,6 +104,94 @@ object Graph {
 
   val qSuspicionRank: Q = Q(suspicionRank _, suspicionSql)
 
+  /** Mutual-report pairs (A reports B AND B reports A) — the simplest
+    * collusion signal: organic reports rarely reciprocate, retaliation
+    * and farmed accounts do. One semi-join of the edge list against
+    * its own reversal; each pair emitted once (`a < b`).
+    */
+  def mutualReports(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val rev = e.select(col("dst").as("rsrc"), col("src").as("rdst"))
+    e.join(rev, col("src") === col("rsrc") && col("dst") === col("rdst"),
+        "left_semi")
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .orderBy("a", "b")
+  }
+
+  val qMutualReports: Q = Q(mutualReports _,
+    s"""WITH e AS MATERIALIZED ($edgesSql)
+       |SELECT x.src AS a, x.dst AS b
+       |FROM e x JOIN e y ON y.src = x.dst AND y.dst = x.src
+       |WHERE x.src < x.dst
+       |ORDER BY a, b""".stripMargin)
+
+  /** Triangles each player sits in, on the UNDIRECTED report graph —
+    * collusion rings show up as dense triangle neighborhoods long
+    * before any single account crosses a report threshold.
+    *
+    * Uses the degree-ordered orientation: every edge points from its
+    * (degree, id)-smaller endpoint to the larger, turning the graph
+    * into a DAG where each triangle is enumerated EXACTLY once and —
+    * the scale point — the join fan-out per vertex is bounded by its
+    * oriented out-degree, O(√m) on any graph, so the classic
+    * power-law hub that would explode a naive src-joins-dst
+    * enumeration contributes almost nothing (its edges all point AT
+    * it). Two hash joins + one explode-aggregate; the DuckDB oracle
+    * replays the same orientation with row-value comparisons.
+    */
+  def reportTriangles(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().persist()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val da = deg.select(col("id").as("a"), col("d").as("da"))
+    val db = deg.select(col("id").as("b"), col("d").as("db"))
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val o = und.join(da, "a").join(db, "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"))
+    val e1 = o.select(col("u").as("u1"), col("v").as("v1"))
+    val e2 = o.select(col("u").as("u2"), col("v").as("v2"))
+    val e3 = o.select(col("u").as("u3"), col("v").as("v3"))
+    val tri = e1.join(e2, col("u2") === col("v1"))
+      .join(e3, col("u3") === col("u1") && col("v3") === col("v2"))
+      .select(col("u1").as("x"), col("v1").as("y"), col("v2").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("player_id"))
+      .groupBy("player_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("player_id")
+  }
+
+  val qReportTriangles: Q = Q(reportTriangles _,
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |und AS (SELECT DISTINCT least(src, dst) AS a,
+       |                        greatest(src, dst) AS b FROM e),
+       |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d
+       |        FROM (SELECT a AS id FROM und
+       |              UNION ALL SELECT b FROM und) GROUP BY id),
+       |o AS MATERIALIZED (
+       |  SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS u,
+       |         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS v
+       |  FROM und u
+       |  JOIN deg da ON da.id = u.a
+       |  JOIN deg db ON db.id = u.b),
+       |tri AS (
+       |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+       |  FROM o e1
+       |  JOIN o e2 ON e2.u = e1.v
+       |  JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v)
+       |SELECT player_id, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM (SELECT x AS player_id FROM tri
+       |      UNION ALL SELECT y FROM tri
+       |      UNION ALL SELECT z FROM tri)
+       |GROUP BY player_id
+       |ORDER BY player_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
-    "q_suspicion_rank" -> qSuspicionRank)
+    "q_suspicion_rank" -> qSuspicionRank,
+    "q_mutual_reports" -> qMutualReports,
+    "q_report_triangles" -> qReportTriangles)
 }
