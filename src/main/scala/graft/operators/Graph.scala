@@ -40,7 +40,7 @@ object Graph {
   /** Report edges, deduplicated (a reporter counts once per target),
     * self-reports dropped.
     */
-  private def edges(s: SparkSession, dir: String): DataFrame =
+  def reportEdges(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("user_id").as("src"),
         get_json_object(col("props"), "$.k").cast("long").as("dst"))
@@ -60,7 +60,7 @@ object Graph {
     * matches DuckDB's floor `//` exactly).
     */
   def suspicionRank(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir).persist()
+    val e = reportEdges(s, dir).persist()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
@@ -110,7 +110,7 @@ object Graph {
     * its own reversal; each pair emitted once (`a < b`).
     */
   def mutualReports(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir)
+    val e = reportEdges(s, dir)
     val rev = e.select(col("dst").as("rsrc"), col("src").as("rdst"))
     e.join(rev, col("src") === col("rsrc") && col("dst") === col("rdst"),
         "left_semi")
@@ -141,7 +141,7 @@ object Graph {
     * replays the same orientation with row-value comparisons.
     */
   def reportTriangles(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir)
+    val e = reportEdges(s, dir)
     val und = e.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct().persist()

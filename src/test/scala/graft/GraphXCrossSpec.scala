@@ -30,4 +30,22 @@ class GraphXCrossSpec extends SparkSpec {
       assert(label === cc(doc),
         s"doc $doc: propagate said $label, GraphX said ${cc(doc)}")
   }
+
+  test("q_report_triangles ≡ GraphX triangleCount on the same graph") {
+    val ours = SparkEntry.queries("q_report_triangles")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same undirected simple graph: GraphX's triangleCount wants
+    // canonical (src < dst) deduplicated edges
+    val edges = graft.operators.Graph.reportEdges(spark, sf)
+      .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .distinct()
+      .collect().map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    assert(edges.nonEmpty, "test corpus produced no report edges")
+    val g = Graph.fromEdges(spark.sparkContext.parallelize(edges.toSeq), 1)
+    val counts = g.triangleCount().vertices.collect().toMap
+    // our query emits only players in ≥1 triangle; GraphX emits all
+    val gx = counts.filter(_._2 > 0).map { case (v, n) => v -> n.toLong }
+    assert(ours === gx,
+      "degree-oriented enumeration disagrees with GraphX triangleCount")
+  }
 }
