@@ -190,8 +190,47 @@ object Graph {
        |GROUP BY player_id
        |ORDER BY player_id""".stripMargin)
 
+  /** Connected components of the undirected report graph — the
+    * "report cluster" a player belongs to (labelled by its minimum
+    * player id), reusing the engine's bounded min-label propagation
+    * ([[Dedup.propagate]]: converge-early DataFrame loop with eager
+    * checkpoints). The oracle is a DIFFERENT algorithm entirely — a
+    * DuckDB recursive CTE computing the true reachability closure —
+    * so a green row proves the iterative propagation reaches the
+    * exact fixpoint, the same standard the GraphX cross-check applies
+    * from a third implementation.
+    */
+  def reportComponents(s: SparkSession, dir: String): DataFrame = {
+    val e = reportEdges(s, dir)
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val sym = und.select(col("a").as("doc_a"), col("b").as("doc_b"))
+      .unionAll(und.select(col("b").as("doc_a"), col("a").as("doc_b")))
+      .localCheckpoint(true)
+    val labels0 = sym.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    Dedup.propagate(sym, labels0, 30)
+      .select(col("doc_id").as("player_id"),
+        col("label").as("component_id"))
+      .orderBy("player_id")
+  }
+
+  val qReportComponents: Q = Q(reportComponents _,
+    s"""WITH RECURSIVE e AS MATERIALIZED ($edgesSql),
+       |und AS (SELECT DISTINCT least(src, dst) AS a,
+       |                        greatest(src, dst) AS b FROM e),
+       |sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+       |reach(id, l) AS (
+       |  SELECT a AS id, a AS l FROM sym
+       |  UNION
+       |  SELECT s.a, r.l FROM sym s JOIN reach r ON r.id = s.b)
+       |SELECT id AS player_id, CAST(min(l) AS BIGINT) AS component_id
+       |FROM reach GROUP BY id
+       |ORDER BY player_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
     "q_suspicion_rank" -> qSuspicionRank,
     "q_mutual_reports" -> qMutualReports,
-    "q_report_triangles" -> qReportTriangles)
+    "q_report_triangles" -> qReportTriangles,
+    "q_report_components" -> qReportComponents)
 }
