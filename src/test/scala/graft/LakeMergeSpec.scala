@@ -500,6 +500,46 @@ class LakeMergeSpec extends SparkSpec {
     assert(pxy.count() === 64)
   }
 
+  test("a losing writer's attempt dir is an orphan that vacuum " +
+    "reclaims; the winner's data is untouched") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    LakeMerge.merge(spark, dir,
+      Seq((1L, "2024-02", "pA", 1L)).toDF("k", "dt", "payload", "seq"),
+      baseVersion = Some(0))
+    intercept[java.util.ConcurrentModificationException] {
+      LakeMerge.merge(spark, dir,
+        Seq((2L, "2024-03", "pB", 1L)).toDF("k", "dt", "payload", "seq"),
+        baseVersion = Some(0))
+    }
+    // the loser WROTE its attempt dir before losing the commit race:
+    // two v1-prefixed dirs exist, only one is referenced
+    val dataDirs = new java.io.File(s"$dir/data").listFiles()
+      .map(_.getName).filter(_.startsWith("v1")).toSet
+    assert(dataDirs.size === 2, s"winner + loser attempt dirs: $dataDirs")
+    val live = LakeMerge.manifest(spark, dir).partitions.map(_.dir).toSet
+    val deleted = LakeMerge.vacuum(spark, dir, keepLast = 10)
+    assert(deleted.size === 1 &&
+      !live.contains(deleted.head), s"only the orphan goes: $deleted")
+    assert(rows(LakeMerge.read(spark, dir)).contains((1L, "2024-02", "pA")))
+  }
+
+  test("readForKeys on a merge-on-read table: pruned-file reads still " +
+    "anti-join pending vectors out") {
+    val dir = tempTable()
+    // keys clustered per partition so the probe prunes partition A
+    val df = ((0 until 10).map(i => (i.toLong, "A", s"a$i", 0L)) ++
+      (0 until 10).map(i => (100L + i, "B", s"b$i", 0L)))
+      .toDF("k", "dt", "payload", "seq")
+    LakeMerge.init(spark, dir, df, "dt", "k", "seq")
+    LakeMerge.deleteKeys(spark, dir, Seq((102L, "B")).toDF("k", "dt"))
+    val hit = LakeMerge.readForKeys(spark, dir, 100, 104)
+    assert(hit.inputFiles.forall(f =>
+      f.contains("dt=B") && !f.contains("dt=A")))
+    assert(rows(hit).map(_._1) === Set(100L, 101L, 103L, 104L),
+      "the deleted key must not resurface through a pruned read")
+  }
+
   test("readForKeys skips partitions whose key-range stats exclude " +
     "the probe — data skipping without opening a file") {
     val dir = tempTable()
