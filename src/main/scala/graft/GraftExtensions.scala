@@ -80,4 +80,25 @@ object GraftCatalog {
   def registerAll(spark: SparkSession, dir: String): Unit =
     tableNames.foreach(t =>
       Tables(spark, dir, t).createOrReplaceTempView(t))
+
+  /** SQL front door for a lakehouse table (sources/LakeMerge.scala):
+    * `name` is the latest snapshot, `name_vN` a time-travel view per
+    * still-readable version (vacuumed versions are skipped), and
+    * `name_meta` the manifest stats relation — so
+    * `SELECT * FROM t_v0` and `SELECT * FROM t_meta` work from plain
+    * `spark.sql(...)`. Views resolve the manifest at registration
+    * time; re-register after new commits (temp views are snapshots of
+    * the catalog, matching lake snapshot semantics).
+    */
+  def registerLake(spark: SparkSession, name: String, dir: String): Unit = {
+    import graft.sources.LakeMerge
+    LakeMerge.read(spark, dir).createOrReplaceTempView(name)
+    (0 to LakeMerge.latestVersion(spark, dir)).foreach { v =>
+      try LakeMerge.read(spark, dir, Some(v))
+        .createOrReplaceTempView(s"${name}_v$v")
+      catch { case scala.util.control.NonFatal(_) => () } // vacuumed
+    }
+    LakeMerge.metaStats(spark, dir)
+      .createOrReplaceTempView(s"${name}_meta")
+  }
 }

@@ -95,4 +95,24 @@ class ExtensionsSpec extends SparkSpec {
       assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) > 0,
         s"table $t missing or empty")
   }
+
+  test("registerLake: latest, time-travel, and meta views from SQL") {
+    import spark.implicits._
+    import graft.sources.LakeMerge
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lakesql").toString
+    val base = (0 until 10)
+      .map(i => (i.toLong, s"2024-0${1 + i % 2}", s"p$i", 0L))
+      .toDF("k", "dt", "payload", "seq")
+    LakeMerge.init(spark, dir, base, "dt", "k", "seq")
+    LakeMerge.merge(spark, dir,
+      Seq((1L, "2024-02", "p1-v2", 1L)).toDF("k", "dt", "payload", "seq"))
+    GraftCatalog.registerLake(spark, "lakes", dir)
+    assert(spark.sql("SELECT payload FROM lakes WHERE k = 1")
+      .head().getString(0) === "p1-v2")
+    assert(spark.sql("SELECT payload FROM lakes_v0 WHERE k = 1")
+      .head().getString(0) === "p1")
+    assert(spark.sql(
+      "SELECT sum(n_rows) FROM lakes_meta").head().getLong(0) === 10L)
+  }
 }
