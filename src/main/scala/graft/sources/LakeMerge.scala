@@ -311,9 +311,12 @@ object LakeMerge {
         require(m.partitions.nonEmpty, s"$dir snapshot has no data")
         readEntries(spark, dir, m, m.partitions.take(1)).limit(0)
       }
-    // merge-on-read: anti-join pending deletion vectors out. The
-    // delete sets are CDC-batch-sized, so the anti-join broadcasts —
-    // the read-side price of not rewriting a partition per delete.
+    // merge-on-read: anti-join pending deletion vectors out. Delete
+    // sets are CDC-batch-sized, so the vector side gets an explicit
+    // broadcast hint — the data side must NEVER shuffle for a
+    // 10-row erasure. SIZE-GATED (same pattern as the dedup corpus
+    // broadcasts): a pathological pile-up of un-compacted vectors
+    // falls back to a plain join instead of OOMing the driver.
     val delPaths = entries.flatMap(_.deleteFiles.getOrElse(Nil))
     if (delPaths.isEmpty) data
     else {
@@ -323,9 +326,21 @@ object LakeMerge {
             .select(col(m.dtCol).cast("string"), col(m.keyCol))
         }
         .reduce(_.unionByName(_)).distinct()
-      data.join(dels, Seq(m.dtCol, m.keyCol), "left_anti")
+      val f = fs(spark, dir)
+      val vectorBytes = delPaths
+        .map(p => f.getFileStatus(new Path(s"$dir/$p")).getLen).sum
+      val hinted =
+        if (vectorBytes <= MaxBroadcastVectorBytes) broadcast(dels)
+        else dels
+      data.join(hinted, Seq(m.dtCol, m.keyCol), "left_anti")
     }
   }
+
+  /** Vector-side broadcast cap for the merge-on-read anti-join:
+    * parquet bytes on disk, well under executor broadcast budgets
+    * even at high compression ratios.
+    */
+  val MaxBroadcastVectorBytes: Long = 64L * 1024 * 1024
 
   /** "data/vN-attempt" prefix of a table-relative file path. */
   private def versionDirOf(p: String): String =

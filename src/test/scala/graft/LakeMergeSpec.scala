@@ -540,6 +540,19 @@ class LakeMergeSpec extends SparkSpec {
       "the deleted key must not resurface through a pruned read")
   }
 
+  test("merge-on-read anti-join broadcasts the vector side: the data " +
+    "side never shuffles for a small erasure") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    LakeMerge.deleteKeys(spark, dir, Seq((1L, "2024-02")).toDF("k", "dt"))
+    val p = LakeMerge.read(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"vector anti-join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a small erasure must not sort-merge the table:\n$p")
+  }
+
   test("readForKeys skips partitions whose key-range stats exclude " +
     "the probe — data skipping without opening a file") {
     val dir = tempTable()
