@@ -553,6 +553,57 @@ class LakeMergeSpec extends SparkSpec {
       s"a small erasure must not sort-merge the table:\n$p")
   }
 
+  test("a watermarked feed consumer maintains a standing aggregate " +
+    "across commits — including one pull spanning two collapsed " +
+    "commits — and always matches the recompute") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    // standing view: rows per dt, built once at v0
+    def recompute(): Map[String, Long] =
+      LakeMerge.read(spark, dir).groupBy("dt").count()
+        .as[(String, Long)].collect().toMap
+    var view = recompute()
+    var lastSeen = 0
+    def pullAndApply(): Unit = {
+      val latest = LakeMerge.latestVersion(spark, dir)
+      if (latest > lastSeen) {
+        val deltas = LakeMerge
+          .changes(spark, dir, lastSeen, Some(latest),
+            updatePreimages = true)
+          .select("_change_type", "dt")
+          .as[(String, String)].collect()
+        for ((ct, dt) <- deltas) ct match {
+          case "insert"           => view += dt -> (view.getOrElse(dt, 0L) + 1)
+          case "delete"           => view += dt -> (view(dt) - 1)
+          case "update_preimage"  => view += dt -> (view(dt) - 1)
+          case "update_postimage" => view += dt -> (view(dt) + 1)
+        }
+        view = view.filter(_._2 > 0)
+        lastSeen = latest
+      }
+    }
+    // commit 1: insert + update, pull immediately
+    LakeMerge.merge(spark, dir,
+      Seq((100L, "2024-01", "n1", 1L), (1L, "2024-02", "p1-v2", 1L))
+        .toDF("k", "dt", "payload", "seq"))
+    pullAndApply()
+    assert(view === recompute(), "view diverged after commit 1")
+    // commits 2+3 land BEFORE the next pull: the consumer sees one
+    // collapsed diff (k=100 updated then deleted nets to one delete)
+    LakeMerge.merge(spark, dir,
+      Seq((100L, "2024-01", "n1-v2", 2L), (200L, "2024-03", "n2", 2L))
+        .toDF("k", "dt", "payload", "seq"))
+    LakeMerge.merge(spark, dir,
+      Seq((100L, "2024-01", "x", 3L, LakeMerge.Delete))
+        .toDF("k", "dt", "payload", "seq", "op"), Some("op"))
+    pullAndApply()
+    assert(view === recompute(), "view diverged after collapsed pull")
+    assert(lastSeen === 3)
+    // an idle pull is a no-op
+    pullAndApply()
+    assert(view === recompute())
+  }
+
   test("readForKeys skips partitions whose key-range stats exclude " +
     "the probe — data skipping without opening a file") {
     val dir = tempTable()
