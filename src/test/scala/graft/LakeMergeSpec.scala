@@ -604,6 +604,43 @@ class LakeMergeSpec extends SparkSpec {
     assert(view === recompute())
   }
 
+  test("CDC envelopes replicate a source table into the lake: " +
+    "c/u/d/r images apply through MERGE, malformed payloads " +
+    "dead-letter — nothing silent") {
+    import graft.sources.CdcEnvelope
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    val rowSchema = new org.apache.spark.sql.types.StructType()
+      .add("k", "long").add("dt", "string").add("payload", "string")
+    val envs = Seq(
+      """{"op":"c","after":{"k":100,"dt":"2024-01","payload":"created"},"ts_ms":1,"seq":10}""",
+      """{"op":"u","before":{"k":1,"dt":"2024-02","payload":"p1"},"after":{"k":1,"dt":"2024-02","payload":"updated"},"ts_ms":2,"seq":11}""",
+      """{"op":"d","before":{"k":4,"dt":"2024-02","payload":"p4"},"ts_ms":3,"seq":12}""",
+      """{"op":"r","after":{"k":101,"dt":"2024-03","payload":"snap"},"ts_ms":4}""",
+      """not json at all""",
+      """{"op":"x","after":{"k":9,"dt":"2024-01","payload":"nope"},"seq":13}""",
+      """{"op":"d","after":{"k":9,"dt":"2024-01","payload":"noimage"},"seq":14}""")
+      .toDF("json")
+    val batch = CdcEnvelope.toMergeBatch(envs, "json", rowSchema)
+      .withColumnRenamed("_cdc_seq", "seq")
+    assert(batch.count() === 4)
+    // the snapshot-read without seq fell back to ts_ms
+    assert(batch.filter(col("k") === 101).select("seq")
+      .head().getLong(0) === 4L)
+    val dead = CdcEnvelope.deadLetters(envs, "json", rowSchema)
+      .as[String].collect().toSet
+    assert(dead.size === 3 && dead.exists(_.startsWith("not json")),
+      s"bad payloads must surface, not vanish: $dead")
+    LakeMerge.merge(spark, dir, batch, Some("_cdc_op"))
+    val got = rows(LakeMerge.read(spark, dir))
+    assert(got.contains((100L, "2024-01", "created")))
+    assert(got.contains((1L, "2024-02", "updated")))
+    assert(got.contains((101L, "2024-03", "snap")))
+    assert(!got.exists(r => r._1 == 4L && r._2 == "2024-02"),
+      "the delete image must remove its row")
+    assert(got.size === 30 + 2 - 1)
+  }
+
   test("readForKeys skips partitions whose key-range stats exclude " +
     "the probe — data skipping without opening a file") {
     val dir = tempTable()
