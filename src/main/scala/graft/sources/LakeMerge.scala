@@ -401,10 +401,17 @@ object LakeMerge {
     // columns widen the table — existing rows (and files) read as
     // typed nulls, zero rewrites outside the batch's partitions.
     // Without it the batch must conform (extra columns are dropped).
-    val newCols =
-      if (!evolveSchema) Nil
-      else b0.columns.filterNot(c =>
-        c == "_op" || m.columns.contains(c)).toList
+    val extras = b0.columns.filterNot(c =>
+      c == "_op" || m.columns.contains(c)).toList
+    // extra batch columns must be handled EXPLICITLY: silently
+    // dropping them once turned a forgotten opCol into deletes
+    // applied as upserts of their before-images — a semantics change
+    // no one sees. Widen with evolveSchema, or drop/rename upstream.
+    require(evolveSchema || extras.isEmpty,
+      s"batch carries columns the table lacks: ${extras.mkString(", ")}" +
+        " — pass evolveSchema=true to widen the schema, or drop/" +
+        "rename them (forgot opCol for an op column?)")
+    val newCols = if (evolveSchema) extras else Nil
     val outCols = m.columns ++ newCols
     val affected = b.select(col(m.dtCol)).distinct()
       .collect().map(_.getString(0)).toSet // bounded: batch's dt span

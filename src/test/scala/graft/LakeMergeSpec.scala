@@ -641,6 +641,69 @@ class LakeMergeSpec extends SparkSpec {
     assert(got.size === 30 + 2 - 1)
   }
 
+  test("the full replication pipe as a stream: envelope files → parse " +
+    "→ exactly-once MERGE, dead letters appended per batch — and a " +
+    "replayed batch double-applies neither") {
+    import graft.sources.CdcEnvelope
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    val rowSchema = new org.apache.spark.sql.types.StructType()
+      .add("k", "long").add("dt", "string").add("payload", "string")
+    val srcDir = Files.createTempDirectory("graft_cdcstream").toString
+    val ckpt = Files.createTempDirectory("graft_cdcckpt").toString
+    val dlqDir = Files.createTempDirectory("graft_cdcdlq").toString
+    Files.writeString(java.nio.file.Paths.get(s"$srcDir/f0.json"),
+      """{"op":"c","after":{"k":100,"dt":"2024-01","payload":"c0"},"seq":10}""" +
+        "\n" + """garbage line""")
+    Files.writeString(java.nio.file.Paths.get(s"$srcDir/f1.json"),
+      """{"op":"d","before":{"k":1,"dt":"2024-02","payload":"p1"},"seq":20}""")
+    val apply: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (raw, batchId) => {
+        CdcEnvelope.deadLetters(raw, "value", rowSchema)
+          .write.mode("append").parquet(dlqDir)
+        LakeMerge.streamingMergeBatch(dir, "cdcApp",
+          opCol = Some("_cdc_op"))(
+          CdcEnvelope.toMergeBatch(raw, "value", rowSchema)
+            .withColumnRenamed("_cdc_seq", "seq"), batchId)
+      }
+    val q = spark.readStream.option("maxFilesPerTrigger", 1)
+      .text(s"$srcDir/*.json")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(apply)
+      .start()
+    q.awaitTermination(120000)
+    val got = rows(LakeMerge.read(spark, dir))
+    assert(got.contains((100L, "2024-01", "c0")))
+    assert(!got.exists(r => r._1 == 1L && r._2 == "2024-02"))
+    assert(got.size === 30)
+    assert(LakeMerge.lastTxn(spark, dir, "cdcApp") === Some(1L))
+    val dead = spark.read.parquet(dlqDir).as[String].collect().toSeq
+    assert(dead === Seq("garbage line"))
+    // replay batch 1 with different content: the watermark rejects it
+    val v = LakeMerge.latestVersion(spark, dir)
+    apply(Seq("""{"op":"c","after":{"k":999,"dt":"2024-01","payload":"dup"},"seq":99}""")
+      .toDF("value"), 1L)
+    assert(LakeMerge.latestVersion(spark, dir) === v)
+    assert(!rows(LakeMerge.read(spark, dir)).exists(_._1 == 999L))
+  }
+
+  test("merge REFUSES a batch with unhandled extra columns — the " +
+    "forgotten-opCol mistake fails loudly instead of applying " +
+    "deletes as upserts") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    val batch = Seq((1L, "2024-02", "x", 1L, LakeMerge.Delete))
+      .toDF("k", "dt", "payload", "seq", "op") // op NOT passed as opCol
+    val e = intercept[IllegalArgumentException] {
+      LakeMerge.merge(spark, dir, batch)
+    }
+    assert(e.getMessage.contains("op"))
+    // handled explicitly, the same batch applies fine
+    LakeMerge.merge(spark, dir, batch, Some("op"))
+    assert(!rows(LakeMerge.read(spark, dir)).exists(_._1 == 1L))
+  }
+
   test("readForKeys skips partitions whose key-range stats exclude " +
     "the probe — data skipping without opening a file") {
     val dir = tempTable()
