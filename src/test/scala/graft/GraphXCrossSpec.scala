@@ -31,6 +31,19 @@ class GraphXCrossSpec extends SparkSpec {
         s"doc $doc: propagate said $label, GraphX said ${cc(doc)}")
   }
 
+  test("q_report_components ≡ GraphX connectedComponents on the " +
+    "report graph — third independent implementation, same rows") {
+    val ours = SparkEntry.queries("q_report_components")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = graft.operators.Graph.reportEdges(spark, sf)
+      .collect().map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val g = Graph.fromEdges(spark.sparkContext.parallelize(edges.toSeq), 1)
+    val cc = g.connectedComponents().vertices.collect()
+      .map { case (v, l) => v -> l }.toMap
+    assert(ours === cc,
+      "propagation disagrees with GraphX on the report graph")
+  }
+
   test("q_report_triangles ≡ GraphX triangleCount on the same graph") {
     val ours = SparkEntry.queries("q_report_triangles")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
