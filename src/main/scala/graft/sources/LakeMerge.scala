@@ -128,7 +128,8 @@ object LakeMerge {
       keyCol: String, orderCol: String, columns: List[String],
       partitions: List[PartitionEntry],
       txn: Option[Map[String, Long]] = None,
-      schemaDdl: Option[String] = None)
+      schemaDdl: Option[String] = None,
+      committedAtMs: Option[Long] = None)
 
   val Upsert = "upsert"
   val Delete = "delete"
@@ -182,9 +183,66 @@ object LakeMerge {
         // won the claim between the two calls
         case e: java.io.IOException => if (f.exists(p)) lost() else throw e
       }
-    try out.write(Serialization.write(m).getBytes("UTF-8"))
+    // wall-clock commit stamp: powers history() and age-based
+    // expiry; NOT part of any correctness contract (version order is)
+    val stamped = m.copy(committedAtMs = Some(System.currentTimeMillis()))
+    try out.write(Serialization.write(stamped).getBytes("UTF-8"))
     finally out.close()
     m.version
+  }
+
+  /** DESCRIBE HISTORY: one row per retained snapshot — version,
+    * parent, commit wall-clock, live partition/row totals, and the
+    * txn watermark map — straight from the manifests (a
+    * LocalRelation; no data file opened). Vacuumed versions are
+    * absent by construction.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val f = fs(spark, dir)
+    val latest = latestVersion(spark, dir)
+    import spark.implicits._
+    (0 to latest).flatMap { v =>
+      if (!f.exists(manifestPath(dir, v))) None
+      else {
+        val m = manifest(spark, dir, Some(v))
+        Some((m.version, m.parent,
+          m.committedAtMs.map(ms => new java.sql.Timestamp(ms)),
+          m.partitions.size.toLong, m.partitions.map(_.rows).sum,
+          m.txn.getOrElse(Map.empty).map { case (a, b) => s"$a=$b" }
+            .toList.sorted.mkString(",")))
+      }
+    }.toDF("version", "parent", "committed_at", "n_partitions",
+      "n_rows", "txn").orderBy("version")
+  }
+
+  /** Age-based snapshot expiry (the `expire_snapshots` analog):
+    * drop every snapshot committed before `olderThanMs` — always
+    * retaining the latest — then vacuum data dirs no surviving
+    * snapshot references. Returns expired versions.
+    */
+  def vacuumExpired(spark: SparkSession, dir: String,
+      olderThanMs: Long): Seq[Int] = {
+    val f = fs(spark, dir)
+    val latest = latestVersion(spark, dir)
+    val expired = (0 until latest).filter { v =>
+      f.exists(manifestPath(dir, v)) &&
+        manifest(spark, dir, Some(v)).committedAtMs
+          .forall(_ < olderThanMs) // unstamped legacy snapshots expire
+    }
+    if (expired.isEmpty) return Nil
+    // survivors pin their data + vector dirs; everything else goes
+    val survivors = ((0 to latest).toSet -- expired).toList.sorted
+    val live = survivors
+      .flatMap(v => manifest(spark, dir, Some(v)).partitions.flatMap(e =>
+        e.dir :: e.deleteFiles.getOrElse(Nil).map(versionDirOf)))
+      .toSet
+    expired.foreach(v => f.delete(manifestPath(dir, v), false))
+    val dataRoot = new Path(s"$dir/data")
+    if (f.exists(dataRoot))
+      f.listStatus(dataRoot).toSeq.map(_.getPath)
+        .filter(p => !live(s"data/${p.getName}"))
+        .foreach(p => f.delete(p, true))
+    expired
   }
 
   /** Write `rows` (already winner-resolved) as version-`v` data files

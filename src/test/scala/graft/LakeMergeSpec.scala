@@ -704,6 +704,40 @@ class LakeMergeSpec extends SparkSpec {
     assert(!rows(LakeMerge.read(spark, dir)).exists(_._1 == 1L))
   }
 
+  test("history lists every retained snapshot from the manifests " +
+    "alone; age-based expiry drops old snapshots, never the latest") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    LakeMerge.merge(spark, dir,
+      Seq((1L, "2024-02", "p1-v2", 1L)).toDF("k", "dt", "payload", "seq"),
+      txn = Some("app" -> 0L))
+    LakeMerge.merge(spark, dir,
+      Seq((2L, "2024-03", "p2-v3", 2L)).toDF("k", "dt", "payload", "seq"),
+      txn = Some("app" -> 1L))
+    val h = LakeMerge.history(spark, dir)
+    assert(h.inputFiles.isEmpty, "history must not open data files")
+    val rows3 = h.collect()
+    assert(rows3.map(_.getInt(0)).toSeq === Seq(0, 1, 2))
+    assert(rows3.map(_.getInt(1)).toSeq === Seq(-1, 0, 1))
+    assert(rows3.forall(!_.isNullAt(2)), "commit stamps must be present")
+    assert(rows3.map(_.getLong(4)).toSeq === Seq(30L, 30L, 30L))
+    assert(rows3.last.getString(5) === "app=1")
+    // expire everything committed before "the future": only the
+    // latest survives, by contract
+    val expired = LakeMerge.vacuumExpired(spark, dir,
+      System.currentTimeMillis() + 60000)
+    assert(expired === Seq(0, 1))
+    assert(LakeMerge.history(spark, dir).collect()
+      .map(_.getInt(0)).toSeq === Seq(2))
+    // latest still reads; expired versions are gone
+    assert(rows(LakeMerge.read(spark, dir))
+      .contains((2L, "2024-03", "p2-v3")))
+    intercept[Exception] { LakeMerge.read(spark, dir, Some(0)).count() }
+    // idempotent: nothing left to expire
+    assert(LakeMerge.vacuumExpired(spark, dir,
+      System.currentTimeMillis() + 60000) === Nil)
+  }
+
   test("readForKeys skips partitions whose key-range stats exclude " +
     "the probe — data skipping without opening a file") {
     val dir = tempTable()
