@@ -100,5 +100,7 @@ object GraftCatalog {
     }
     LakeMerge.metaStats(spark, dir)
       .createOrReplaceTempView(s"${name}_meta")
+    LakeMerge.history(spark, dir)
+      .createOrReplaceTempView(s"${name}_history")
   }
 }

@@ -114,5 +114,7 @@ class ExtensionsSpec extends SparkSpec {
       .head().getString(0) === "p1")
     assert(spark.sql(
       "SELECT sum(n_rows) FROM lakes_meta").head().getLong(0) === 10L)
+    assert(spark.sql("SELECT version FROM lakes_history ORDER BY version")
+      .collect().map(_.getInt(0)).toSeq === Seq(0, 1))
   }
 }

@@ -464,6 +464,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window belongs here:\n$p")
   }
 
+  test("graph queries: every round is hash joins + aggregates — no " +
+    "cartesian, no nested-loop, no global window anywhere") {
+    for (q <- Seq("q_suspicion_rank", "q_mutual_reports",
+        "q_report_triangles", "q_report_components")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"),
+        s"$q must not plan a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q must not plan a nested-loop join:\n$p")
+      // graph rounds are joins + aggregates by construction: any
+      // WindowExec appearing here means a sort snuck in
+      assert(!p.contains("Window"), s"$q plans a window:\n$p")
+    }
+  }
+
   private implicit class SubstrAfter(private val s: String) {
     def substringAfter(sep: String): String = {
       val i = s.indexOf(sep)
