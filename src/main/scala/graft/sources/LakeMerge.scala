@@ -22,11 +22,15 @@ import graft.{Q, Tables}
   * {{{
   * table/
   *   _manifest/v0.json, v1.json, ...   // one snapshot per commit
-  *   data/v0/dt=2020-01/part-*.parquet // files a commit ADDED
-  *   data/v1/dt=2020-02/part-*.parquet
+  *   data/v0-a1b2/dt=2020-01/part-*.parquet // files a commit ADDED
+  *   data/v1-c3d4/dt=2020-02/part-*.parquet // (attempt-unique dirs)
   * }}}
   * A snapshot lists, per live partition, the directory version that
-  * last rewrote it plus its file names and stats (rows, min/max key).
+  * last rewrote it plus its file names and stats (rows, min/max key,
+  * per-file [[FileStat]]s, clustered-column [[ColRange]]s, pending
+  * [[PartitionEntry.deleteFiles deletion vectors]]), the table's
+  * schema DDL, the streaming txn watermark map, and the commit's
+  * wall-clock stamp.
   * Commits never touch existing files — a merge rewrites ONLY the
   * partitions its batch hits and re-points the manifest; every other
   * partition entry is carried over verbatim. That is the 100 TB
