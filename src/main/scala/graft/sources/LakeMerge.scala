@@ -133,7 +133,8 @@ object LakeMerge {
       partitions: List[PartitionEntry],
       txn: Option[Map[String, Long]] = None,
       schemaDdl: Option[String] = None,
-      committedAtMs: Option[Long] = None)
+      committedAtMs: Option[Long] = None,
+      constraints: Option[Map[String, String]] = None)
 
   val Upsert = "upsert"
   val Delete = "delete"
@@ -193,6 +194,55 @@ object LakeMerge {
     try out.write(Serialization.write(stamped).getBytes("UTF-8"))
     finally out.close()
     m.version
+  }
+
+  /** CHECK-constraint violation: the commit was REFUSED before any
+    * manifest write; `examples` holds up to three offending rows.
+    */
+  final class ConstraintViolation(val name: String, val expr: String,
+      val count: Long, val examples: Seq[String])
+      extends IllegalStateException(
+        s"constraint '$name' ($expr) rejected $count batch row(s); " +
+          s"examples: ${examples.mkString(" | ")}")
+
+  /** Enforce every declared constraint on the batch's UPSERT rows —
+    * fail fast, before a byte is written. Deletes cannot violate a
+    * row constraint; already-written rows were validated by their
+    * own commit (and by [[addConstraint]]'s full-table check).
+    */
+  private def enforce(m: Manifest, upserts: DataFrame): Unit =
+    for ((name, sql) <- m.constraints.getOrElse(Map.empty).toSeq.sortBy(_._1)) {
+      val bad = upserts.filter(!expr(sql))
+      val examples = bad.take(3).map(_.toString).toSeq
+      if (examples.nonEmpty)
+        throw new ConstraintViolation(name, sql, bad.count(), examples)
+    }
+
+  /** Declare a named CHECK constraint (a boolean SQL expression over
+    * the table's columns) — the Delta `ADD CONSTRAINT` analog.
+    * Existing data must already satisfy it (one validating scan, like
+    * Delta's), then a METADATA-ONLY commit records it; every later
+    * [[merge]] refuses batches that violate it. Returns the committed
+    * version.
+    */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+      sql: String): Int = {
+    val m = manifest(spark, dir)
+    val bad = read(spark, dir).filter(!expr(sql))
+    val examples = bad.take(3).map(_.toString).toSeq
+    if (examples.nonEmpty)
+      throw new ConstraintViolation(name, sql, bad.count(), examples)
+    commit(spark, dir, m.copy(version = m.version + 1, parent = m.version,
+      constraints = Some(m.constraints.getOrElse(Map.empty) + (name -> sql))))
+  }
+
+  /** Remove a constraint (metadata-only commit). */
+  def dropConstraint(spark: SparkSession, dir: String,
+      name: String): Int = {
+    val m = manifest(spark, dir)
+    val left = m.constraints.getOrElse(Map.empty) - name
+    commit(spark, dir, m.copy(version = m.version + 1, parent = m.version,
+      constraints = if (left.isEmpty) None else Some(left)))
   }
 
   /** DESCRIBE HISTORY: one row per retained snapshot — version,
@@ -475,6 +525,8 @@ object LakeMerge {
         "rename them (forgot opCol for an op column?)")
     val newCols = if (evolveSchema) extras else Nil
     val outCols = m.columns ++ newCols
+    // CHECK constraints veto the batch BEFORE any write
+    enforce(m, b0.filter(col("_op") =!= Delete).drop("_op"))
     val affected = b.select(col(m.dtCol)).distinct()
       .collect().map(_.getString(0)).toSet // bounded: batch's dt span
     val (hit, kept) = m.partitions.partition(e => affected(e.dt))
@@ -494,7 +546,8 @@ object LakeMerge {
     commit(spark, dir, Manifest(v, m.version, m.dtCol, m.keyCol,
       m.orderCol, outCols, kept ++ entries,
       if (txns.isEmpty) None else Some(txns),
-      schemaDdl = Some(winners.schema.toDDL)))
+      schemaDdl = Some(winners.schema.toDDL),
+      constraints = m.constraints))
   }
 
   /** Highest batchId the app `appId` has durably merged (from the
@@ -728,7 +781,8 @@ object LakeMerge {
     val entries = writeVersion(spark, dir, v, data, m.dtCol, m.keyCol,
       Some(layout), statCols = clusterCols.filterNot(_ == m.keyCol))
     commit(spark, dir, Manifest(v, m.version, m.dtCol, m.keyCol,
-      m.orderCol, m.columns, carried ++ entries, m.txn, m.schemaDdl))
+      m.orderCol, m.columns, carried ++ entries, m.txn, m.schemaDdl,
+      constraints = m.constraints))
   }
 
   /** Multi-column stats-skipped read: keep only partitions and files

@@ -738,6 +738,46 @@ class LakeMergeSpec extends SparkSpec {
       System.currentTimeMillis() + 60000) === Nil)
   }
 
+  test("CHECK constraints: ADD validates existing data, violating " +
+    "merges are refused before any write, deletes cannot violate, " +
+    "and DROP lifts the veto") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    // a constraint today's data violates cannot be declared
+    intercept[LakeMerge.ConstraintViolation] {
+      LakeMerge.addConstraint(spark, dir, "k_small", "k < 10")
+    }
+    // metadata-only commit: same partitions, new version
+    val m0 = LakeMerge.manifest(spark, dir)
+    assert(LakeMerge.addConstraint(spark, dir, "k_nonneg", "k >= 0") === 1)
+    assert(LakeMerge.manifest(spark, dir).partitions === m0.partitions)
+    // a violating batch is refused with the constraint's name and an
+    // example row — and NOTHING was committed
+    val ex = intercept[LakeMerge.ConstraintViolation] {
+      LakeMerge.merge(spark, dir,
+        Seq((-5L, "2024-01", "bad", 1L)).toDF("k", "dt", "payload", "seq"))
+    }
+    assert(ex.name === "k_nonneg" && ex.count === 1)
+    assert(LakeMerge.latestVersion(spark, dir) === 1)
+    // deletes cannot violate a row constraint
+    LakeMerge.merge(spark, dir,
+      Seq((0L, "2024-01", "x", 1L, LakeMerge.Delete))
+        .toDF("k", "dt", "payload", "seq", "op"), Some("op"))
+    // a clean batch applies and carries the constraint forward
+    LakeMerge.merge(spark, dir,
+      Seq((500L, "2024-01", "ok", 2L)).toDF("k", "dt", "payload", "seq"))
+    intercept[LakeMerge.ConstraintViolation] {
+      LakeMerge.merge(spark, dir,
+        Seq((-6L, "2024-01", "bad", 3L)).toDF("k", "dt", "payload", "seq"))
+    }
+    // DROP lifts the veto
+    LakeMerge.dropConstraint(spark, dir, "k_nonneg")
+    LakeMerge.merge(spark, dir,
+      Seq((-6L, "2024-01", "now-ok", 4L)).toDF("k", "dt", "payload", "seq"))
+    assert(rows(LakeMerge.read(spark, dir))
+      .contains((-6L, "2024-01", "now-ok")))
+  }
+
   test("readForKeys skips partitions whose key-range stats exclude " +
     "the probe — data skipping without opening a file") {
     val dir = tempTable()
