@@ -245,6 +245,23 @@ object LakeMerge {
       constraints = if (left.isEmpty) None else Some(left)))
   }
 
+  /** RESTORE: roll the table back to snapshot `toVersion` as a NEW
+    * commit whose partition list is the old snapshot's — pure
+    * metadata, zero data rewritten (COW makes every old file still
+    * live). History stays linear and auditable: the bad merge and
+    * the restore both remain visible, exactly Delta's RESTORE
+    * semantics. The restored snapshot must still be readable (not
+    * vacuumed); table-level metadata (schema, constraints, txn
+    * watermarks) stays CURRENT — restore rewinds data, not the
+    * contract with writers.
+    */
+  def restore(spark: SparkSession, dir: String, toVersion: Int): Int = {
+    val cur = manifest(spark, dir)
+    val old = manifest(spark, dir, Some(toVersion))
+    commit(spark, dir, cur.copy(version = cur.version + 1,
+      parent = cur.version, partitions = old.partitions))
+  }
+
   /** DESCRIBE HISTORY: one row per retained snapshot — version,
     * parent, commit wall-clock, live partition/row totals, and the
     * txn watermark map — straight from the manifests (a

@@ -778,6 +778,31 @@ class LakeMergeSpec extends SparkSpec {
       .contains((-6L, "2024-01", "now-ok")))
   }
 
+  test("restore rolls back to an earlier snapshot as a metadata-only " +
+    "commit: zero rewrites, linear auditable history, and vacuum " +
+    "keeps the revived files alive") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    val before = rows(LakeMerge.read(spark, dir))
+    // the "bad" merge restore will undo
+    LakeMerge.merge(spark, dir,
+      Seq((1L, "2024-02", "oops", 1L), (100L, "2024-01", "oops2", 1L))
+        .toDF("k", "dt", "payload", "seq"))
+    assert(rows(LakeMerge.read(spark, dir)) !== before)
+    val v = LakeMerge.restore(spark, dir, 0)
+    assert(v === 2)
+    assert(rows(LakeMerge.read(spark, dir)) === before)
+    // metadata-only: the restored entries ARE v0's entries
+    assert(LakeMerge.manifest(spark, dir).partitions.toSet ===
+      LakeMerge.manifest(spark, dir, Some(0)).partitions.toSet)
+    // history stays linear — the bad merge remains auditable
+    assert(LakeMerge.history(spark, dir).collect()
+      .map(_.getInt(0)).toSeq === Seq(0, 1, 2))
+    // vacuum to the latest: the revived v0 dirs must survive
+    LakeMerge.vacuum(spark, dir, keepLast = 1)
+    assert(rows(LakeMerge.read(spark, dir)) === before)
+  }
+
   test("readForKeys skips partitions whose key-range stats exclude " +
     "the probe — data skipping without opening a file") {
     val dir = tempTable()
