@@ -134,7 +134,8 @@ object LakeMerge {
       txn: Option[Map[String, Long]] = None,
       schemaDdl: Option[String] = None,
       committedAtMs: Option[Long] = None,
-      constraints: Option[Map[String, String]] = None)
+      constraints: Option[Map[String, String]] = None,
+      clusteredBy: Option[List[String]] = None)
 
   val Upsert = "upsert"
   val Delete = "delete"
@@ -558,13 +559,18 @@ object LakeMerge {
     }
     val winners = resolve(combined, m.dtCol, m.keyCol, m.orderCol)
       .select(outCols.map(col): _*)
-    val entries = writeVersion(spark, dir, v, winners, m.dtCol, m.keyCol)
+    // a clustered table keeps recording its clustering columns' file
+    // stats on every rewrite, so readForRanges skipping does not
+    // silently degrade as CDC batches land after an OPTIMIZE
+    val entries = writeVersion(spark, dir, v, winners, m.dtCol, m.keyCol,
+      statCols = m.clusteredBy.getOrElse(Nil).filter(outCols.contains))
     val txns = m.txn.getOrElse(Map.empty) ++ txn
     commit(spark, dir, Manifest(v, m.version, m.dtCol, m.keyCol,
       m.orderCol, outCols, kept ++ entries,
       if (txns.isEmpty) None else Some(txns),
       schemaDdl = Some(winners.schema.toDDL),
-      constraints = m.constraints))
+      constraints = m.constraints,
+      clusteredBy = m.clusteredBy))
   }
 
   /** Highest batchId the app `appId` has durably merged (from the
@@ -795,11 +801,18 @@ object LakeMerge {
       .repartitionByRange(nTasks, col(m.dtCol), clusterExpr)
       .sortWithinPartitions(col(m.dtCol), clusterExpr)
     val v = m.version + 1
+    // a key-sort compact of a previously-clustered table keeps
+    // maintaining the clustered columns' stats (ranges stay valid,
+    // just not tight); explicit clusterCols re-cluster and re-declare
+    val statCols = (if (clusterCols.nonEmpty) clusterCols
+      else m.clusteredBy.getOrElse(Nil)).filterNot(_ == m.keyCol)
     val entries = writeVersion(spark, dir, v, data, m.dtCol, m.keyCol,
-      Some(layout), statCols = clusterCols.filterNot(_ == m.keyCol))
+      Some(layout), statCols = statCols)
     commit(spark, dir, Manifest(v, m.version, m.dtCol, m.keyCol,
       m.orderCol, m.columns, carried ++ entries, m.txn, m.schemaDdl,
-      constraints = m.constraints))
+      constraints = m.constraints,
+      clusteredBy = if (clusterCols.isEmpty) m.clusteredBy
+        else Some(clusterCols.toList)))
   }
 
   /** Multi-column stats-skipped read: keep only partitions and files

@@ -498,6 +498,17 @@ class LakeMergeSpec extends SparkSpec {
       Map("x" -> (0L, 7L), "y" -> (0L, 7L)))
     assert(pxy.inputFiles.length <= px.inputFiles.length)
     assert(pxy.count() === 64)
+    // the clustering declaration persists: a later CDC merge into the
+    // partition keeps recording x/y stats, so range skipping stays
+    // available after the rewrite instead of silently degrading
+    LakeMerge.merge(spark, dir,
+      Seq((5000L, "D", 9L, 9L, 1L)).toDF("k", "dt", "x", "y", "seq"))
+    val e2 = LakeMerge.manifest(spark, dir).partitions.head
+    assert(e2.dir.startsWith("data/v2"), "merge rewrote the partition")
+    assert(e2.colRanges.exists(_.map(_.col).toSet == Set("x", "y")),
+      "post-merge entries must keep the clustered columns' stats")
+    assert(LakeMerge.readForRanges(spark, dir, Map("y" -> (9L, 9L)))
+      .count() === 64 + 1)
   }
 
   test("a losing writer's attempt dir is an orphan that vacuum " +
