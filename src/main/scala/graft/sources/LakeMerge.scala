@@ -1225,6 +1225,38 @@ object LakeMerge {
        |WHERE k % 3 <> 0
        |ORDER BY k""".stripMargin)
 
+  // --------------------------------------------------------------- L18
+  /** RESTORE, read back at corpus scale: init → a CDC merge that
+    * mangles the table → `restore(0)` → read. The oracle is the
+    * INITIAL state — proving the metadata-only rollback reproduces
+    * it exactly through the restored manifest's revived entries.
+    * Own memoized table: restoring the shared COW demo would move
+    * its latest pointer under the version-pinned sibling queries.
+    */
+  private val restoreCache =
+    graft.Artifacts.cache[String]("lake.restoredTable")
+
+  private def restoredTable(s: SparkSession, dir: String): String =
+    restoreCache.getOrElseUpdate(s, dir) {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_restore").toString
+      val base = ordersBase(s, dir)
+      init(s, tmp, base, "dt", "k", "seq")
+      val mangle = base.filter(col("k") % 2 === 0)
+        .withColumn("price_cents", -col("price_cents"))
+        .withColumn("seq", lit(1L))
+      merge(s, tmp, mangle)
+      restore(s, tmp, 0)
+      tmp
+    }
+
+  val lRestoreRead: Q = Q(
+    (s, dir) => read(s, restoredTable(s, dir))
+      .select("k", "dt", "cust", "price_cents").orderBy("k"),
+    s"""WITH base AS ($ordersBaseSql)
+       |SELECT k, dt, cust, price_cents FROM base
+       |ORDER BY k""".stripMargin)
+
   val registry: Map[String, Q] = Map(
     "l_merge_upsert" -> lMergeUpsert,
     "l_merge_history" -> lMergeHistory,
@@ -1232,5 +1264,6 @@ object LakeMerge {
     "l_compact_read" -> lCompactRead,
     "l_incr_agg" -> lIncrAgg,
     "l_meta_stats" -> lMetaStats,
-    "l_mor_delete" -> lMorDelete)
+    "l_mor_delete" -> lMorDelete,
+    "l_restore_read" -> lRestoreRead)
 }
