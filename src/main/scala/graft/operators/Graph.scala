@@ -38,14 +38,38 @@ object Graph {
   private val One = 1000000L
 
   /** Report edges, deduplicated (a reporter counts once per target),
-    * self-reports dropped.
+    * self-reports dropped. An [[graft.Artifacts]] handle shared by all
+    * four graph queries: built once per (session, corpus) and
+    * eagerly checkpointed — the previous per-query `persist()` pinned
+    * a fresh copy in the session's CacheManager on EVERY invocation
+    * and never released it (r11 advice); an unreferenced checkpoint
+    * handle is reclaimed by the ContextCleaner when the registry
+    * drops it.
     */
+  private val edgeCache = graft.Artifacts.cache[DataFrame]("graph.edges")
+
   def reportEdges(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .select(col("user_id").as("src"),
-        get_json_object(col("props"), "$.k").cast("long").as("dst"))
-      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
-      .distinct()
+    edgeCache.getOrElseUpdate(s, dir)(
+      Tables.events(s, dir)
+        .select(col("user_id").as("src"),
+          get_json_object(col("props"), "$.k").cast("long").as("dst"))
+        .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true))
+
+  /** The undirected, deduplicated edge view (one row per unordered
+    * pair) — shared by the triangle and component queries; same
+    * artifact stance as [[reportEdges]].
+    */
+  private val undCache = graft.Artifacts.cache[DataFrame]("graph.und")
+
+  private def undirectedEdges(s: SparkSession, dir: String): DataFrame =
+    undCache.getOrElseUpdate(s, dir) {
+      val e = reportEdges(s, dir)
+      e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct().localCheckpoint(true)
+    }
 
   private val edgesSql =
     """SELECT DISTINCT user_id AS src,
@@ -60,7 +84,7 @@ object Graph {
     * matches DuckDB's floor `//` exactly).
     */
   def suspicionRank(s: SparkSession, dir: String): DataFrame = {
-    val e = reportEdges(s, dir).persist()
+    val e = reportEdges(s, dir)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
@@ -141,10 +165,7 @@ object Graph {
     * replays the same orientation with row-value comparisons.
     */
   def reportTriangles(s: SparkSession, dir: String): DataFrame = {
-    val e = reportEdges(s, dir)
-    val und = e.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct().persist()
+    val und = undirectedEdges(s, dir)
     val deg = und.select(col("a").as("id"))
       .unionAll(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
@@ -201,12 +222,9 @@ object Graph {
     * from a third implementation.
     */
   def reportComponents(s: SparkSession, dir: String): DataFrame = {
-    val e = reportEdges(s, dir)
-    val und = e.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b")).distinct()
+    val und = undirectedEdges(s, dir)
     val sym = und.select(col("a").as("doc_a"), col("b").as("doc_b"))
       .unionAll(und.select(col("b").as("doc_a"), col("a").as("doc_b")))
-      .localCheckpoint(true)
     val labels0 = sym.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     Dedup.propagate(sym, labels0, 30)

@@ -38,13 +38,19 @@ object CdcEnvelope {
   private def parsed(jsonCol: String, rowSchema: StructType): Column =
     from_json(col(jsonCol), envelopeSchema(rowSchema))
 
-  /** An envelope is usable when it parses, has a legal op, and its
-    * image side (before for deletes, after otherwise) is present.
+  /** An envelope is usable when it parses, has a legal op, its
+    * image side (before for deletes, after otherwise) is present, and
+    * it carries a log position (`seq`, or `ts_ms` as fallback). An
+    * envelope with NEITHER has no place in the MERGE total order — a
+    * lit(0) default made same-key winners in a batch nondeterministic
+    * and sorted them below every real log position (r11 advice), so
+    * such rows go to [[deadLetters]] instead.
     */
   private def valid(e: Column): Column =
     e.isNotNull && e.getField("op").isin(Ops: _*) &&
       when(e.getField("op") === "d", e.getField("before").isNotNull)
-        .otherwise(e.getField("after").isNotNull)
+        .otherwise(e.getField("after").isNotNull) &&
+      (e.getField("seq").isNotNull || e.getField("ts_ms").isNotNull)
 
   /** Valid envelopes as a merge-ready batch: the row image's columns,
     * plus `_cdc_op` (the lake's upsert/delete — pass as `opCol`) and
@@ -60,12 +66,13 @@ object CdcEnvelope {
           .otherwise(col("e.after")).as("_row"),
         when(col("e.op") === "d", lit(LakeMerge.Delete))
           .otherwise(lit(LakeMerge.Upsert)).as("_cdc_op"),
-        coalesce(col("e.seq"), col("e.ts_ms"), lit(0L)).as("_cdc_seq"))
+        coalesce(col("e.seq"), col("e.ts_ms")).as("_cdc_seq"))
       .select(col("_row.*"), col("_cdc_op"), col("_cdc_seq"))
   }
 
   /** The reject path: raw payloads that failed to parse, carried an
-    * unknown op, or lacked their image side — never silently dropped.
+    * unknown op, lacked their image side, or carried no log position
+    * (neither `seq` nor `ts_ms`) — never silently dropped.
     */
   def deadLetters(df: DataFrame, jsonCol: String,
       rowSchema: StructType): DataFrame =

@@ -250,15 +250,27 @@ object LakeMerge {
     * commit whose partition list is the old snapshot's — pure
     * metadata, zero data rewritten (COW makes every old file still
     * live). History stays linear and auditable: the bad merge and
-    * the restore both remain visible, exactly Delta's RESTORE
-    * semantics. The restored snapshot must still be readable (not
-    * vacuumed); table-level metadata (schema, constraints, txn
-    * watermarks) stays CURRENT — restore rewinds data, not the
-    * contract with writers.
+    * the restore both remain visible. (Delta's RESTORE also rewinds
+    * table metadata to the old version; here table-level metadata —
+    * schema, constraints, txn watermarks — deliberately stays
+    * CURRENT: restore rewinds data, not the contract with writers.)
+    * The restored snapshot must still be readable (not vacuumed), and
+    * every CURRENT CHECK constraint is re-validated over the restored
+    * data before the commit — a constraint added after `toVersion`
+    * may not hold on the older rows, and later merges only validate
+    * their own batches, so an unchecked restore could park the table
+    * in a violating state (r11 advice).
     */
   def restore(spark: SparkSession, dir: String, toVersion: Int): Int = {
     val cur = manifest(spark, dir)
     val old = manifest(spark, dir, Some(toVersion))
+    cur.constraints.getOrElse(Map.empty).foreach { case (name, sql) =>
+      val bad = readEntries(spark, dir, cur, old.partitions)
+        .filter(!expr(sql))
+      val examples = bad.take(3).map(_.toString).toSeq
+      if (examples.nonEmpty)
+        throw new ConstraintViolation(name, sql, bad.count(), examples)
+    }
     commit(spark, dir, cur.copy(version = cur.version + 1,
       parent = cur.version, partitions = old.partitions))
   }
@@ -302,8 +314,13 @@ object LakeMerge {
           .forall(_ < olderThanMs) // unstamped legacy snapshots expire
     }
     if (expired.isEmpty) return Nil
-    // survivors pin their data + vector dirs; everything else goes
+    // survivors pin their data + vector dirs; everything else goes.
+    // Versions whose manifest is already gone (expired here earlier,
+    // or dropped by vacuum(keepLast)) are skipped — the two retention
+    // APIs must compose (r11 advice: an unguarded manifest() here
+    // crashed after any prior vacuum).
     val survivors = ((0 to latest).toSet -- expired).toList.sorted
+      .filter(v => f.exists(manifestPath(dir, v)))
     val live = survivors
       .flatMap(v => manifest(spark, dir, Some(v)).partitions.flatMap(e =>
         e.dir :: e.deleteFiles.getOrElse(Nil).map(versionDirOf)))
@@ -758,14 +775,22 @@ object LakeMerge {
     * idea). Pure `functions._` arithmetic: stays in codegen.
     */
   private def zValue(cols: Seq[(Column, Long, Long)]): Column = {
+    val n = cols.size
+    // bits/column bounded so the top interleaved bit stays below the
+    // int64 sign bit for ANY column count: 16 bits × 4 columns hit
+    // bit 63 (sign — inverts Z order for top-bucket rows) and 5+
+    // wrapped mod 64, colliding bits (r11 advice). floor(63/n) keeps
+    // every position in [0, 62] while spending all the precision the
+    // width allows.
+    val bits = math.min(16, 63 / n)
+    val maxBucket = (1L << bits) - 1
     val buckets = cols.map { case (c, lo, hi) =>
       val span = math.max(1L, hi - lo).toDouble
-      least(lit(65535L), greatest(lit(0L),
-        ((c.cast("double") - lit(lo.toDouble)) / lit(span) * lit(65535.0))
-          .cast("long")))
+      least(lit(maxBucket), greatest(lit(0L),
+        ((c.cast("double") - lit(lo.toDouble)) / lit(span)
+          * lit(maxBucket.toDouble)).cast("long")))
     }
-    val n = buckets.size
-    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       buckets.zipWithIndex.foldLeft(acc) { case (a, (b, j)) =>
         a.bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * n + j))
       }
@@ -948,7 +973,11 @@ object LakeMerge {
     val f = fs(spark, dir)
     val latest = latestVersion(spark, dir)
     val keepFrom = math.max(0, latest - keepLast + 1)
+    // vacuumExpired may have dropped a manifest INSIDE the retention
+    // window — treat it as already-expired, not an error (the two
+    // retention APIs must compose; r11 advice)
     val live = (keepFrom to latest)
+      .filter(v => f.exists(manifestPath(dir, v)))
       .flatMap(v => manifest(spark, dir, Some(v)).partitions.flatMap(e =>
         // a retained snapshot pins its data dirs AND the dirs its
         // pending deletion vectors live in

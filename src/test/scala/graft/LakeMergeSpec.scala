@@ -630,7 +630,8 @@ class LakeMergeSpec extends SparkSpec {
       """{"op":"r","after":{"k":101,"dt":"2024-03","payload":"snap"},"ts_ms":4}""",
       """not json at all""",
       """{"op":"x","after":{"k":9,"dt":"2024-01","payload":"nope"},"seq":13}""",
-      """{"op":"d","after":{"k":9,"dt":"2024-01","payload":"noimage"},"seq":14}""")
+      """{"op":"d","after":{"k":9,"dt":"2024-01","payload":"noimage"},"seq":14}""",
+      """{"op":"c","after":{"k":9,"dt":"2024-01","payload":"unordered"}}""")
       .toDF("json")
     val batch = CdcEnvelope.toMergeBatch(envs, "json", rowSchema)
       .withColumnRenamed("_cdc_seq", "seq")
@@ -640,8 +641,14 @@ class LakeMergeSpec extends SparkSpec {
       .head().getLong(0) === 4L)
     val dead = CdcEnvelope.deadLetters(envs, "json", rowSchema)
       .as[String].collect().toSet
-    assert(dead.size === 3 && dead.exists(_.startsWith("not json")),
+    // rejects: unparseable, unknown op, missing image, and the
+    // envelope with NEITHER seq nor ts_ms (no place in the MERGE
+    // total order — a default would make same-key winners
+    // nondeterministic; r11 advice)
+    assert(dead.size === 4 && dead.exists(_.startsWith("not json")),
       s"bad payloads must surface, not vanish: $dead")
+    assert(dead.exists(_.contains("unordered")),
+      "an envelope with no log position must dead-letter")
     LakeMerge.merge(spark, dir, batch, Some("_cdc_op"))
     val got = rows(LakeMerge.read(spark, dir))
     assert(got.contains((100L, "2024-01", "created")))
@@ -826,5 +833,64 @@ class LakeMergeSpec extends SparkSpec {
     assert(hit.inputFiles.forall(_.contains("dt=B")),
       "stats must skip partition A entirely")
     assert(rows(hit).map(_._1) === (100L to 104L).toSet)
+  }
+
+  test("the two retention APIs compose: vacuum(keepLast) after " +
+    "vacuumExpired and vice versa treat already-missing manifests " +
+    "as expired instead of crashing") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    (1 to 3).foreach { i =>
+      LakeMerge.merge(spark, dir,
+        Seq((i.toLong, "2024-02", s"p$i-v$i", i.toLong))
+          .toDF("k", "dt", "payload", "seq"))
+    }
+    // count-based retention first: keeps v2+v3, drops manifests 0-1
+    LakeMerge.vacuum(spark, dir, keepLast = 2)
+    assert(LakeMerge.history(spark, dir).collect()
+      .map(_.getInt(0)).toSeq === Seq(2, 3))
+    // age-based expiry next: must skip the already-gone manifests
+    // (r11 advice: this crashed with FileNotFoundException), expire
+    // v2, and retain the latest
+    val expired = LakeMerge.vacuumExpired(spark, dir,
+      System.currentTimeMillis() + 60000)
+    assert(expired === Seq(2))
+    assert(LakeMerge.history(spark, dir).collect()
+      .map(_.getInt(0)).toSeq === Seq(3))
+    // and count-based again over the hole-y history: no crash, reads fine
+    assert(LakeMerge.vacuum(spark, dir, keepLast = 2) === Nil)
+    assert(rows(LakeMerge.read(spark, dir))
+      .contains((3L, "2024-02", "p3-v3")))
+    // the other order on a fresh table: expire middles, then vacuum
+    val dir2 = tempTable()
+    LakeMerge.init(spark, dir2, baseDf, "dt", "k", "seq")
+    LakeMerge.merge(spark, dir2,
+      Seq((1L, "2024-02", "x", 1L)).toDF("k", "dt", "payload", "seq"))
+    LakeMerge.vacuumExpired(spark, dir2, System.currentTimeMillis() + 60000)
+    assert(LakeMerge.vacuum(spark, dir2, keepLast = 5) === Nil)
+    assert(rows(LakeMerge.read(spark, dir2)).contains((1L, "2024-02", "x")))
+  }
+
+  test("restore re-validates CURRENT constraints over the restored " +
+    "snapshot: rolling back to data that violates a since-declared " +
+    "CHECK is refused") {
+    val dir = tempTable()
+    val withBad = baseDf.unionByName(
+      Seq((-1L, "2024-01", "neg", 0L)).toDF("k", "dt", "payload", "seq"))
+    LakeMerge.init(spark, dir, withBad, "dt", "k", "seq")       // v0
+    LakeMerge.merge(spark, dir,                                  // v1
+      Seq((-1L, "2024-01", "neg", 1L, LakeMerge.Delete))
+        .toDF("k", "dt", "payload", "seq", "op"), Some("op"))
+    LakeMerge.addConstraint(spark, dir, "k_nonneg", "k >= 0")    // v2
+    val latest = LakeMerge.manifest(spark, dir).version
+    // v0 holds k = -1 — restoring it would violate k_nonneg
+    intercept[LakeMerge.ConstraintViolation] {
+      LakeMerge.restore(spark, dir, 0)
+    }
+    assert(LakeMerge.manifest(spark, dir).version === latest,
+      "a refused restore must not commit")
+    // v1 satisfies the constraint: restore proceeds
+    LakeMerge.restore(spark, dir, 1)
+    assert(!rows(LakeMerge.read(spark, dir)).exists(_._1 < 0))
   }
 }
