@@ -1136,6 +1136,38 @@ object Analytics {
       |  FROM events) WHERE rn <= 3
       |ORDER BY user_id, event_id""".stripMargin)
 
+  /** E26's TIE-AWARE sibling: `rank() <= k` — "the top two value
+    * buckets per user, boundary ties kept whole". rank's contract
+    * differs from row_number's exactly at the boundary: every row
+    * tying the k-th is retained, so no tiebreak column is needed for
+    * a deterministic OUTPUT SET (the set is closed under ties — the
+    * reference's NOT-EXISTS dedup reads have this shape). The rewrite
+    * (plans/TopK.scala) recognizes the rank window the same way and
+    * plans the tie-retaining heap — still O(n log k) with memory
+    * k + boundary-tie-group, which is output-sized, not overhead.
+    * Ranking on `floor(value / 100)` (a handful of coarse buckets) makes ties pervasive rather than
+    * incidental, so the oracle genuinely exercises the retention
+    * contract.
+    */
+  val qUserTopkRank: Q = Q(
+    (s, dir) => {
+      graft.plans.TopK.enable(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(floor(col("value") / 100).desc_nulls_last)
+      Tables.events(s, dir)
+        .select("user_id", "event_id", "event_type", "value")
+        .withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 2).drop("rk")
+        .orderBy("user_id", "event_id")
+    },
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    rank() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(floor(value / 100) AS BIGINT) DESC NULLS LAST) AS rk
+      |  FROM events) WHERE rk <= 2
+      |ORDER BY user_id, event_id""".stripMargin)
+
   // --------------------------------------------------------------- E27
   /** The catalog's equi-depth histogram TABLE — E24 generalized to
     * the multi-column artifact a cost-based optimizer stores beside
@@ -1333,6 +1365,7 @@ object Analytics {
     "q_top_suppliers" -> qTopSuppliers,
     "q_stats_hist" -> qStatsHist,
     "q_user_topk" -> qUserTopk,
+    "q_user_topk_rank" -> qUserTopkRank,
     "q_equidepth" -> qEquidepth,
     "q_anomaly" -> qAnomaly,
     "q_latency_hist" -> qLatencyHist,

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, Rank, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
@@ -81,9 +81,14 @@ object TopK {
 
 /** Logical "k best rows per key": output = child's rows, restricted
   * per `partitionSpec` group to the first k under `orderSpec`.
+  * `ties = false` is `row_number() <= k` (exactly k rows, the total
+  * order decides); `ties = true` is `rank() <= k` — every row whose
+  * sort key equals the k-th smallest stays, so the boundary tie
+  * group is retained whole.
   */
 case class PerKeyTopK(partitionSpec: Seq[Expression],
-    orderSpec: Seq[SortOrder], k: Int, child: LogicalPlan)
+    orderSpec: Seq[SortOrder], k: Int, ties: Boolean,
+    child: LogicalPlan)
     extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -127,12 +132,24 @@ object RewriteRankLimitToTopK extends Rule[LogicalPlan] {
   private def mode: String = conf.getConfString(
     "spark.graft.topk.rewrite", "generic")
 
+  /** The window functions the heap operator can stand in for:
+    * row_number (exact k) and rank (k plus boundary ties —
+    * [[PerKeyTopKExec]]'s tie-retaining heap). dense_rank is NOT
+    * rewritten: its boundary is the k-th distinct VALUE, a different
+    * retention contract.
+    */
+  private def rankLike(fn: Expression): Option[Boolean] = fn match {
+    case RowNumber() => Some(false)
+    case Rank(_)     => Some(true)
+    case _           => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case Project(projectList, Filter(cond,
-        Window(Seq(alias @ Alias(WindowExpression(RowNumber(),
+        Window(Seq(alias @ Alias(WindowExpression(fn,
           WindowSpecDefinition(part, order, _)), name)),
           _, _, wchild, _)))
-        if part.nonEmpty && order.nonEmpty &&
+        if part.nonEmpty && order.nonEmpty && rankLike(fn).isDefined &&
           (mode match {
             case "off"    => false
             case "marker" => name == TopK.Marker
@@ -150,7 +167,8 @@ object RewriteRankLimitToTopK extends Rule[LogicalPlan] {
         case other => other
       }
       Project(projectList,
-        PerKeyTopK(part, order, limitOf(cond, alias.toAttribute).get, inner))
+        PerKeyTopK(part, order, limitOf(cond, alias.toAttribute).get,
+          rankLike(fn).get, inner))
   }
 }
 
@@ -161,12 +179,12 @@ object RewriteRankLimitToTopK extends Rule[LogicalPlan] {
   */
 object PerKeyTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case PerKeyTopK(part, order, k, child) =>
+    case PerKeyTopK(part, order, k, ties, child) =>
       val flushKeys = org.apache.spark.sql.internal.SQLConf.get
         .getConfString("spark.graft.topk.flushKeys",
           PerKeyTopKExec.DefaultFlushKeys.toString).toInt
-      PerKeyTopKExec(part, order, k, partial = false, flushKeys,
-        PerKeyTopKExec(part, order, k, partial = true, flushKeys,
+      PerKeyTopKExec(part, order, k, ties, partial = false, flushKeys,
+        PerKeyTopKExec(part, order, k, ties, partial = true, flushKeys,
           planLater(child))) :: Nil
     case _ => Nil
   }
@@ -189,7 +207,7 @@ object PerKeyTopKStrategy extends SparkStrategy {
   * the total) re-applies the exact bound.
   */
 case class PerKeyTopKExec(partitionSpec: Seq[Expression],
-    orderSpec: Seq[SortOrder], k: Int, partial: Boolean,
+    orderSpec: Seq[SortOrder], k: Int, ties: Boolean, partial: Boolean,
     flushKeys: Int, child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -202,6 +220,7 @@ case class PerKeyTopKExec(partitionSpec: Seq[Expression],
     val partExprs = partitionSpec
     val order = orderSpec
     val kk = k
+    val withTies = ties
     val isPartial = partial
     val childOutput = child.output
     val flushAt = flushKeys
@@ -211,6 +230,34 @@ case class PerKeyTopKExec(partitionSpec: Seq[Expression],
       val worstFirst = new java.util.Comparator[InternalRow] {
         override def compare(a: InternalRow, b: InternalRow): Int =
           ord.compare(b, a)
+      }
+      /** rank()-mode insert: keep `row` iff fewer than k retained rows
+        * strictly precede it. The heap may exceed k by the boundary
+        * tie group — `rank() <= k` OUTPUTS those rows, so the extra
+        * memory is the output's own size, not overhead. Rejection
+        * (strictly worse than the head with ≥ k rows held) is sound
+        * because the head value only ever improves; eviction drops the
+        * worst tie group whole, and only when ≥ k strictly-better rows
+        * remain — exactly "that group's rank exceeds k".
+        */
+      def addWithTies(pq: java.util.PriorityQueue[InternalRow],
+          row: InternalRow): Unit = {
+        if (pq.size() < kk) { pq.add(row.copy()); return }
+        if (ord.compare(row, pq.peek()) > 0) return // rank > k forever
+        pq.add(row.copy())
+        var dropping = true
+        while (dropping && pq.size() > kk) {
+          val head = pq.peek()
+          var tieCount = 0
+          val it = pq.iterator()
+          while (it.hasNext) {
+            if (ord.compare(it.next(), head) == 0) tieCount += 1
+          }
+          if (pq.size() - tieCount >= kk) {
+            var i = 0
+            while (i < tieCount) { pq.poll(); i += 1 }
+          } else dropping = false
+        }
       }
       // Lazy SEGMENTS: each next() consumes input until either the
       // input ends or (partial only, skew guard) a new key would push
@@ -243,7 +290,8 @@ case class PerKeyTopKExec(partitionSpec: Seq[Expression],
                   worstFirst)
                 heaps.put(key.copy(), pq)
               }
-              if (pq.size() < kk) pq.add(row.copy())
+              if (withTies) addWithTies(pq, row)
+              else if (pq.size() < kk) pq.add(row.copy())
               else if (ord.compare(row, pq.peek()) < 0) {
                 pq.poll(); pq.add(row.copy())
               }

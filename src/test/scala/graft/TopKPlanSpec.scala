@@ -225,6 +225,62 @@ class TopKPlanSpec extends SparkSpec {
     }
   }
 
+  /** The rank() (tie-aware) window spelling. */
+  private def rankForm(k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(floor(col("value") / 100).desc_nulls_last)
+    events.withColumn("rk", rank().over(w))
+      .filter(col("rk") <= k).drop("rk")
+  }
+
+  test("rank() <= k rewrites to the tie-retaining heap and matches " +
+    "the window plan row for row — boundary tie groups kept whole") {
+    val df = rankForm(2)
+    val rows = sortedRows(df)
+    val p = finalPlan(df)
+    assert(p.contains("PerKeyTopK"),
+      s"the rank() pattern must rewrite too:\n$p")
+    assert(!p.contains("Window"), s"WindowExec survived:\n$p")
+    val want = withMode("off")(sortedRows(rankForm(2)))
+    assert(rows === want)
+    // the contract differs from row_number's: floor(value) buckets tie
+    // heavily, so rank() <= 2 must keep MORE rows than row_number <= 2
+    val rnRows = withMode("off") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(floor(col("value") / 100).desc_nulls_last, col("event_id"))
+      events.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn").count()
+    }
+    assert(rows.size > rnRows,
+      "ties must be retained beyond the k-th row — otherwise this " +
+        "test exercises nothing")
+  }
+
+  test("randomized: rank() <= k heap ≡ model rank filter over " +
+    "arbitrary tie-heavy data") {
+    import scala.util.Random
+    import spark.implicits._
+    val rnd = new Random(4321)
+    for (trial <- 1 to 3) {
+      val k = 1 + rnd.nextInt(3)
+      // scores drawn from just 5 values: every group has boundary ties
+      val rows = List.fill(400 + rnd.nextInt(300))(
+        (rnd.nextInt(30).toLong, rnd.nextLong(), rnd.nextInt(5).toLong))
+      val df = rows.toDF("key", "id", "score").repartition(7)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("score").desc)
+      val got = df.withColumn("rk", rank().over(w))
+        .filter(col("rk") <= k).drop("rk")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = rows.groupBy(_._1).values.flatMap { g =>
+        g.filter(t => g.count(o => o._3 > t._3) < k)
+      }.toSet
+      assert(got === want, s"trial $trial (k=$k)")
+    }
+  }
+
   test("rank column KEPT in the output is never rewritten (the rank " +
     "itself is demanded — only a real window can produce it)") {
     val w = org.apache.spark.sql.expressions.Window
