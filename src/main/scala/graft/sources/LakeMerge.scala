@@ -189,9 +189,19 @@ object LakeMerge {
         // won the claim between the two calls
         case e: java.io.IOException => if (f.exists(p)) lost() else throw e
       }
-    // wall-clock commit stamp: powers history() and age-based
-    // expiry; NOT part of any correctness contract (version order is)
-    val stamped = m.copy(committedAtMs = Some(System.currentTimeMillis()))
+    // wall-clock commit stamp: powers history(), age-based expiry,
+    // and timestamp time travel. Forced STRICTLY MONOTONIC along the
+    // version chain (max(now, parent stamp + 1)) so the commit
+    // timeline is a total order even when two commits land within one
+    // clock tick — readAsOf can then resolve any instant to exactly
+    // one version. Versions, not stamps, remain the correctness
+    // contract.
+    val parentStamp =
+      if (m.parent >= 0 && f.exists(manifestPath(dir, m.parent)))
+        manifest(spark, dir, Some(m.parent)).committedAtMs.getOrElse(0L)
+      else 0L
+    val stamped = m.copy(committedAtMs =
+      Some(math.max(System.currentTimeMillis(), parentStamp + 1)))
     try out.write(Serialization.write(stamped).getBytes("UTF-8"))
     finally out.close()
     m.version
@@ -703,6 +713,34 @@ object LakeMerge {
     val m = manifest(spark, dir, version)
     readEntries(spark, dir, m, m.partitions)
   }
+
+  /** Resolve a wall-clock instant to a snapshot version — the
+    * `TIMESTAMP AS OF` half of time travel: the LATEST retained
+    * snapshot committed at or before `tsMs` (Delta/Iceberg
+    * semantics). Commit stamps are strictly monotonic along the
+    * version chain (see [[commit]]), so the answer is unique;
+    * vacuumed versions are skipped (their data is gone — resolving
+    * to one would fabricate a readable past), and an instant earlier
+    * than every retained commit is an error, not an empty table.
+    * Manifest-only: no data file is opened.
+    */
+  def versionAsOf(spark: SparkSession, dir: String, tsMs: Long): Int = {
+    val f = fs(spark, dir)
+    val candidates = (0 to latestVersion(spark, dir))
+      .filter(v => f.exists(manifestPath(dir, v)))
+      .filter(v => manifest(spark, dir, Some(v)).committedAtMs
+        .getOrElse(0L) <= tsMs)
+    require(candidates.nonEmpty,
+      s"$dir has no retained snapshot committed at or before $tsMs " +
+        "(the instant predates the table, or retention expired it)")
+    candidates.max
+  }
+
+  /** Timestamp time travel: read the snapshot [[versionAsOf]] `tsMs`
+    * resolves to — "the table as the pipeline saw it at 02:00".
+    */
+  def readAsOf(spark: SparkSession, dir: String, tsMs: Long): DataFrame =
+    read(spark, dir, Some(versionAsOf(spark, dir, tsMs)))
 
   /** Partition-pruned read: only manifest entries whose `dt` passes
     * `keep` are listed — pruning happens at the MANIFEST, before any
@@ -1286,7 +1324,29 @@ object LakeMerge {
        |SELECT k, dt, cust, price_cents FROM base
        |ORDER BY k""".stripMargin)
 
+  // ---------------------------------------------------------------- L19
+  /** Timestamp time travel on the shared CDC-merged table: resolve
+    * the instant of v0's commit through [[versionAsOf]] and read —
+    * the strictly monotonic commit stamps guarantee v0's instant
+    * resolves to v0 even though v1 (the merge) exists, so the result
+    * is the L2 pre-merge state, independent of which other lake
+    * consumers have advanced the table since (they pin or append,
+    * never rewrite v0). The `TIMESTAMP AS OF` read every
+    * Delta/Iceberg user reaches for first.
+    */
+  val lAsofRead: Q = Q(
+    (s, dir) => {
+      val t = mergedTable(s, dir)
+      val t0 = manifest(s, t, Some(0)).committedAtMs.getOrElse(0L)
+      readAsOf(s, t, t0)
+        .select("k", "dt", "cust", "price_cents").orderBy("k")
+    },
+    s"""WITH base AS ($ordersBaseSql)
+       |SELECT k, dt, cust, price_cents FROM base
+       |ORDER BY k""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "l_asof_read" -> lAsofRead,
     "l_merge_upsert" -> lMergeUpsert,
     "l_merge_history" -> lMergeHistory,
     "l_change_feed" -> lChangeFeed,

@@ -893,4 +893,40 @@ class LakeMergeSpec extends SparkSpec {
     LakeMerge.restore(spark, dir, 1)
     assert(!rows(LakeMerge.read(spark, dir)).exists(_._1 < 0))
   }
+
+  test("timestamp time travel: readAsOf resolves an instant to the " +
+    "latest retained snapshot at or before it, with strictly " +
+    "monotonic commit stamps") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")           // v0
+    LakeMerge.merge(spark, dir,                                     // v1
+      Seq((1L, "2024-02", "p1-v1", 1L)).toDF("k", "dt", "payload", "seq"))
+    LakeMerge.merge(spark, dir,                                     // v2
+      Seq((1L, "2024-02", "p1-v2", 2L)).toDF("k", "dt", "payload", "seq"))
+    val stamps = LakeMerge.history(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getTimestamp(2).getTime).toMap
+    // stamps are strictly increasing even if commits shared a
+    // clock tick — the uniqueness guarantee behind as-of resolution
+    assert(stamps(0) < stamps(1) && stamps(1) < stamps(2))
+    // exact instants resolve to their own version
+    assert(LakeMerge.versionAsOf(spark, dir, stamps(0)) === 0)
+    assert(LakeMerge.versionAsOf(spark, dir, stamps(1)) === 1)
+    // between two commits → the earlier one; after the last → latest
+    assert(LakeMerge.versionAsOf(spark, dir, stamps(2) - 1) <= 1)
+    assert(LakeMerge.versionAsOf(spark, dir,
+      stamps(2) + 60000) === 2)
+    assert(rows(LakeMerge.readAsOf(spark, dir, stamps(1)))
+      .contains((1L, "2024-02", "p1-v1")))
+    // an instant before the table existed is an error, not empty
+    intercept[IllegalArgumentException] {
+      LakeMerge.versionAsOf(spark, dir, stamps(0) - 1)
+    }
+    // a vacuumed version is no longer a resolution target: its
+    // instant resolves to nothing (data gone), not to a later lie
+    LakeMerge.vacuum(spark, dir, keepLast = 1)
+    intercept[IllegalArgumentException] {
+      LakeMerge.versionAsOf(spark, dir, stamps(0))
+    }
+    assert(LakeMerge.versionAsOf(spark, dir, stamps(2)) === 2)
+  }
 }
