@@ -135,7 +135,9 @@ object LakeMerge {
       schemaDdl: Option[String] = None,
       committedAtMs: Option[Long] = None,
       constraints: Option[Map[String, String]] = None,
-      clusteredBy: Option[List[String]] = None)
+      clusteredBy: Option[List[String]] = None,
+      colPhysical: Option[Map[String, String]] = None,
+      retired: Option[List[String]] = None)
 
   val Upsert = "upsert"
   val Delete = "delete"
@@ -256,6 +258,78 @@ object LakeMerge {
       constraints = if (left.isEmpty) None else Some(left)))
   }
 
+  /** Structural columns renames/drops must leave alone, and a guard
+    * against mutating a column some CHECK constraint still reads
+    * (word-boundary match over the constraint SQL — conservative:
+    * false positives refuse, never the reverse).
+    */
+  private def guardColumnChange(m: Manifest, name: String,
+      what: String): Unit = {
+    require(m.columns.contains(name), s"no such column: $name")
+    require(!Seq(m.dtCol, m.keyCol, m.orderCol).contains(name),
+      s"cannot $what $name: partition, key, and order columns are " +
+        "structural (files are laid out by them)")
+    val referencing = m.constraints.getOrElse(Map.empty).collect {
+      case (n, sql) if ("\\b" + java.util.regex.Pattern.quote(name) +
+        "\\b").r.findFirstIn(sql).isDefined => n
+    }
+    require(referencing.isEmpty,
+      s"cannot $what $name: referenced by constraint(s) " +
+        s"${referencing.mkString(", ")} — drop them first")
+  }
+
+  /** RENAME COLUMN as a metadata-only commit (zero files rewritten):
+    * the logical name rebinds in `colPhysical`; every existing file
+    * keeps serving values under its original physical name. Time
+    * travel to a pre-rename version reads the OLD logical name (each
+    * snapshot carries its own mapping), and [[changes]] across the
+    * rename diffs both sides under the current one.
+    */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+      to: String): Int = {
+    val m = manifest(spark, dir)
+    guardColumnChange(m, from, "rename")
+    require(!m.columns.contains(to), s"column $to already exists")
+    val phys = m.colPhysical.getOrElse(Map.empty).getOrElse(from, from)
+    val mapping = (m.colPhysical.getOrElse(Map.empty) - from) +
+      (to -> phys)
+    val ddl = m.schemaDdl.map { d =>
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructType.fromDDL(d).fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)).toDDL
+    }
+    commit(spark, dir, m.copy(version = m.version + 1, parent = m.version,
+      columns = m.columns.map(c => if (c == from) to else c),
+      colPhysical = Some(mapping),
+      schemaDdl = ddl,
+      clusteredBy = m.clusteredBy.map(_.map(c =>
+        if (c == from) to else c))))
+  }
+
+  /** DROP COLUMN as a metadata-only commit: the logical column leaves
+    * the schema; its physical name moves to `retired` so old files'
+    * bytes stay untouched (and time-travel reads still see them) but
+    * a LATER re-add of the same name binds a fresh physical identity
+    * instead of resurrecting pre-drop values.
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Int = {
+    val m = manifest(spark, dir)
+    guardColumnChange(m, name, "drop")
+    val phys = m.colPhysical.getOrElse(Map.empty).getOrElse(name, name)
+    val mapping = m.colPhysical.getOrElse(Map.empty) - name
+    val ddl = m.schemaDdl.map { d =>
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructType.fromDDL(d).fields
+          .filterNot(_.name == name)).toDDL
+    }
+    commit(spark, dir, m.copy(version = m.version + 1, parent = m.version,
+      columns = m.columns.filterNot(_ == name),
+      colPhysical = if (mapping.isEmpty) None else Some(mapping),
+      schemaDdl = ddl,
+      clusteredBy = m.clusteredBy.map(_.filterNot(_ == name)),
+      retired = Some((m.retired.getOrElse(Nil) :+ phys).distinct)))
+  }
+
   /** RESTORE: roll the table back to snapshot `toVersion` as a NEW
     * commit whose partition list is the old snapshot's — pure
     * metadata, zero data rewritten (COW makes every old file still
@@ -352,7 +426,8 @@ object LakeMerge {
   private def writeVersion(spark: SparkSession, dir: String, v: Int,
       rows: DataFrame, dtCol: String, keyCol: String,
       layout: Option[DataFrame => DataFrame] = None,
-      statCols: Seq[String] = Nil)
+      statCols: Seq[String] = Nil,
+      physMap: Map[String, String] = Map.empty)
       : List[PartitionEntry] = {
     // ATTEMPT-unique dir: two writers racing to version v must not
     // write into one directory (their files would interleave — worse
@@ -365,7 +440,12 @@ object LakeMerge {
     // per partition; compact() swaps in a key-ranged layout instead
     val placed =
       layout.getOrElse((d: DataFrame) => d.repartition(col(dtCol)))(rows)
-    placed.write.partitionBy(dtCol).parquet(out)
+    // files always carry PHYSICAL names: layout ran on logical
+    // columns, the rename after it is a map-only projection that
+    // keeps the shuffle/sort placement
+    val placedPhys = physMap.foldLeft(placed) { case (d, (log, phys)) =>
+      d.withColumnRenamed(log, phys) }
+    placedPhys.write.partitionBy(dtCol).parquet(out)
     val f = fs(spark, dir)
     val dtDirs = f.listStatus(new Path(out))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$dtCol="))
@@ -379,8 +459,10 @@ object LakeMerge {
       statCols.flatMap(sc => Seq(
         min(col(sc).cast("long")).as(s"_min_$sc"),
         max(col(sc).cast("long")).as(s"_max_$sc")))
-    val perFile = readDirs(spark, s"$dir/$rel",
-      dtDirs.map(_.getPath.toString))
+    val readBack = physMap.foldLeft(readDirs(spark, s"$dir/$rel",
+      dtDirs.map(_.getPath.toString))) { case (d, (log, phys)) =>
+      if (d.columns.contains(phys)) d.withColumnRenamed(phys, log) else d }
+    val perFile = readBack
       .groupBy(col(dtCol),
         element_at(split(input_file_name(), "/"), -1).as("_f"))
       .agg(aggCols.head, aggCols.tail: _*)
@@ -450,6 +532,32 @@ object LakeMerge {
           }
     }
 
+  // ------------------------------------------------------------------
+  // Column mapping (rename/drop without rewriting a file) — the
+  // Iceberg stance: a column's PHYSICAL name (what sits in parquet
+  // footers) is fixed at first write; renames only rebind the LOGICAL
+  // name in the manifest's `colPhysical` map, and drops move the
+  // physical name to `retired` so a later re-add of the same logical
+  // name gets a FRESH physical identity instead of resurrecting old
+  // values from pre-drop files.
+  // ------------------------------------------------------------------
+
+  /** Non-identity logical → physical bindings of a snapshot. */
+  private def physMapOf(m: Manifest): Map[String, String] =
+    m.colPhysical.getOrElse(Map.empty).filter { case (l, p) => l != p }
+
+  /** Present a raw file scan (physical names) under the snapshot's
+    * logical names. Columns a file predates are absent here and
+    * null-filled by [[fillMissing]]; columns dropped from the
+    * snapshot survive in old files under retired physical names that
+    * no logical column binds — the manifest-ordered select simply
+    * never asks for them.
+    */
+  private def toLogical(df: DataFrame, m: Manifest): DataFrame =
+    physMapOf(m).foldLeft(df) { case (d, (log, phys)) =>
+      if (d.columns.contains(phys)) d.withColumnRenamed(phys, log) else d
+    }
+
   private def readEntries(spark: SparkSession, dir: String,
       m: Manifest, entries: Seq[PartitionEntry]): DataFrame = {
     val groups = entries.groupBy(_.dir)
@@ -459,7 +567,7 @@ object LakeMerge {
       readDirs(spark, s"$dir/$rel", paths)
     }
     val cols = m.columns.map(col)
-    val data = parts.map(p => fillMissing(p, m).select(cols: _*))
+    val data = parts.map(p => fillMissing(toLogical(p, m), m).select(cols: _*))
       .reduceOption(_.unionByName(_))
       .getOrElse {
         // no entry matched (a fully-pruned readWhere/readForKeys):
@@ -586,18 +694,28 @@ object LakeMerge {
     }
     val winners = resolve(combined, m.dtCol, m.keyCol, m.orderCol)
       .select(outCols.map(col): _*)
+    // an evolved-in column whose name was EVER used and dropped gets
+    // a fresh physical identity — otherwise old files' retired values
+    // would resurface under the re-added logical name
+    val freshBindings = newCols
+      .filter(c => m.retired.getOrElse(Nil).contains(c))
+      .map(c => c -> s"${c}_r$v").toMap
+    val mapping = m.colPhysical.getOrElse(Map.empty) ++ freshBindings
     // a clustered table keeps recording its clustering columns' file
     // stats on every rewrite, so readForRanges skipping does not
     // silently degrade as CDC batches land after an OPTIMIZE
     val entries = writeVersion(spark, dir, v, winners, m.dtCol, m.keyCol,
-      statCols = m.clusteredBy.getOrElse(Nil).filter(outCols.contains))
+      statCols = m.clusteredBy.getOrElse(Nil).filter(outCols.contains),
+      physMap = mapping.filter { case (l, p) => l != p })
     val txns = m.txn.getOrElse(Map.empty) ++ txn
     commit(spark, dir, Manifest(v, m.version, m.dtCol, m.keyCol,
       m.orderCol, outCols, kept ++ entries,
       if (txns.isEmpty) None else Some(txns),
       schemaDdl = Some(winners.schema.toDDL),
       constraints = m.constraints,
-      clusteredBy = m.clusteredBy))
+      clusteredBy = m.clusteredBy,
+      colPhysical = if (mapping.isEmpty) None else Some(mapping),
+      retired = m.retired))
   }
 
   /** Highest batchId the app `appId` has durably merged (from the
@@ -870,12 +988,13 @@ object LakeMerge {
     val statCols = (if (clusterCols.nonEmpty) clusterCols
       else m.clusteredBy.getOrElse(Nil)).filterNot(_ == m.keyCol)
     val entries = writeVersion(spark, dir, v, data, m.dtCol, m.keyCol,
-      Some(layout), statCols = statCols)
+      Some(layout), statCols = statCols, physMap = physMapOf(m))
     commit(spark, dir, Manifest(v, m.version, m.dtCol, m.keyCol,
       m.orderCol, m.columns, carried ++ entries, m.txn, m.schemaDdl,
       constraints = m.constraints,
       clusteredBy = if (clusterCols.isEmpty) m.clusteredBy
-        else Some(clusterCols.toList)))
+        else Some(clusterCols.toList),
+      colPhysical = m.colPhysical, retired = m.retired))
   }
 
   /** Multi-column stats-skipped read: keep only partitions and files
@@ -964,10 +1083,12 @@ object LakeMerge {
       }
     }
     val dt = mT.dtCol; val key = mT.keyCol
-    // diff in the TO-side's (possibly evolved) schema: the old side
-    // null-fills columns that postdate it, same as a read would
-    val oldDf = fillMissing(readEntries(spark, dir, mF,
-      mF.partitions.filter(e => changedDts(e.dt))), mT)
+    // diff in the TO-side's (possibly evolved) schema AND column
+    // mapping: the old side's files are read through the CURRENT
+    // logical bindings (renames apply, drops vanish) and null-fill
+    // columns that postdate them, same as a current read would
+    val oldDf = readEntries(spark, dir, mT,
+      mF.partitions.filter(e => changedDts(e.dt)))
       .select(mT.columns.map(col): _*).alias("o")
     val newDf = readEntries(spark, dir, mT,
       mT.partitions.filter(e => changedDts(e.dt))).alias("n")

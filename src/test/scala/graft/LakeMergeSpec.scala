@@ -894,6 +894,88 @@ class LakeMergeSpec extends SparkSpec {
     assert(!rows(LakeMerge.read(spark, dir)).exists(_._1 < 0))
   }
 
+  test("column mapping: RENAME is metadata-only — old files serve the " +
+    "new logical name, time travel keeps the old one, changes() diffs " +
+    "in the current mapping, compaction and merges keep working") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")            // v0
+    val v0Files = LakeMerge.manifest(spark, dir).partitions
+      .flatMap(e => e.files.map(f => s"${e.dir}/$f")).toSet
+    LakeMerge.renameColumn(spark, dir, "payload", "note")           // v1
+    // metadata-only: exactly the same data files as v0
+    assert(LakeMerge.manifest(spark, dir).partitions
+      .flatMap(e => e.files.map(f => s"${e.dir}/$f")).toSet === v0Files)
+    // pre-rename files read under the NEW logical name
+    val r1 = LakeMerge.read(spark, dir)
+    assert(r1.columns.toSeq === Seq("k", "dt", "note", "seq"))
+    assert(r1.filter(col("k") === 7).select("note")
+      .head().getString(0) === "p7")
+    // time travel: v0 still answers under its own (old) name
+    assert(LakeMerge.read(spark, dir, Some(0)).columns.contains("payload"))
+    // a merge under the new name mixes post-rename files with
+    // pre-rename ones transparently
+    LakeMerge.merge(spark, dir,                                     // v2
+      Seq((1L, "2024-02", "p1-renamed", 1L))
+        .toDF("k", "dt", "note", "seq"))
+    val got = rows2(LakeMerge.read(spark, dir))
+    assert(got.contains((1L, "2024-02", "p1-renamed")))
+    assert(got.contains((7L, "2024-02", "p7")))
+    // change feed across the rename speaks the CURRENT mapping
+    val ch = LakeMerge.changes(spark, dir, 0)
+    assert(ch.columns.contains("note") && !ch.columns.contains("payload"))
+    assert(ch.filter(col("_change_type") === "update").select("note")
+      .head().getString(0) === "p1-renamed")
+    // physical re-layout after a rename: compact rewrites under the
+    // ORIGINAL physical names and reads stay logical
+    LakeMerge.compact(spark, dir, targetRows = 1000)                // v3
+    assert(rows2(LakeMerge.read(spark, dir)) === got)
+    // guards: structural columns and constraint-referenced columns
+    intercept[IllegalArgumentException] {
+      LakeMerge.renameColumn(spark, dir, "k", "key2")
+    }
+    LakeMerge.addConstraint(spark, dir, "note_set", "note IS NOT NULL")
+    intercept[IllegalArgumentException] {
+      LakeMerge.renameColumn(spark, dir, "note", "note2")
+    }
+    LakeMerge.dropConstraint(spark, dir, "note_set")
+  }
+
+  private def rows2(df: DataFrame): Set[(Long, String, String)] =
+    df.select("k", "dt", "note")
+      .as[(Long, String, String)].collect().toSet
+
+  test("column mapping: DROP retires the physical column; a re-added " +
+    "column of the same name is a FRESH identity, never resurrecting " +
+    "pre-drop values") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")            // v0
+    LakeMerge.dropColumn(spark, dir, "payload")                     // v1
+    val r1 = LakeMerge.read(spark, dir)
+    assert(!r1.columns.contains("payload"))
+    assert(r1.count() === 30)
+    // time travel: the dropped column is still there in v0
+    assert(LakeMerge.read(spark, dir, Some(0)).columns.contains("payload"))
+    // re-add the same logical name via additive evolution: old rows
+    // must read NULL (fresh identity), not their pre-drop values
+    LakeMerge.merge(spark, dir,                                     // v2
+      Seq((1L, "2024-02", 1L, "fresh")).toDF("k", "dt", "seq", "payload"),
+      evolveSchema = true)
+    val r2 = LakeMerge.read(spark, dir)
+    assert(r2.filter(col("k") === 1).select("payload")
+      .head().getString(0) === "fresh")
+    assert(r2.filter(col("k") === 7).select("payload").head().isNullAt(0),
+      "pre-drop values must NOT resurface under the re-added column")
+    // and the fresh column round-trips through later merges
+    LakeMerge.merge(spark, dir,
+      Seq((7L, "2024-02", 2L, "p7-new")).toDF("k", "dt", "seq", "payload"))
+    assert(LakeMerge.read(spark, dir).filter(col("k") === 7)
+      .select("payload").head().getString(0) === "p7-new")
+    // structural guard holds for drop too
+    intercept[IllegalArgumentException] {
+      LakeMerge.dropColumn(spark, dir, "seq")
+    }
+  }
+
   test("timestamp time travel: readAsOf resolves an instant to the " +
     "latest retained snapshot at or before it, with strictly " +
     "monotonic commit stamps") {
