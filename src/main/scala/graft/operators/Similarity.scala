@@ -1151,7 +1151,126 @@ object Similarity {
        |SELECT vec_id, cl AS cluster FROM fin
        |ORDER BY vec_id""".stripMargin)
 
+  // ---------------------------------------------------------- G7-km
+  /** IVF over the LABEL-FREE k-means codebook — the production
+    * default: real corpora have no ground-truth labels, so the coarse
+    * quantizer a deployment ships comes from [[sKmeans]]'s trainer,
+    * not from label aggregation. Train-once/ship-as-literals exactly
+    * like [[ivfCodebook]] (k×dim longs of driver state at any corpus
+    * size, one Artifacts handle per (session, corpus)); assignment,
+    * candidate fetch, and rerank are byte-for-byte G7's plan — only
+    * the codebook's provenance changes. The labeled path stays as the
+    * oracle-friendliest variant; this row proves the composition
+    * G10 training → G7 probe end-to-end against DuckDB replaying the
+    * same Lloyd rounds.
+    */
+  private val kmCodebookCache =
+    graft.Artifacts.cache[Array[(Long, Array[Long])]](
+      "similarity.kmCodebook")
+
+  private[graft] def kmCodebook(s: SparkSession, dir: String)
+      : Array[(Long, Array[Long])] =
+    kmCodebookCache.getOrElseUpdate(s, dir) {
+      var cents = kmeansInit(s, dir)
+      for (_ <- 1 to KmeansRounds) cents = kmeansRound(s, dir, cents)
+      cents
+    }
+
+  val sAnnIvfKm: Q = Q(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val assigned = emb.withColumn("cell",
+        ivfCellCol(kmCodebook(s, dir)))
+      val probe = assigned.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"), col("cell").as("pcell"))
+      assigned.filter(col("vec_id") =!= 0)
+        .join(broadcast(probe), col("cell") === col("pcell"))
+        .select(col("vec_id"), col("label"), col("cell"),
+          nativeScoreMicro(s, "embedding", "probe").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("vec_id"))
+        .limit(10)
+    },
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |    AS cl, v
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $KmeansK)),
+       |a1 AS (${kmAssignSql("c0")}),
+       |c1 AS (${kmRefreshSql("a1")}),
+       |a2 AS (${kmAssignSql("c1")}),
+       |c2 AS (${kmRefreshSql("a2")}),
+       |fin AS (${kmAssignSql("c2")}),
+       |asg AS (
+       |  SELECT emb.vec_id, emb.label, emb.embedding,
+       |         CAST(f.cl AS BIGINT) AS cell
+       |  FROM embeddings emb JOIN fin f ON f.vec_id = emb.vec_id),
+       |p AS (SELECT embedding AS probe, cell AS pcell FROM asg
+       |      WHERE vec_id = 0)
+       |SELECT vec_id, label, cell,
+       |  ${scoreMicroSql("embedding", "probe")} AS score_micro
+       |FROM asg, p WHERE vec_id <> 0 AND cell = pcell
+       |ORDER BY score_micro DESC, vec_id LIMIT 10""".stripMargin)
+
+  // --------------------------------------------------------- G-recall
+  /** The ANN EVIDENCE TABLE: recall@10 of every approximate rung
+    * against the brute-force kernel (G1), in one oracle-gated
+    * relation — the number a user needs to pick a rung (and the
+    * number every ANN paper reports). One row per config:
+    * `hits` = |config top-10 ∩ brute top-10| and
+    * `recall_bp = hits·1000` (basis points of 10) — all-integer, so
+    * DuckDB replays every config's own oracle pipeline and the table
+    * hash-matches exactly. Composition, not new machinery: each
+    * config contributes its registry query's 10-row result; the
+    * joins are 10-row × 10-row semi-joins after broadcast-scale
+    * plans, so the cost is the sum of the family's queries (the
+    * point: this is the full evidence sweep a deployment runs once
+    * per index build, not per query). Monotonicity (nprobe ⇒ recall)
+    * is spec-pinned over this table.
+    */
+  private val recallConfigs: Seq[(String, Q)] = Seq(
+    "s_ann_lsh" -> sAnnLsh,
+    "s_ann_multiprobe" -> sAnnMultiprobe,
+    "s_ann_ivf" -> sAnnIvf,
+    "s_ann_ivf_km" -> sAnnIvfKm,
+    "s_ann_ivf_probe" -> sAnnIvfProbe,
+    "s_ann_pq" -> sAnnPq,
+    "s_ann_ivfpq" -> sAnnIvfPq,
+    "s_ann_ivfpq_probe" -> sAnnIvfPqProbe,
+    "s_ann_sq8" -> sAnnSq8)
+
+  val sAnnRecall: Q = Q(
+    (s, dir) => {
+      val brute = sCosineTopk.fn(s, dir)
+        .select(col("vec_id")).withColumn("_hit", lit(1L))
+      val candidates = recallConfigs.map { case (name, q) =>
+        q.fn(s, dir).select(col("vec_id")).withColumn("config", lit(name))
+      }.reduce(_.unionAll(_))
+      candidates.join(broadcast(brute), Seq("vec_id"), "left")
+        .groupBy("config")
+        .agg(sum(coalesce(col("_hit"), lit(0L))).as("hits"))
+        .withColumn("recall_bp", col("hits") * 1000)
+        .orderBy("config")
+    }, {
+      val cfgSql = recallConfigs.map { case (name, q) =>
+        s"SELECT '$name' AS config, vec_id FROM (${q.oracle.get})"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH brute AS (SELECT vec_id FROM (${sCosineTopk.oracle.get})),
+         |cfg AS (
+         |$cfgSql)
+         |SELECT c.config,
+         |  CAST(count(b.vec_id) AS BIGINT) AS hits,
+         |  CAST(count(b.vec_id) * 1000 AS BIGINT) AS recall_bp
+         |FROM cfg c LEFT JOIN brute b ON b.vec_id = c.vec_id
+         |GROUP BY c.config
+         |ORDER BY config""".stripMargin
+    })
+
   val registry: Map[String, Q] = Map(
+    "s_ann_recall" -> sAnnRecall,
+    "s_ann_ivf_km" -> sAnnIvfKm,
     "s_ann_ivfpq" -> sAnnIvfPq,
     "s_ann_ivfpq_probe" -> sAnnIvfPqProbe,
     "s_kmeans" -> sKmeans,

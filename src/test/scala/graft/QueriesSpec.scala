@@ -594,6 +594,27 @@ class QueriesSpec extends SparkSpec {
       "the only join must be the broadcast probe join")
   }
 
+  test("s_ann_recall: the evidence table covers every rung, rows are " +
+    "internally consistent, and recall is monotone in nprobe") {
+    val rows = SparkEntry.queries("s_ann_recall")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rungs = Seq("s_ann_lsh", "s_ann_multiprobe", "s_ann_ivf",
+      "s_ann_ivf_km", "s_ann_ivf_probe", "s_ann_pq", "s_ann_ivfpq",
+      "s_ann_ivfpq_probe", "s_ann_sq8")
+    assert(rows.keySet === rungs.toSet, "one row per ANN config")
+    rows.values.foreach { case (hits, bp) =>
+      assert(hits >= 0 && hits <= 10 && bp === hits * 1000)
+    }
+    // the recall dial must point the right way in the evidence a
+    // user actually reads
+    assert(rows("s_ann_ivf_probe")._1 >= rows("s_ann_ivf")._1,
+      "nprobe=2 recall must be >= nprobe=1 (IVF)")
+    assert(rows("s_ann_ivfpq_probe")._1 >= rows("s_ann_ivfpq")._1,
+      "nprobe=2 recall must be >= nprobe=1 (IVF+PQ)")
+    assert(rows("s_ann_multiprobe")._1 >= rows("s_ann_lsh")._1,
+      "multi-probe LSH recall must be >= single-probe")
+  }
+
   test("s_ann_ivf_probe: nprobe=2 widens the scan, recall is monotone") {
     val one = SparkEntry.queries("s_ann_ivf")(spark, sf).collect()
     val probe2 = SparkEntry.queries("s_ann_ivf_probe")(spark, sf)
