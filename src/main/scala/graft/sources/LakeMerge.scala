@@ -159,15 +159,38 @@ object LakeMerge {
       .foldLeft(-1)(math.max)
   }
 
+  /** Read one snapshot's manifest. TORN-READ TOLERANT: the commit
+    * protocol claims a version by CREATING `v{N}.json` exclusively
+    * and streams the JSON right after, so a reader racing the writer
+    * can observe the file existing with empty or truncated content
+    * for the few milliseconds before close. That is a committed
+    * version whose bytes are still in flight — not corruption — so a
+    * parse failure here retries briefly instead of surfacing.
+    * (Surfaced by the round-12 threaded-writer stress spec.) A writer
+    * that DIES inside the window leaves a claim without content; the
+    * bounded retry then throws the original parse error, the same
+    * unrecoverable-tip class every create-then-write log store has.
+    */
   def manifest(spark: SparkSession, dir: String,
       version: Option[Int] = None): Manifest = {
     val v = version.getOrElse(latestVersion(spark, dir))
     require(v >= 0, s"$dir has no committed snapshot")
     val f = fs(spark, dir)
-    val in = f.open(manifestPath(dir, v))
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    JsonMethods.parse(txt).extract[Manifest]
+    var attempt = 0
+    while (true) {
+      val in = f.open(manifestPath(dir, v))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      try return JsonMethods.parse(txt).extract[Manifest]
+      catch {
+        case e @ (_: com.fasterxml.jackson.core.JacksonException |
+                  _: org.json4s.MappingException) =>
+          if (attempt >= 200) throw e
+          attempt += 1
+          Thread.sleep(5)
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Create-exclusive commit: the writer that creates `v{N}.json`

@@ -535,6 +535,62 @@ class LakeMergeSpec extends SparkSpec {
     assert(rows(LakeMerge.read(spark, dir)).contains((1L, "2024-02", "pA")))
   }
 
+  test("concurrent writers GENUINELY racing (threads): the " +
+    "create-exclusive commit serializes them, every loser's retry " +
+    "lands exactly once, and vacuum only reclaims orphan attempts") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    val writers = 4
+    val batchesPerWriter = 3
+    val pool = Executors.newFixedThreadPool(writers)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    (0 until writers).foreach { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try {
+            start.await()
+            (0 until batchesPerWriter).foreach { b =>
+              val key = 1000L + w * 100 + b
+              val batch = Seq((key, "2024-02", s"w$w-b$b", 1L))
+                .toDF("k", "dt", "payload", "seq")
+              // optimistic loop: read latest, attempt, retry on CME —
+              // the client contract merge()'s scaladoc states
+              var committed = false
+              while (!committed) {
+                try { LakeMerge.merge(spark, dir, batch); committed = true }
+                catch {
+                  case _: java.util.ConcurrentModificationException => ()
+                }
+              }
+            }
+          } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"writer died: ${failures.peek()}")
+    // exactly-once: every writer's every batch present, nothing lost
+    // to a lost-update, version chain strictly linear
+    val got = rows(LakeMerge.read(spark, dir))
+    for (w <- 0 until writers; b <- 0 until batchesPerWriter)
+      assert(got.contains((1000L + w * 100 + b, "2024-02", s"w$w-b$b")),
+        s"writer $w batch $b was lost in the race")
+    assert(got.size === 30 + writers * batchesPerWriter)
+    val versions = LakeMerge.history(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(versions.map(_._1).toSeq ===
+      (0 to writers * batchesPerWriter).toSeq, "linear version chain")
+    assert(versions.forall { case (v, p) => p === v - 1 },
+      "every commit's parent is its predecessor")
+    // loser attempt dirs are unreferenced orphans; vacuum reclaims
+    // them and the surviving table still reads identically
+    LakeMerge.vacuum(spark, dir, keepLast = 1)
+    assert(rows(LakeMerge.read(spark, dir)) === got)
+  }
+
   test("readForKeys on a merge-on-read table: pruned-file reads still " +
     "anti-join pending vectors out") {
     val dir = tempTable()
