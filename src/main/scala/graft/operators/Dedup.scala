@@ -803,6 +803,12 @@ object Dedup {
     * (cheap — checkpointed blocks) and broadcast when provably small,
     * falling back to the conservative shuffled anti-join when the dup
     * mass is corpus-scale. Plan-audited.
+    *
+    * Raw WEB corpora mount [[graft.operators.TextAnalysis.cleanDocs]]
+    * (H24 boilerplate stripping, map-only) in front of this pass —
+    * another scan-stage expression, zero extra passes; the synthetic
+    * test corpus is already clean, so the registered query reads the
+    * table directly.
     */
   val dCurateCorpus: Q = Q(
     (s, dir) => {

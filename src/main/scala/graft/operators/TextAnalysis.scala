@@ -1300,7 +1300,113 @@ object TextAnalysis {
        |FROM c, t
        |ORDER BY drift_bp DESC, tok LIMIT 20""".stripMargin)
 
+  // --------------------------------------------------------------- H24
+  /** Boilerplate stripping — the step every web-scale corpus runs
+    * BEFORE quality scoring (H13) and curation (F11): script/style
+    * blocks out, tags out, entities decoded, whitespace collapsed.
+    * Pure `regexp_replace`/`replace` chains — map-only, codegen'd, no
+    * UDF — and RE2-safe (no backreferences) so the DuckDB oracle runs
+    * the character-identical pipeline. [[stripMarkdown]] is the
+    * sibling for markdown chrome (links keep their label, emphasis
+    * and heading markers drop).
+    *
+    * The oracle row wraps each document in deterministic HTML chrome
+    * (nav, title, entities, a script with a `<` comparison — the trap
+    * naive tag-regexes fall into), strips it back, and feeds the
+    * CLEANED text to H13's gate: `clean_md5` pins the cleaned bytes
+    * exactly, `flags`/`keep` prove the stage composes with the
+    * quality gate. [[cleanDocs]] is the composable pre-stage form a
+    * curation pipeline (F11) mounts in front of its corpus scan.
+    */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    // decode order matters and is pinned: &amp; LAST, so "&amp;gt;"
+    // decodes to the literal "&gt;", not to ">"
+    val ents = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&copy;" -> "(c)",
+      "&amp;" -> "&")
+    val dec = ents.foldLeft(noTags) { case (d, (k, v)) =>
+      replace(d, lit(k), lit(v)) }
+    trim(regexp_replace(dec, "\\s+", " "))
+  }
+
+  /** Markdown chrome out: links keep their label, code ticks /
+    * emphasis markers / heading hashes drop, whitespace collapses.
+    */
+  def stripMarkdown(c: Column): Column = {
+    val noLink = regexp_replace(c, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noTicks = replace(replace(noLink, lit("```"), lit(" ")),
+      lit("`"), lit(""))
+    val noEm = replace(replace(noTicks, lit("**"), lit("")),
+      lit("*"), lit(""))
+    val noHead = regexp_replace(noEm, "(?m)^#{1,6} +", "")
+    trim(regexp_replace(noHead, "\\s+", " "))
+  }
+
+  /** The composable F11 pre-stage: the corpus with its `text` column
+    * stripped of HTML chrome, everything else untouched.
+    */
+  def cleanDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text", stripHtml(col("text")))
+
+  private def htmlWrapped: Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><style>body { color: #fff; }</style></head><body>" +
+      "<nav><a href=\"/home\">Home</a> &gt; "), col("source"),
+    lit("</nav><h1>Q&amp;A</h1><p>"), col("text"),
+    lit("</p><script>if (1 < 2) { alert(\"x\"); }</script>" +
+      "<footer>&copy; 2024&nbsp;Corp</footer></body></html>"))
+
+  private val htmlWrappedSql =
+    """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |'</title><style>body { color: #fff; }</style></head><body>' ||
+      |'<nav><a href="/home">Home</a> &gt; ' || source ||
+      |'</nav><h1>Q&amp;A</h1><p>' || text ||
+      |'</p><script>if (1 < 2) { alert("x"); }</script>' ||
+      |'<footer>&copy; 2024&nbsp;Corp</footer></body></html>'"""
+      .stripMargin.replace("\n", " ")
+
+  private val stripHtmlSql: String = {
+    val noScript = s"regexp_replace(($htmlWrappedSql), " +
+      "'(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    val noStyle = s"regexp_replace($noScript, " +
+      "'(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    val noTags = s"regexp_replace($noStyle, '(?s)<[^>]*>', ' ', 'g')"
+    val ents = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"\"", "&#39;" -> "''", "&copy;" -> "(c)",
+      "&amp;" -> "&")
+    val dec = ents.foldLeft(noTags) { case (d, (k, v)) =>
+      s"replace($d, '$k', '$v')" }
+    s"trim(regexp_replace($dec, '\\s+', ' ', 'g'))"
+  }
+
+  val tStripHtml: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), stripHtml(htmlWrapped).as("text"))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("clean_len"),
+          md5(col("text").cast("binary")).as("clean_md5"),
+          filterFlags(FilterMinTokens, FilterMaxChars).as("flags"))
+        .withColumn("keep", col("flags") === 0L)
+        .orderBy("doc_id"),
+    s"""SELECT doc_id,
+       |  CAST(length(d.text) AS BIGINT) AS clean_len,
+       |  md5(d.text) AS clean_md5,
+       |  CAST(${filterFlagsSql(FilterMinTokens, FilterMaxChars, "d")}
+       |    AS BIGINT) AS flags,
+       |  ${filterFlagsSql(FilterMinTokens, FilterMaxChars, "d")} = 0
+       |    AS keep
+       |FROM (SELECT doc_id, $stripHtmlSql AS text
+       |      FROM documents) d
+       |ORDER BY doc_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "t_strip_html" -> tStripHtml,
     "t_bpe" -> tBpe,
     "t_bpe_encode" -> tBpeEncode,
     "t_drift" -> tDrift,

@@ -545,4 +545,36 @@ class OperatorsSpec extends SparkSpec {
     assert(nSym === letters - weights,
       s"symbols $nSym, letters $letters, merge weights $weights")
   }
+
+  test("stripHtml: tags and chrome out, entities decoded in pinned " +
+    "order, script '<' does not truncate, whitespace collapsed") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val html = Seq(
+      "<html><head><style>p { color: red; }</style></head><body>" +
+        "<h1>Title</h1><p>hello   <b>bold</b> world</p>" +
+        "<script>if (1 < 2) { alert(\"never shown\"); }</script>" +
+        "Q&amp;A &lt;tag&gt; &amp;gt; &copy; 2024&nbsp;Corp</body></html>")
+      .toDF("text")
+    val got = html.select(TextAnalysis.stripHtml(col("text")).as("t"))
+      .head().getString(0)
+    assert(got === "Title hello bold world Q&A <tag> &gt; (c) 2024 Corp",
+      s"got: $got")
+    // the script body (with its naked '<') must be gone entirely
+    assert(!got.contains("alert") && !got.contains("color"))
+  }
+
+  test("stripMarkdown: links keep labels, emphasis/ticks/headings " +
+    "drop, whitespace collapses") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val md = Seq(
+      "# Heading\n\nSee [the docs](https://x.y/z) for `code` and " +
+        "**bold** and *em* text.\n## Sub\ndone")
+      .toDF("text")
+    val got = md.select(TextAnalysis.stripMarkdown(col("text")).as("t"))
+      .head().getString(0)
+    assert(got === "Heading See the docs for code and bold and em " +
+      "text. Sub done", s"got: $got")
+  }
 }
