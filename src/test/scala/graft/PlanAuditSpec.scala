@@ -479,6 +479,39 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_user_topk_rank: the tie-aware rewrite fires — heap " +
+    "operator, no WindowExec, no input sort") {
+    val df = SparkEntry.queries("q_user_topk_rank")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("PerKeyTopK"), s"rank rewrite did not fire:\n$p")
+    assert(!p.contains("Window"), s"WindowExec survived:\n$p")
+    assert(p.linesIterator.count(_.contains("PerKeyTopK")) === 2,
+      s"expected partial+final heap pair:\n$p")
+  }
+
+  test("s_ann_ivf_km: assignment is map-only literals; the candidate " +
+    "fetch is the one broadcast equi-join") {
+    val p = plan(SparkEntry.queries("s_ann_ivf_km")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"the km-codebook IVF fetch must stay a broadcast equi-join:\n$p")
+    assert(p.contains("TakeOrdered"), "rerank must tree-reduce")
+  }
+
+  test("t_strip_html: the strip chain is map-only — zero exchanges " +
+    "before the presentation sort") {
+    val df = SparkEntry.queries("t_strip_html")(spark, sf)
+    val p = plan(df)
+    // one allowed exchange: the final orderBy's range partitioning
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"strip + gate must fuse into the scan stage:\n$p")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+  }
+
   private implicit class SubstrAfter(private val s: String) {
     def substringAfter(sep: String): String = {
       val i = s.indexOf(sep)
