@@ -1168,6 +1168,35 @@ object Analytics {
       |  FROM events) WHERE rk <= 2
       |ORDER BY user_id, event_id""".stripMargin)
 
+  /** The third member of the rank-family trilogy:
+    * `dense_rank() <= k` — "every row in the top two value BUCKETS
+    * per user, however many rows each bucket holds". The boundary is
+    * the k-th distinct sort key, so whole value groups are retained;
+    * the rewrite plans the dense heap (k distinct-key
+    * representatives in a TreeSet beside the row heap — O(log k)
+    * membership, worst value group evicted whole). Contrast pinned
+    * by the spec: on the same buckets, dense keeps ≥ rank keeps ≥
+    * row_number keeps.
+    */
+  val qUserTopkDense: Q = Q(
+    (s, dir) => {
+      graft.plans.TopK.enable(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(floor(col("value") / 100).desc_nulls_last)
+      Tables.events(s, dir)
+        .select("user_id", "event_id", "event_type", "value")
+        .withColumn("dr", dense_rank().over(w))
+        .filter(col("dr") <= 2).drop("dr")
+        .orderBy("user_id", "event_id")
+    },
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    dense_rank() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(floor(value / 100) AS BIGINT) DESC NULLS LAST) AS dr
+      |  FROM events) WHERE dr <= 2
+      |ORDER BY user_id, event_id""".stripMargin)
+
   // --------------------------------------------------------------- E27
   /** The catalog's equi-depth histogram TABLE — E24 generalized to
     * the multi-column artifact a cost-based optimizer stores beside
@@ -1366,6 +1395,7 @@ object Analytics {
     "q_stats_hist" -> qStatsHist,
     "q_user_topk" -> qUserTopk,
     "q_user_topk_rank" -> qUserTopkRank,
+    "q_user_topk_dense" -> qUserTopkDense,
     "q_equidepth" -> qEquidepth,
     "q_anomaly" -> qAnomaly,
     "q_latency_hist" -> qLatencyHist,

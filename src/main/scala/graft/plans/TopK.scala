@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, Rank, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, DenseRank, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, Rank, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
@@ -79,15 +79,29 @@ object TopK {
   }
 }
 
+/** Retention contract of a [[PerKeyTopK]] — the three rank-family
+  * window functions state three different boundaries:
+  *  - [[TopKMode.RowNum]]: `row_number() <= k` — exactly k rows, the
+  *    total order decides;
+  *  - [[TopKMode.RankTies]]: `rank() <= k` — every row tying the
+  *    k-th smallest sort key stays (boundary tie group whole);
+  *  - [[TopKMode.Dense]]: `dense_rank() <= k` — every row whose sort
+  *    key is among the k smallest DISTINCT keys stays (k whole value
+  *    groups).
+  */
+sealed trait TopKMode extends Serializable
+object TopKMode {
+  case object RowNum extends TopKMode
+  case object RankTies extends TopKMode
+  case object Dense extends TopKMode
+}
+
 /** Logical "k best rows per key": output = child's rows, restricted
-  * per `partitionSpec` group to the first k under `orderSpec`.
-  * `ties = false` is `row_number() <= k` (exactly k rows, the total
-  * order decides); `ties = true` is `rank() <= k` — every row whose
-  * sort key equals the k-th smallest stays, so the boundary tie
-  * group is retained whole.
+  * per `partitionSpec` group to the first k under `orderSpec`, with
+  * the boundary contract `mode` states.
   */
 case class PerKeyTopK(partitionSpec: Seq[Expression],
-    orderSpec: Seq[SortOrder], k: Int, ties: Boolean,
+    orderSpec: Seq[SortOrder], k: Int, mode: TopKMode,
     child: LogicalPlan)
     extends UnaryNode {
   override def output: Seq[Attribute] = child.output
@@ -132,16 +146,15 @@ object RewriteRankLimitToTopK extends Rule[LogicalPlan] {
   private def mode: String = conf.getConfString(
     "spark.graft.topk.rewrite", "generic")
 
-  /** The window functions the heap operator can stand in for:
-    * row_number (exact k) and rank (k plus boundary ties —
-    * [[PerKeyTopKExec]]'s tie-retaining heap). dense_rank is NOT
-    * rewritten: its boundary is the k-th distinct VALUE, a different
-    * retention contract.
+  /** The window functions the heap operator stands in for, each with
+    * its own retention contract ([[TopKMode]]): row_number (exact k),
+    * rank (k + boundary ties), dense_rank (k whole value groups).
     */
-  private def rankLike(fn: Expression): Option[Boolean] = fn match {
-    case RowNumber() => Some(false)
-    case Rank(_)     => Some(true)
-    case _           => None
+  private def rankLike(fn: Expression): Option[TopKMode] = fn match {
+    case RowNumber()  => Some(TopKMode.RowNum)
+    case Rank(_)      => Some(TopKMode.RankTies)
+    case DenseRank(_) => Some(TopKMode.Dense)
+    case _            => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -179,12 +192,12 @@ object RewriteRankLimitToTopK extends Rule[LogicalPlan] {
   */
 object PerKeyTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case PerKeyTopK(part, order, k, ties, child) =>
+    case PerKeyTopK(part, order, k, mode, child) =>
       val flushKeys = org.apache.spark.sql.internal.SQLConf.get
         .getConfString("spark.graft.topk.flushKeys",
           PerKeyTopKExec.DefaultFlushKeys.toString).toInt
-      PerKeyTopKExec(part, order, k, ties, partial = false, flushKeys,
-        PerKeyTopKExec(part, order, k, ties, partial = true, flushKeys,
+      PerKeyTopKExec(part, order, k, mode, partial = false, flushKeys,
+        PerKeyTopKExec(part, order, k, mode, partial = true, flushKeys,
           planLater(child))) :: Nil
     case _ => Nil
   }
@@ -207,7 +220,7 @@ object PerKeyTopKStrategy extends SparkStrategy {
   * the total) re-applies the exact bound.
   */
 case class PerKeyTopKExec(partitionSpec: Seq[Expression],
-    orderSpec: Seq[SortOrder], k: Int, ties: Boolean, partial: Boolean,
+    orderSpec: Seq[SortOrder], k: Int, mode: TopKMode, partial: Boolean,
     flushKeys: Int, child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -220,7 +233,7 @@ case class PerKeyTopKExec(partitionSpec: Seq[Expression],
     val partExprs = partitionSpec
     val order = orderSpec
     val kk = k
-    val withTies = ties
+    val theMode = mode
     val isPartial = partial
     val childOutput = child.output
     val flushAt = flushKeys
@@ -259,6 +272,27 @@ case class PerKeyTopKExec(partitionSpec: Seq[Expression],
           } else dropping = false
         }
       }
+      /** dense_rank()-mode insert: keep `row` iff its sort key is
+        * among the k smallest DISTINCT keys seen. `reps` holds one
+        * representative per retained distinct key (a TreeSet under
+        * the row ordering, ≤ k+1 entries) — O(log k) membership, and
+        * when a (k+1)-th distinct key appears the worst whole value
+        * group leaves the heap (it sits contiguously at the worst-
+        * first head). Memory is k value groups — again output-sized.
+        */
+      def addDense(pq: java.util.PriorityQueue[InternalRow],
+          reps: java.util.TreeSet[InternalRow],
+          row: InternalRow): Unit = {
+        if (reps.size() >= kk && ord.compare(row, reps.last()) > 0)
+          return // beyond the k-th distinct key, and keys only shrink
+        pq.add(row.copy())
+        reps.add(row.copy()) // no-op when the key is already present
+        if (reps.size() > kk) {
+          val worst = reps.pollLast()
+          while (!pq.isEmpty && ord.compare(pq.peek(), worst) == 0)
+            pq.poll()
+        }
+      }
       // Lazy SEGMENTS: each next() consumes input until either the
       // input ends or (partial only, skew guard) a new key would push
       // the heap map past flushAt — the segment's heaps then stream
@@ -272,6 +306,13 @@ case class PerKeyTopKExec(partitionSpec: Seq[Expression],
         override def next(): Iterator[InternalRow] = {
           val heaps = new java.util.HashMap[UnsafeRow,
             java.util.PriorityQueue[InternalRow]]()
+          // dense mode: one distinct-key representative set per key,
+          // parallel to `heaps` (allocated only when used)
+          val repSets =
+            if (theMode == TopKMode.Dense)
+              new java.util.HashMap[UnsafeRow,
+                java.util.TreeSet[InternalRow]]()
+            else null
           var capped = false
           while (!capped && (pendingRow != null || iter.hasNext)) {
             val row = if (pendingRow != null) {
@@ -288,12 +329,24 @@ case class PerKeyTopKExec(partitionSpec: Seq[Expression],
               if (pq == null) {
                 pq = new java.util.PriorityQueue[InternalRow](kk + 1,
                   worstFirst)
-                heaps.put(key.copy(), pq)
+                val keyCopy = key.copy()
+                heaps.put(keyCopy, pq)
+                if (repSets != null)
+                  repSets.put(keyCopy,
+                    new java.util.TreeSet[InternalRow](
+                      new java.util.Comparator[InternalRow] {
+                        override def compare(a: InternalRow,
+                            b: InternalRow): Int = ord.compare(a, b)
+                      }))
               }
-              if (withTies) addWithTies(pq, row)
-              else if (pq.size() < kk) pq.add(row.copy())
-              else if (ord.compare(row, pq.peek()) < 0) {
-                pq.poll(); pq.add(row.copy())
+              theMode match {
+                case TopKMode.RankTies => addWithTies(pq, row)
+                case TopKMode.Dense => addDense(pq, repSets.get(key), row)
+                case TopKMode.RowNum =>
+                  if (pq.size() < kk) pq.add(row.copy())
+                  else if (ord.compare(row, pq.peek()) < 0) {
+                    pq.poll(); pq.add(row.copy())
+                  }
               }
             }
           }

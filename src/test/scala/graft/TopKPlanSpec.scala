@@ -281,6 +281,55 @@ class TopKPlanSpec extends SparkSpec {
     }
   }
 
+  /** The dense_rank() (k distinct value groups) spelling. */
+  private def denseForm(k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(floor(col("value") / 100).desc_nulls_last)
+    events.withColumn("dr", dense_rank().over(w))
+      .filter(col("dr") <= k).drop("dr")
+  }
+
+  test("dense_rank() <= k rewrites to the distinct-group heap and " +
+    "matches the window plan; dense keeps >= rank keeps >= " +
+    "row_number keeps on the same buckets") {
+    val df = denseForm(2)
+    val rows = sortedRows(df)
+    val p = finalPlan(df)
+    assert(p.contains("PerKeyTopK"),
+      s"the dense_rank() pattern must rewrite too:\n$p")
+    assert(!p.contains("Window"), s"WindowExec survived:\n$p")
+    assert(rows === withMode("off")(sortedRows(denseForm(2))))
+    val rankKeeps = withMode("off")(rankForm(2).count())
+    assert(rows.size >= rankKeeps,
+      "dense_rank <= k retains whole value groups — never fewer " +
+        "rows than rank <= k")
+  }
+
+  test("randomized: dense_rank() <= k heap ≡ model distinct-value " +
+    "filter over tie-heavy data") {
+    import scala.util.Random
+    import spark.implicits._
+    val rnd = new Random(8765)
+    for (trial <- 1 to 3) {
+      val k = 1 + rnd.nextInt(3)
+      val rows = List.fill(400 + rnd.nextInt(300))(
+        (rnd.nextInt(30).toLong, rnd.nextLong(), rnd.nextInt(6).toLong))
+      val df = rows.toDF("key", "id", "score").repartition(7)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("score").desc)
+      val got = df.withColumn("dr", dense_rank().over(w))
+        .filter(col("dr") <= k).drop("dr")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = rows.groupBy(_._1).values.flatMap { g =>
+        val topVals = g.map(_._3).distinct.sorted(Ordering[Long].reverse)
+          .take(k).toSet
+        g.filter(t => topVals(t._3))
+      }.toSet
+      assert(got === want, s"trial $trial (k=$k)")
+    }
+  }
+
   test("rank column KEPT in the output is never rewritten (the rank " +
     "itself is demanded — only a real window can produce it)") {
     val w = org.apache.spark.sql.expressions.Window
