@@ -1020,6 +1020,53 @@ object LakeMerge {
       colPhysical = m.colPhysical, retired = m.retired))
   }
 
+  /** What a [[maintain]] run did: the compaction commit (if any
+    * partition was fragmented), which partitions it rewrote, and the
+    * snapshots age-retention expired.
+    */
+  final case class Maintenance(compactedVersion: Option[Int],
+      compactedPartitions: Seq[String], expired: Seq[Int])
+
+  /** The scheduled TABLE MAINTENANCE job every lakehouse deployment
+    * runs (Delta's OPTIMIZE + VACUUM cron, as one idempotent call).
+    * The decision is made from the MANIFEST alone — a healthy table
+    * costs zero data I/O to check. Under partition-granular COW,
+    * fragmentation is NOT many-small-files-per-partition (each merge
+    * re-lands its partition as one file); it is
+    *  - VERSION-DIR SCATTER: the snapshot's live entries spread over
+    *    more than `maxLiveDirs` version dirs (every dir is a separate
+    *    listing + locality domain, and none can be vacuumed while one
+    *    live file pins it),
+    *  - MOR DEBT: partitions carrying pending deletion vectors (every
+    *    read pays the anti-join until a rewrite applies them),
+    *  - and, for range-layout tables, any partition past
+    *    `maxFilesPerPartition` live files.
+    * Scatter compacts the WHOLE table into one fresh dir (that is the
+    * cure); debt/file-count alone rewrite only the offending
+    * partitions (COW carries the rest verbatim). Then age-based
+    * retention runs. Safe to race a writer: compaction commits
+    * optimistically like any merge, and a beaten attempt surfaces as
+    * ConcurrentModificationException for the scheduler's next tick.
+    */
+  def maintain(spark: SparkSession, dir: String, targetRows: Long,
+      maxFilesPerPartition: Int = 8, maxLiveDirs: Int = 4,
+      expireOlderThanMs: Option[Long] = None): Maintenance = {
+    require(maxFilesPerPartition >= 1 && maxLiveDirs >= 1)
+    val m = manifest(spark, dir)
+    val scattered = m.partitions.map(_.dir).distinct.size > maxLiveDirs
+    val offending = m.partitions.filter(e =>
+      e.deleteFiles.exists(_.nonEmpty) ||
+        e.files.size > maxFilesPerPartition)
+    val dts: Set[String] =
+      if (scattered) m.partitions.map(_.dt).toSet
+      else offending.map(_.dt).toSet
+    val v = if (dts.isEmpty) None
+      else Some(compact(spark, dir, targetRows, keep = dts))
+    val expired = expireOlderThanMs
+      .map(t => vacuumExpired(spark, dir, t)).getOrElse(Nil)
+    Maintenance(v, dts.toList.sorted, expired)
+  }
+
   /** Multi-column stats-skipped read: keep only partitions and files
     * whose recorded ranges can intersect EVERY constraint in
     * `ranges` (column → inclusive [lo, hi]). The key column checks

@@ -116,5 +116,10 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT sum(n_rows) FROM lakes_meta").head().getLong(0) === 10L)
     assert(spark.sql("SELECT version FROM lakes_history ORDER BY version")
       .collect().map(_.getInt(0)).toSeq === Seq(0, 1))
+    // the CDC feed view: one 'update' row for the overwritten key
+    assert(spark.sql("SELECT _change_type, payload FROM lakes_changes " +
+      "WHERE k = 1 ORDER BY _change_type").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("update", "p1-v2")))
   }
 }

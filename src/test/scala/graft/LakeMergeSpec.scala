@@ -1032,6 +1032,49 @@ class LakeMergeSpec extends SparkSpec {
     }
   }
 
+  test("maintain(): manifest-driven — MOR debt compacts only the " +
+    "debtor partition, dir scatter compacts the table into one dir, " +
+    "a healthy table is a zero-I/O no-op, retention applies") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    // a pending deletion vector = MOR debt on 2024-02 only
+    LakeMerge.deleteKeys(spark, dir,
+      Seq((1L, "2024-02")).toDF("k", "dt"))
+    val before = rows(LakeMerge.read(spark, dir))
+    val m0 = LakeMerge.manifest(spark, dir)
+    val untouched = m0.partitions.filter(_.dt != "2024-02").toSet
+    val done = LakeMerge.maintain(spark, dir, targetRows = 1000)
+    assert(done.compactedPartitions === Seq("2024-02"),
+      s"only the MOR-debt partition compacts: $done")
+    val m1 = LakeMerge.manifest(spark, dir)
+    // COW: healthy partitions carried over verbatim; the debt is paid
+    assert(m1.partitions.filter(_.dt != "2024-02").toSet === untouched)
+    assert(m1.partitions.forall(_.deleteFiles.forall(_.isEmpty)))
+    assert(rows(LakeMerge.read(spark, dir)) === before)
+    // scatter: rewrite each partition once → 3 live version dirs
+    for (dt <- Seq("2024-01", "2024-02", "2024-03"))
+      LakeMerge.merge(spark, dir,
+        Seq((2000L, dt, s"touch$dt", 1L)).toDF("k", "dt", "payload", "seq"))
+    assert(LakeMerge.manifest(spark, dir).partitions
+      .map(_.dir).distinct.size === 3)
+    val after = rows(LakeMerge.read(spark, dir))
+    val swept = LakeMerge.maintain(spark, dir, targetRows = 1000,
+      maxLiveDirs = 2,
+      expireOlderThanMs = Some(System.currentTimeMillis() + 60000))
+    assert(swept.compactedPartitions.size === 3,
+      s"scatter compacts the whole table: $swept")
+    assert(LakeMerge.manifest(spark, dir).partitions
+      .map(_.dir).distinct.size === 1, "one fresh dir after the cure")
+    assert(swept.expired.nonEmpty)
+    assert(LakeMerge.history(spark, dir).count() === 1)
+    assert(rows(LakeMerge.read(spark, dir)) === after)
+    // healthy: next tick decides no-op from the manifest alone
+    val noop = LakeMerge.maintain(spark, dir, targetRows = 1000,
+      maxLiveDirs = 2)
+    assert(noop.compactedVersion.isEmpty &&
+      noop.compactedPartitions.isEmpty && noop.expired.isEmpty)
+  }
+
   test("timestamp time travel: readAsOf resolves an instant to the " +
     "latest retained snapshot at or before it, with strictly " +
     "monotonic commit stamps") {
