@@ -1405,7 +1405,54 @@ object TextAnalysis {
        |      FROM documents) d
        |ORDER BY doc_id""".stripMargin)
 
+  // --------------------------------------------------------------- H25
+  /** Deterministic per-epoch TRAINING ORDER — the permutation a data
+    * loader materializes before each pass so that (a) every epoch
+    * visits the corpus in a different pseudo-random order and (b) any
+    * run can reproduce epoch e's order exactly from (corpus, e)
+    * alone. Each doc's position keys on an integer Weyl/Knuth mix of
+    * (doc_id, epoch) — map-only, overflow-safe int64, identical
+    * arithmetic in both engines (a production corpus would use
+    * xxhash64; the mix keeps the oracle exact) — and the order
+    * materializes as ONE range-partitioned sort per epoch with
+    * positions stamped by the partition-offset scheme
+    * ([[graft.operators.Ids.withOrderedId]]): the op whose entire
+    * POINT is the shuffle, and the one shuffle it does is the
+    * minimal sort — no global window, no single-task funnel.
+    * Collisions tie-break on doc_id; epochs 1-2 registered so the
+    * oracle pins that the two orders genuinely differ.
+    */
+  val EpochMix1 = 2654435761L
+  val EpochMix2 = 2246822519L
+  val EpochMod = 2147483647L
+
+  val tEpochOrder: Q = Q(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id")
+      val keyed = Seq(1L, 2L).map(ep =>
+        docs.withColumn("epoch", lit(ep))
+          .withColumn("h",
+            ((col("doc_id") % 1000003L) * EpochMix1
+              + lit(ep) * EpochMix2) % EpochMod))
+        .reduce(_.unionAll(_))
+      graft.operators.Ids
+        .withOrderedId(keyed, Seq("epoch", "h", "doc_id"), "pos")
+        .select(col("doc_id"), col("epoch"), col("pos"))
+        .orderBy("epoch", "pos")
+    },
+    s"""SELECT doc_id, epoch,
+       |  row_number() OVER (ORDER BY epoch, h, doc_id) AS pos
+       |FROM (
+       |  SELECT doc_id, e.epoch,
+       |    ((doc_id % 1000003) * $EpochMix1
+       |      + e.epoch * $EpochMix2) % $EpochMod AS h
+       |  FROM documents,
+       |    (SELECT CAST(1 AS BIGINT) AS epoch
+       |     UNION ALL SELECT 2) e)
+       |ORDER BY epoch, pos""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "t_epoch_order" -> tEpochOrder,
     "t_strip_html" -> tStripHtml,
     "t_bpe" -> tBpe,
     "t_bpe_encode" -> tBpeEncode,

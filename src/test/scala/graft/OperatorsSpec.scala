@@ -564,6 +564,33 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.contains("alert") && !got.contains("color"))
   }
 
+  test("t_epoch_order: a true permutation per epoch, epochs differ, " +
+    "re-runs reproduce bit-identically, and no global window plans") {
+    val df = SparkEntry.queries("t_epoch_order")(spark, sf)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.documents(spark, sf).count()
+    val byEpoch = rows.groupBy(_._2)
+    // each epoch is a permutation: every doc exactly once, positions
+    // contiguous within the epoch
+    assert(byEpoch(1L).map(_._1).toSet === byEpoch(2L).map(_._1).toSet)
+    assert(byEpoch(1L).map(_._3).sorted.toSeq === (1L to n))
+    assert(byEpoch(2L).map(_._3).sorted.toSeq === (n + 1 to 2 * n))
+    // the two epochs order the corpus differently
+    val order1 = byEpoch(1L).sortBy(_._3).map(_._1).toSeq
+    val order2 = byEpoch(2L).sortBy(_._3).map(_._1).toSeq
+    assert(order1 !== order2, "epochs must shuffle differently")
+    assert(order1 !== order1.sorted, "epoch order must not be doc_id order")
+    // deterministic: a second run reproduces the schedule exactly
+    val again = SparkEntry.queries("t_epoch_order")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === rows.toSeq)
+    // scale guard: position assignment must be the partition-offset
+    // scheme, never a global window
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "no global window in the training-order plan")
+  }
+
   test("stripMarkdown: links keep labels, emphasis/ticks/headings " +
     "drop, whitespace collapses") {
     import graft.operators.TextAnalysis

@@ -479,16 +479,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q_user_topk_rank: the tie-aware rewrite fires — heap " +
-    "operator, no WindowExec, no input sort") {
-    val df = SparkEntry.queries("q_user_topk_rank")(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    assert(p.contains("PerKeyTopK"), s"rank rewrite did not fire:\n$p")
-    assert(!p.contains("Window"), s"WindowExec survived:\n$p")
-    assert(p.linesIterator.count(_.contains("PerKeyTopK")) === 2,
-      s"expected partial+final heap pair:\n$p")
+  test("q_user_topk_rank / q_user_topk_dense: the tie-aware rewrites " +
+    "fire — heap operator, no WindowExec, no input sort") {
+    for (q <- Seq("q_user_topk_rank", "q_user_topk_dense")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("PerKeyTopK"), s"$q rewrite did not fire:\n$p")
+      assert(!p.contains("Window"), s"$q: WindowExec survived:\n$p")
+      assert(p.linesIterator.count(_.contains("PerKeyTopK")) === 2,
+        s"$q: expected partial+final heap pair:\n$p")
+    }
   }
 
   test("s_ann_ivf_km: assignment is map-only literals; the candidate " +
