@@ -7,14 +7,16 @@ import scala.util.Random
 import graft.sources.LakeMerge
 
 /** Model-based check of the WHOLE lake protocol: random sequences of
-  * COW merges (upserts + deletes), merge-on-read key deletes, and
-  * (scoped, randomly-sized) compactions must keep the table
-  * row-identical to a trivial in-memory map after EVERY commit — and
-  * the version history, change feed, and manifest stats must match
-  * what the recorded model states imply. Seeded randomness: the op
+  * COW merges (upserts + deletes), merge-on-read key deletes,
+  * (scoped, randomly-sized) compactions, RESTOREs to random earlier
+  * snapshots, and maintain() sweeps must keep the table row-identical
+  * to a trivial in-memory map after EVERY commit — and the version
+  * history, change feed, and manifest stats must match what the
+  * recorded model states imply. Seeded randomness: the op
   * interleavings (delete-then-compact, compact-then-merge on the same
-  * partition, deletes of absent keys, no-op compactions) are exactly
-  * the cases example-based specs enumerate one at a time.
+  * partition, deletes of absent keys, no-op compactions,
+  * restore-then-merge, maintain over MOR debt) are exactly the cases
+  * example-based specs enumerate one at a time.
   */
 class LakeModelSpec extends SparkSpec {
 
@@ -48,9 +50,9 @@ class LakeModelSpec extends SparkSpec {
       var model: Model = init0.map(r => (r._1, r._2) -> r._3).toMap
       var states = Map(LakeMerge.latestVersion(spark, dir) -> model)
 
-      for (step <- 1 to 8) {
+      for (step <- 1 to 10) {
         seq += 1
-        rnd.nextInt(4) match {
+        rnd.nextInt(6) match {
           case 0 | 1 => // COW merge: upserts + deletes, disjoint keys
             val delK = rndKeys(rnd.nextInt(3))
             val upsK = rndKeys(rnd.nextInt(6) + 1)
@@ -72,6 +74,18 @@ class LakeModelSpec extends SparkSpec {
             LakeMerge.compact(spark, dir,
               targetRows = 1L + rnd.nextInt(10),
               keep = dt => rnd.nextBoolean() || dt == "A")
+          case 4 => // restore to a random recorded snapshot: the
+            // model rewinds with it (data only — later merges build
+            // on the restored state)
+            val vs0 = states.keys.toList.sorted
+            val rv = vs0(rnd.nextInt(vs0.length))
+            LakeMerge.restore(spark, dir, rv)
+            model = states(rv)
+          case 5 => // maintenance sweep: physical-only, model unchanged
+            LakeMerge.maintain(spark, dir,
+              targetRows = 1L + rnd.nextInt(10),
+              maxFilesPerPartition = 1 + rnd.nextInt(4),
+              maxLiveDirs = 1 + rnd.nextInt(3))
         }
         val v = LakeMerge.latestVersion(spark, dir)
         states += v -> model
