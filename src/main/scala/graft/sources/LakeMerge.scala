@@ -883,6 +883,19 @@ object LakeMerge {
   def readAsOf(spark: SparkSession, dir: String, tsMs: Long): DataFrame =
     read(spark, dir, Some(versionAsOf(spark, dir, tsMs)))
 
+  /** The change feed between two INSTANTS — "what changed since the
+    * last sweep at 02:00": both endpoints resolve through
+    * [[versionAsOf]], then [[changes]] diffs the snapshots (same
+    * manifest-level partition skipping). The shape a wall-clock-
+    * scheduled incremental consumer states its reads in.
+    */
+  def changesAsOf(spark: SparkSession, dir: String, fromTsMs: Long,
+      toTsMs: Long, updatePreimages: Boolean = false): DataFrame = {
+    require(fromTsMs <= toTsMs, "fromTsMs must not exceed toTsMs")
+    changes(spark, dir, versionAsOf(spark, dir, fromTsMs),
+      Some(versionAsOf(spark, dir, toTsMs)), updatePreimages)
+  }
+
   /** Partition-pruned read: only manifest entries whose `dt` passes
     * `keep` are listed — pruning happens at the MANIFEST, before any
     * file (or even directory) is touched.

@@ -1102,6 +1102,15 @@ class LakeMergeSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       LakeMerge.versionAsOf(spark, dir, stamps(0) - 1)
     }
+    // the wall-clock change feed: both endpoints resolve through the
+    // same as-of rule, so "changes since 02:00" is exactly the
+    // version-diff between the resolved snapshots
+    val feed = LakeMerge.changesAsOf(spark, dir, stamps(0), stamps(2))
+      .select("_change_type", "k", "payload").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(feed.toSeq === Seq(("update", 1L, "p1-v2")))
+    assert(LakeMerge.changesAsOf(spark, dir, stamps(1), stamps(1))
+      .count() === 0, "a zero-width window carries no changes")
     // a vacuumed version is no longer a resolution target: its
     // instant resolves to nothing (data gone), not to a later lie
     LakeMerge.vacuum(spark, dir, keepLast = 1)
