@@ -1214,6 +1214,61 @@ object Similarity {
        |FROM asg, p WHERE vec_id <> 0 AND cell = pcell
        |ORDER BY score_micro DESC, vec_id LIMIT 10""".stripMargin)
 
+  /** The km family's recall dial — G14 with nprobe = [[NProbe]]
+    * cells, completing the symmetry with G8: same exploded-probe
+    * broadcast equi-join, codebook provenance the only difference.
+    * Oracle reranks the km centroids per vector (the kmeans CTE
+    * chain + one ranking CTE) exactly as `ivfRankedCteSql` does for
+    * the labeled codebook.
+    */
+  val sAnnIvfKmProbe: Q = Q(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cells = ivfCells(kmCodebook(s, dir))
+      val assigned = emb.withColumn("cell", array_min(cells).getField("cell"))
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"),
+          explode(transform(slice(array_sort(cells), 1, NProbe),
+            c => c.getField("cell"))).as("pcell"))
+      assigned.filter(col("vec_id") =!= 0)
+        .join(broadcast(probe), col("cell") === col("pcell"))
+        .select(col("vec_id"), col("label"), col("cell"),
+          nativeScoreMicro(s, "embedding", "probe").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("vec_id"))
+        .limit(10)
+    },
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |    AS cl, v
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $KmeansK)),
+       |a1 AS (${kmAssignSql("c0")}),
+       |c1 AS (${kmRefreshSql("a1")}),
+       |a2 AS (${kmAssignSql("c1")}),
+       |c2 AS (${kmRefreshSql("a2")}),
+       |rankedKm AS (
+       |  SELECT q.vec_id, CAST(c.cl AS BIGINT) AS cell,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_sum(list_transform(list_zip(q.v, c.v),
+       |        z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cl) AS rn
+       |  FROM e q CROSS JOIN c2 c),
+       |asg AS (
+       |  SELECT emb.vec_id, emb.label, emb.embedding, r.cell
+       |  FROM embeddings emb
+       |  JOIN rankedKm r ON r.vec_id = emb.vec_id AND r.rn = 1),
+       |p AS (
+       |  SELECT emb.embedding AS probe, r.cell AS pcell
+       |  FROM embeddings emb
+       |  JOIN rankedKm r ON r.vec_id = emb.vec_id AND r.rn <= $NProbe
+       |  WHERE emb.vec_id = 0)
+       |SELECT vec_id, label, cell,
+       |  ${scoreMicroSql("embedding", "probe")} AS score_micro
+       |FROM asg, p WHERE vec_id <> 0 AND cell = pcell
+       |ORDER BY score_micro DESC, vec_id LIMIT 10""".stripMargin)
+
   // --------------------------------------------------------- G-recall
   /** The ANN EVIDENCE TABLE: recall@10 of every approximate rung
     * against the brute-force kernel (G1), in one oracle-gated
@@ -1236,6 +1291,7 @@ object Similarity {
     "s_ann_ivf" -> sAnnIvf,
     "s_ann_ivf_km" -> sAnnIvfKm,
     "s_ann_ivf_probe" -> sAnnIvfProbe,
+    "s_ann_ivf_km_probe" -> sAnnIvfKmProbe,
     "s_ann_pq" -> sAnnPq,
     "s_ann_ivfpq" -> sAnnIvfPq,
     "s_ann_ivfpq_probe" -> sAnnIvfPqProbe,
@@ -1269,6 +1325,7 @@ object Similarity {
     })
 
   val registry: Map[String, Q] = Map(
+    "s_ann_ivf_km_probe" -> sAnnIvfKmProbe,
     "s_ann_recall" -> sAnnRecall,
     "s_ann_ivf_km" -> sAnnIvfKm,
     "s_ann_ivfpq" -> sAnnIvfPq,
@@ -1283,6 +1340,7 @@ object Similarity {
     "s_knn_topk_agg" -> sKnnTopkAgg,
     "s_ann_ivf" -> sAnnIvf,
     "s_ann_ivf_probe" -> sAnnIvfProbe,
+    "s_ann_ivf_km_probe" -> sAnnIvfKmProbe,
     "s_ann_pq" -> sAnnPq,
     "s_ann_sq8" -> sAnnSq8,
     "d_embed_clusters" -> dEmbedClusters)

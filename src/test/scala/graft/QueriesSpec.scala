@@ -599,8 +599,8 @@ class QueriesSpec extends SparkSpec {
     val rows = SparkEntry.queries("s_ann_recall")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val rungs = Seq("s_ann_lsh", "s_ann_multiprobe", "s_ann_ivf",
-      "s_ann_ivf_km", "s_ann_ivf_probe", "s_ann_pq", "s_ann_ivfpq",
-      "s_ann_ivfpq_probe", "s_ann_sq8")
+      "s_ann_ivf_km", "s_ann_ivf_probe", "s_ann_ivf_km_probe",
+      "s_ann_pq", "s_ann_ivfpq", "s_ann_ivfpq_probe", "s_ann_sq8")
     assert(rows.keySet === rungs.toSet, "one row per ANN config")
     rows.values.foreach { case (hits, bp) =>
       assert(hits >= 0 && hits <= 10 && bp === hits * 1000)
@@ -613,6 +613,8 @@ class QueriesSpec extends SparkSpec {
       "nprobe=2 recall must be >= nprobe=1 (IVF+PQ)")
     assert(rows("s_ann_multiprobe")._1 >= rows("s_ann_lsh")._1,
       "multi-probe LSH recall must be >= single-probe")
+    assert(rows("s_ann_ivf_km_probe")._1 >= rows("s_ann_ivf_km")._1,
+      "nprobe=2 recall must be >= nprobe=1 (km-trained IVF)")
   }
 
   test("s_ann_ivf_probe: nprobe=2 widens the scan, recall is monotone") {
