@@ -230,6 +230,47 @@ object MultiModal {
     }
   }
 
+  /** The 9×8 dHash grid over a decoded raster (the I3a kernel,
+    * factored out so single images and per-frame hashing share one
+    * definition): area-averaged integer luma cells, each bit a
+    * left<right comparison — brightness-shift invariant. Caller
+    * guarantees the raster is at least grid-sized.
+    */
+  private def dHashBits(i: java.awt.image.BufferedImage): Long = {
+    val (gw, gh) = (9, 8)
+    val (w, h) = (i.getWidth, i.getHeight)
+    val sum = Array.ofDim[Long](gh, gw)
+    val cnt = Array.ofDim[Long](gh, gw)
+    var y = 0
+    while (y < h) {
+      val cy = y * gh / h
+      var x = 0
+      while (x < w) {
+        val cx = x * gw / w
+        val rgb = i.getRGB(x, y)
+        sum(cy)(cx) += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) +
+          (rgb & 0xff)) / 3
+        cnt(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var k = 0
+    var cy = 0
+    while (cy < gh) {
+      var cx = 0
+      while (cx < gw - 1) {
+        if (sum(cy)(cx) / cnt(cy)(cx) <
+            sum(cy)(cx + 1) / cnt(cy)(cx + 1)) bits |= 1L << k
+        k += 1
+        cx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
   /** Decoded doc + its 64-bit perceptual difference-hash. `decoded =
     * false` (phash -1) marks undecodable bytes, as in [[ImageFeatures]].
     */
@@ -262,37 +303,7 @@ object MultiModal {
           catch { case _: java.io.IOException => None }
         img match {
           case Some(i) if i.getWidth >= gw && i.getHeight >= gh =>
-            val (w, h) = (i.getWidth, i.getHeight)
-            val sum = Array.ofDim[Long](gh, gw)
-            val cnt = Array.ofDim[Long](gh, gw)
-            var y = 0
-            while (y < h) {
-              val cy = y * gh / h
-              var x = 0
-              while (x < w) {
-                val cx = x * gw / w
-                val rgb = i.getRGB(x, y)
-                sum(cy)(cx) += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) +
-                  (rgb & 0xff)) / 3
-                cnt(cy)(cx) += 1
-                x += 1
-              }
-              y += 1
-            }
-            var bits = 0L
-            var k = 0
-            var cy = 0
-            while (cy < gh) {
-              var cx = 0
-              while (cx < gw - 1) {
-                if (sum(cy)(cx) / cnt(cy)(cx) <
-                    sum(cy)(cx + 1) / cnt(cy)(cx + 1)) bits |= 1L << k
-                k += 1
-                cx += 1
-              }
-              cy += 1
-            }
-            ImageHash(m.doc_id, decoded = true, bits)
+            ImageHash(m.doc_id, decoded = true, dHashBits(i))
           case _ => ImageHash(m.doc_id, decoded = false, -1L)
         }
       }
@@ -326,6 +337,89 @@ object MultiModal {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-FRAME dHash of an animated container + its frame index —
+    * the raster-level sibling of [[decodeFrames]] (same ImageIO
+    * sequence reader, same stride-at-decode sampling, same poison-row
+    * contract), emitting the I3a perceptual hash per kept frame
+    * instead of summary features. Frames smaller than the 9×8 grid
+    * mark `decoded=false` (hash undefined), never throw.
+    */
+  final case class FrameHash(doc_id: Long, decoded: Boolean,
+      frame_idx: Int, phash: Long)
+
+  def frameDHash(media: Dataset[MediaRow],
+      stride: Int = 1): Dataset[FrameHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { m =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[FrameHash]
+        if (m.format == "gif") {
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(m.content))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (readers.hasNext) {
+              val r = readers.next()
+              try {
+                r.setInput(iis, false, true)
+                val n = r.getNumImages(true)
+                var i = 0
+                while (i < n) {
+                  if (i % stride == 0) {
+                    val img = r.read(i)
+                    if (img.getWidth >= 9 && img.getHeight >= 8)
+                      out += FrameHash(m.doc_id, decoded = true, i,
+                        dHashBits(img))
+                  }
+                  i += 1
+                }
+              } finally {
+                r.dispose()
+                iis.close()
+              }
+            }
+          } catch { case _: java.io.IOException => out.clear() }
+        }
+        if (out.isEmpty)
+          Iterator.single(FrameHash(m.doc_id, decoded = false, -1, -1L))
+        else out.iterator
+      }
+    }
+  }
+
+  /** I5: SCENE-CHANGE detection over an animated container — the
+    * shot-boundary pass every video curation pipeline runs before
+    * sampling "one frame per scene" (a stride sampler oversamples
+    * static shots and misses short ones; cuts land exactly one
+    * keyframe per shot). A cut is a frame whose perceptual distance
+    * from its predecessor exceeds `maxHamming` dHash bits — the same
+    * banding-free exact Hamming the I3 near-dup verify uses, so the
+    * threshold means the same thing in both places. All windows are
+    * PARTITIONED BY doc (a container's frames are one key's rows —
+    * never a global window); the per-frame hash work happened
+    * map-only in [[frameDHash]]. Emits every decoded frame with its
+    * `hamming_prev` (null for frame 0), `is_cut` (frame 0 opens
+    * scene 0 by definition), and running `scene_idx` — "sample one
+    * frame per scene" is then a PerKeyTopK over (doc_id, scene_idx),
+    * k=1.
+    */
+  def sceneChanges(frames: Dataset[FrameHash],
+      maxHamming: Int = 6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    frames.toDF().filter(col("decoded"))
+      .withColumn("prev", lag(col("phash"), 1).over(w))
+      .withColumn("hamming_prev",
+        expr("CAST(bit_count(phash ^ prev) AS BIGINT)"))
+      .withColumn("is_cut",
+        col("prev").isNull || col("hamming_prev") > maxHamming)
+      .withColumn("scene_idx",
+        sum(when(col("is_cut"), 1L).otherwise(0L)).over(w) - 1)
+      .select(col("doc_id"), col("frame_idx"), col("hamming_prev"),
+        col("is_cut"), col("scene_idx"))
   }
 
   /** I3b: near-duplicate image pairs by banded dHash. */

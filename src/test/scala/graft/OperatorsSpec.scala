@@ -212,6 +212,63 @@ class OperatorsSpec extends SparkSpec {
     assert(all.filter(_.doc_id == 3L).forall(!_.decoded))
   }
 
+  test("multimodal: scene-change detection — cuts land exactly at " +
+    "shot boundaries, windows stay doc-partitioned, poison rows mark") {
+    import spark.implicits._
+    // an animated GIF whose frames paint per-pixel via `px`
+    def texturedGif(frames: Seq[(Int, Int) => Int], w: Int,
+        h: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (px <- frames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h) {
+          val v = px(x, y) & 0xff
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.close()
+      bos.toByteArray
+    }
+    // scene A: left-dark→right-bright gradient (all dHash bits 1);
+    // scene B: the reverse (all bits 0) — a full-hash cut between
+    val grad: (Int, Int) => Int = (x, _) => x * 255 / 17
+    val rev: (Int, Int) => Int = (x, _) => 255 - x * 255 / 17
+    val gif = texturedGif(Seq(grad, grad, rev, rev, grad), 18, 8)
+    val rows = Seq(
+      MultiModal.MediaRow(1L, gif, "gif", 18, 8),
+      MultiModal.MediaRow(2L, Array[Byte](9, 9), "gif", 0, 0))
+    val hashes = MultiModal.frameDHash(spark.createDataset(rows))
+    val scenes = MultiModal.sceneChanges(hashes, maxHamming = 6)
+      .orderBy("doc_id", "frame_idx").collect()
+    val d1 = scenes.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getInt(1)).toSeq === Seq(0, 1, 2, 3, 4))
+    // cuts exactly where the shot changes: frame 0 (opens scene 0),
+    // frame 2 (A→B), frame 4 (B→A); within-shot frames are no-cuts
+    assert(d1.map(_.getBoolean(3)).toSeq ===
+      Seq(true, false, true, false, true))
+    assert(d1.map(_.getLong(4)).toSeq === Seq(0L, 0L, 1L, 1L, 2L))
+    // within-shot hamming is ~0, across-shot is near the full hash
+    assert(d1(1).getLong(2) <= 2 && d1(3).getLong(2) <= 2)
+    assert(d1(2).getLong(2) >= 50 && d1(4).getLong(2) >= 50)
+    // poison bytes never reach the scene relation
+    assert(!scenes.exists(_.getLong(0) == 2L))
+    // scale guard: the one window is doc-partitioned, never global
+    val p = MultiModal.sceneChanges(hashes).queryExecution
+      .executedPlan.toString
+    assert(!p.contains("Window [") ||
+      p.contains("windowspecdefinition(doc_id"),
+      s"scene windows must partition by doc:\n$p")
+  }
+
   test("multimodal: dHash is brightness-invariant and the banded " +
     "pair search finds exactly the near-dup pairs") {
     import spark.implicits._

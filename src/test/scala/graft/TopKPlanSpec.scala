@@ -306,6 +306,19 @@ class TopKPlanSpec extends SparkSpec {
         "rows than rank <= k")
   }
 
+  test("partial-phase flush under rank and dense modes: tiny " +
+    "flushKeys segments still reduce to the exact tie-aware results") {
+    // partial segments emit SUPERSETS; the final phase must re-apply
+    // each mode's own boundary contract exactly
+    spark.conf.set("spark.graft.topk.flushKeys", "2")
+    try {
+      val rk = sortedRows(rankForm(2))
+      val dn = sortedRows(denseForm(2))
+      assert(rk === withMode("off")(sortedRows(rankForm(2))))
+      assert(dn === withMode("off")(sortedRows(denseForm(2))))
+    } finally spark.conf.unset("spark.graft.topk.flushKeys")
+  }
+
   test("randomized: dense_rank() <= k heap ≡ model distinct-value " +
     "filter over tie-heavy data") {
     import scala.util.Random
