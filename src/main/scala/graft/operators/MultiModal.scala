@@ -422,6 +422,19 @@ object MultiModal {
         col("is_cut"), col("scene_idx"))
   }
 
+  /** One KEYFRAME per scene — the composition the scene pass exists
+    * for: the cut frame (each scene's first) via the engine's own
+    * PerKeyTopK over (doc, scene), k=1 — bounded heaps, no
+    * per-container sort, map-side shrink before the one shuffle.
+    */
+  def keyframes(frames: Dataset[FrameHash],
+      maxHamming: Int = 6): DataFrame = {
+    graft.plans.TopK.enable(frames.sparkSession)
+    graft.plans.TopK.perKey(sceneChanges(frames, maxHamming),
+      Seq(col("doc_id"), col("scene_idx")), Seq(col("frame_idx")), 1)
+      .select("doc_id", "scene_idx", "frame_idx")
+  }
+
   /** I3b: near-duplicate image pairs by banded dHash. */
   def imageNearDupPairs(hashes: Dataset[ImageHash],
       maxHamming: Int = 6): DataFrame =

@@ -261,6 +261,12 @@ class OperatorsSpec extends SparkSpec {
     assert(d1(2).getLong(2) >= 50 && d1(4).getLong(2) >= 50)
     // poison bytes never reach the scene relation
     assert(!scenes.exists(_.getLong(0) == 2L))
+    // keyframe sampling: exactly the cut frame of each scene, via the
+    // engine's own PerKeyTopK (k=1 per (doc, scene))
+    val kf = MultiModal.keyframes(hashes, maxHamming = 6)
+      .orderBy("doc_id", "scene_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(kf.toSeq === Seq((1L, 0L, 0), (1L, 1L, 2), (1L, 2L, 4)))
     // scale guard: the one window is doc-partitioned, never global
     val p = MultiModal.sceneChanges(hashes).queryExecution
       .executedPlan.toString
