@@ -304,6 +304,30 @@ class QueriesSpec extends SparkSpec {
     assert(atIters.filter(col("label") > col("doc_id")).count() === 0)
   }
 
+  test("propagate: a 200-node CHAIN converges in O(log diameter) " +
+    "rounds — the pointer jump's whole point") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // a path graph 0-1-2-…-199: diameter 199. Plain min-label
+    // propagation needs ~199 rounds for node 199 to learn label 0;
+    // with the per-round pointer jump the known-minimum's reach at
+    // least doubles per round, so 12 rounds must suffice.
+    val n = 200
+    val half = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val edges = half.unionAll(
+      half.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .repartition(8).localCheckpoint(true)
+    val labels0 = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    val got = Dedup.propagate(edges, labels0, 12)
+    assert(got.filter(col("label") =!= 0L).count() === 0,
+      "12 jump-rounds must flood a diameter-199 chain (O(log d))")
+    // and the loop detected the fixpoint itself: one more round is
+    // a no-op
+    val again = Dedup.propagate(edges, got.select("doc_id", "label"), 1)
+    assert(again.filter(col("label") =!= 0L).count() === 0)
+  }
+
   test("cluster map: materialized handle equals the inline recompute " +
     "and is shared across consumers") {
     import graft.operators.Dedup
