@@ -102,11 +102,12 @@ object GraftCatalog {
       .createOrReplaceTempView(s"${name}_meta")
     LakeMerge.history(spark, dir)
       .createOrReplaceTempView(s"${name}_history")
-    // the CDC feed since table creation — the table_changes() analog;
-    // consumers filter _change_type / re-window as needed
-    if (LakeMerge.latestVersion(spark, dir) > 0)
-      try LakeMerge.changes(spark, dir, 0)
-        .createOrReplaceTempView(s"${name}_changes")
-      catch { case scala.util.control.NonFatal(_) => () } // v0 vacuumed
+    // the CDC feed since table creation — the table_changes() analog:
+    // v0's rows replay as inserts, then the v0→latest diff, so the
+    // feed reconstructs the full current table (not just a state
+    // diff). Frozen at registration like every other view here.
+    try LakeMerge.changesSinceCreation(spark, dir)
+      .createOrReplaceTempView(s"${name}_changes")
+    catch { case scala.util.control.NonFatal(_) => () } // v0 vacuumed
   }
 }

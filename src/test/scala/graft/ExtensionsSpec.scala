@@ -116,10 +116,18 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT sum(n_rows) FROM lakes_meta").head().getLong(0) === 10L)
     assert(spark.sql("SELECT version FROM lakes_history ORDER BY version")
       .collect().map(_.getInt(0)).toSeq === Seq(0, 1))
-    // the CDC feed view: one 'update' row for the overwritten key
+    // the CDC feed view replays since CREATION: the overwritten key
+    // shows its v0 insert AND the update; an untouched key shows its
+    // v0 insert — applying the feed reconstructs the full table
     assert(spark.sql("SELECT _change_type, payload FROM lakes_changes " +
       "WHERE k = 1 ORDER BY _change_type").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq ===
-      Seq(("update", "p1-v2")))
+      Seq(("insert", "p1"), ("update", "p1-v2")))
+    assert(spark.sql("SELECT _change_type, payload FROM lakes_changes " +
+      "WHERE k = 7").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("insert", "p7")))
+    assert(spark.sql("SELECT count(*) FROM lakes_changes " +
+      "WHERE _change_type = 'insert'").head().getLong(0) === 10L)
   }
 }

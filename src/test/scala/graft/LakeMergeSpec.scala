@@ -1032,6 +1032,62 @@ class LakeMergeSpec extends SparkSpec {
     }
   }
 
+  test("column mapping: DROP then RENAME onto the dropped name — " +
+    "pre-drop files still physically hold the retired column, yet " +
+    "reads, merges, and compaction stay unambiguous (r12 advice)") {
+    val dir = tempTable()
+    val df0 = baseDf.withColumn("note", concat(lit("n"), col("k")))
+    LakeMerge.init(spark, dir, df0, "dt", "k", "seq")               // v0
+    LakeMerge.dropColumn(spark, dir, "note")                        // v1
+    // rebind the retired NAME to payload's bytes: every v0 file now
+    // physically holds BOTH a `note` (retired) and a `payload`
+    // (renamed to logical `note`) column — the ambiguity trap
+    LakeMerge.renameColumn(spark, dir, "payload", "note")           // v2
+    val r = LakeMerge.read(spark, dir)
+    assert(r.columns.toSeq === Seq("k", "dt", "note", "seq"))
+    // values come from payload's physical bytes, not the retired ones
+    assert(r.filter(col("k") === 7).select("note")
+      .head().getString(0) === "p7")
+    // merge + compact keep working over the mixed file population
+    LakeMerge.merge(spark, dir,
+      Seq((1L, "2024-02", "n1-new", 9L)).toDF("k", "dt", "note", "seq"))
+    LakeMerge.compact(spark, dir, targetRows = 1000)
+    val got = rows2(LakeMerge.read(spark, dir))
+    assert(got.contains((1L, "2024-02", "n1-new")))
+    assert(got.contains((7L, "2024-02", "p7")))
+    // time travel: v0 still answers under its own names and values
+    val v0 = LakeMerge.read(spark, dir, Some(0))
+    assert(v0.columns.contains("payload") && v0.columns.contains("note"))
+    assert(v0.filter(col("k") === 7).select("note")
+      .head().getString(0) === "n7")
+  }
+
+  test("column mapping: swap-like rename chain (a→tmp, b→a, tmp→b) — " +
+    "the atomic logical projection is order-independent (r12 advice)") {
+    val dir = tempTable()
+    val df0 = baseDf.withColumn("note", concat(lit("n"), col("k")))
+    LakeMerge.init(spark, dir, df0, "dt", "k", "seq")               // v0
+    LakeMerge.renameColumn(spark, dir, "payload", "tmp")            // v1
+    LakeMerge.renameColumn(spark, dir, "note", "payload")           // v2
+    LakeMerge.renameColumn(spark, dir, "tmp", "note")               // v3
+    // payload and note have SWAPPED: logical `payload` now binds the
+    // physical bytes of note and vice versa
+    val r = LakeMerge.read(spark, dir)
+    val k7 = r.filter(col("k") === 7).select("payload", "note").head()
+    assert(k7.getString(0) === "n7" && k7.getString(1) === "p7")
+    // merges under the swapped names land on the right bytes
+    LakeMerge.merge(spark, dir,
+      Seq((7L, "2024-02", "N7", "P7", 9L))
+        .toDF("k", "dt", "payload", "note", "seq"))
+    val k7b = LakeMerge.read(spark, dir)
+      .filter(col("k") === 7).select("payload", "note").head()
+    assert(k7b.getString(0) === "N7" && k7b.getString(1) === "P7")
+    // and untouched keys still read swapped v0 bytes post-merge
+    val k3 = LakeMerge.read(spark, dir)
+      .filter(col("k") === 3).select("payload", "note").head()
+    assert(k3.getString(0) === "n3" && k3.getString(1) === "p3")
+  }
+
   test("maintain(): manifest-driven — MOR debt compacts only the " +
     "debtor partition, dir scatter compacts the table into one dir, " +
     "a healthy table is a zero-I/O no-op, retention applies") {
@@ -1118,5 +1174,115 @@ class LakeMergeSpec extends SparkSpec {
       LakeMerge.versionAsOf(spark, dir, stamps(0))
     }
     assert(LakeMerge.versionAsOf(spark, dir, stamps(2)) === 2)
+  }
+
+  test("manifest checkpoint: a 100+-commit table answers " +
+    "latestVersion/history/versionAsOf from the checkpoint + tail — " +
+    "O(interval) metadata reads, zero full listings (r12 verdict)") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")            // v0
+    (1 to 104).foreach { i =>
+      LakeMerge.merge(spark, dir,
+        Seq((1L, "2024-02", s"p1-v$i", i.toLong))
+          .toDF("k", "dt", "payload", "seq"))
+    }
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    assert(f.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_manifest/_checkpoint.json")),
+      "periodic commits must have landed a checkpoint")
+    // --- latestVersion: pure probe, no manifest opens, no listing
+    var opens0 = LakeMerge.metaOpens; var lists0 = LakeMerge.metaListings
+    assert(LakeMerge.latestVersion(spark, dir) === 104)
+    assert(LakeMerge.metaOpens === opens0,
+      "latestVersion must not open any manifest JSON")
+    assert(LakeMerge.metaListings === lists0,
+      "latestVersion must not list the _manifest dir")
+    // --- history: checkpoint summary + tail manifests only. The
+    // last checkpoint covers v100, so the tail is v101..v104 — at
+    // most interval reads, never the 105 a full replay would cost.
+    opens0 = LakeMerge.metaOpens; lists0 = LakeMerge.metaListings
+    val h = LakeMerge.history(spark, dir).collect()
+    assert(h.length === 105)
+    assert(h.map(_.getInt(0)).toSeq === (0 to 104))
+    val historyOpens = LakeMerge.metaOpens - opens0
+    assert(historyOpens <= LakeMerge.CheckpointInterval,
+      s"history read $historyOpens manifests — the checkpoint is not " +
+        "being used")
+    assert(LakeMerge.metaListings === lists0)
+    // --- versionAsOf resolves from the same summaries
+    val stamp50 = h(50).getTimestamp(2).getTime
+    opens0 = LakeMerge.metaOpens
+    assert(LakeMerge.versionAsOf(spark, dir, stamp50) === 50)
+    assert(LakeMerge.metaOpens - opens0 <= LakeMerge.CheckpointInterval)
+    // --- and the data plane is untouched: a checkpointed old version
+    // still time-travels, the tip still reads
+    assert(rows(LakeMerge.read(spark, dir, Some(37)))
+      .contains((1L, "2024-02", "p1-v37")))
+    assert(rows(LakeMerge.read(spark, dir))
+      .contains((1L, "2024-02", "p1-v104")))
+  }
+
+  test("manifest checkpoint composes with retention: vacuumExpired " +
+    "and vacuum(keepLast) re-checkpoint at the tip, history shows " +
+    "survivors, the probe never loses the tip") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")            // v0
+    (1 to 25).foreach { i =>
+      LakeMerge.merge(spark, dir,
+        Seq((1L, "2024-02", s"p1-v$i", i.toLong))
+          .toDF("k", "dt", "payload", "seq"))
+    }
+    // expire everything committed before v20's stamp
+    val cut = LakeMerge.manifest(spark, dir, Some(20))
+      .committedAtMs.get
+    val expired = LakeMerge.vacuumExpired(spark, dir, cut)
+    assert(expired === (0 until 20))
+    assert(LakeMerge.latestVersion(spark, dir) === 25,
+      "the tip must survive a post-vacuum checkpoint probe")
+    assert(LakeMerge.history(spark, dir).collect().map(_.getInt(0))
+      .toSeq === (20 to 25), "history must list exactly the survivors")
+    // keepLast on top of expiry — the r11 composability contract,
+    // now through the checkpoint path
+    LakeMerge.vacuum(spark, dir, keepLast = 3)
+    assert(LakeMerge.latestVersion(spark, dir) === 25)
+    assert(LakeMerge.history(spark, dir).collect().map(_.getInt(0))
+      .toSeq === (23 to 25))
+    assert(rows(LakeMerge.read(spark, dir))
+      .contains((1L, "2024-02", "p1-v25")))
+    // and writes keep working after the re-checkpoints
+    LakeMerge.merge(spark, dir,
+      Seq((1L, "2024-02", "p1-final", 99L)).toDF("k", "dt", "payload", "seq"))
+    assert(LakeMerge.latestVersion(spark, dir) === 26)
+    assert(rows(LakeMerge.read(spark, dir))
+      .contains((1L, "2024-02", "p1-final")))
+  }
+
+  test("manifest checkpoint is a CACHE: a torn or deleted checkpoint " +
+    "falls back to the full listing with identical answers") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    (1 to 12).foreach { i =>
+      LakeMerge.merge(spark, dir,
+        Seq((1L, "2024-02", s"p1-v$i", i.toLong))
+          .toDF("k", "dt", "payload", "seq"))
+    }
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val ckpt = new org.apache.hadoop.fs.Path(
+      s"$dir/_manifest/_checkpoint.json")
+    val before = LakeMerge.history(spark, dir).collect()
+      .map(_.getInt(0)).toSeq
+    // torn bytes: parse fails → legacy path
+    val out = f.create(ckpt, true)
+    out.write("{\"version\": 10, \"entr".getBytes("UTF-8")); out.close()
+    assert(LakeMerge.latestVersion(spark, dir) === 12)
+    assert(LakeMerge.history(spark, dir).collect()
+      .map(_.getInt(0)).toSeq === before)
+    // deleted: same
+    f.delete(ckpt, false)
+    assert(LakeMerge.latestVersion(spark, dir) === 12)
+    assert(rows(LakeMerge.read(spark, dir))
+      .contains((1L, "2024-02", "p1-v12")))
   }
 }
