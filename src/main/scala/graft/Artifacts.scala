@@ -44,7 +44,20 @@ object Artifacts {
 
     def getOrElseUpdate(s: SparkSession, dir: String)(build: => V): V = {
       installListener(s)
-      entries.getOrElseUpdate((sessionKey(s), dir), build)
+      entries.getOrElseUpdate((sessionKey(s), dir), {
+        // build telemetry (r12 verdict): every artifact
+        // materialization leaves an event, so a bench line inflated
+        // by a build SAYS so in the artifact instead of costing a
+        // judging cycle. If the thunk routed through ArtifactStore it
+        // already recorded a finer-grained event (build_persist /
+        // lake_load); only record the plain in-memory build here.
+        val before = eventsFor(name, dir)
+        val t0 = System.nanoTime()
+        val v = build
+        if (eventsFor(name, dir) == before)
+          record(name, dir, (System.nanoTime() - t0) / 1000000, "build")
+        v
+      })
     }
 
     /** Number of live entries (spec hook). */
@@ -88,6 +101,40 @@ object Artifacts {
 
   /** Total live entries across all families (spec/telemetry hook). */
   def liveEntries: Int = caches.values.map(_.entries.size).sum
+
+  // ------------------------------------------------------------------
+  // Build telemetry (r12 verdict item 2/4): an append-only event log
+  // of every artifact materialization — family, corpus, wall millis,
+  // and kind ("build" = in-memory only, "build_persist" = built and
+  // committed to the lake, "lake_load" = served from the lake with
+  // zero rebuild). Bench diffs the log around each timed query and
+  // records which queries paid which builds.
+  // ------------------------------------------------------------------
+
+  /** One artifact materialization. */
+  final case class BuildEvent(family: String, dir: String,
+      millis: Long, kind: String)
+
+  private val events =
+    new java.util.concurrent.ConcurrentLinkedQueue[BuildEvent]
+
+  private[graft] def record(family: String, dir: String, millis: Long,
+      kind: String): Unit =
+    events.add(BuildEvent(family, dir, millis, kind))
+
+  /** All events so far, in order. */
+  def buildEvents: Seq[BuildEvent] = {
+    import scala.jdk.CollectionConverters._
+    events.iterator().asScala.toSeq
+  }
+
+  /** Events recorded for one (family, dir) — spec hook. */
+  def eventsFor(family: String, dir: String): Int =
+    buildEvents.count(e => e.family == family && e.dir == dir)
+
+  /** Count of events of a kind for a family (spec hook). */
+  def countOf(family: String, kind: String): Int =
+    buildEvents.count(e => e.family == family && e.kind == kind)
 
   // one eviction listener per session identity: on application end the
   // whole session's artifacts are dropped so a stopped session never

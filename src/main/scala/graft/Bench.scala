@@ -29,15 +29,24 @@ object Bench {
     }
     // A query that throws must surface as "err", never as a timing:
     // timing a crash reads as a fake speedup and corrupts the 2× gate.
+    // per-query artifact attribution (r12 verdict): any build/load a
+    // query pays is recorded next to its timing, so an inflated line
+    // is self-explaining from the artifact alone
+    val artEvents = scala.collection.mutable.Map.empty[String, Seq[String]]
     val results: Seq[(String, Either[String, Double])] =
       selected.toSeq.map { case (name, fn) =>
         val times = (1 to repeat).map { _ =>
+          val ev0 = Artifacts.buildEvents.size
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
                    catch { case e: Throwable =>
                      System.err.println(s"BENCH ERR $name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
                      false }
           val dt = (System.nanoTime() - t0) / 1e9
+          val paid = Artifacts.buildEvents.drop(ev0)
+            .map(e => s"${e.family}:${e.kind}:${e.millis}ms")
+          if (paid.nonEmpty)
+            artEvents(name) = artEvents.getOrElse(name, Nil) ++ paid
           // isolate queries: drop caches a query built so the next
           // query's time is its own (and GC pressure stays flat)
           spark.catalog.clearCache()
@@ -59,8 +68,11 @@ object Bench {
     val timed = results.collect { case (_, Right(v)) => v }
     val errs = results.collect { case (k, Left(_)) => s"\"$k\"" }
     val total = timed.sum
+    val artJson = artEvents.toSeq.sortBy(_._1).map { case (q, evs) =>
+      s"\"$q\":[${evs.map(e => s"\"$e\"").mkString(",")}]"
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_err":${errs.size},"errors":[${errs.mkString(",")}],"sf":"$sfDir","queries":${fullEntries.mkString("{", ",", "}")}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_err":${errs.size},"errors":[${errs.mkString(",")}],"sf":"$sfDir","artifact_events":$artJson,"queries":${fullEntries.mkString("{", ",", "}")}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
     catch { case e: Throwable => System.err.println(s"BENCH WARN: could not write $outFile: ${e.getMessage}") }
     // stdout chunks stay as a redundant channel for the driver, but at

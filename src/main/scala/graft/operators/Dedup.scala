@@ -304,8 +304,21 @@ object Dedup {
     p.unionAll(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
   }
 
+  /** Min-label flood with per-round pointer jumping. CONTRACT (r12
+    * advice): the result is the exact connected-components fixpoint,
+    * never a partially-propagated state — pointer jumping changes
+    * per-round label VALUES, so an unconverged exit would silently
+    * disagree with a plain-propagation oracle run at the same round
+    * count. The loop therefore fails loudly (`IllegalStateException`)
+    * if it exhausts `iters` rounds while the convergence probe still
+    * sees changed labels; `iters` is a round BUDGET (O(log diameter)
+    * needed), not a truncation point. `requireConverged = false` is
+    * the explicit opt-out for callers that want a bounded partial
+    * flood and accept jump-order-dependent intermediate labels.
+    */
   private[graft] def propagate(edges: DataFrame,
-      labels0: DataFrame, iters: Int): DataFrame = {
+      labels0: DataFrame, iters: Int,
+      requireConverged: Boolean = true): DataFrame = {
     val spark = labels0.sparkSession
     var labels = labels0.select("doc_id", "label")
     var prevRound: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] =
@@ -365,6 +378,11 @@ object Dedup {
         .select("doc_id", "label")
       i += 1
     }
+    if (requireConverged && !converged)
+      throw new IllegalStateException(
+        s"propagate: no fixpoint within $iters rounds (labels still " +
+          "changing) — raise the round budget; returning a partial " +
+          "flood would silently diverge from the components contract")
     labels
   }
 
@@ -400,7 +418,8 @@ object Dedup {
 
   private[graft] def clusterMap(s: SparkSession, dir: String): DataFrame =
     clusterMapCache.getOrElseUpdate(s, dir)(
-      clustersDf(s, dir).localCheckpoint(true))
+      graft.sources.ArtifactStore.materialize(s, "dedup.clusterMap", dir)(
+        clustersDf(s, dir)))
 
   /** The cluster CTE chain (pairs → edges → l0..lIters), shared by the
     * F8 and F9 oracles; `SELECT doc_id, label FROM l$Iters` is the
@@ -1109,14 +1128,14 @@ object Dedup {
     */
   private def bandIndex(s: SparkSession, dir: String): DataFrame =
     bandIndexCache.getOrElseUpdate(s, dir)(
-      bands(s, dir)
-        .filter(col("doc_id") % 5 =!= 4)
-        .withColumn("bucket_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("band", "band_hash")))
-        .filter(col("bucket_n") <= MaxBucket)
-        .select("doc_id", "band", "band_hash")
-        .localCheckpoint(true))
+      graft.sources.ArtifactStore.materialize(s, "dedup.bandIndex", dir)(
+        bands(s, dir)
+          .filter(col("doc_id") % 5 =!= 4)
+          .withColumn("bucket_n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("band", "band_hash")))
+          .filter(col("bucket_n") <= MaxBucket)
+          .select("doc_id", "band", "band_hash")))
 
   private val gramIndexCache =
     graft.Artifacts.cache[DataFrame]("dedup.gramIndex")
@@ -1135,9 +1154,9 @@ object Dedup {
     */
   private[graft] def gramIndex(s: SparkSession, dir: String): DataFrame =
     gramIndexCache.getOrElseUpdate(s, dir)(
-      gramArrays(s, dir)
-        .filter(col("doc_id") % 5 =!= 4)
-        .localCheckpoint(true))
+      graft.sources.ArtifactStore.materialize(s, "dedup.gramIndex", dir)(
+        gramArrays(s, dir)
+          .filter(col("doc_id") % 5 =!= 4)))
 
   /** The whole MinHash signature → banded hashes as ONE map-only
     * expression over `text`: per band, the md5 of the comma-joined

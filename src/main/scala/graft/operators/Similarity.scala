@@ -164,7 +164,8 @@ object Similarity {
 
   private[graft] def cellsIndex(s: SparkSession, dir: String): DataFrame =
     cellsIndexCache.getOrElseUpdate(s, dir)(
-      cells(Tables.embeddings(s, dir)).localCheckpoint(true))
+      graft.sources.ArtifactStore.materialize(s, "similarity.cellsIndex",
+        dir)(cells(Tables.embeddings(s, dir))))
 
   private def cellsSql(maxCell: Int = MaxCell): String =
     s"""SELECT vec_id, label, embedding, bucket FROM (
@@ -424,9 +425,27 @@ object Similarity {
     * driver as (label, centroid-micro-vector) pairs. k·dim longs
     * whatever the corpus size — the train-then-ship half of IVF.
     */
+  /** Codebook ↔ DataFrame round-trip for the lake-resident trained
+    * model: the canonical order is by cell id (both trainers already
+    * sort), so a fresh session re-collects bit-identical state.
+    */
+  private def codebookToDf(s: SparkSession)(
+      v: Array[(Long, Array[Long])]): DataFrame = {
+    val sp = s; import sp.implicits._
+    v.toSeq.toDF("cell", "centroid")
+  }
+
+  private def codebookFromDf(df: DataFrame): Array[(Long, Array[Long])] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+
   private[graft] def ivfCodebook(s: SparkSession, dir: String)
       : Array[(Long, Array[Long])] =
-    codebookCache.getOrElseUpdate(s, dir)(trainCodebook(s, dir))
+    codebookCache.getOrElseUpdate(s, dir)(
+      graft.sources.ArtifactStore.materializeValue(s,
+        "similarity.ivfCodebook", dir)(trainCodebook(s, dir))(
+        codebookToDf(s))(codebookFromDf))
 
   /** The IVF cell assignment as a map-only per-row expression over
     * `embedding` under a FIXED trained codebook — what index
@@ -796,15 +815,27 @@ object Similarity {
     */
   private[graft] def sq8Bounds(s: SparkSession, dir: String)
       : (Array[Long], Array[Long]) =
-    sq8BoundsCache.getOrElseUpdate(s, dir) {
-      val rows = Tables.embeddings(s, dir)
-        .select(posexplode(microOf(col("embedding"))).as(Seq("pos", "x")))
-        .groupBy("pos")
-        .agg(min("x").as("mn"), max("x").as("mx"))
-        .orderBy("pos")
-        .collect()
-      (rows.map(_.getLong(1)), rows.map(r => r.getLong(2) - r.getLong(1)))
-    }
+    sq8BoundsCache.getOrElseUpdate(s, dir)(
+      graft.sources.ArtifactStore.materializeValue(s,
+        "similarity.sq8Bounds", dir) {
+        val rows = Tables.embeddings(s, dir)
+          .select(posexplode(microOf(col("embedding"))).as(Seq("pos", "x")))
+          .groupBy("pos")
+          .agg(min("x").as("mn"), max("x").as("mx"))
+          .orderBy("pos")
+          .collect()
+        (rows.map(_.getLong(1)),
+          rows.map(r => r.getLong(2) - r.getLong(1)))
+      } { v =>
+        val sp = s; import sp.implicits._
+        v._1.indices.map(i => (i, v._1(i), v._2(i))).toDF(
+          "pos", "mn", "span")
+      } { df =>
+        val rows = df.collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        (rows.map(_._2), rows.map(_._3))
+      })
 
   /** Exact non-negative floor division as a codegen-friendly Column. */
   private def idiv(n: Column, d: Column): Column =
@@ -1170,11 +1201,13 @@ object Similarity {
 
   private[graft] def kmCodebook(s: SparkSession, dir: String)
       : Array[(Long, Array[Long])] =
-    kmCodebookCache.getOrElseUpdate(s, dir) {
-      var cents = kmeansInit(s, dir)
-      for (_ <- 1 to KmeansRounds) cents = kmeansRound(s, dir, cents)
-      cents
-    }
+    kmCodebookCache.getOrElseUpdate(s, dir)(
+      graft.sources.ArtifactStore.materializeValue(s,
+        "similarity.kmCodebook", dir) {
+        var cents = kmeansInit(s, dir)
+        for (_ <- 1 to KmeansRounds) cents = kmeansRound(s, dir, cents)
+        cents
+      }(codebookToDf(s))(codebookFromDf))
 
   val sAnnIvfKm: Q = Q(
     (s, dir) => {

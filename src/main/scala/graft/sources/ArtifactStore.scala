@@ -1,0 +1,262 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lake-resident persistence for the engine's standing artifacts —
+  * the build-once relations and trained models the scaladocs across
+  * Dedup/Similarity/TextAnalysis all describe as "a lake table in
+  * production": the dup-cluster map, the LSH band index and its gram
+  * verify relation, the winnowed fingerprint index, the quantizer
+  * cells, the IVF/k-means/SQ8 codebooks, the BPE merge table.
+  *
+  * Until round 12 those artifacts were session-lifetime
+  * `localCheckpoint` handles — fast, but explicitly NOT
+  * fault-tolerant (one lost executor kills the handle mid-session and
+  * every consumer after it fails) and gone at session end, so every
+  * new session re-paid the build. This store closes both gaps by
+  * dogfooding the engine's own lakehouse ([[LakeMerge]]): a build is
+  * an explicit, atomic lake commit; a read is a plain parquet-backed
+  * scan that survives executor loss like any other table; a FRESH
+  * session (or a second driver process on the same storage) reads the
+  * artifact with zero rebuild.
+  *
+  * Addressing & staleness — the table path IS the cache key:
+  * `root/<family>/<fingerprint>`, where the fingerprint hashes
+  * (a) the corpus directory path and the (relative path, length,
+  * mtime) of every file under it — new/changed corpus data can never
+  * serve a stale artifact — and (b) a code fingerprint of the
+  * engine's own compiled classes/jar, so a REBUILT engine (new
+  * algorithm, new constants) never trusts an artifact trained by old
+  * code. Stale fingerprints simply stop being addressed; they are
+  * plain directories under the root, reclaimed by deleting the root
+  * (a deployment would age them out like any cache volume).
+  *
+  * Storage shape: the artifact relation is wrapped with a synthetic
+  * 128-bit row key (`_akey` = md5 of the row's JSON) and a 16-way
+  * bucket partition (`_adt` = first hex nibble of the key) so writes
+  * and reads parallelize instead of funneling through one task, then
+  * committed via [[LakeMerge.init]]. Artifact relations are treated
+  * as SETS: byte-identical duplicate rows collapse under the (dt,
+  * key) dedup — every artifact in the engine is a distinct-row index
+  * or model, so this is a no-op in practice. Builds are deterministic
+  * (oracle-gated), so two sessions racing to persist the same
+  * fingerprint write identical content and the create-exclusive
+  * manifest commit picks a winner harmlessly.
+  *
+  * Root resolution: `SPARK_GRAFT_ARTIFACT_DIR` (a production
+  * deployment points this at durable shared storage, e.g. the bucket
+  * next to the corpus); default is a per-machine tmp root so local
+  * sessions get cross-session reuse out of the box; the literal value
+  * `off` disables persistence entirely (artifacts fall back to the
+  * round-11 eager localCheckpoint stance). Specs redirect via
+  * [[rootOverride]].
+  */
+object ArtifactStore {
+
+  /** Spec/driver hook: redirect (Some(dir)), disable (Some("off")),
+    * or restore env resolution (None).
+    */
+  @volatile var rootOverride: Option[String] = None
+
+  private def configuredRoot: String = rootOverride.getOrElse(
+    sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR",
+      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-artifacts"))
+
+  def enabled: Boolean = {
+    val r = configuredRoot
+    r.nonEmpty && r != "off"
+  }
+
+  // ------------------------------------------------------------------
+  // Fingerprints
+  // ------------------------------------------------------------------
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Fingerprint of the engine's own compiled code: for a jar, its
+    * (path, length, mtime); for an sbt classes directory, the sum of
+    * every .class file's (length, mtime). Any recompile changes it,
+    * so an artifact trained by OLD code is never served to new code —
+    * the guard that makes cross-session reuse safe across engine
+    * versions. Computed once per JVM.
+    */
+  private lazy val codeFingerprint: String = {
+    val src = getClass.getProtectionDomain.getCodeSource
+    val loc = if (src == null) null else src.getLocation
+    if (loc == null) "nocode"
+    else {
+      val f = new java.io.File(loc.toURI)
+      if (f.isFile) md5hex(s"${f.getPath}:${f.length}:${f.lastModified}")
+      else {
+        var n = 0L; var len = 0L; var mt = 0L
+        def walk(d: java.io.File): Unit = {
+          val fs = d.listFiles()
+          if (fs != null) fs.foreach { c =>
+            if (c.isDirectory) walk(c)
+            else if (c.getName.endsWith(".class")) {
+              n += 1; len += c.length(); mt = math.max(mt, c.lastModified())
+            }
+          }
+        }
+        walk(f)
+        md5hex(s"${f.getPath}:$n:$len:$mt")
+      }
+    }
+  }
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Fingerprint of the corpus: every file's (relative path, length,
+    * mtime) under `corpusDir`, recursively, sorted. One driver-side
+    * listing per (JVM, corpus) — cached because artifact lookups are
+    * hot and corpora in this engine are immutable snapshots.
+    */
+  private val corpusFps =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def corpusFingerprint(spark: SparkSession,
+      corpusDir: String): String =
+    corpusFps.getOrElseUpdate(corpusDir, {
+      val f = fs(spark, corpusDir)
+      val root = new Path(corpusDir)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      def walk(p: Path): Unit =
+        f.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else buf += s"${st.getPath.toString.stripPrefix(root.toString)}:" +
+            s"${st.getLen}:${st.getModificationTime}"
+        }
+      if (f.exists(root)) walk(root)
+      md5hex(corpusDir + "|" + buf.mkString("|"))
+    })
+
+  /** The lake table directory addressing (family, corpus, code). */
+  private[graft] def tableDir(spark: SparkSession, family: String,
+      corpusDir: String): String =
+    s"$configuredRoot/$family/" +
+      md5hex(corpusFingerprint(spark, corpusDir) + "|" + codeFingerprint)
+        .take(16)
+
+  // ------------------------------------------------------------------
+  // Load / save counters (spec + telemetry hooks)
+  // ------------------------------------------------------------------
+
+  private val loadCounts =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  private val saveCounts =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** Times this JVM served `family` from the lake with zero rebuild. */
+  def loads(family: String): Int = loadCounts.getOrElse(family, 0)
+
+  /** Times this JVM built `family` and committed it to the lake. */
+  def saves(family: String): Int = saveCounts.getOrElse(family, 0)
+
+  private def bump(m: scala.collection.concurrent.TrieMap[String, Int],
+      k: String): Unit =
+    m.updateWith(k) { v => Some(v.getOrElse(0) + 1) }
+
+  // ------------------------------------------------------------------
+  // Materialization
+  // ------------------------------------------------------------------
+
+  private val MetaCols = Seq("_adt", "_akey", "_aseq")
+
+  private def wrap(df: DataFrame): DataFrame = {
+    val key = md5(to_json(struct(df.columns.map(col): _*)))
+    df.withColumn("_akey", key)
+      .withColumn("_adt", substring(col("_akey"), 1, 1))
+      .withColumn("_aseq", lit(0L))
+  }
+
+  private def unwrap(df: DataFrame): DataFrame =
+    df.drop(MetaCols: _*)
+
+  private def exists(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new Path(s"$dir/_manifest/v0.json"))
+
+  /** Lake-else-build-and-commit for a DataFrame artifact. The
+    * returned relation is parquet-backed (fault-tolerant, shared
+    * across sessions); with persistence disabled it degrades to the
+    * eager localCheckpoint handle. An EMPTY build result is returned
+    * as-is without persisting (an empty index is cheaper to rebuild
+    * than to special-case in the lake read path).
+    */
+  def materialize(s: SparkSession, family: String, corpusDir: String)(
+      build: => DataFrame): DataFrame = {
+    if (!enabled) return build.localCheckpoint(true)
+    val dir = tableDir(s, family, corpusDir)
+    def loadIt(): DataFrame = unwrap(LakeMerge.read(s, dir))
+    if (exists(s, dir)) {
+      val t0 = System.nanoTime()
+      val out = loadIt()
+      bump(loadCounts, family)
+      graft.Artifacts.record(family, corpusDir,
+        (System.nanoTime() - t0) / 1000000, "lake_load")
+      out
+    } else {
+      val t0 = System.nanoTime()
+      val built = build
+      try {
+        LakeMerge.init(s, dir, wrap(built), "_adt", "_akey", "_aseq")
+        bump(saveCounts, family)
+        val out = loadIt()
+        graft.Artifacts.record(family, corpusDir,
+          (System.nanoTime() - t0) / 1000000, "build_persist")
+        out
+      } catch {
+        // another session committed v0 first: read the winner
+        case _: java.util.ConcurrentModificationException =>
+          bump(loadCounts, family)
+          loadIt()
+        // empty build (init commits a zero-partition manifest the
+        // reader refuses) or unwritable root: stay session-local
+        case scala.util.control.NonFatal(_) =>
+          graft.Artifacts.record(family, corpusDir,
+            (System.nanoTime() - t0) / 1000000, "build")
+          built.localCheckpoint(true)
+      }
+    }
+  }
+
+  /** Lake-else-build-and-commit for a DRIVER-SIDE artifact (codebook
+    * arrays, bound pairs, merge tables): the value round-trips
+    * through a small DataFrame, so a fresh session re-collects the
+    * trained model instead of re-training it.
+    */
+  def materializeValue[V](s: SparkSession, family: String,
+      corpusDir: String)(build: => V)(
+      toDf: V => DataFrame)(fromDf: DataFrame => V): V = {
+    if (!enabled) return build
+    val dir = tableDir(s, family, corpusDir)
+    if (exists(s, dir)) {
+      val t0 = System.nanoTime()
+      val out = fromDf(unwrap(LakeMerge.read(s, dir)))
+      bump(loadCounts, family)
+      graft.Artifacts.record(family, corpusDir,
+        (System.nanoTime() - t0) / 1000000, "lake_load")
+      out
+    } else {
+      val t0 = System.nanoTime()
+      val built = build
+      try {
+        LakeMerge.init(s, dir, wrap(toDf(built)), "_adt", "_akey", "_aseq")
+        bump(saveCounts, family)
+        graft.Artifacts.record(family, corpusDir,
+          (System.nanoTime() - t0) / 1000000, "build_persist")
+      } catch {
+        case _: java.util.ConcurrentModificationException => ()
+        case scala.util.control.NonFatal(_) =>
+          graft.Artifacts.record(family, corpusDir,
+            (System.nanoTime() - t0) / 1000000, "build")
+      }
+      built
+    }
+  }
+}

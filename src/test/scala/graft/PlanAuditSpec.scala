@@ -220,16 +220,23 @@ class PlanAuditSpec extends SparkSpec {
     val df = SparkEntry.queries("d_embed_dup")(spark, sf)
     val p = plan(df)
     // the capped-cell relation (plane dot products + occupancy window)
-    // is the expensive subplan; it is materialized ONCE per session
-    // (Similarity.cellsIndex, an eager localCheckpoint handle) and
-    // both join sides scan the checkpointed rows — the plan must show
-    // RDD scans, never a re-derivation of the plane dot products
+    // is the expensive subplan; it is materialized ONCE
+    // (Similarity.cellsIndex — a lake-resident artifact table since
+    // r13, or an eager localCheckpoint with persistence off) and both
+    // join sides scan the materialized rows — the plan must show
+    // artifact scans, never a re-derivation of the plane dot products
     val scans = p.linesIterator.count(l =>
-      l.contains("Scan ExistingRDD") || l.contains("InMemoryTableScan"))
+      l.contains("Scan ExistingRDD") || l.contains("InMemoryTableScan")
+        || l.contains("graft-artifacts"))
     assert(scans >= 2,
       s"expected both join sides on the materialized cells, found $scans:\n$p")
-    assert(!p.contains("parquet"),
-      s"cells must come from the index handle, not a fresh corpus scan:\n$p")
+    // no corpus re-scan: the only parquet allowed is the artifact
+    // table itself, never the embeddings table (which would mean the
+    // plane dot products + occupancy window re-derive per consumer)
+    assert(!p.contains("embeddings.parquet"),
+      s"cells must come from the index artifact, not a fresh corpus scan:\n$p")
+    assert(!p.contains("Window"),
+      s"occupancy window must be paid at build time, not per consumer:\n$p")
     spark.catalog.clearCache()
   }
 
@@ -255,13 +262,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("regexp_extract_all"),
       "quality gate not fused into the scan stage")
     // the near-dup drop side must SCAN the materialized cluster-map
-    // handle (Dedup.clusterMap, an eager localCheckpoint), never
+    // artifact (Dedup.clusterMap — lake-resident since r13), never
     // re-derive label propagation — the artifact-share stance the
     // dedup family documents, pinned here so a silently broken share
     // can be dismissed from the plan alone (r10 bench read 8× on a
     // contended host; this makes the artifact story auditable)
-    assert(p.linesIterator.exists(_.contains("Scan ExistingRDD")),
-      s"near-dup drop list must read the checkpointed cluster map:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("Scan ExistingRDD")
+        || l.contains("graft-artifacts")),
+      s"near-dup drop list must read the materialized cluster map:\n$p")
     spark.catalog.clearCache()
   }
 
@@ -329,13 +337,15 @@ class PlanAuditSpec extends SparkSpec {
     // batch may scan the documents table ONLY for its own carve
     // (doc_id % 5 = 4); the historical side contributes the band index
     // AND the gram-array verify relation as materialized artifacts
-    // (Scan ExistingRDD), so batch cost is O(batch + candidates)
+    // (lake-resident parquet since r13, or RDD scans with persistence
+    // off), so batch cost is O(batch + candidates)
     val df = SparkEntry.queries("d_incr_dedup")(spark, sf)
     df.collect()
     val p = plan(df)
-    val rddScans = p.linesIterator.count(_.contains("Scan ExistingRDD"))
-    assert(rddScans >= 2,
-      s"band index AND gram artifact must be RDD scans, found $rddScans:\n$p")
+    val artScans = p.linesIterator.count(l =>
+      l.contains("Scan ExistingRDD") || l.contains("graft-artifacts"))
+    assert(artScans >= 2,
+      s"band index AND gram artifact must be artifact scans, found $artScans:\n$p")
     // the historical carve's filter is NOT ((doc_id % 5) = 4) — if it
     // appears anywhere, the verify side re-derived grams from the
     // corpus instead of reading the artifact

@@ -326,6 +326,17 @@ class QueriesSpec extends SparkSpec {
     // a no-op
     val again = Dedup.propagate(edges, got.select("doc_id", "label"), 1)
     assert(again.filter(col("label") =!= 0L).count() === 0)
+    // the convergence CONTRACT (r12 advice): a round budget too small
+    // for the diameter fails loudly instead of returning a partial,
+    // jump-order-dependent flood that would diverge from any
+    // plain-propagation oracle
+    intercept[IllegalStateException] {
+      Dedup.propagate(edges, labels0, 2)
+    }
+    // …unless the caller explicitly opts into a bounded partial flood
+    val partial = Dedup.propagate(edges, labels0, 2,
+      requireConverged = false)
+    assert(partial.count() === n.toLong)
   }
 
   test("cluster map: materialized handle equals the inline recompute " +
