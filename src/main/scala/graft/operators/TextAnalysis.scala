@@ -265,7 +265,8 @@ object TextAnalysis {
 
   private[graft] def fpIndex(s: SparkSession, dir: String): DataFrame =
     fpIndexCache.getOrElseUpdate(s, dir)(
-      fpRelation(s, dir).localCheckpoint(true))
+      graft.sources.ArtifactStore.materialize(s, "text.fpIndex", dir)(
+        fpRelation(s, dir)))
 
   val tFingerprint: Q = Q(
     (s, dir) => fpIndex(s, dir).orderBy("doc_id", "fp_hash"),
@@ -1142,6 +1143,129 @@ object TextAnalysis {
     merges.reduce(_.unionAll(_)).orderBy("step")
   }
 
+  /** BPE at REAL vocabulary scale (clears the r12 `weak`): the
+    * dataflow trainer above is the oracle-gated REFERENCE — one Spark
+    * job per merge round, fine for the 5-round oracle row but a
+    * driver-side job-launch bottleneck at a real 32k–100k-merge
+    * vocabulary (32k sequential Spark jobs is a cost no cluster
+    * absorbs). This is the production path, and it is how
+    * SentencePiece-class trainers actually scale:
+    *
+    * COST MODEL (jobs as a function of vocab size): Spark jobs = 2 —
+    * one map-side-combinable token-TYPE aggregation over the
+    * (optionally sampled) corpus, one bounded `limit(maxTypes)`
+    * collect — INDEPENDENT of the merge count. The merge loop then
+    * runs driver-side over the collected type table with an
+    * incrementally-maintained pair-count index: O(Σ type lengths)
+    * init, O(affected-type rewrites) per merge, so 32k merges are CPU
+    * seconds, not 32k cluster round-trips. Driver memory is
+    * O(maxTypes · avg word length) — the type table is vocab-sized
+    * by Heap's law (~1M distinct words even at 100 TB of natural
+    * text), never corpus-sized, and `maxTypes` caps it
+    * deterministically (top types by count; the dropped tail is
+    * exactly the noise real trainers also exclude). `sampleMod`
+    * additionally trains on a deterministic doc carve (the H8
+    * stance — tokenizer training never needs the full corpus).
+    *
+    * PARITY: with no sampling and no truncation this trainer is
+    * BIT-IDENTICAL to [[bpeMerges]] — same adjacent-pair weighting,
+    * same left-to-right non-overlapping rewrite, same (w DESC, lhs,
+    * rhs) tie-break — spec-pinned on the test corpus, which is what
+    * lets [[bpeMergeTable]] (and therefore the t_bpe_encode oracle
+    * row) ride the scalable path.
+    */
+  private[graft] def bpeTrainLocal(types: Seq[(String, Long)],
+      rounds: Int): Seq[(Long, String, String, String, Long)] = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] =
+      types.map { case (w, _) => w.map(_.toString).toArray }.toArray
+    val cnts: Array[Long] = types.map(_._2).toArray
+    val pairW = mutable.HashMap.empty[(String, String), Long]
+    val pairTypes = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def occs(a: Array[String]): mutable.HashMap[(String, String), Long] = {
+      val m = mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < a.length - 1) {
+        val p = (a(i), a(i + 1))
+        m.update(p, m.getOrElse(p, 0L) + 1L)
+        i += 1
+      }
+      m
+    }
+    def attach(ti: Int): Unit = occs(words(ti)).foreach { case (p, k) =>
+      pairW.update(p, pairW.getOrElse(p, 0L) + k * cnts(ti))
+      pairTypes.getOrElseUpdate(p, mutable.BitSet.empty) += ti
+    }
+    def detach(ti: Int): Unit = occs(words(ti)).foreach { case (p, k) =>
+      val w = pairW(p) - k * cnts(ti)
+      if (w <= 0L) { pairW.remove(p); pairTypes.remove(p) }
+      else {
+        pairW.update(p, w)
+        pairTypes.get(p).foreach(_ -= ti)
+      }
+    }
+    words.indices.foreach(attach)
+    val out = mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var r = 1
+    while (r <= rounds && pairW.nonEmpty) {
+      // unique max under the total order (w DESC, lhs, rhs) — the
+      // dataflow's orderBy, so iteration order cannot matter
+      val ((lhs, rhs), w) = pairW.reduce { (a, b) =>
+        if (b._2 > a._2 ||
+          (b._2 == a._2 && (b._1._1 < a._1._1 ||
+            (b._1._1 == a._1._1 && b._1._2 < a._1._2)))) b else a
+      }
+      out += ((r.toLong, lhs, rhs, lhs + rhs, w))
+      val merged = lhs + rhs
+      val affected = pairTypes((lhs, rhs)).toArray
+      affected.foreach { ti =>
+        detach(ti)
+        val a = words(ti)
+        val b = mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < a.length) { // left-to-right non-overlapping merge
+          if (i < a.length - 1 && a(i) == lhs && a(i + 1) == rhs) {
+            b += merged; i += 2
+          } else { b += a(i); i += 1 }
+        }
+        words(ti) = b.toArray
+        attach(ti)
+      }
+      r += 1
+    }
+    out.toSeq
+  }
+
+  /** Default type-table cap — far above any natural-language vocab
+    * at test scale; a 100 TB deployment tunes it like SentencePiece's
+    * input cap.
+    */
+  val BpeMaxTypes: Int = 1 << 20
+
+  /** The bounded, deterministic type table: distinct lowercase token
+    * with frequency over the `sampleMod`-carved docs, top `maxTypes`
+    * by (cnt DESC, tok). The collect is vocab-bounded by
+    * construction — this is the trainer's ONLY data leaving the
+    * cluster.
+    */
+  private[graft] def bpeTypeTable(docs: DataFrame, sampleMod: Int,
+      maxTypes: Int): Seq[(String, Long)] = {
+    val sampled =
+      if (sampleMod <= 1) docs
+      else docs.filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
+    sampled
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(maxTypes)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** Scalable trainer: 2 Spark jobs however many merges. */
+  def bpeTrainScalable(docs: DataFrame, rounds: Int, sampleMod: Int = 1,
+      maxTypes: Int = BpeMaxTypes): Seq[(Long, String, String, String, Long)] =
+    bpeTrainLocal(bpeTypeTable(docs, sampleMod, maxTypes), rounds)
+
   /** The unrolled training CTE chain (t0 → p_r/b_r/t_r per round) —
     * shared by the t_bpe and t_bpe_encode oracles.
     */
@@ -1193,7 +1317,10 @@ object TextAnalysis {
   /** The learned merge table as a standing artifact — `rounds`
     * (lhs, rhs) pairs in priority order, [[graft.Artifacts]]-registered
     * like every trained model in the engine (IVF codebook, bigram LM):
-    * train once per (session, corpus), encode forever.
+    * train once per (session, corpus), encode forever. Trains on the
+    * SCALABLE path ([[bpeTrainScalable]] — 2 Spark jobs however many
+    * merges); spec-pinned bit-identical to the oracle-gated dataflow
+    * reference, which is what keeps t_bpe_encode's oracle green.
     */
   private val bpeMergesCache =
     graft.Artifacts.cache[Array[(String, String)]]("text.bpeMerges")
@@ -1201,8 +1328,20 @@ object TextAnalysis {
   private[graft] def bpeMergeTable(s: SparkSession, dir: String)
       : Array[(String, String)] =
     bpeMergesCache.getOrElseUpdate(s, dir)(
-      bpeMerges(Tables.documents(s, dir), BpeRounds).collect()
-        .map(r => (r.getString(1), r.getString(2))))
+      graft.sources.ArtifactStore.materializeValue(s, "text.bpeMerges",
+        dir)(
+        bpeTrainScalable(Tables.documents(s, dir), BpeRounds)
+          .map(t => (t._2, t._3)).toArray) { v =>
+        // merges are PRIORITY-ORDERED: persist the rank so a fresh
+        // session replays them in the exact learned order
+        val sp = s; import sp.implicits._
+        v.toSeq.zipWithIndex
+          .map { case ((l, r), i) => (i, l, r) }
+          .toDF("rank", "lhs", "rhs")
+      } { df =>
+        df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+          .sortBy(_._1).map(t => (t._2, t._3))
+      })
 
   /** BPE ENCODE — the consumer half of [[tBpe]], and what a tokenizer
     * actually does at ingest: apply the learned merges, in priority
@@ -1357,7 +1496,8 @@ object TextAnalysis {
     lit("<html><head><title>Doc "), col("doc_id").cast("string"),
     lit("</title><style>body { color: #fff; }</style></head><body>" +
       "<nav><a href=\"/home\">Home</a> &gt; "), col("source"),
-    lit("</nav><h1>Q&amp;A</h1><p>"), col("text"),
+    lit("</nav><h1>Q&amp;A</h1><p>&quot;Intro&quot; &#39;quote&#39; "),
+    col("text"),
     lit("</p><script>if (1 < 2) { alert(\"x\"); }</script>" +
       "<footer>&copy; 2024&nbsp;Corp</footer></body></html>"))
 
@@ -1365,7 +1505,7 @@ object TextAnalysis {
     """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
       |'</title><style>body { color: #fff; }</style></head><body>' ||
       |'<nav><a href="/home">Home</a> &gt; ' || source ||
-      |'</nav><h1>Q&amp;A</h1><p>' || text ||
+      |'</nav><h1>Q&amp;A</h1><p>&quot;Intro&quot; &#39;quote&#39; ' || text ||
       |'</p><script>if (1 < 2) { alert("x"); }</script>' ||
       |'<footer>&copy; 2024&nbsp;Corp</footer></body></html>'"""
       .stripMargin.replace("\n", " ")
@@ -1377,7 +1517,9 @@ object TextAnalysis {
       "'(?is)<style[^>]*>.*?</style>', ' ', 'g')"
     val noTags = s"regexp_replace($noStyle, '(?s)<[^>]*>', ' ', 'g')"
     val ents = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"\"", "&#39;" -> "''", "&copy;" -> "(c)",
+      // inside a single-quoted DuckDB literal only the single quote
+      // needs doubling; &quot; maps to ONE double-quote character
+      "&quot;" -> "\"", "&#39;" -> "''", "&copy;" -> "(c)",
       "&amp;" -> "&")
     val dec = ents.foldLeft(noTags) { case (d, (k, v)) =>
       s"replace($d, '$k', '$v')" }

@@ -609,6 +609,88 @@ class OperatorsSpec extends SparkSpec {
       s"symbols $nSym, letters $letters, merge weights $weights")
   }
 
+  test("bpeTrainScalable ≡ the dataflow trainer, bit-identically — " +
+    "the parity that lets the 2-job path own production (r12 weak)") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val dataflow = TextAnalysis.bpeMerges(docs, TextAnalysis.BpeRounds)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val local = TextAnalysis.bpeTrainScalable(docs,
+      TextAnalysis.BpeRounds)
+    assert(local === dataflow,
+      "driver-side trainer must replay the dataflow exactly")
+    // and on the hand corpora the dataflow specs pin
+    import spark.implicits._
+    assert(TextAnalysis.bpeTrainScalable(Seq("aaa").toDF("text"), 2)
+      === Seq((1L, "a", "a", "aa", 2L), (2L, "aa", "a", "aaa", 1L)),
+      "left-to-right non-overlap + adjacent-pair weights must match")
+    assert(TextAnalysis.bpeTrainScalable(
+      Seq("abc", "abc", "bc").toDF("text"), 2)
+      === Seq((1L, "b", "c", "bc", 3L), (2L, "a", "bc", "abc", 2L)))
+  }
+
+  test("bpeTrainScalable at real vocabulary scale: 512 merges cost " +
+    "TWO Spark jobs, not 512 — the r12 cost-model contract") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      val merges = TextAnalysis.bpeTrainScalable(docs, 512)
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000) // let the async listener bus drain
+      // sf0.001's [a-z]+ vocabulary merges dry before 512 — the loop
+      // must terminate on its own, well past the oracle's 5 rounds
+      assert(merges.length > 50, "corpus must support deep training")
+      assert(merges.map(_._1) === (1L to merges.length),
+        "merge steps must be dense and ordered")
+      // weights never increase against a later EQUAL-pair... they CAN
+      // fluctuate across different pairs; pin instead that every
+      // merge's weight is positive and the loop terminated on its own
+      assert(merges.forall(_._5 > 0))
+      // AQE splits the one aggregation into a few stage-jobs; the
+      // contract is O(1) — a handful — never O(merges)
+      assert(jobs.get <= 8,
+        s"512 merges must not launch per-merge jobs, saw ${jobs.get}")
+      assert(secs < 60, s"driver loop took ${secs}s")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("sample-trained BPE (half the corpus) encodes the full corpus " +
+    "within 2% of the full-trained token count — the H8 carve stance " +
+    "applied to tokenizer training") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val full = TextAnalysis.bpeTrainScalable(docs, 64)
+      .map(t => (t._2, t._3))
+    val sampled = TextAnalysis.bpeTrainScalable(docs, 64, sampleMod = 2)
+      .map(t => (t._2, t._3))
+    assert(sampled.nonEmpty)
+    def nSym(merges: Seq[(String, String)]): Long = {
+      val enc0 = array_join(transform(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)"),
+        t => regexp_replace(t, "(.)", "_$1")), " ")
+      val enc = merges.foldLeft(enc0) { case (c, (l, r)) =>
+        replace(c, lit(s"_${l}_$r"), lit(s"_$l$r"))
+      }
+      docs.select(sum(length(enc) - length(replace(enc, lit("_"),
+        lit("")))).cast("long")).head().getLong(0)
+    }
+    val nFull = nSym(full)
+    val nSampled = nSym(sampled)
+    assert(nSampled <= (nFull * 102) / 100,
+      s"sample-trained encode ($nSampled syms) must stay within 2% " +
+        s"of full-trained ($nFull syms)")
+  }
+
   test("stripHtml: tags and chrome out, entities decoded in pinned " +
     "order, script '<' does not truncate, whitespace collapsed") {
     import graft.operators.TextAnalysis
