@@ -435,6 +435,33 @@ object MultiModal {
       .select("doc_id", "scene_idx", "frame_idx")
   }
 
+  /** I5-maint: STREAMING keyframe extraction — the F13/G9-maint
+    * ingest-gate stance applied to video curation: containers arrive
+    * as a stream of [[MediaRow]]s and each micro-batch runs the full
+    * batch composition `frameDHash → sceneChanges → keyframes` inside
+    * `foreachBatch`, appending one (doc_id, scene_idx, frame_idx) row
+    * per scene. ZERO stream state by construction: a container's
+    * frames all live inside ITS OWN row's bytes, and every window in
+    * the scene pass is doc-partitioned, so no computation ever spans
+    * two input rows — whatever micro-batch boundaries the source
+    * picks, the streamed result is row-identical to running the batch
+    * composition over the same containers (spec-pinned). At 100 TB
+    * this is the shape that matters: keyframes land at ingest, the
+    * corpus never needs a second decode pass.
+    */
+  def streamingKeyframes(media: DataFrame, outDir: String, ckDir: String,
+      maxHamming: Int = 6)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import batch.sparkSession.implicits._
+        keyframes(frameDHash(batch.as[MediaRow]), maxHamming)
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** I3b: near-duplicate image pairs by banded dHash. */
   def imageNearDupPairs(hashes: Dataset[ImageHash],
       maxHamming: Int = 6): DataFrame =

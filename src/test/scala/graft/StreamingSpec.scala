@@ -715,4 +715,75 @@ class StreamingSpec extends SparkSpec {
     val cols = spark.table("win_stats").columns.toSet
     assert(cols === Set("window", "event_type", "n_events", "sum_value"))
   }
+
+  test("I5-maint streaming keyframes: per-micro-batch scene detection " +
+    "equals the batch composition, zero stream state") {
+    import spark.implicits._
+    import graft.operators.MultiModal
+    // an animated GIF whose frames paint per-pixel via `px` — the
+    // same textured fixture the batch scene spec uses
+    def texturedGif(frames: Seq[(Int, Int) => Int], w: Int,
+        h: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (px <- frames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h) {
+          val v = px(x, y) & 0xff
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.close()
+      bos.toByteArray
+    }
+    val grad: (Int, Int) => Int = (x, _) => x * 255 / 17
+    val rev: (Int, Int) => Int = (x, _) => 255 - x * 255 / 17
+    // two containers with different shot structures + one poison row,
+    // staged as TWO input files so AvailableNow cuts TWO micro-batches
+    // — the boundary the zero-state claim must survive
+    val gifA = texturedGif(Seq(grad, grad, rev, rev, grad), 18, 8)
+    val gifB = texturedGif(Seq(rev, rev, rev, grad), 18, 8)
+    val in = tempDir("graft_kf_in")
+    val out = tempDir("graft_kf_out")
+    val ck = tempDir("graft_kf_ck")
+    Seq(MultiModal.MediaRow(1L, gifA, "gif", 18, 8)).toDS()
+      .write.parquet(s"$in/b0")
+    Seq(MultiModal.MediaRow(2L, gifB, "gif", 18, 8),
+        MultiModal.MediaRow(3L, Array[Byte](9, 9), "gif", 0, 0)).toDS()
+      .write.parquet(s"$in/b1")
+    val allRows = Seq(
+      MultiModal.MediaRow(1L, gifA, "gif", 18, 8),
+      MultiModal.MediaRow(2L, gifB, "gif", 18, 8),
+      MultiModal.MediaRow(3L, Array[Byte](9, 9), "gif", 0, 0))
+    val stream = spark.readStream
+      .schema(allRows.toDS().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    val q = MultiModal.streamingKeyframes(stream, out, ck)
+    q.awaitTermination(120000)
+    val stateless = Option(q.lastProgress)
+      .forall(_.stateOperators.isEmpty)
+    q.stop()
+    assert(stateless, "per-batch keyframes must carry zero stream state")
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val batch = MultiModal.keyframes(
+      MultiModal.frameDHash(allRows.toDS()))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed === batch,
+      "streamed keyframes must be row-identical to the batch composition")
+    // and the values are the known shot boundaries of each container
+    assert(streamed === Seq((1L, 0L, 0), (1L, 1L, 2), (1L, 2L, 4),
+      (2L, 0L, 0), (2L, 1L, 3)))
+  }
 }
