@@ -78,12 +78,17 @@ object ArtifactStore {
     d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  /** Fingerprint of the engine's own compiled code: for a jar, its
-    * (path, length, mtime); for an sbt classes directory, the sum of
-    * every .class file's (length, mtime). Any recompile changes it,
-    * so an artifact trained by OLD code is never served to new code —
-    * the guard that makes cross-session reuse safe across engine
-    * versions. Computed once per JVM.
+  /** Fingerprint of the engine's own compiled code — CONTENT-based:
+    * every .class entry's (name, size, CRC32) in sorted order, read
+    * from the jar the class loaded from (zip entry CRCs are of the
+    * uncompressed bytes, so they survive repackaging — sbt's runMain
+    * assembles a FRESH temp jar per invocation, and a path/mtime
+    * fingerprint would retire every artifact on every run) or walked
+    * from an sbt classes directory. Any real recompile changes some
+    * class's bytes and with them the digest, so an artifact trained
+    * by OLD code is never served to new code — the guard that makes
+    * cross-session reuse safe across engine versions. Computed once
+    * per JVM.
     */
   private lazy val codeFingerprint: String = {
     val src = getClass.getProtectionDomain.getCodeSource
@@ -91,21 +96,32 @@ object ArtifactStore {
     if (loc == null) "nocode"
     else {
       val f = new java.io.File(loc.toURI)
-      if (f.isFile) md5hex(s"${f.getPath}:${f.length}:${f.lastModified}")
-      else {
-        var n = 0L; var len = 0L; var mt = 0L
-        def walk(d: java.io.File): Unit = {
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (f.isFile) {
+        val zf = new java.util.zip.ZipFile(f)
+        try {
+          val en = zf.entries()
+          while (en.hasMoreElements) {
+            val e = en.nextElement()
+            if (e.getName.endsWith(".class"))
+              entries += s"${e.getName}:${e.getSize}:${e.getCrc}"
+          }
+        } finally zf.close()
+      } else {
+        def walk(d: java.io.File, rel: String): Unit = {
           val fs = d.listFiles()
           if (fs != null) fs.foreach { c =>
-            if (c.isDirectory) walk(c)
+            if (c.isDirectory) walk(c, s"$rel${c.getName}/")
             else if (c.getName.endsWith(".class")) {
-              n += 1; len += c.length(); mt = math.max(mt, c.lastModified())
+              val crc = new java.util.zip.CRC32
+              crc.update(java.nio.file.Files.readAllBytes(c.toPath))
+              entries += s"$rel${c.getName}:${c.length}:${crc.getValue}"
             }
           }
         }
-        walk(f)
-        md5hex(s"${f.getPath}:$n:$len:$mt")
+        walk(f, "")
       }
+      md5hex(entries.sorted.mkString("|"))
     }
   }
 
