@@ -861,6 +861,42 @@ class QueriesSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("cluster map as a refreshable lake table: refresh commits ONLY " +
+    "changed rows (CDC-visible delta), read equals the in-memory " +
+    "incremental merge, untouched rows never rewritten") {
+    import graft.operators.Dedup
+    import graft.sources.LakeMerge
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cmap_lake").toString
+    val old = Dedup.oldClusterMap(spark, sf)
+    Dedup.clusterTableInit(spark, dir, old)
+    val v = Dedup.clusterTableRefresh(spark, dir,
+      Dedup.batchEdges(spark, sf))
+    assert(v === 1)
+    // the refreshed table state == the in-memory incremental merge
+    // (itself spec-pinned ≡ the corpus-wide recompute above)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val got = pairs(Dedup.clusterTableRead(spark, dir))
+    val want = pairs(Dedup.mergeClusters(old, Dedup.batchEdges(spark, sf)))
+    assert(got === want, "lake refresh diverged from mergeClusters")
+    // the commit carries EXACTLY the changed assignments: the change
+    // feed equals the (old -> new) difference, so untouched clusters
+    // produce zero feed rows and zero rewritten bytes
+    val oldPairs = pairs(old).toMap
+    val expectedDelta = want.filterNot { case (d, c) =>
+      oldPairs.get(d).contains(c) }.toMap
+    assert(expectedDelta.nonEmpty, "carve must actually change rows")
+    val feed = LakeMerge.changes(spark, dir, 0, Some(v))
+      .filter(col("_change_type").isin("insert", "update"))
+      .select("doc_id", "cluster_id")
+    assert(pairs(feed).toMap === expectedDelta,
+      "change feed must be exactly the changed assignments")
+    // time travel still serves the pre-refresh map
+    assert(pairs(LakeMerge.read(spark, dir, Some(0))
+      .select("doc_id", "cluster_id")) === pairs(old))
+  }
+
   test("t_chunk: windows tile every doc exactly — full stride steps, " +
     "no sub-window tails, bounded width") {
     val chunks = SparkEntry.queries("t_chunk")(spark, sf).cache()
@@ -1255,8 +1291,7 @@ class QueriesSpec extends SparkSpec {
     val pp = SparkEntry.queries("d_ppjoin")(spark, sf)
       .select("doc_a", "doc_b", "jaccard_bp")
     val carve = Tables.documents(spark, sf)
-      .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
-        .isin("0", "1"))
+      .join(graft.operators.Dedup.ppjoinEvalDocs(spark, sf), "doc_id")
       .select(col("doc_id"),
         array_distinct(filter(split(lower(trim(col("text"))), "\\s+"),
           t => t =!= "")).as("toks"))
@@ -1273,6 +1308,36 @@ class QueriesSpec extends SparkSpec {
     assert(pp.exceptAll(quad).count() === 0 &&
       quad.exceptAll(pp).count() === 0,
       "prefix filtering lost or invented a >=t pair")
+  }
+
+  test("ppjoin eval stratum is FIXED-SIZE: capped, deterministic, " +
+    "and the cap is inactive below it (r13 scaling-curve fix)") {
+    import graft.operators.Dedup
+    val ev = Dedup.ppjoinEvalDocs(spark, sf)
+    val n = ev.count()
+    assert(n <= Dedup.PpJoinEvalCap)
+    // below the cap the stratum IS the carve — oracle results at the
+    // correctness sf are untouched by the cap
+    val carveN = Tables.documents(spark, sf)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1")).count()
+    if (carveN <= Dedup.PpJoinEvalCap)
+      assert(n === carveN, "cap must be inactive under the cap size")
+    // deterministic: two derivations agree exactly
+    assert(ev.collect().map(_.getLong(0)).toSeq ===
+      Dedup.ppjoinEvalDocs(spark, sf).collect().map(_.getLong(0)).toSeq)
+    // and the cap actually binds on a corpus larger than itself: the
+    // stratum is the md5-smallest members, never more than the cap
+    val big = spark.range(0, 20000).toDF("doc_id")
+      .withColumn("text", lit("x"))
+    val capped = big
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1"))
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("_h"))
+      .orderBy("_h", "doc_id").limit(Dedup.PpJoinEvalCap)
+    assert(capped.count() === Dedup.PpJoinEvalCap,
+      "a corpus-scale carve must clamp to exactly the cap")
   }
 
   test("d_minhash_est: the estimator tracks true word-set Jaccard") {
