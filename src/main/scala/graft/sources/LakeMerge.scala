@@ -1547,6 +1547,35 @@ object LakeMerge {
        |FROM base WHERE k % 5 = 0 AND k <> 0
        |ORDER BY k""".stripMargin)
 
+  // ---------------------------------------------------------------- L22
+  /** The FULL CDC replay since table creation ([[changesSinceCreation]]):
+    * v0's rows as `insert` followed by the v0→v1 diff — the feed a
+    * consumer applies in order to reconstruct the entire current
+    * table, including rows present since v0 that never changed
+    * (which the bare state diff of L5 omits). Ordered by (k,
+    * change_type): a key appears at most twice (its v0 insert plus
+    * one diff row), so the order is total.
+    */
+  val lChangesFull: Q = Q(
+    (s, dir) => changesSinceCreation(s, mergedTable(s, dir), Some(1))
+      .select(col("_change_type").as("change_type"),
+        col("k"), col("dt"), col("cust"), col("price_cents"))
+      .orderBy("k", "change_type"),
+    s"""WITH base AS ($ordersBaseSql)
+       |SELECT 'insert' AS change_type, k, dt, cust, price_cents
+       |FROM base
+       |UNION ALL
+       |SELECT 'update' AS change_type, k, dt, cust,
+       |       price_cents * 2 AS price_cents
+       |FROM base WHERE k % 7 = 0 AND k % 13 <> 0
+       |UNION ALL
+       |SELECT 'delete', k, dt, cust, price_cents
+       |FROM base WHERE k % 13 = 0
+       |UNION ALL
+       |SELECT 'insert', -k, dt, CAST(0 AS BIGINT), price_cents
+       |FROM base WHERE k % 5 = 0 AND k <> 0
+       |ORDER BY k, change_type""".stripMargin)
+
   // ---------------------------------------------------------------- L6
   /** OPTIMIZE the merged table (key-sorted range-split rewrite), then
     * read the compacted snapshot — proving via the DuckDB oracle that
@@ -1756,6 +1785,7 @@ object LakeMerge {
     "l_merge_upsert" -> lMergeUpsert,
     "l_merge_history" -> lMergeHistory,
     "l_change_feed" -> lChangeFeed,
+    "l_changes_full" -> lChangesFull,
     "l_compact_read" -> lCompactRead,
     "l_incr_agg" -> lIncrAgg,
     "l_meta_stats" -> lMetaStats,
