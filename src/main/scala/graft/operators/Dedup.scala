@@ -524,16 +524,17 @@ object Dedup {
     graft.Artifacts.cache[DataFrame]("dedup.clusterMapOld")
 
   private[graft] def oldClusterMap(s: SparkSession, dir: String): DataFrame =
-    oldClusterMapCache.getOrElseUpdate(s, dir)({
-      val oldE = dupEdges(s, dir)
-        .filter(col("doc_a") % 5 =!= 4 && col("doc_b") % 5 =!= 4)
-        .localCheckpoint(true)
-      val labels0 = oldE.select(col("doc_a").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
-      propagate(oldE, labels0, Iters)
-        .select(col("doc_id"), col("label").as("cluster_id"))
-        .localCheckpoint(true)
-    })
+    oldClusterMapCache.getOrElseUpdate(s, dir)(
+      graft.sources.ArtifactStore.materialize(s, "dedup.clusterMapOld",
+        dir) {
+        val oldE = dupEdges(s, dir)
+          .filter(col("doc_a") % 5 =!= 4 && col("doc_b") % 5 =!= 4)
+          .localCheckpoint(true)
+        val labels0 = oldE.select(col("doc_a").as("doc_id")).distinct()
+          .withColumn("label", col("doc_id"))
+        propagate(oldE, labels0, Iters)
+          .select(col("doc_id"), col("label").as("cluster_id"))
+      })
 
   /** The simulated ingest batch for the F8-incr demo: the full edge
     * set's rows touching a batch doc. In production these arrive from
@@ -550,9 +551,9 @@ object Dedup {
 
   private[graft] def batchEdges(s: SparkSession, dir: String): DataFrame =
     batchEdgesCache.getOrElseUpdate(s, dir)(
-      dupEdges(s, dir)
-        .filter(col("doc_a") % 5 === 4 || col("doc_b") % 5 === 4)
-        .localCheckpoint(true))
+      graft.sources.ArtifactStore.materialize(s, "dedup.batchEdges", dir)(
+        dupEdges(s, dir)
+          .filter(col("doc_a") % 5 === 4 || col("doc_b") % 5 === 4)))
 
   /** The F8 map maintained INCREMENTALLY over the standard 80/20
     * carve: standing map = components among historical docs, batch
@@ -618,9 +619,39 @@ object Dedup {
         col("cluster_id").as("_old")), Seq("doc_id"), "left")
       .filter(col("_old").isNull || col("_old") =!= col("cluster_id"))
       .select("doc_id", "cluster_id")
-    val seq = graft.sources.LakeMerge.latestVersion(s, tableDir) + 1L
-    graft.sources.LakeMerge.merge(s, tableDir, clusterRows(delta, seq))
+      .localCheckpoint(true)
+    // IDEMPOTENT: a batch whose edges are already reflected (a
+    // foreachBatch replay after failure, a duplicate delivery)
+    // produces an empty delta and commits NOTHING — the version
+    // chain records real changes only, which is what makes the
+    // streaming wrapper below effectively exactly-once without any
+    // sink-side txn bookkeeping
+    val cur = graft.sources.LakeMerge.latestVersion(s, tableDir)
+    if (delta.isEmpty) cur
+    else graft.sources.LakeMerge.merge(s, tableDir,
+      clusterRows(delta, cur + 1L))
   }
+
+  /** STREAMING maintenance of the lake-resident map: each micro-batch
+    * of gate-discovered dup edges (the F13 shape, both directions
+    * present) refreshes the standing table inside foreachBatch. The
+    * stream's state IS the lake table — zero Spark stream state, so
+    * the query can die and a NEW query (new checkpoint, new JVM)
+    * resumes exactly where the table stands; replayed batches no-op
+    * (see [[clusterTableRefresh]]). This is the restart story the
+    * in-memory `var state` fold (spec F8-incr streaming) cannot
+    * offer, and the downstream contract is unchanged: consumers
+    * follow the table's change feed.
+    */
+  def streamingClusterRefresh(edges: DataFrame, tableDir: String,
+      ckDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        clusterTableRefresh(b.sparkSession, tableDir, b); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 
   // ---------------------------------------------------------------- F9
   /** The deduplicated corpus — the operation the cluster map exists

@@ -50,12 +50,12 @@ object Graph {
 
   def reportEdges(s: SparkSession, dir: String): DataFrame =
     edgeCache.getOrElseUpdate(s, dir)(
-      Tables.events(s, dir)
-        .select(col("user_id").as("src"),
-          get_json_object(col("props"), "$.k").cast("long").as("dst"))
-        .filter(col("dst").isNotNull && col("src") =!= col("dst"))
-        .distinct()
-        .localCheckpoint(true))
+      graft.sources.ArtifactStore.materialize(s, "graph.edges", dir)(
+        Tables.events(s, dir)
+          .select(col("user_id").as("src"),
+            get_json_object(col("props"), "$.k").cast("long").as("dst"))
+          .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+          .distinct()))
 
   /** The undirected, deduplicated edge view (one row per unordered
     * pair) — shared by the triangle and component queries; same
@@ -64,12 +64,13 @@ object Graph {
   private val undCache = graft.Artifacts.cache[DataFrame]("graph.und")
 
   private def undirectedEdges(s: SparkSession, dir: String): DataFrame =
-    undCache.getOrElseUpdate(s, dir) {
-      val e = reportEdges(s, dir)
-      e.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct().localCheckpoint(true)
-    }
+    undCache.getOrElseUpdate(s, dir)(
+      graft.sources.ArtifactStore.materialize(s, "graph.und", dir) {
+        val e = reportEdges(s, dir)
+        e.select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+      })
 
   private val edgesSql =
     """SELECT DISTINCT user_id AS src,

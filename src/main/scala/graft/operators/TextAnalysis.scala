@@ -950,17 +950,37 @@ object TextAnalysis {
 
   private[graft] def lmModel(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Long) =
-    lmModelCache.getOrElseUpdate(s, dir) {
-      val big = lmBigrams(lmTokens(Tables.documents(s, dir)))
-      val c2 = big.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-        .localCheckpoint(true)
-      val c1 = big.groupBy("a").agg(count(lit(1)).as("n_a"))
-        .localCheckpoint(true)
-      val mean = lmScoreRaw(Tables.documents(s, dir), c2, c1)
-        .filter(col("n_bigrams") > 0)
-        .agg(expr("sum(lm_bp) DIV count(*)")).head().getLong(0)
-      (c2, c1, mean)
-    }
+    lmModelCache.getOrElseUpdate(s, dir)(
+      graft.sources.ArtifactStore.materializeValue(s, "text.lmModel",
+        dir) {
+        val big = lmBigrams(lmTokens(Tables.documents(s, dir)))
+        val c2 = big.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+          .localCheckpoint(true)
+        val c1 = big.groupBy("a").agg(count(lit(1)).as("n_a"))
+          .localCheckpoint(true)
+        val mean = lmScoreRaw(Tables.documents(s, dir), c2, c1)
+          .filter(col("n_bigrams") > 0)
+          .agg(expr("sum(lm_bp) DIV count(*)")).head().getLong(0)
+        (c2, c1, mean)
+      } { case (c2, c1, mean) =>
+        // one relation, kind-tagged: "2" bigram counts, "1" unigram
+        // counts, "m" the corpus-mean scalar
+        c2.select(lit("2").as("kind"), col("a"), col("b"),
+            col("n_ab").as("n"))
+          .unionAll(c1.select(lit("1").as("kind"), col("a"),
+            lit(null).cast("string").as("b"), col("n_a").as("n")))
+          .unionAll(c2.sparkSession.range(1).select(
+            lit("m").as("kind"), lit(null).cast("string").as("a"),
+            lit(null).cast("string").as("b"), lit(mean).as("n")))
+      } { df =>
+        val c2 = df.filter(col("kind") === "2")
+          .select(col("a"), col("b"), col("n").as("n_ab"))
+        val c1 = df.filter(col("kind") === "1")
+          .select(col("a"), col("n").as("n_a"))
+        val mean = df.filter(col("kind") === "m")
+          .select("n").head().getLong(0)
+        (c2, c1, mean)
+      })
 
   private[graft] def lmScoreRaw(docs: DataFrame, c2: DataFrame,
       c1: DataFrame): DataFrame = {

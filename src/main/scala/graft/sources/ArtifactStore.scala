@@ -241,6 +241,45 @@ object ArtifactStore {
     }
   }
 
+  /** Retention for the artifact root: every engine recompile and
+    * every corpus change re-addresses its artifacts under a fresh
+    * fingerprint, stranding the old dirs — this is the cleanup a
+    * deployment cron runs. An artifact table's age is its OWN lake
+    * commit stamp (v0's `committedAtMs` — artifact tables are
+    * single-commit); anything older than the cutoff is deleted,
+    * whole table dirs at a time. Unparseable dirs (a torn
+    * half-written build that never committed) are deleted too — with
+    * no v0 manifest nothing can ever read them. Returns the deleted
+    * dirs. Safe to run concurrently with readers of LIVE fingerprints
+    * (current code + corpus always re-derives a current address, and
+    * a current build is never older than the cutoff a retention
+    * policy uses).
+    */
+  def vacuum(spark: SparkSession, olderThanMs: Long): Seq[String] = {
+    val rootDir = configuredRoot
+    if (!enabled) return Nil
+    val f = fs(spark, rootDir)
+    val root = new Path(rootDir)
+    if (!f.exists(root)) return Nil
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    f.listStatus(root).filter(_.isDirectory).foreach { fam =>
+      f.listStatus(fam.getPath).filter(_.isDirectory).foreach { fp =>
+        val dir = fp.getPath.toString
+        val stamp =
+          try {
+            if (!f.exists(new Path(s"$dir/_manifest/v0.json"))) None
+            else LakeMerge.manifest(spark, dir, Some(0)).committedAtMs
+          } catch { case scala.util.control.NonFatal(_) => None }
+        // unstamped/torn dirs expire unconditionally; stamped ones by age
+        if (stamp.forall(_ < olderThanMs)) {
+          f.delete(fp.getPath, true)
+          deleted += dir
+        }
+      }
+    }
+    deleted.toSeq
+  }
+
   /** Lake-else-build-and-commit for a DRIVER-SIDE artifact (codebook
     * arrays, bound pairs, merge tables): the value round-trips
     * through a small DataFrame, so a fresh session re-collects the

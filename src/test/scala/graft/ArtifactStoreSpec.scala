@@ -107,6 +107,32 @@ class ArtifactStoreSpec extends SparkSpec {
     }
   }
 
+  test("vacuum: artifact tables expire by their own commit stamp; " +
+    "a fresh consumer then rebuilds and re-persists") {
+    withTempRoot {
+      Artifacts.clear(spark, sf)
+      val rows = sorted(operators.TextAnalysis.fpIndex(spark, sf))
+      val persists = Artifacts.countOf("text.fpIndex", "build_persist")
+      // an epoch cutoff expires nothing: every live table is younger
+      assert(ArtifactStore.vacuum(spark, 0L) === Nil)
+      val s2 = spark.newSession()
+      assert(sorted(operators.TextAnalysis.fpIndex(s2, sf)) === rows)
+      assert(Artifacts.countOf("text.fpIndex", "build_persist")
+        === persists, "post-vacuum(0) reads must still be lake loads")
+      // a future cutoff expires everything committed so far
+      val deleted = ArtifactStore.vacuum(spark,
+        System.currentTimeMillis() + 60000)
+      assert(deleted.exists(_.contains("text.fpIndex")),
+        s"expected the fpIndex table among $deleted")
+      // a fresh consumer rebuilds and re-persists, value-identical
+      val s3 = spark.newSession()
+      assert(sorted(operators.TextAnalysis.fpIndex(s3, sf)) === rows)
+      assert(Artifacts.countOf("text.fpIndex", "build_persist")
+        === persists + 1, "vacuumed artifact must rebuild on demand")
+      Artifacts.clear(s2); Artifacts.clear(s3)
+    }
+  }
+
   test("corpus fingerprint addressing: two corpora never share an " +
     "artifact table") {
     withTempRoot {

@@ -537,6 +537,55 @@ class StreamingSpec extends SparkSpec {
     batchE.unpersist()
   }
 
+  test("F8-lake streaming: the lake table IS the stream state — a " +
+    "NEW query (new checkpoint) resumes where the table stands, and " +
+    "a replayed batch commits nothing") {
+    import graft.operators.Dedup
+    import graft.sources.LakeMerge
+    val batchE = Dedup.dupEdges(spark, sf)
+      .filter(col("doc_a") % 5 === 4 || col("doc_b") % 5 === 4)
+      .withColumn("half",
+        substring(md5(concat_ws(",",
+          least(col("doc_a"), col("doc_b")),
+          greatest(col("doc_a"), col("doc_b")))), 1, 1) < "8")
+      .cache()
+    val tableDir = tempDir("graft_cmap_stream")
+    Dedup.clusterTableInit(spark, tableDir, Dedup.oldClusterMap(spark, sf))
+    def inDir(flag: Boolean): String = {
+      val in = tempDir("graft_cmap_in")
+      batchE.filter(col("half") === flag).select("doc_a", "doc_b")
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      in
+    }
+    def runHalf(flag: Boolean): Unit = {
+      // a FRESH query each time: new source dir, new checkpoint —
+      // the restart the in-memory fold cannot survive
+      val q = Dedup.streamingClusterRefresh(
+        spark.readStream.schema("doc_a LONG, doc_b LONG")
+          .parquet(inDir(flag)),
+        tableDir, tempDir("graft_cmap_ck"))
+      q.awaitTermination(120000)
+      val stateless = Option(q.lastProgress)
+        .forall(_.stateOperators.isEmpty)
+      q.stop()
+      assert(stateless, "lake-backed refresh must carry no stream state")
+    }
+    runHalf(flag = true)   // query 1 dies after this
+    runHalf(flag = false)  // query 2: different JVM in production
+    val streamed = Dedup.clusterTableRead(spark, tableDir)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("d_incr_clusters")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch,
+      "two restarted streamed refreshes must equal the one-shot merge")
+    // replay: re-running half 2's edges is a NO-OP commit-wise
+    val vBefore = LakeMerge.latestVersion(spark, tableDir)
+    runHalf(flag = false)
+    assert(LakeMerge.latestVersion(spark, tableDir) === vBefore,
+      "a replayed batch must produce an empty delta and no commit")
+    batchE.unpersist()
+  }
+
   test("D9 dropDuplicatesWithinWatermark removes replayed rows") {
     val in = tempDir("graft_ddw_in")
     // stage the SAME events twice: every event_id arrives duplicated
