@@ -247,9 +247,74 @@ object Graph {
        |FROM reach GROUP BY id
        |ORDER BY player_id""".stripMargin)
 
+  // ---------------------------------------------------------------- J6
+  /** Community detection by synchronous label propagation (LPA) over
+    * the undirected report graph — the density-aware sibling of J5's
+    * connected components: CC merges everything reachable (one bridge
+    * fuses two tight groups into one component), LPA lets each node
+    * adopt its neighborhood's MAJORITY label, so sparsely-bridged
+    * dense groups keep distinct communities (spec pins exactly that
+    * shape: two cliques + one bridge → two communities where CC
+    * yields one). Fully deterministic — SYNCHRONIZED rounds (no
+    * update-order dependence), majority ties broken by smallest
+    * label — so the DuckDB oracle replays the identical fixed-round
+    * chain. Per round: one edge⋈label join + one (node, label) count
+    * + one per-node top-1 under a node-partitioned window — O(E)
+    * work, `LpaRounds` fixed; the edge relation rides the
+    * lake-resident graph artifact.
+    */
+  val LpaRounds = 4
+
+  private[graft] def lpa(und: DataFrame): DataFrame = {
+    val eb = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    var labels = eb.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to LpaRounds) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("c").desc, col("label"))
+      labels = eb.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "label")
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
+  private def lpaSql: String = {
+    val rounds = (1 to LpaRounds).map { r =>
+      s"""l$r AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      row_number() OVER (PARTITION BY node
+         |        ORDER BY c DESC, label) AS rn
+         |    FROM (SELECT e2.src AS node, l.label,
+         |            CAST(count(*) AS BIGINT) AS c
+         |          FROM eb e2 JOIN l${r - 1} l ON l.node = e2.dst
+         |          GROUP BY e2.src, l.label))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |und AS (SELECT DISTINCT least(src, dst) AS a,
+       |                        greatest(src, dst) AS b FROM e),
+       |eb AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+       |      UNION ALL SELECT b AS src, a AS dst FROM und),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM eb),
+       |$rounds
+       |SELECT node, label AS community FROM l$LpaRounds
+       |ORDER BY node""".stripMargin
+  }
+
+  val qCommunities: Q = Q(
+    (s, dir) => lpa(undirectedEdges(s, dir)).orderBy("node"),
+    lpaSql)
+
   val registry: Map[String, Q] = Map(
     "q_suspicion_rank" -> qSuspicionRank,
     "q_mutual_reports" -> qMutualReports,
     "q_report_triangles" -> qReportTriangles,
-    "q_report_components" -> qReportComponents)
+    "q_report_components" -> qReportComponents,
+    "q_communities" -> qCommunities)
 }

@@ -1310,6 +1310,34 @@ class QueriesSpec extends SparkSpec {
       "prefix filtering lost or invented a >=t pair")
   }
 
+  test("q_communities: LPA separates sparsely-bridged cliques where " +
+    "connected components merge them; synchronized rounds, min-label " +
+    "ties — fully deterministic") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val und = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) :+ (4L, 11L)).toDF("a", "b")
+    val got = graft.operators.Graph.lpa(und).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L, 14L -> 11L),
+      "the bridge must NOT fuse the two dense groups under LPA")
+    // the contrast LPA exists for: components on the same graph
+    // collapse to ONE (the bridge is reachability)
+    val sym = und.select(col("a").as("doc_a"), col("b").as("doc_b"))
+      .unionAll(und.select(col("b").as("doc_a"), col("a").as("doc_b")))
+    val labels0 = sym.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    assert(graft.operators.Dedup.propagate(sym, labels0, 10)
+      .select("label").distinct().count() === 1)
+    // corpus query: runs, non-empty, repeat-deterministic
+    val q = SparkEntry.queries("q_communities")(spark, sf).collect()
+    assert(q.nonEmpty)
+    assert(SparkEntry.queries("q_communities")(spark, sf)
+      .collect().toSeq === q.toSeq)
+  }
+
   test("ppjoin eval stratum is FIXED-SIZE: capped, deterministic, " +
     "and the cap is inactive below it (r13 scaling-curve fix)") {
     import graft.operators.Dedup
