@@ -17,6 +17,13 @@ import org.apache.spark.sql.SparkSession
   * @param repeat   bench repetitions per query (`SPARK_GRAFT_REPEAT`)
   * @param queries  optional bench/verify subset (`SPARK_GRAFT_QUERIES`,
   *                 comma-separated)
+  *
+  * The artifact-store root (`SPARK_GRAFT_ARTIFACT_DIR`) is also read
+  * here ([[Settings.artifactRoot]]) — it is JVM-global rather than
+  * per-session (the store addresses by content fingerprints, not by
+  * session), so it lives on the companion instead of the case class;
+  * `off` disables lake persistence, specs redirect via
+  * `ArtifactStore.rootOverride`.
   */
 final case class Settings(
     sfDir: String,
@@ -42,6 +49,14 @@ final case class Settings(
 }
 
 object Settings {
+  /** Artifact-store root: durable shared storage in production, a
+    * per-machine tmp root locally (cross-session reuse out of the
+    * box), `off` to disable persistence.
+    */
+  lazy val artifactRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR",
+      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-artifacts")
+
   def fromEnv(env: Map[String, String] = sys.env): Settings = Settings(
     sfDir = env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     cpus = env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,

@@ -60,9 +60,8 @@ object ArtifactStore {
     */
   @volatile var rootOverride: Option[String] = None
 
-  private def configuredRoot: String = rootOverride.getOrElse(
-    sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR",
-      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-artifacts"))
+  private def configuredRoot: String =
+    rootOverride.getOrElse(graft.Settings.artifactRoot)
 
   def enabled: Boolean = {
     val r = configuredRoot

@@ -524,6 +524,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join belongs here:\n$p")
   }
 
+  test("d_ppjoin: the fixed-size eval stratum reaches the token scan " +
+    "as a BroadcastHashJoin — the cap is also the plan guard") {
+    // PpJoinEvalCap bounds the stratum at any corpus size, so the
+    // doc-id semi-join against the token relation must broadcast —
+    // a shuffled join here would mean the bound is not being
+    // exploited and the corpus-side scan pays a full exchange
+    val df = SparkEntry.queries("d_ppjoin")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval stratum must broadcast into the token scan:\n$p")
+  }
+
   private implicit class SubstrAfter(private val s: String) {
     def substringAfter(sep: String): String = {
       val i = s.indexOf(sep)
