@@ -50,9 +50,9 @@ class LakeModelSpec extends SparkSpec {
       var model: Model = init0.map(r => (r._1, r._2) -> r._3).toMap
       var states = Map(LakeMerge.latestVersion(spark, dir) -> model)
 
-      for (step <- 1 to 10) {
+      for (step <- 1 to 14) {
         seq += 1
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 | 1 => // COW merge: upserts + deletes, disjoint keys
             val delK = rndKeys(rnd.nextInt(3))
             val upsK = rndKeys(rnd.nextInt(6) + 1)
@@ -86,6 +86,21 @@ class LakeModelSpec extends SparkSpec {
               targetRows = 1L + rnd.nextInt(10),
               maxFilesPerPartition = 1 + rnd.nextInt(4),
               maxLiveDirs = 1 + rnd.nextInt(3))
+          case 6 => // checkpoint chaos (r12 verdict: model the
+            // checkpoint interleavings too): tear or delete the
+            // manifest checkpoint mid-sequence — it is pure CACHE,
+            // so every read below and every later commit (which may
+            // re-land one) must behave identically to the listing
+            // fallback; the step's standing asserts ARE the check
+            val f = org.apache.hadoop.fs.FileSystem.getLocal(
+              spark.sessionState.newHadoopConf())
+            val p = new org.apache.hadoop.fs.Path(
+              s"$dir/_manifest/_checkpoint.json")
+            if (rnd.nextBoolean()) {
+              val o = f.create(p, true)
+              o.write("{\"version\": 99, \"ent".getBytes("UTF-8"))
+              o.close()
+            } else f.delete(p, false)
         }
         val v = LakeMerge.latestVersion(spark, dir)
         states += v -> model

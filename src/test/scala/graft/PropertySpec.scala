@@ -56,4 +56,57 @@ class PropertySpec extends AnyFunSuite {
       assert(cache.size === model.length && cache.size <= max)
     }
   }
+
+  test("bpeTrainLocal ≡ naive recount-from-scratch BPE on random " +
+    "type tables — the incremental pair index never drifts") {
+    import scala.collection.mutable
+    // reference: recount EVERY pair from scratch each round (the
+    // O(rounds · corpus) shape the incremental detach/attach
+    // bookkeeping exists to avoid); same total order, same
+    // left-to-right non-overlapping rewrite
+    def naive(types0: Seq[(String, Long)],
+        rounds: Int): Seq[(Long, String, String, String, Long)] = {
+      var words = types0.map { case (w, c) =>
+        (w.map(_.toString).toArray, c) }
+      val out =
+        mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val pw = mutable.HashMap.empty[(String, String), Long]
+        for ((a, c) <- words; i <- 0 until a.length - 1)
+          pw.updateWith((a(i), a(i + 1)))(v => Some(v.getOrElse(0L) + c))
+        if (pw.isEmpty) done = true
+        else {
+          val ((lhs, rhs), w) = pw.toSeq
+            .sortBy { case ((l, rr), ww) => (-ww, l, rr) }.head
+          out += ((r.toLong, lhs, rhs, lhs + rhs, w))
+          words = words.map { case (a, c) =>
+            val b = mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < a.length) {
+              if (i < a.length - 1 && a(i) == lhs && a(i + 1) == rhs) {
+                b += lhs + rhs; i += 2
+              } else { b += a(i); i += 1 }
+            }
+            (b.toArray, c)
+          }
+          r += 1
+        }
+      }
+      out.toSeq
+    }
+    val rnd = new Random(13)
+    for (trial <- 1 to 100) {
+      val nTypes = 1 + rnd.nextInt(12)
+      val types = List.fill(nTypes)(
+        (List.fill(1 + rnd.nextInt(8))(
+          ('a' + rnd.nextInt(3)).toChar).mkString,
+          1L + rnd.nextInt(5)))
+        .distinctBy(_._1)
+      val rounds = 1 + rnd.nextInt(10)
+      assert(graft.operators.TextAnalysis.bpeTrainLocal(types, rounds)
+        === naive(types, rounds), s"trial $trial: $types rounds=$rounds")
+    }
+  }
 }
