@@ -110,4 +110,31 @@ object GraftCatalog {
       .createOrReplaceTempView(s"${name}_changes")
     catch { case scala.util.control.NonFatal(_) => () } // v0 vacuumed
   }
+
+  /** SQL front door for the STANDING ARTIFACTS of a corpus: after
+    * registration, the curation relations an operator pipeline
+    * trains/compiles (the F8 cluster map, F13 band index + gram
+    * verify relation, H4 fingerprint index, quantizer cells, graph
+    * edge views) are plain SQL tables — `SELECT * FROM
+    * artifact_cluster_map WHERE cluster_id = 42` works from
+    * `spark.sql(...)`. Each view triggers the family's
+    * read-else-build-and-commit path once (lake-served when the
+    * artifact exists, built-and-committed when not), so registering
+    * on a warm corpus is a few parquet opens.
+    */
+  def registerArtifacts(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.{Dedup, Graph, Similarity, TextAnalysis}
+    Dedup.clusterMap(spark, dir)
+      .createOrReplaceTempView("artifact_cluster_map")
+    Dedup.bandIndex(spark, dir)
+      .createOrReplaceTempView("artifact_band_index")
+    Dedup.gramIndex(spark, dir)
+      .createOrReplaceTempView("artifact_gram_index")
+    TextAnalysis.fpIndex(spark, dir)
+      .createOrReplaceTempView("artifact_fp_index")
+    Similarity.cellsIndex(spark, dir)
+      .createOrReplaceTempView("artifact_ann_cells")
+    Graph.reportEdges(spark, dir)
+      .createOrReplaceTempView("artifact_report_edges")
+  }
 }

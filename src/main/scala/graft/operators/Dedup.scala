@@ -1237,7 +1237,7 @@ object Dedup {
     * read (same artifact stance as [[clusterMap]]; lifetime managed by
     * [[graft.Artifacts]]).
     */
-  private def bandIndex(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bandIndex(s: SparkSession, dir: String): DataFrame =
     bandIndexCache.getOrElseUpdate(s, dir)(
       graft.sources.ArtifactStore.materialize(s, "dedup.bandIndex", dir)(
         bands(s, dir)

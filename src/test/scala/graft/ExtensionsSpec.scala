@@ -130,4 +130,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM lakes_changes " +
       "WHERE _change_type = 'insert'").head().getLong(0) === 10L)
   }
+
+  test("registerArtifacts: the standing curation artifacts answer " +
+    "plain SQL, identical to the operator handles") {
+    GraftCatalog.registerArtifacts(spark, sf)
+    for (v <- Seq("artifact_cluster_map", "artifact_band_index",
+        "artifact_gram_index", "artifact_fp_index",
+        "artifact_ann_cells", "artifact_report_edges"))
+      assert(spark.sql(s"SELECT count(*) FROM $v").head().getLong(0) > 0,
+        s"$v must be non-empty")
+    val viaSql = spark.sql(
+      "SELECT doc_id, cluster_id FROM artifact_cluster_map ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val direct = SparkEntry.queries("d_dup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql === direct,
+      "the SQL view and the operator query must serve the same artifact")
+  }
 }
