@@ -133,6 +133,57 @@ class ArtifactStoreSpec extends SparkSpec {
     }
   }
 
+  test("two sessions racing the same build: exactly one commit wins, " +
+    "both read identical rows (create-exclusive manifest claim)") {
+    withTempRoot {
+      // two genuinely concurrent materializations of the same
+      // (family, corpus): the loser's LakeMerge.init throws
+      // ConcurrentModificationException and must fall through to
+      // reading the winner's table — never a duplicate commit, never
+      // a crash. Builds are deterministic, so either interleaving
+      // (loser-reads-winner, or second-call-sees-existing) yields
+      // byte-identical rows.
+      import spark.implicits._
+      val corpus = java.nio.file.Files
+        .createTempDirectory("graft_race_corpus").toString
+      (1L to 50L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$corpus/marker.parquet")
+      val results =
+        new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]
+      val errors =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = (0 until 4).map { i =>
+        val t = new Thread(() => {
+          try {
+            gate.await()
+            val s = spark.newSession()
+            val df = ArtifactStore.materialize(s, "race.family", corpus) {
+              val sp = s; import sp.implicits._
+              (1L to 20L).map(k => (k, k * 7L)).toDF("k", "v")
+            }
+            results.add(df.collect().map(_.toString).toSeq.sorted)
+          } catch { case e: Throwable => errors.add(e) }
+        })
+        t.start(); t
+      }
+      gate.countDown()
+      threads.foreach(_.join(120000))
+      assert(errors.isEmpty, s"racing builds must not throw: $errors")
+      val all = results.toArray(Array.empty[Seq[String]])
+      assert(all.length === 4)
+      assert(all.distinct.length === 1,
+        "all racers must observe identical artifact rows")
+      // exactly one commit on disk: the table has a single v0 and no
+      // stranded second manifest
+      val dir = ArtifactStore.tableDir(spark, "race.family", corpus)
+      val mf = new java.io.File(s"$dir/_manifest").listFiles()
+        .map(_.getName).filter(_.startsWith("v")).sorted.toSeq
+      assert(mf === Seq("v0.json"),
+        s"expected exactly one committed version, found $mf")
+    }
+  }
+
   test("corpus fingerprint addressing: two corpora never share an " +
     "artifact table") {
     withTempRoot {
