@@ -1424,6 +1424,92 @@ object Dedup {
        |HAVING count(*) >= $MinSharedFp
        |ORDER BY doc_a, doc_b""".stripMargin)
 
+  // ---------------------------------------------------------------- F21
+  /** LSH recall EVIDENCE for the dedup family — G15's stance applied
+    * to F3: the banded MinHash candidate generator trades certainty
+    * for boundedness, and this row MEASURES the trade instead of
+    * asserting it. Ground truth is the exact char-3-gram Jaccard
+    * ≥ [[RecallMinBp]] pair set over the FIXED-SIZE eval stratum
+    * ([[ppjoinEvalDocs]] — the one place a quadratic join is
+    * affordable by construction: ≤ cap² /2 pairs, right side
+    * broadcast); caught = truth ∩ the capped band candidates (F3).
+    * One row out: (n_true, n_caught, recall_bp) — the number a
+    * deployment re-reads when tuning bands/rows-per-band AND
+    * [[MaxBucket]], exactly as the ANN family re-reads s_ann_recall
+    * when tuning nprobe. At 100 TB the stratum stays
+    * [[PpJoinEvalCap]] docs, so this evidence query is constant-cost
+    * forever.
+    *
+    * What it shows on THIS corpus (sf0.01, measured): banding alone
+    * catches 8804 bp of the J ≥ 0.5 truth (935/1062 — the standard
+    * (1−(1−J^r)^b) curve), but the occupancy cap drops the caught
+    * set to 969 bp (103/1062): the driver's template vocabulary
+    * funnels most docs into mega-buckets, and the cap — built for
+    * the pathological hot buckets a real corpus has FEW of — here
+    * discards most of them. That is the documented trade made
+    * visible: on a natural corpus (small buckets) capped recall
+    * tracks the banding curve; on a bucket-hot one this row says to
+    * raise [[MaxBucket]] or lean on the F16 exact stratum. The
+    * oracle replays the identical cap, so the row is hash-exact.
+    */
+  val RecallMinBp = 5000
+
+  val dLshRecall: Q = Q(
+    (s, dir) => {
+      val ev = broadcast(ppjoinEvalDocs(s, dir))
+      val sets = Tables.documents(s, dir).join(ev, "doc_id")
+        .select(col("doc_id"), gramArrayCol.as("grams"))
+      val a = sets.select(col("doc_id").as("doc_a"),
+        col("grams").as("g_a"))
+      val b = sets.select(col("doc_id").as("doc_b"),
+        col("grams").as("g_b"))
+      val truth = a.join(broadcast(b), col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(expr("array_intersect(g_a, g_b)")).cast("long")
+            .as("inter"),
+          size(col("g_a")).cast("long").as("n_a"),
+          size(col("g_b")).cast("long").as("n_b"))
+        .filter(col("n_a") + col("n_b") - col("inter") > 0)
+        .withColumn("jbp",
+          expr("inter * 10000 DIV (n_a + n_b - inter)"))
+        .filter(col("jbp") >= RecallMinBp)
+        .select("doc_a", "doc_b")
+      val cand = lshCandidates(s, dir)
+        .select(col("doc_a"), col("doc_b")).withColumn("_c", lit(1L))
+      truth.join(cand, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          coalesce(sum(col("_c")), lit(0L)).as("n_caught"))
+        .select(col("n_true"), col("n_caught"),
+          when(col("n_true") === 0, lit(10000L))
+            .otherwise(expr("n_caught * 10000 DIV n_true"))
+            .as("recall_bp"))
+    },
+    s"""WITH ev0 AS ($ppjoinEvalDocsSql),
+       |g AS (SELECT doc_id, gram FROM ($gramsSql)
+       |      WHERE doc_id IN (SELECT doc_id FROM ev0)),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g
+       |       GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM g a JOIN g b ON b.gram = a.gram AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sz sa ON sa.doc_id = doc_a
+       |  JOIN sz sb ON sb.doc_id = doc_b
+       |  WHERE sa.n + sb.n - inter > 0
+       |    AND inter * 10000 // (sa.n + sb.n - inter) >= $RecallMinBp),
+       |cand AS ($lshCandidatesSql)
+       |SELECT CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(count(c.doc_a) AS BIGINT) AS n_caught,
+       |  CAST(CASE WHEN count(*) = 0 THEN 10000
+       |       ELSE count(c.doc_a) * 10000 // count(*) END AS BIGINT)
+       |    AS recall_bp
+       |FROM truth t
+       |LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b"""
+      .stripMargin)
+
   // ---------------------------------------------------------------- F17
   /** Duplicated-span coverage — the ExactSubstr dedup METRIC (Lee et
     * al., "Deduplicating Training Data Makes Language Models Better"):
@@ -1615,6 +1701,7 @@ object Dedup {
     "d_incr_dedup" -> dIncrDedup,
     "d_minhash_est" -> dMinhashEst,
     "d_ppjoin" -> dPpjoin,
+    "d_lsh_recall" -> dLshRecall,
     "d_contaminate" -> dContaminate,
     "d_contaminate_bloom" -> dContaminateBloom,
     "d_curate_corpus" -> dCurateCorpus,

@@ -1048,6 +1048,88 @@ object Similarity {
        |FROM cand c JOIN recon r ON c.vec_id = r.vec_id
        |ORDER BY approx_dist, c.vec_id LIMIT 10""".stripMargin)
 
+  // --------------------------------------------------------------- G16
+  /** Two-stage retrieval: ADC shortlist → EXACT re-rank — the final
+    * production stage the quantizer ladder exists to feed. Every real
+    * ANN serving system uses approximate distances only to CUT a
+    * shortlist, never to ORDER the answer: the IVFPQ probe (G12)
+    * fetches its multi-cell candidates and ranks them by ADC to keep
+    * the top [[RerankC]] (deterministic cut: ties broken by vec_id),
+    * then the shortlist alone pays the exact kernel
+    * ([[nativeScoreMicro]], the codegen'd cosine) and the answer is
+    * the exact-score top 10. Cost shape at 100 TB: the corpus pays
+    * cells + PQ codes (bytes-bounded scans), the exact kernel touches
+    * C ≈ 50 rows per query — re-rank cost is O(C · dim) regardless of
+    * corpus size, and recall is the probe's (whatever the shortlist
+    * caught, the re-rank orders perfectly).
+    */
+  val RerankC = 50
+
+  val sAnnRerank: Q = Q(
+    (s, dir) => {
+      val cb = ivfCodebook(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val cells = ivfCells(cb)
+      val assigned = emb.withColumn("cell",
+        array_min(cells).getField("cell"))
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"),
+          explode(transform(slice(array_sort(cells), 1, NProbe),
+            c => c.getField("cell"))).as("pcell"))
+      assigned.filter(col("vec_id") =!= 0)
+        .join(broadcast(probe), col("cell") === col("pcell"))
+        .withColumn("recon", pqRecon(cb))
+        .withColumn("approx_dist",
+          aggregate(zip_with(microOf(col("probe")), col("recon"),
+            (x, c) => (x - c) * (x - c)), lit(0L), (acc, d) => acc + d))
+        .orderBy(col("approx_dist"), col("vec_id"))
+        .limit(RerankC)
+        .select(col("vec_id"), col("label"),
+          nativeScoreMicro(s, "embedding", "probe").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("vec_id"))
+        .limit(10)
+    },
+    s"""WITH $ivfRankedCteSql,
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, cell FROM ranked WHERE rn = 1),
+       |p AS (
+       |  SELECT embedding AS probe, cell AS pcell,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS pem
+       |  FROM ranked WHERE vec_id = 0 AND rn <= $NProbe),
+       |sub AS (
+       |  SELECT clabel, j,
+       |    list_slice(cvec, j * $PqSubDim + 1, (j + 1) * $PqSubDim)
+       |      AS scvec
+       |  FROM cent, (SELECT unnest(range(0, $PqSub)) AS j)),
+       |cand AS (
+       |  SELECT a.vec_id, a.label, a.cell, a.embedding, p.pem,
+       |    list_transform(a.embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS em,
+       |    p.probe
+       |  FROM assigned a, p WHERE a.vec_id <> 0 AND a.cell = p.pcell),
+       |codes AS (
+       |  SELECT vec_id, j, scvec,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY
+       |      list_sum(list_transform(
+       |        list_zip(list_slice(em, j * $PqSubDim + 1,
+       |          (j + 1) * $PqSubDim), scvec),
+       |        z -> (z[1] - z[2]) * (z[1] - z[2]))), clabel) AS rn
+       |  FROM (SELECT DISTINCT vec_id, em FROM cand), sub),
+       |recon AS (
+       |  SELECT vec_id, flatten(list(scvec ORDER BY j)) AS rvec
+       |  FROM codes WHERE rn = 1 GROUP BY vec_id),
+       |short AS (
+       |  SELECT c.vec_id, c.label, c.embedding, c.probe
+       |  FROM cand c JOIN recon r ON c.vec_id = r.vec_id
+       |  ORDER BY CAST(list_sum(list_transform(list_zip(c.pem, r.rvec),
+       |    z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT), c.vec_id
+       |  LIMIT $RerankC)
+       |SELECT vec_id, label,
+       |  ${scoreMicroSql("embedding", "probe")} AS score_micro
+       |FROM short
+       |ORDER BY score_micro DESC, vec_id LIMIT 10""".stripMargin)
+
   // ---------------------------------------------------------------- G6
   /** Per-label embedding centroids — the aggregation behind IVF coarse
     * quantizers, topic vectors, and class prototypes. Exactness
@@ -1376,5 +1458,6 @@ object Similarity {
     "s_ann_ivf_km_probe" -> sAnnIvfKmProbe,
     "s_ann_pq" -> sAnnPq,
     "s_ann_sq8" -> sAnnSq8,
+    "s_ann_rerank" -> sAnnRerank,
     "d_embed_clusters" -> dEmbedClusters)
 }

@@ -1310,6 +1310,36 @@ class QueriesSpec extends SparkSpec {
       "prefix filtering lost or invented a >=t pair")
   }
 
+  test("s_ann_rerank: exact-score ordering over the ADC shortlist " +
+    "dominates the approx-ordered probe answer") {
+    val rerank = SparkEntry.queries("s_ann_rerank")(spark, sf).collect()
+    assert(rerank.length === 10)
+    val scores = rerank.map(_.getLong(2)).toSeq
+    assert(scores === scores.sortBy(-_),
+      "answer must be ordered by exact score")
+    // the re-rank picks the exact top-10 of a 50-candidate SUPERSET
+    // of the probe's approx top-10, so its sorted exact scores must
+    // dominate the probe answer's exact scores pointwise
+    val probe = SparkEntry.queries("s_ann_ivfpq_probe")(spark, sf)
+      .collect().map(r => r.getLong(r.fieldIndex("score_micro")))
+      .sorted.reverse.toSeq
+    scores.zip(probe).foreach { case (r, p) =>
+      assert(r >= p, s"re-ranked $r must be >= approx-ordered $p") }
+  }
+
+  test("d_lsh_recall: one well-formed evidence row, deterministic, " +
+    "caught never exceeds truth") {
+    val r = SparkEntry.queries("d_lsh_recall")(spark, sf).collect()
+    assert(r.length === 1)
+    val (nTrue, nCaught, bp) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+    assert(nCaught <= nTrue)
+    assert(bp >= 0 && bp <= 10000)
+    if (nTrue > 0) assert(bp === nCaught * 10000 / nTrue)
+    assert(SparkEntry.queries("d_lsh_recall")(spark, sf).collect()
+      .toSeq === r.toSeq)
+  }
+
   test("q_communities: LPA separates sparsely-bridged cliques where " +
     "connected components merge them; synchronized rounds, min-label " +
     "ties — fully deterministic") {
