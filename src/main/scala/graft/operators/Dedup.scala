@@ -1430,9 +1430,10 @@ object Dedup {
     * for boundedness, and this row MEASURES the trade instead of
     * asserting it. Ground truth is the exact char-3-gram Jaccard
     * ≥ [[RecallMinBp]] pair set over the FIXED-SIZE eval stratum
-    * ([[ppjoinEvalDocs]] — the one place a quadratic join is
-    * affordable by construction: ≤ cap² /2 pairs, right side
-    * broadcast); caught = truth ∩ the capped band candidates (F3).
+    * ([[ppjoinEvalDocs]] — the one place an all-pairs truth is
+    * affordable by construction: ≤ cap² /2 candidate pairs, computed
+    * SPARSELY via the gram-row equi-join, never a per-pair array
+    * intersect); caught = truth ∩ the capped band candidates (F3).
     * One row out: (n_true, n_caught, recall_bp) — the number a
     * deployment re-reads when tuning bands/rows-per-band AND
     * [[MaxBucket]], exactly as the ANN family re-reads s_ann_recall
@@ -1457,18 +1458,26 @@ object Dedup {
   val dLshRecall: Q = Q(
     (s, dir) => {
       val ev = broadcast(ppjoinEvalDocs(s, dir))
-      val sets = Tables.documents(s, dir).join(ev, "doc_id")
-        .select(col("doc_id"), gramArrayCol.as("grams"))
-      val a = sets.select(col("doc_id").as("doc_a"),
-        col("grams").as("g_a"))
-      val b = sets.select(col("doc_id").as("doc_b"),
-        col("grams").as("g_b"))
-      val truth = a.join(broadcast(b), col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          size(expr("array_intersect(g_a, g_b)")).cast("long")
-            .as("inter"),
-          size(col("g_a")).cast("long").as("n_a"),
-          size(col("g_b")).cast("long").as("n_b"))
+      // SPARSE exact-Jaccard join, same shape as the oracle (and F5/
+      // F7's verify): explode to gram rows, hash-equi-join on gram,
+      // count per pair — never a per-pair array intersect (the
+      // quadratic array BNLJ form measured 25× slower at sf0.1: per
+      // pair it re-hashes two ~300-string sets; here each gram row is
+      // hashed once). Pairs sharing zero grams drop out, which a
+      // ≥ RecallMinBp truth set never contains anyway.
+      val g = Tables.documents(s, dir).join(ev, "doc_id")
+        .select(col("doc_id"), explode(gramArrayCol).as("gram"))
+        .localCheckpoint(true) // three consumers below, one derivation
+      val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = g.select(col("doc_id").as("doc_a"), col("gram"))
+        .join(g.select(col("doc_id").as("doc_b"), col("gram")), "gram")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      val truth = inter
+        .join(broadcast(sz.select(col("doc_id").as("doc_a"),
+          col("n").as("n_a"))), "doc_a")
+        .join(broadcast(sz.select(col("doc_id").as("doc_b"),
+          col("n").as("n_b"))), "doc_b")
         .filter(col("n_a") + col("n_b") - col("inter") > 0)
         .withColumn("jbp",
           expr("inter * 10000 DIV (n_a + n_b - inter)"))
