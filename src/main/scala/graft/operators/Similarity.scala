@@ -583,6 +583,51 @@ object Similarity {
        |FROM assigned, p WHERE vec_id <> 0 AND cell = pcell
        |ORDER BY score_micro DESC, vec_id LIMIT 10""".stripMargin)
 
+  // --------------------------------------------------------------- G17
+  /** FILTERED ANN — vector search under a metadata predicate, the
+    * second-most-requested operation of any production vector store
+    * (RAG "search within this tenant/label/date-range"). Pre-filter
+    * strategy, the right call when the predicate is selective and
+    * pushable: the predicate lands on the SCAN (Catalyst pushes it
+    * beside the IVF cell equi-join, so a partitioned corpus prunes
+    * files before any distance math), candidates = probed cells ∩
+    * predicate, and the exact kernel ranks what survives. The probe
+    * widens to [[NProbe]] cells exactly because filtering thins each
+    * cell — the nprobe dial is how filtered recall is bought back
+    * (post-filtering a fixed top-k instead would return < k rows on
+    * any selective predicate). Same broadcast-equi-join shape as G8;
+    * the predicate here (odd label) stands in for any pushable
+    * metadata condition.
+    */
+  val sAnnFiltered: Q = Q(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cells = ivfCells(ivfCodebook(s, dir))
+      val assigned = emb.withColumn("cell",
+        array_min(cells).getField("cell"))
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"),
+          explode(transform(slice(array_sort(cells), 1, NProbe),
+            c => c.getField("cell"))).as("pcell"))
+      assigned.filter(col("vec_id") =!= 0)
+        .filter(col("label") % 2 === 1)
+        .join(broadcast(probe), col("cell") === col("pcell"))
+        .select(col("vec_id"), col("label"), col("cell"),
+          nativeScoreMicro(s, "embedding", "probe").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("vec_id"))
+        .limit(10)
+    },
+    s"""WITH $ivfRankedCteSql,
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, cell FROM ranked WHERE rn = 1),
+       |p AS (SELECT embedding AS probe, cell AS pcell FROM ranked
+       |      WHERE vec_id = 0 AND rn <= $NProbe)
+       |SELECT vec_id, label, cell,
+       |  ${scoreMicroSql("embedding", "probe")} AS score_micro
+       |FROM assigned, p
+       |WHERE vec_id <> 0 AND label % 2 = 1 AND cell = pcell
+       |ORDER BY score_micro DESC, vec_id LIMIT 10""".stripMargin)
+
   // ---------------------------------------------------------------- F14
   /** Semantic (embedding-space) dedup clustering — the SemDeDup shape:
     * connected components over the F6 cosine near-dup pairs, so
@@ -1459,5 +1504,6 @@ object Similarity {
     "s_ann_pq" -> sAnnPq,
     "s_ann_sq8" -> sAnnSq8,
     "s_ann_rerank" -> sAnnRerank,
+    "s_ann_filtered" -> sAnnFiltered,
     "d_embed_clusters" -> dEmbedClusters)
 }

@@ -1327,6 +1327,28 @@ class QueriesSpec extends SparkSpec {
       assert(r >= p, s"re-ranked $r must be >= approx-ordered $p") }
   }
 
+  test("s_ann_filtered: every hit satisfies the predicate, ordering " +
+    "is exact-score, and the filter only ever REMOVES candidates") {
+    val hits = SparkEntry.queries("s_ann_filtered")(spark, sf).collect()
+    assert(hits.nonEmpty && hits.length <= 10)
+    assert(hits.forall(_.getInt(1) % 2 == 1),
+      "a filtered search must never return a non-matching row")
+    val scores = hits.map(_.getLong(3)).toSeq
+    assert(scores === scores.sortBy(-_))
+    // pre-filtering the G8 probe can only remove candidates: every
+    // filtered hit is among the unfiltered probe's candidate pool,
+    // i.e. appears in the unfiltered top-10 restricted to odd labels
+    // OR scores below its floor
+    val unfiltered = SparkEntry.queries("s_ann_ivf_probe")(spark, sf)
+      .collect()
+    val oddTop = unfiltered.filter(_.getInt(1) % 2 == 1)
+      .map(r => r.getLong(0)).toSet
+    val floor = unfiltered.map(_.getLong(3)).min
+    assert(hits.forall(r =>
+      oddTop.contains(r.getLong(0)) || r.getLong(3) <= floor),
+      "filtered hits must be the odd-label slice of the same pool")
+  }
+
   test("d_lsh_recall: one well-formed evidence row, deterministic, " +
     "caught never exceeds truth") {
     val r = SparkEntry.queries("d_lsh_recall")(spark, sf).collect()
