@@ -1455,9 +1455,12 @@ object Dedup {
     */
   val RecallMinBp = 5000
 
-  val dLshRecall: Q = Q(
-    (s, dir) => {
-      val ev = broadcast(ppjoinEvalDocs(s, dir))
+  /** The exact-Jaccard ≥ [[RecallMinBp]] truth pairs over the capped
+    * eval stratum — shared by the F21 recall row and its MaxBucket
+    * sensitivity curve below.
+    */
+  private def lshRecallTruth(s: SparkSession, dir: String): DataFrame = {
+    val ev = broadcast(ppjoinEvalDocs(s, dir))
       // SPARSE exact-Jaccard join, same shape as the oracle (and F5/
       // F7's verify): explode to gram rows, hash-equi-join on gram,
       // count per pair — never a per-pair array intersect (the
@@ -1483,17 +1486,14 @@ object Dedup {
           expr("inter * 10000 DIV (n_a + n_b - inter)"))
         .filter(col("jbp") >= RecallMinBp)
         .select("doc_a", "doc_b")
-      val cand = lshCandidates(s, dir)
-        .select(col("doc_a"), col("doc_b")).withColumn("_c", lit(1L))
-      truth.join(cand, Seq("doc_a", "doc_b"), "left")
-        .agg(count(lit(1)).as("n_true"),
-          coalesce(sum(col("_c")), lit(0L)).as("n_caught"))
-        .select(col("n_true"), col("n_caught"),
-          when(col("n_true") === 0, lit(10000L))
-            .otherwise(expr("n_caught * 10000 DIV n_true"))
-            .as("recall_bp"))
-    },
-    s"""WITH ev0 AS ($ppjoinEvalDocsSql),
+      truth
+  }
+
+  /** The truth CTE chain (ev0 → g → sz → inter → truth), shared by
+    * both recall oracles.
+    */
+  private def lshRecallTruthSql: String =
+    s"""ev0 AS ($ppjoinEvalDocsSql),
        |g AS (SELECT doc_id, gram FROM ($gramsSql)
        |      WHERE doc_id IN (SELECT doc_id FROM ev0)),
        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g
@@ -1508,7 +1508,23 @@ object Dedup {
        |  JOIN sz sa ON sa.doc_id = doc_a
        |  JOIN sz sb ON sb.doc_id = doc_b
        |  WHERE sa.n + sb.n - inter > 0
-       |    AND inter * 10000 // (sa.n + sb.n - inter) >= $RecallMinBp),
+       |    AND inter * 10000 // (sa.n + sb.n - inter) >= $RecallMinBp)"""
+      .stripMargin
+
+  val dLshRecall: Q = Q(
+    (s, dir) => {
+      val truth = lshRecallTruth(s, dir)
+      val cand = lshCandidates(s, dir)
+        .select(col("doc_a"), col("doc_b")).withColumn("_c", lit(1L))
+      truth.join(cand, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          coalesce(sum(col("_c")), lit(0L)).as("n_caught"))
+        .select(col("n_true"), col("n_caught"),
+          when(col("n_true") === 0, lit(10000L))
+            .otherwise(expr("n_caught * 10000 DIV n_true"))
+            .as("recall_bp"))
+    },
+    s"""WITH $lshRecallTruthSql,
        |cand AS ($lshCandidatesSql)
        |SELECT CAST(count(*) AS BIGINT) AS n_true,
        |  CAST(count(c.doc_a) AS BIGINT) AS n_caught,
@@ -1518,6 +1534,78 @@ object Dedup {
        |FROM truth t
        |LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b"""
       .stripMargin)
+
+  // -------------------------------------------------------- F21 (curve)
+  /** The MaxBucket SENSITIVITY CURVE — the tuning table [[dLshRecall]]
+    * points at: recall of the same truth set under occupancy caps
+    * 64/128/256/512, all from ONE band self-join (bounded by the
+    * largest rung — the mega-buckets this corpus's template
+    * vocabulary creates never enter it). A pair is caught at cap c
+    * iff SOME shared bucket has occupancy ≤ c, so each candidate
+    * pair carries min-over-shared-buckets occupancy and the rungs
+    * are four aggregations over one relation. This is how a
+    * deployment prices raising the cap: recall bought per extra
+    * bucket width, at constant cost (stratum capped, rungs capped).
+    */
+  val RecallRungs: Seq[Int] = Seq(64, 128, 256, 512)
+
+  val dLshRecallCurve: Q = Q(
+    (s, dir) => {
+      val maxRung = RecallRungs.max
+      val b = bands(s, dir)
+        .withColumn("bucket_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("band", "band_hash")))
+        .filter(col("bucket_n") <= maxRung)
+      val a = b.select(col("doc_id").as("doc_a"), col("band"),
+        col("band_hash"), col("bucket_n"))
+      val c = b.select(col("doc_id").as("doc_b"), col("band"),
+        col("band_hash"))
+      val cand = a.join(c, Seq("band", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(min(col("bucket_n")).as("min_bn"))
+      lshRecallTruth(s, dir)
+        .join(cand, Seq("doc_a", "doc_b"), "left")
+        .select(col("min_bn"),
+          explode(typedLit(RecallRungs.map(_.toLong))).as("max_bucket"))
+        .groupBy("max_bucket")
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("min_bn") <= col("max_bucket"), 1L)
+            .otherwise(0L)).as("n_caught"))
+        .select(col("max_bucket"), col("n_true"), col("n_caught"),
+          when(col("n_true") === 0, lit(10000L))
+            .otherwise(expr("n_caught * 10000 DIV n_true"))
+            .as("recall_bp"))
+        .orderBy("max_bucket")
+    },
+    s"""WITH $lshRecallTruthSql,
+       |banded AS (
+       |  SELECT *, count(*) OVER (PARTITION BY band, band_hash)
+       |    AS bucket_n FROM ($bandsSql)),
+       |capped AS (SELECT * FROM banded
+       |           WHERE bucket_n <= ${RecallRungs.max}),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(min(a.bucket_n) AS BIGINT) AS min_bn
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |rungs AS (SELECT CAST(unnest(
+       |  [${RecallRungs.mkString(", ")}]) AS BIGINT) AS max_bucket)
+       |SELECT r.max_bucket,
+       |  CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(sum(CASE WHEN c.min_bn <= r.max_bucket THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_caught,
+       |  CAST(CASE WHEN count(*) = 0 THEN 10000
+       |    ELSE sum(CASE WHEN c.min_bn <= r.max_bucket THEN 1 ELSE 0
+       |      END) * 10000 // count(*) END AS BIGINT) AS recall_bp
+       |FROM truth t
+       |LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b,
+       |rungs r
+       |GROUP BY r.max_bucket
+       |ORDER BY max_bucket""".stripMargin)
 
   // ---------------------------------------------------------------- F17
   /** Duplicated-span coverage — the ExactSubstr dedup METRIC (Lee et
@@ -1711,6 +1799,7 @@ object Dedup {
     "d_minhash_est" -> dMinhashEst,
     "d_ppjoin" -> dPpjoin,
     "d_lsh_recall" -> dLshRecall,
+    "d_lsh_recall_curve" -> dLshRecallCurve,
     "d_contaminate" -> dContaminate,
     "d_contaminate_bloom" -> dContaminateBloom,
     "d_curate_corpus" -> dCurateCorpus,

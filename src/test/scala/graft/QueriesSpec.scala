@@ -1362,6 +1362,25 @@ class QueriesSpec extends SparkSpec {
       .toSeq === r.toSeq)
   }
 
+  test("d_lsh_recall_curve: recall is monotone in the occupancy cap, " +
+    "agrees with the single-cap row at MaxBucket, and shares one truth") {
+    import graft.operators.Dedup
+    val curve = SparkEntry.queries("d_lsh_recall_curve")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(curve.map(_._1) === Dedup.RecallRungs.map(_.toLong))
+    assert(curve.map(_._2).distinct.length === 1,
+      "every rung measures the same truth set")
+    val caught = curve.map(_._3)
+    assert(caught === caught.sorted,
+      "a wider cap can only catch more pairs")
+    val single = SparkEntry.queries("d_lsh_recall")(spark, sf).head()
+    val atMax = curve.find(_._1 == Dedup.MaxBucket.toLong).get
+    assert(atMax._2 === single.getLong(0) &&
+      atMax._3 === single.getLong(1) && atMax._4 === single.getLong(2),
+      "the curve's MaxBucket rung must equal the production-cap row")
+  }
+
   test("q_communities: LPA separates sparsely-bridged cliques where " +
     "connected components merge them; synchronized rounds, min-label " +
     "ties — fully deterministic") {
