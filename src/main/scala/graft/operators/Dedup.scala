@@ -1208,6 +1208,66 @@ object Dedup {
        |JOIN sz sb ON sb.doc_id = e.doc_b
        |ORDER BY e.doc_a, e.doc_b""".stripMargin)
 
+  // ---------------------------------------------------------------- F22
+  /** CROSS-SOURCE OVERLAP MATRIX — the corpus-composition question
+    * that comes BEFORE any pairwise dedup run: how much of source A's
+    * content signature already lives in source B? One row per ordered
+    * source pair with `overlap_bp` = |grams(A) ∩ grams(B)| / |grams(A)|
+    * in basis points — the directed containment, so a small source
+    * fully swallowed by a big one reads 10000 in one direction and
+    * small in the other (the asymmetry IS the signal: it tells which
+    * source is the redundant one to drop at mixing time, cf. t_mix_plan).
+    *
+    * Scale: the unit here is the SOURCE (S of them), not the document,
+    * and the char-3-gram domain is bounded by charset³ — so the
+    * distinct (source, gram) relation is ≤ S·|Σ|³ rows REGARDLESS of
+    * corpus size, built by one map-side-combinable distinct over the
+    * corpus scan (the only stage that sees the data). The pair join
+    * fans each gram to ≤ S² rows and the totals join broadcasts S
+    * rows. At 100 TB nothing here grows except the one scan. For
+    * word-shingle domains (unbounded), swap the gram relation for the
+    * F15 MinHash signatures — same matrix, estimator semantics.
+    */
+  val dSourceOverlap: Q = Q(
+    (s, dir) => {
+      // cached: the distinct (source, gram) relation feeds both join
+      // sides AND the per-source totals — one corpus scan, three uses
+      val sg = Tables.documents(s, dir)
+        .select(col("source"), explode(gramArrayCol).as("gram"))
+        .distinct()
+        .cache()
+      val tot = sg.groupBy("source").agg(count(lit(1)).as("n_grams"))
+      val a = sg.select(col("source").as("src_a"), col("gram"))
+      val b = sg.select(col("source").as("src_b"), col("gram"))
+      a.join(b, Seq("gram"))
+        .filter(col("src_a") =!= col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("common_grams"))
+        .join(broadcast(tot.withColumnRenamed("source", "src_a")),
+          Seq("src_a"))
+        .selectExpr("src_a", "src_b", "common_grams",
+          "(common_grams * 10000) DIV n_grams AS overlap_bp")
+        .orderBy("src_a", "src_b")
+    },
+    s"""WITH sg AS (
+       |  SELECT DISTINCT source, gram FROM (
+       |    SELECT source, substring(norm, CAST(i AS INT), 3) AS gram
+       |    FROM (SELECT source, lower(text) AS norm FROM documents),
+       |         unnest(range(1, length(norm) - 1)) AS t(i))),
+       |tot AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+       |  FROM sg GROUP BY source),
+       |pair AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(count(*) AS BIGINT) AS common_grams
+       |  FROM sg a JOIN sg b
+       |    ON a.gram = b.gram AND a.source <> b.source
+       |  GROUP BY a.source, b.source)
+       |SELECT p.src_a, p.src_b, p.common_grams,
+       |  (p.common_grams * 10000) // t.n_grams AS overlap_bp
+       |FROM pair p JOIN tot t ON t.source = p.src_a
+       |ORDER BY src_a, src_b""".stripMargin)
+
   // ---------------------------------------------------------------- F13
   /** Incremental dedup — the shape a LIVE corpus actually runs: the
     * historical corpus is already indexed (its capped LSH band rows, a
@@ -1797,6 +1857,7 @@ object Dedup {
     "d_span_dup" -> dSpanDup,
     "d_incr_dedup" -> dIncrDedup,
     "d_minhash_est" -> dMinhashEst,
+    "d_source_overlap" -> dSourceOverlap,
     "d_ppjoin" -> dPpjoin,
     "d_lsh_recall" -> dLshRecall,
     "d_lsh_recall_curve" -> dLshRecallCurve,

@@ -1484,6 +1484,73 @@ object Similarity {
          |ORDER BY config""".stripMargin
     })
 
+  // --------------------------------------------------------------- G18
+  /** DIVERSITY SAMPLING — the embedding-space subsample every
+    * data-constrained training run draws (the dedup-then-diversify
+    * stance): a per-cluster quota over the label-free k-means
+    * codebook, so every region of embedding space keeps ⌈n/4⌉
+    * representatives and no dense mode drowns out the tails — where a
+    * uniform hash sample (H8) would keep 25% of EVERY cluster's mass
+    * and so inherit the corpus's mode imbalance, this keeps 25% of
+    * each REGION. Selection inside a cluster is by md5(vec_id) — the
+    * H8 idiom: deterministic, engine-reproducible, no RNG state.
+    * Scale: assignment is the same train-once/ship-as-literals
+    * map-only expression as G14 (k×dim driver state); the quota is
+    * one row_number window per cluster. At toy k=8 the window would
+    * hot-spot 8 reducers on a real corpus — at 100 TB the codebook is
+    * sized so cells are executor-bounded (the G15 recall table is the
+    * re-tuning tool), or the exact quota relaxes to the map-only
+    * hash-threshold form (md5 first hex digit, H8's stance) when
+    * ±binomial jitter per cell is acceptable. Oracle replays the
+    * Lloyd chain and the same window. (Defined after the k-means
+    * block: the oracle string interpolates [[KmeansK]] at val-init,
+    * so declaration order is load-bearing.)
+    */
+  private val DiverseKeepDenom = 4
+
+  val sDiverseSample: Q = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val assigned = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          ivfCellCol(kmCodebook(s, dir)).as("cluster"))
+      val byHash = Window.partitionBy("cluster")
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      assigned
+        .withColumn("rk", row_number().over(byHash))
+        .withColumn("cell_n", count(lit(1)).over(
+          Window.partitionBy("cluster")))
+        // rk ≤ ⌈cell_n/4⌉ in pure integers: (rk-1)·4 < cell_n
+        .filter((col("rk") - 1) * DiverseKeepDenom < col("cell_n"))
+        .select("vec_id", "label", "cluster")
+        .orderBy("vec_id")
+    },
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |    AS cl, v
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $KmeansK)),
+       |a1 AS (${kmAssignSql("c0")}),
+       |c1 AS (${kmRefreshSql("a1")}),
+       |a2 AS (${kmAssignSql("c1")}),
+       |c2 AS (${kmRefreshSql("a2")}),
+       |fin AS (${kmAssignSql("c2")}),
+       |asg AS (
+       |  SELECT emb.vec_id, emb.label, CAST(f.cl AS BIGINT) AS cluster
+       |  FROM embeddings emb JOIN fin f ON f.vec_id = emb.vec_id),
+       |rk AS (
+       |  SELECT vec_id, label, cluster,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY
+       |      md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk,
+       |    count(*) OVER (PARTITION BY cluster) AS cell_n
+       |  FROM asg)
+       |SELECT vec_id, label, cluster FROM rk
+       |WHERE (rk - 1) * $DiverseKeepDenom < cell_n
+       |ORDER BY vec_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
     "s_ann_ivf_km_probe" -> sAnnIvfKmProbe,
     "s_ann_recall" -> sAnnRecall,
@@ -1505,5 +1572,6 @@ object Similarity {
     "s_ann_sq8" -> sAnnSq8,
     "s_ann_rerank" -> sAnnRerank,
     "s_ann_filtered" -> sAnnFiltered,
+    "s_diverse_sample" -> sDiverseSample,
     "d_embed_clusters" -> dEmbedClusters)
 }

@@ -1613,7 +1613,45 @@ object TextAnalysis {
        |     UNION ALL SELECT 2) e)
        |ORDER BY epoch, pos""".stripMargin)
 
+  // ---------------------------------------------------------------- H26
+  /** THE DATASET CARD — the one-page composition table every corpus
+    * release ships (docs / volume / quality-gate pass rate, by
+    * source × lang with subtotal and grand-total rows): ROLLUP over
+    * the two composition axes, with the H13 keep-predicate inlined as
+    * a map-only flag so the quality column prices the SAME gate the
+    * curation pipeline (F11) enforces. One aggregation, one shuffle,
+    * every measure map-side-combinable; ROLLUP costs the same single
+    * Exchange as the flat groupBy (Spark expands grouping sets before
+    * the partial agg), so the three grains a card needs never re-scan
+    * the corpus. At 100 TB this is the cheapest query in the H family
+    * — and the first one a user runs.
+    */
+  val tDatasetCard: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"), col("n_chars"),
+          when(filterKeep, 1L).otherwise(0L).as("kept"))
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          sum("kept").as("kept_docs"))
+        .selectExpr("source", "lang", "n_docs", "total_chars",
+          "kept_docs", "(kept_docs * 10000) DIV n_docs AS kept_bp")
+        .orderBy(asc_nulls_first("source"), asc_nulls_first("lang")),
+    s"""WITH d AS (
+       |  SELECT source, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       |    CASE WHEN ${filterKeepSql("documents")} THEN 1 ELSE 0 END
+       |      AS kept
+       |  FROM documents)
+       |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(sum(kept) AS BIGINT) AS kept_docs,
+       |  (CAST(sum(kept) AS BIGINT) * 10000) // count(*) AS kept_bp
+       |FROM d GROUP BY ROLLUP(source, lang)
+       |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "t_dataset_card" -> tDatasetCard,
     "t_epoch_order" -> tEpochOrder,
     "t_strip_html" -> tStripHtml,
     "t_bpe" -> tBpe,

@@ -536,6 +536,28 @@ class PlanAuditSpec extends SparkSpec {
       s"eval stratum must broadcast into the token scan:\n$p")
   }
 
+  test("d_source_overlap: totals broadcast, no cartesian — the pair " +
+    "join is keyed on gram") {
+    val df = SparkEntry.queries("d_source_overlap")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"the source-pair matrix must come from the gram equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the S-row totals join must broadcast:\n$p")
+  }
+
+  test("t_dataset_card: ROLLUP's three grains cost ONE aggregation " +
+    "exchange (plus the presentation sort)") {
+    val df = SparkEntry.queries("t_dataset_card")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("Expand"),
+      s"rollup should expand grouping sets before the partial agg:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2,
+      s"card must not re-shuffle per grain:\n$p")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+  }
+
   private implicit class SubstrAfter(private val s: String) {
     def substringAfter(sep: String): String = {
       val i = s.indexOf(sep)

@@ -1499,4 +1499,56 @@ class QueriesSpec extends SparkSpec {
     assert(sqHits.size >= pqHits.size,
       s"SQ8 recalled ${sqHits.size} of brute top-10, PQ ${pqHits.size}")
   }
+
+  test("d_source_overlap: full directed matrix, symmetric intersection " +
+    "counts, containment bounded by the smaller side") {
+    val m = SparkEntry.queries("d_source_overlap")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val sources = m.keySet.map(_._1) ++ m.keySet.map(_._2)
+    assert(m.size === sources.size * (sources.size - 1),
+      "one row per ordered source pair")
+    for (((a, b), (common, bp)) <- m) {
+      assert(bp >= 0 && bp <= 10000)
+      assert(m((b, a))._1 === common,
+        s"|A∩B| must not depend on direction ($a,$b)")
+    }
+  }
+
+  test("s_diverse_sample: exact ⌈n/4⌉ quota per k-means cluster, " +
+    "sample ⊆ cluster membership, flatter than the corpus") {
+    val sample = SparkEntry.queries("s_diverse_sample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val full = SparkEntry.queries("s_kmeans")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val assign = full.toMap
+    assert(sample.forall { case (id, cl) => assign(id) == cl },
+      "sampled rows must carry their true cluster assignment")
+    val fullSizes = full.groupBy(_._2).map { case (cl, xs) => cl -> xs.length }
+    val sampSizes = sample.groupBy(_._2).map { case (cl, xs) => cl -> xs.length }
+    for ((cl, n) <- fullSizes)
+      assert(sampSizes.getOrElse(cl, 0) === (n + 3) / 4,
+        s"cluster $cl: quota must be ⌈$n/4⌉")
+  }
+
+  test("t_dataset_card: rollup grains reconcile — leaves sum to " +
+    "source subtotals, subtotals to the grand total") {
+    val rows = SparkEntry.queries("t_dataset_card")(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val grand = rows.filter(r => r._1.isEmpty && r._2.isEmpty)
+    assert(grand.length === 1)
+    val leaves = rows.filter(r => r._1.nonEmpty && r._2.nonEmpty)
+    val subs = rows.filter(r => r._1.nonEmpty && r._2.isEmpty)
+    assert(grand.head._3 === leaves.map(_._3).sum &&
+      grand.head._4 === leaves.map(_._4).sum &&
+      grand.head._5 === leaves.map(_._5).sum)
+    for (s0 <- subs) {
+      val mine = leaves.filter(_._1 == s0._1)
+      assert((s0._3, s0._4, s0._5) ===
+        ((mine.map(_._3).sum, mine.map(_._4).sum, mine.map(_._5).sum)),
+        s"subtotal mismatch for source ${s0._1.get}")
+    }
+    assert(rows.forall(r => r._5 <= r._3), "kept_docs must be ≤ n_docs")
+  }
 }
