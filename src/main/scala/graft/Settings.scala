@@ -50,12 +50,30 @@ final case class Settings(
 
 object Settings {
   /** Artifact-store root: durable shared storage in production, a
-    * per-machine tmp root locally (cross-session reuse out of the
-    * box), `off` to disable persistence.
+    * PER-USER tmp root locally (cross-session reuse out of the box),
+    * `off` to disable persistence. The default is scoped by user name
+    * and created 0700 (see ArtifactStore) because java.io.tmpdir is
+    * world-writable shared space: an unscoped path would let any
+    * other local user pre-plant fingerprint-addressed tables the
+    * engine would then trust as trained models (the fingerprint
+    * addresses content, it does not authenticate it), and unrelated
+    * users would collide on one cache. A deployment that WANTS a
+    * shared cache points SPARK_GRAFT_ARTIFACT_DIR at storage whose
+    * permissions it controls.
     */
   lazy val artifactRoot: String =
-    sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR",
-      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-artifacts")
+    sys.env.get("SPARK_GRAFT_ARTIFACT_DIR").getOrElse {
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9_.-]", "_")
+      sys.props("java.io.tmpdir").stripSuffix("/") +
+        s"/graft-artifacts-$user"
+    }
+
+  /** True when the artifact root is the tmpdir default (unset env) —
+    * ArtifactStore then creates it with owner-only permissions.
+    */
+  lazy val artifactRootIsDefault: Boolean =
+    !sys.env.contains("SPARK_GRAFT_ARTIFACT_DIR")
 
   def fromEnv(env: Map[String, String] = sys.env): Settings = Settings(
     sfDir = env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),

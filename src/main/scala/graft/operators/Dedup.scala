@@ -612,7 +612,17 @@ object Dedup {
     */
   def clusterTableRefresh(s: SparkSession, tableDir: String,
       newEdges: DataFrame): Int = {
-    val standing = clusterTableRead(s, tableDir)
+    // pin the WHOLE refresh (standing read → delta → merge) to one
+    // read-version: the delta depends on the standing snapshot, so a
+    // concurrent commit anywhere in that window must surface as
+    // ConcurrentModificationException (merge vetoes a taken
+    // baseVersion+1) for the caller to recompute against the fresh
+    // tip — without the pin, a racer landing between the standing
+    // read and the merge would be silently overwritten by a delta
+    // computed against stale assignments
+    val base = graft.sources.LakeMerge.latestVersion(s, tableDir)
+    val standing = graft.sources.LakeMerge.read(s, tableDir, Some(base))
+      .select("doc_id", "cluster_id")
     val merged = mergeClusters(standing, newEdges)
     val delta = merged
       .join(standing.select(col("doc_id"),
@@ -626,10 +636,9 @@ object Dedup {
     // chain records real changes only, which is what makes the
     // streaming wrapper below effectively exactly-once without any
     // sink-side txn bookkeeping
-    val cur = graft.sources.LakeMerge.latestVersion(s, tableDir)
-    if (delta.isEmpty) cur
+    if (delta.isEmpty) base
     else graft.sources.LakeMerge.merge(s, tableDir,
-      clusterRows(delta, cur + 1L))
+      clusterRows(delta, base + 1L), baseVersion = Some(base))
   }
 
   /** STREAMING maintenance of the lake-resident map: each micro-batch
@@ -648,10 +657,33 @@ object Dedup {
     edges.writeStream
       .option("checkpointLocation", ckDir)
       .foreachBatch { (b: DataFrame, _: Long) =>
-        clusterTableRefresh(b.sparkSession, tableDir, b); ()
+        clusterTableRefreshRetry(b.sparkSession, tableDir, b); ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** [[clusterTableRefresh]] under optimistic-concurrency retry, the
+    * streamingMergeBatch stance: another writer (compaction,
+    * maintenance, a second stream) committing between latestVersion
+    * and merge raises ConcurrentModificationException — re-run the
+    * refresh against the FRESH snapshot (each attempt re-reads the
+    * standing table and recomputes its delta, and refresh is
+    * idempotent, so a retry after a half-won race no-ops) instead of
+    * letting the exception kill a streaming query.
+    */
+  def clusterTableRefreshRetry(s: SparkSession, tableDir: String,
+      newEdges: DataFrame, maxRetries: Int = 5): Int = {
+    var attempt = 0
+    while (true) {
+      try return clusterTableRefresh(s, tableDir, newEdges)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
 
   // ---------------------------------------------------------------- F9
   /** The deduplicated corpus — the operation the cluster map exists

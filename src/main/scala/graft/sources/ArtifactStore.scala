@@ -196,29 +196,73 @@ object ArtifactStore {
   private def exists(spark: SparkSession, dir: String): Boolean =
     fs(spark, dir).exists(new Path(s"$dir/_manifest/v0.json"))
 
+  /** A committed table dir whose read nonetheless fails (a partial
+    * vacuum took its data files, a torn external copy): delete it so
+    * the address can be rebuilt — without this, a poisoned fingerprint
+    * crashes every fresh session until someone removes the dir by
+    * hand. Best-effort (an unwritable root just leaves the throw to
+    * the rebuild fallback).
+    */
+  /** Create the artifact root before the first persist. When the
+    * root is the tmpdir DEFAULT (env unset, no spec override) it is
+    * pinned owner-only: java.io.tmpdir is world-writable shared
+    * space, and a group/world-readable cache there both collides
+    * across users and lets another user pre-plant content at a
+    * fingerprint address (addresses identify content, they don't
+    * authenticate it). Explicitly-configured roots keep whatever
+    * permissions the deployment chose.
+    */
+  private def ensureRoot(s: SparkSession): Unit = {
+    val rootDir = configuredRoot
+    val f = fs(s, rootDir)
+    val p = new Path(rootDir)
+    if (!f.exists(p)) {
+      f.mkdirs(p)
+      if (rootOverride.isEmpty && graft.Settings.artifactRootIsDefault)
+        try f.setPermission(p,
+          new org.apache.hadoop.fs.permission.FsPermission("700"))
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  private def quarantine(s: SparkSession, dir: String): Unit =
+    try { fs(s, dir).delete(new Path(dir), true); () }
+    catch { case scala.util.control.NonFatal(_) => () }
+
   /** Lake-else-build-and-commit for a DataFrame artifact. The
     * returned relation is parquet-backed (fault-tolerant, shared
     * across sessions); with persistence disabled it degrades to the
-    * eager localCheckpoint handle. An EMPTY build result is returned
-    * as-is without persisting (an empty index is cheaper to rebuild
-    * than to special-case in the lake read path).
+    * eager localCheckpoint handle. An EMPTY build result persists
+    * like any other (zero-partition snapshots read back as an empty
+    * relation with the recorded schema); a committed table that
+    * fails to READ is quarantined and rebuilt instead of crashing
+    * every session that addresses the fingerprint.
     */
   def materialize(s: SparkSession, family: String, corpusDir: String)(
       build: => DataFrame): DataFrame = {
     if (!enabled) return build.localCheckpoint(true)
     val dir = tableDir(s, family, corpusDir)
     def loadIt(): DataFrame = unwrap(LakeMerge.read(s, dir))
-    if (exists(s, dir)) {
-      val t0 = System.nanoTime()
-      val out = loadIt()
-      bump(loadCounts, family)
-      graft.Artifacts.record(family, corpusDir,
-        (System.nanoTime() - t0) / 1000000, "lake_load")
-      out
-    } else {
+    val loaded: Option[DataFrame] =
+      if (!exists(s, dir)) None
+      else {
+        val t0 = System.nanoTime()
+        try {
+          val out = loadIt()
+          bump(loadCounts, family)
+          graft.Artifacts.record(family, corpusDir,
+            (System.nanoTime() - t0) / 1000000, "lake_load")
+          Some(out)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            quarantine(s, dir); None
+        }
+      }
+    loaded.getOrElse {
       val t0 = System.nanoTime()
       val built = build
       try {
+        ensureRoot(s)
         LakeMerge.init(s, dir, wrap(built), "_adt", "_akey", "_aseq")
         bump(saveCounts, family)
         val out = loadIt()
@@ -230,8 +274,7 @@ object ArtifactStore {
         case _: java.util.ConcurrentModificationException =>
           bump(loadCounts, family)
           loadIt()
-        // empty build (init commits a zero-partition manifest the
-        // reader refuses) or unwritable root: stay session-local
+        // unwritable root: stay session-local for this run
         case scala.util.control.NonFatal(_) =>
           graft.Artifacts.record(family, corpusDir,
             (System.nanoTime() - t0) / 1000000, "build")
@@ -248,11 +291,14 @@ object ArtifactStore {
     * single-commit); anything older than the cutoff is deleted,
     * whole table dirs at a time. Unparseable dirs (a torn
     * half-written build that never committed) are deleted too — with
-    * no v0 manifest nothing can ever read them. Returns the deleted
-    * dirs. Safe to run concurrently with readers of LIVE fingerprints
-    * (current code + corpus always re-derives a current address, and
-    * a current build is never older than the cutoff a retention
-    * policy uses).
+    * no v0 manifest nothing can ever read them — but only once their
+    * directory mtime is past the cutoff: data files land BEFORE the
+    * manifest commit, so an unconditional delete would race an
+    * in-flight build in another session and strip its persist out
+    * from under the init. Returns the deleted dirs. Safe to run
+    * concurrently with readers of LIVE fingerprints (current code +
+    * corpus always re-derives a current address, and a current build
+    * is never older than the cutoff a retention policy uses).
     */
   def vacuum(spark: SparkSession, olderThanMs: Long): Seq[String] = {
     val rootDir = configuredRoot
@@ -269,8 +315,10 @@ object ArtifactStore {
             if (!f.exists(new Path(s"$dir/_manifest/v0.json"))) None
             else LakeMerge.manifest(spark, dir, Some(0)).committedAtMs
           } catch { case scala.util.control.NonFatal(_) => None }
-        // unstamped/torn dirs expire unconditionally; stamped ones by age
-        if (stamp.forall(_ < olderThanMs)) {
+        // stamped dirs expire by their commit stamp; unstamped/torn
+        // dirs by directory mtime (an in-flight build lands data
+        // before its manifest — never delete a fresh uncommitted dir)
+        if (stamp.getOrElse(fp.getModificationTime) < olderThanMs) {
           f.delete(fp.getPath, true)
           deleted += dir
         }
@@ -289,17 +337,26 @@ object ArtifactStore {
       toDf: V => DataFrame)(fromDf: DataFrame => V): V = {
     if (!enabled) return build
     val dir = tableDir(s, family, corpusDir)
-    if (exists(s, dir)) {
-      val t0 = System.nanoTime()
-      val out = fromDf(unwrap(LakeMerge.read(s, dir)))
-      bump(loadCounts, family)
-      graft.Artifacts.record(family, corpusDir,
-        (System.nanoTime() - t0) / 1000000, "lake_load")
-      out
-    } else {
+    val loaded: Option[V] =
+      if (!exists(s, dir)) None
+      else {
+        val t0 = System.nanoTime()
+        try {
+          val out = fromDf(unwrap(LakeMerge.read(s, dir)))
+          bump(loadCounts, family)
+          graft.Artifacts.record(family, corpusDir,
+            (System.nanoTime() - t0) / 1000000, "lake_load")
+          Some(out)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            quarantine(s, dir); None
+        }
+      }
+    loaded.getOrElse {
       val t0 = System.nanoTime()
       val built = build
       try {
+        ensureRoot(s)
         LakeMerge.init(s, dir, wrap(toDf(built)), "_adt", "_akey", "_aseq")
         bump(saveCounts, family)
         graft.Artifacts.record(family, corpusDir,

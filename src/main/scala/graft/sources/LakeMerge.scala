@@ -261,21 +261,33 @@ object LakeMerge {
     */
   def latestVersion(spark: SparkSession, dir: String): Int = {
     val f = fs(spark, dir)
+    def fullListing(): Int = {
+      val md = new Path(s"$dir/_manifest")
+      if (!f.exists(md)) -1
+      else {
+        manifestListCount.incrementAndGet()
+        f.listStatus(md).map(_.getPath.getName)
+          .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+            n.stripPrefix("v").stripSuffix(".json").toInt }
+          .foldLeft(-1)(math.max)
+      }
+    }
     readCheckpoint(spark, dir) match {
       case Some(ck) =>
         var v = ck.version
         while (f.exists(manifestPath(dir, v + 1))) v += 1
-        v
-      case None =>
-        val md = new Path(s"$dir/_manifest")
-        if (!f.exists(md)) -1
-        else {
-          manifestListCount.incrementAndGet()
-          f.listStatus(md).map(_.getPath.getName)
-            .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-              n.stripPrefix("v").stripSuffix(".json").toInt }
-            .foldLeft(-1)(math.max)
-        }
+        // TOCTOU guard vs concurrent retention: a checkpoint read just
+        // BEFORE a vacuum rewrote it at the tip can be stale — its
+        // version (and the tail above it) may already be deleted, so a
+        // probe that made no progress could name a vacuumed snapshot.
+        // Validate the resolved tip still exists; fall back to the
+        // legacy full listing (always the ground truth) when it
+        // doesn't. Probes that DID advance validated each step's
+        // existence on the way.
+        if (v == ck.version && !f.exists(manifestPath(dir, v)))
+          fullListing()
+        else v
+      case None => fullListing()
     }
   }
 
@@ -767,9 +779,20 @@ object LakeMerge {
       .getOrElse {
         // no entry matched (a fully-pruned readWhere/readForKeys):
         // an empty relation with the snapshot's schema, recovered
-        // from any live partition's files
-        require(m.partitions.nonEmpty, s"$dir snapshot has no data")
-        readEntries(spark, dir, m, m.partitions.take(1)).limit(0)
+        // from any live partition's files — or, for a ZERO-PARTITION
+        // snapshot (an empty init, a fully-emptied table), from the
+        // manifest's own schema DDL: an empty table is a valid table,
+        // not an error (an ArtifactStore empty build used to poison
+        // its lake address permanently because this path threw on
+        // every fresh-session read of the committed empty manifest)
+        if (m.partitions.isEmpty) {
+          val ddl = m.schemaDdl.getOrElse(
+            sys.error(s"$dir snapshot has no data and no schema DDL"))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(ddl))
+            .select(cols: _*)
+        } else readEntries(spark, dir, m, m.partitions.take(1)).limit(0)
       }
     // merge-on-read: anti-join pending deletion vectors out. Delete
     // sets are CDC-batch-sized, so the vector side gets an explicit

@@ -184,6 +184,105 @@ class ArtifactStoreSpec extends SparkSpec {
     }
   }
 
+  private def tempCorpus(): String = {
+    import spark.implicits._
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft_art_corpus").toString
+    Seq((1L, "x")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$corpus/marker.parquet")
+    corpus
+  }
+
+  test("EMPTY build persists like any artifact: a fresh session is " +
+    "served the empty relation from the lake — the address is never " +
+    "poisoned (r13 advice, high)") {
+    withTempRoot {
+      import spark.implicits._
+      val corpus = tempCorpus()
+      val a = ArtifactStore.materialize(spark, "empty.family", corpus) {
+        Seq.empty[(Long, Long)].toDF("k", "v")
+      }
+      assert(a.columns.toSeq === Seq("k", "v"))
+      assert(a.count() === 0)
+      // a FRESH session must read the committed empty table — a
+      // rebuild here would throw and fail the test (the old behavior
+      // was worse: loadIt() crashed on the zero-partition manifest
+      // for every later session until the dir was hand-deleted)
+      val s2 = spark.newSession()
+      val b = ArtifactStore.materialize(s2, "empty.family", corpus) {
+        sys.error("fresh session must not rebuild a committed " +
+          "empty artifact"): DataFrame
+      }
+      assert(b.columns.toSeq === Seq("k", "v"))
+      assert(b.count() === 0)
+    }
+  }
+
+  test("a committed table whose DATA is unreadable is quarantined " +
+    "and rebuilt instead of crashing every fresh session") {
+    withTempRoot {
+      val corpus = tempCorpus()
+      var builds = 0
+      def build(s: org.apache.spark.sql.SparkSession): DataFrame = {
+        builds += 1
+        val sp = s; import sp.implicits._
+        (1L to 5L).map(k => (k, k * 3L)).toDF("k", "v")
+      }
+      val a = ArtifactStore.materialize(spark, "poison.family", corpus)(
+        build(spark))
+      assert(builds === 1)
+      val expect = sorted(a)
+      // wreck the data files but keep the manifest claiming them —
+      // the torn state a partial vacuum or a botched copy leaves
+      val dir = new java.io.File(
+        ArtifactStore.tableDir(spark, "poison.family", corpus))
+      dir.listFiles().filter(_.getName != "_manifest").foreach { c =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(c)
+      }
+      val s2 = spark.newSession()
+      val b = ArtifactStore.materialize(s2, "poison.family", corpus)(
+        build(s2))
+      assert(builds === 2, "unreadable committed table must rebuild")
+      assert(sorted(b) === expect)
+      // and the rebuild re-persisted: a third session lake-loads
+      val s3 = spark.newSession()
+      val c = ArtifactStore.materialize(s3, "poison.family", corpus)(
+        build(s3))
+      assert(builds === 2, "the quarantine rebuild must re-persist")
+      assert(sorted(c) === expect)
+    }
+  }
+
+  test("vacuum age-gates UNSTAMPED dirs by mtime: a fresh in-flight " +
+    "build (data landed, manifest not yet committed) survives " +
+    "retention (r13 advice, low)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_vac_gate").toString
+    ArtifactStore.rootOverride = Some(tmp)
+    try {
+      val inflight = new java.io.File(s"$tmp/fam/abc123")
+      assert(inflight.mkdirs())
+      assert(new java.io.File(inflight, "part-0.parquet").createNewFile())
+      // a cutoff in the past: the fresh uncommitted dir must SURVIVE
+      // (the old unconditional delete raced in-flight builds)
+      assert(ArtifactStore.vacuum(spark,
+        System.currentTimeMillis() - 3600000) === Nil)
+      assert(inflight.exists())
+      // a cutoff in the future: now it is expired torn garbage
+      val deleted = ArtifactStore.vacuum(spark,
+        System.currentTimeMillis() + 3600000)
+      assert(deleted.exists(_.contains("abc123")))
+      assert(!inflight.exists())
+    } finally {
+      ArtifactStore.rootOverride = None
+      Artifacts.clear(spark)
+    }
+  }
+
   test("corpus fingerprint addressing: two corpora never share an " +
     "artifact table") {
     withTempRoot {

@@ -1258,6 +1258,50 @@ class LakeMergeSpec extends SparkSpec {
       .contains((1L, "2024-02", "p1-final")))
   }
 
+  test("checkpoint-probe TOCTOU vs concurrent retention: a STALE " +
+    "checkpoint naming a vacuumed version falls back to the full " +
+    "listing and still resolves the true tip (r13 advice, medium)") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")            // v0
+    (1 to 20).foreach { i =>
+      LakeMerge.merge(spark, dir,
+        Seq((1L, "2024-02", s"p1-v$i", i.toLong))
+          .toDF("k", "dt", "payload", "seq"))
+    }
+    // the writer checkpointed at v20; save those bytes — they are
+    // what a reader racing the vacuum below would have in hand
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val ckpt = new org.apache.hadoop.fs.Path(
+      s"$dir/_manifest/_checkpoint.json")
+    assert(f.exists(ckpt), "interval checkpoint expected at v20")
+    val staleBytes = {
+      val in = f.open(ckpt)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    // advance the tip past the checkpoint, then expire everything
+    // below v23 — v20 (the stale checkpoint's version) is now gone
+    (21 to 25).foreach { i =>
+      LakeMerge.merge(spark, dir,
+        Seq((1L, "2024-02", s"p1-v$i", i.toLong))
+          .toDF("k", "dt", "payload", "seq"))
+    }
+    val cut = LakeMerge.manifest(spark, dir, Some(23)).committedAtMs.get
+    LakeMerge.vacuumExpired(spark, dir, cut)
+    // the race: the stale pre-vacuum checkpoint lands back in place
+    // (equivalently, the reader parsed it just before the rewrite)
+    val out = f.create(ckpt, true)
+    out.write(staleBytes.getBytes("UTF-8")); out.close()
+    // old behavior: probe from 20 finds no v21 manifest (expired) and
+    // returns 20 — a vacuumed, unreadable version. Now the resolved
+    // tip is validated and the probe falls back to the listing.
+    assert(LakeMerge.latestVersion(spark, dir) === 25,
+      "stale checkpoint must never resolve to a vacuumed version")
+    assert(rows(LakeMerge.read(spark, dir))
+      .contains((1L, "2024-02", "p1-v25")))
+  }
+
   test("manifest checkpoint is a CACHE: a torn or deleted checkpoint " +
     "falls back to the full listing with identical answers") {
     val dir = tempTable()

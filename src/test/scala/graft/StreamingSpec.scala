@@ -586,6 +586,54 @@ class StreamingSpec extends SparkSpec {
     batchE.unpersist()
   }
 
+  test("F8-lake CONCURRENT refreshes: the read-version pin turns " +
+    "every interleaving commit into a CME and the retry recomputes " +
+    "against the fresh tip — no update lost, final map equals the " +
+    "one-shot merge (r13 advice, low)") {
+    import graft.operators.Dedup
+    val batchE = Dedup.dupEdges(spark, sf)
+      .filter(col("doc_a") % 5 === 4 || col("doc_b") % 5 === 4)
+      .withColumn("lane",
+        pmod(least(col("doc_a"), col("doc_b")), lit(3)))
+      .cache()
+    val tableDir = tempDir("graft_cmap_race")
+    Dedup.clusterTableInit(spark, tableDir,
+      Dedup.oldClusterMap(spark, sf))
+    // each racer reads its own lane from parquet via its own session
+    val laneDirs = (0 until 3).map { i =>
+      val d = tempDir("graft_cmap_lane")
+      batchE.filter(col("lane") === i).select("doc_a", "doc_b")
+        .coalesce(1).write.mode("overwrite").parquet(d)
+      d
+    }
+    val errors =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = laneDirs.map { d =>
+      val t = new Thread(() => {
+        try {
+          gate.await()
+          val s = spark.newSession()
+          Dedup.clusterTableRefreshRetry(s, tableDir,
+            s.read.parquet(d), maxRetries = 50)
+          ()
+        } catch { case e: Throwable => errors.add(e) }
+      })
+      t.start(); t
+    }
+    gate.countDown()
+    threads.foreach(_.join(300000))
+    assert(errors.isEmpty, s"racing refreshes must not throw: $errors")
+    val raced = Dedup.clusterTableRead(spark, tableDir)
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = Dedup.mergeClusters(Dedup.oldClusterMap(spark, sf),
+        batchE.select("doc_a", "doc_b"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(raced === oneShot,
+      "interleaved refreshes must serialize to the one-shot merge")
+    batchE.unpersist()
+  }
+
   test("D9 dropDuplicatesWithinWatermark removes replayed rows") {
     val in = tempDir("graft_ddw_in")
     // stage the SAME events twice: every event_id arrives duplicated
