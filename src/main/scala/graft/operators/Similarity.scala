@@ -1110,32 +1110,39 @@ object Similarity {
     */
   val RerankC = 50
 
-  val sAnnRerank: Q = Q(
-    (s, dir) => {
-      val cb = ivfCodebook(s, dir)
-      val emb = Tables.embeddings(s, dir)
-      val cells = ivfCells(cb)
-      val assigned = emb.withColumn("cell",
-        array_min(cells).getField("cell"))
-      val probe = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").as("probe"),
-          explode(transform(slice(array_sort(cells), 1, NProbe),
-            c => c.getField("cell"))).as("pcell"))
-      assigned.filter(col("vec_id") =!= 0)
-        .join(broadcast(probe), col("cell") === col("pcell"))
-        .withColumn("recon", pqRecon(cb))
-        .withColumn("approx_dist",
-          aggregate(zip_with(microOf(col("probe")), col("recon"),
-            (x, c) => (x - c) * (x - c)), lit(0L), (acc, d) => acc + d))
-        .orderBy(col("approx_dist"), col("vec_id"))
-        .limit(RerankC)
-        .select(col("vec_id"), col("label"),
-          nativeScoreMicro(s, "embedding", "probe").as("score_micro"))
-        .orderBy(col("score_micro").desc, col("vec_id"))
-        .limit(10)
-    },
-    s"""WITH $ivfRankedCteSql,
-       |assigned AS (
+  /** The G16 shortlist, factored for reuse: IVFPQ multi-cell probe →
+    * ADC cut to [[RerankC]] rows (ties → vec_id) → EXACT kernel
+    * score per survivor. `sAnnRerank` orders it for the top-10
+    * answer; `sHybridTopk` ranks it as the dense leg of the fusion.
+    */
+  private def rerankShortlist(s: SparkSession, dir: String): DataFrame = {
+    val cb = ivfCodebook(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val cells = ivfCells(cb)
+    val assigned = emb.withColumn("cell",
+      array_min(cells).getField("cell"))
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe"),
+        explode(transform(slice(array_sort(cells), 1, NProbe),
+          c => c.getField("cell"))).as("pcell"))
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(probe), col("cell") === col("pcell"))
+      .withColumn("recon", pqRecon(cb))
+      .withColumn("approx_dist",
+        aggregate(zip_with(microOf(col("probe")), col("recon"),
+          (x, c) => (x - c) * (x - c)), lit(0L), (acc, d) => acc + d))
+      .orderBy(col("approx_dist"), col("vec_id"))
+      .limit(RerankC)
+      .select(col("vec_id"), col("label"),
+        nativeScoreMicro(s, "embedding", "probe").as("score_micro"))
+  }
+
+  /** The shared oracle CTE chain for the G16 shortlist (consumed
+    * after `$ivfRankedCteSql`): ends at `short` = the RerankC ADC
+    * survivors with their raw embeddings + probe.
+    */
+  private val rerankShortCteSql: String =
+    s"""assigned AS (
        |  SELECT vec_id, label, embedding, cell FROM ranked WHERE rn = 1),
        |p AS (
        |  SELECT embedding AS probe, cell AS pcell,
@@ -1169,11 +1176,137 @@ object Similarity {
        |  FROM cand c JOIN recon r ON c.vec_id = r.vec_id
        |  ORDER BY CAST(list_sum(list_transform(list_zip(c.pem, r.rvec),
        |    z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT), c.vec_id
-       |  LIMIT $RerankC)
+       |  LIMIT $RerankC)""".stripMargin
+
+  val sAnnRerank: Q = Q(
+    (s, dir) =>
+      rerankShortlist(s, dir)
+        .orderBy(col("score_micro").desc, col("vec_id"))
+        .limit(10),
+    s"""WITH $ivfRankedCteSql,
+       |$rerankShortCteSql
        |SELECT vec_id, label,
        |  ${scoreMicroSql("embedding", "probe")} AS score_micro
        |FROM short
        |ORDER BY score_micro DESC, vec_id LIMIT 10""".stripMargin)
+
+  // --------------------------------------------------------------- G19
+  /** HYBRID RETRIEVAL — lexical BM25 top-k fused with the ANN
+    * shortlist by reciprocal-rank fusion: the RAG query shape the
+    * quantizer ladder stops just short of (r13 verdict #6). The
+    * query is doc/vec 0 taken as a "more-like-this" probe — its
+    * embedding drives the dense leg, its distinct tokens drive the
+    * sparse leg — and the aligned doc_id/vec_id spaces make the
+    * fusion a plain id join.
+    *
+    * Sparse leg: integer BM25 (k1 = 6/5, b = 3/4 cross-multiplied to
+    * pure integers; idf is H20's `10000·N DIV df` stance — ranking-
+    * faithful, no logarithm, no float):
+    * `score_term = idf_bp · 22·tf·avgdl DIV (10·avgdl·tf + 3·avgdl
+    * + 9·dl)`, summed per doc. The postings relation is the STANDING
+    * [[TextAnalysis.bm25Index]] lake artifact, so the per-query plan
+    * is: one index scan gated by the BROADCAST query-term set → one
+    * ≤|terms|-row df aggregate broadcast back → one per-doc sum over
+    * term-matching rows (the only shuffle) → TakeOrdered. Int64
+    * headroom: idf_bp ≤ 10⁴·N, ×22·tf·avgdl — safe beyond 10⁸ docs;
+    * a larger corpus moves the product to DECIMAL(38,0) (the E25
+    * idiom).
+    *
+    * Dense leg: G16's deterministic RerankC shortlist with its exact
+    * kernel scores.
+    *
+    * Fusion: each leg ranked (row_number, ties → id), fused by
+    * integer RRF `10⁶ DIV (60 + rank)` (K = 60, the standard
+    * constant; at 10⁶ scale every rank ≤ ~940 keeps a distinct
+    * reciprocal, so the integer sum is the exact RRF ordering for
+    * both legs' C ≤ 50 ranks), absent legs contribute 0, final
+    * top-10 by (rrf DESC, id). All-integer end to end ⇒ the whole
+    * composition — index, BM25, IVFPQ, ADC, exact kernel, fusion —
+    * is oracle-gated.
+    */
+  val RrfK = 60
+  val RrfScale = 1000000L
+  val HybridK = 10
+
+  val sHybridTopk: Q = Q(
+    (s, dir) => {
+      val idx = TextAnalysis.bm25Index(s, dir)
+      val (nDocs, avgdl) = TextAnalysis.bm25Stats(s, dir)
+      val qterms = broadcast(Tables.documents(s, dir)
+        .filter(col("doc_id") === 0)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "").distinct())
+      val cand = idx.join(qterms, Seq("tok"))
+      val dfRel = cand.groupBy("tok").agg(count(lit(1)).as("df"))
+      val scored = cand.filter(col("doc_id") =!= 0)
+        .join(broadcast(dfRel), Seq("tok"))
+        .withColumn("s_term", expr(
+          s"((10000 * ${nDocs}L DIV df) * 22 * tf * ${avgdl}L) DIV " +
+            s"(10 * ${avgdl}L * tf + 3 * ${avgdl}L + 9 * dl)"))
+        .groupBy("doc_id")
+        .agg(sum("s_term").as("bm25"))
+      val lexTop = scored
+        .orderBy(col("bm25").desc, col("doc_id")).limit(RerankC)
+        .withColumn("rank_lex", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id").as("id"), col("rank_lex"))
+      val annTop = rerankShortlist(s, dir)
+        .withColumn("rank_ann", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_micro").desc, col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("id"), col("rank_ann"))
+      lexTop.join(annTop, Seq("id"), "full_outer")
+        .withColumn("rrf_score",
+          coalesce(expr(s"$RrfScale DIV ($RrfK + rank_lex)"), lit(0L)) +
+            coalesce(expr(s"$RrfScale DIV ($RrfK + rank_ann)"), lit(0L)))
+        .orderBy(col("rrf_score").desc, col("id"))
+        .limit(HybridK)
+        .select("id", "rrf_score", "rank_lex", "rank_ann")
+    },
+    s"""WITH $ivfRankedCteSql,
+       |$rerankShortCteSql,
+       |annr AS (
+       |  SELECT vec_id AS id,
+       |    row_number() OVER (ORDER BY sm DESC, vec_id) AS rank_ann
+       |  FROM (SELECT vec_id,
+       |          ${scoreMicroSql("embedding", "probe")} AS sm
+       |        FROM short)),
+       |tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |    FROM documents) WHERE tok <> '' GROUP BY doc_id, tok),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+       |       GROUP BY doc_id),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(dl) // count(*) AS BIGINT) AS avgdl
+       |       FROM dl),
+       |q AS (SELECT DISTINCT tok FROM tf WHERE doc_id = 0),
+       |candl AS (SELECT t.doc_id, t.tok, t.tf FROM tf t
+       |          JOIN q USING (tok)),
+       |dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM candl
+       |        GROUP BY tok),
+       |sc AS (
+       |  SELECT c.doc_id, CAST(sum(
+       |    ((10000 * s.n_docs // f.df) * 22 * c.tf * s.avgdl) //
+       |    (10 * s.avgdl * c.tf + 3 * s.avgdl + 9 * d.dl)) AS BIGINT)
+       |    AS bm25
+       |  FROM candl c
+       |  JOIN dfr f USING (tok)
+       |  JOIN dl d ON d.doc_id = c.doc_id, st s
+       |  WHERE c.doc_id <> 0 GROUP BY c.doc_id),
+       |lexr AS (
+       |  SELECT doc_id AS id,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+       |  FROM (SELECT * FROM sc ORDER BY bm25 DESC, doc_id
+       |        LIMIT $RerankC))
+       |SELECT coalesce(l.id, a.id) AS id,
+       |  coalesce($RrfScale // ($RrfK + l.rank_lex), 0) +
+       |    coalesce($RrfScale // ($RrfK + a.rank_ann), 0) AS rrf_score,
+       |  l.rank_lex, a.rank_ann
+       |FROM lexr l FULL JOIN annr a ON a.id = l.id
+       |ORDER BY rrf_score DESC, id LIMIT $HybridK""".stripMargin)
 
   // ---------------------------------------------------------------- G6
   /** Per-label embedding centroids — the aggregation behind IVF coarse
@@ -1571,6 +1704,7 @@ object Similarity {
     "s_ann_pq" -> sAnnPq,
     "s_ann_sq8" -> sAnnSq8,
     "s_ann_rerank" -> sAnnRerank,
+    "s_hybrid_topk" -> sHybridTopk,
     "s_ann_filtered" -> sAnnFiltered,
     "s_diverse_sample" -> sDiverseSample,
     "d_embed_clusters" -> dEmbedClusters)

@@ -1100,6 +1100,57 @@ object TextAnalysis {
       }
   }
 
+  // ------------------------------------------------------- BM25 (G19)
+  /** The lexical INDEX the hybrid-retrieval capstone consumes
+    * (Similarity `s_hybrid_topk`): per (doc, token) term frequency
+    * with the doc's token length attached — the postings+norms table
+    * a BM25 engine keeps standing. Built once per (session, corpus)
+    * and lake-persisted like every standing artifact (L21), so a
+    * query's lexical cost is one index scan + broadcast-term join,
+    * never a corpus re-tokenization. Tokens are the engine's
+    * whitespace convention (the Dedup/MinHash token alphabet) —
+    * plain lower/trim/split, non-distinct so tf is real.
+    */
+  private val bm25IndexCache =
+    graft.Artifacts.cache[DataFrame]("text.bm25Index")
+
+  private[operators] def bm25Index(s: SparkSession, dir: String): DataFrame =
+    bm25IndexCache.getOrElseUpdate(s, dir)(
+      graft.sources.ArtifactStore.materialize(s, "text.bm25Index", dir) {
+        val tf = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("tf"))
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        tf.join(dl, Seq("doc_id"))
+      })
+
+  /** The two corpus scalars BM25 needs, (n_docs, floor-avg doc
+    * length), trained once beside the index (materializeValue — the
+    * codebook stance).
+    */
+  private val bm25StatsCache =
+    graft.Artifacts.cache[(Long, Long)]("text.bm25Stats")
+
+  private[operators] def bm25Stats(s: SparkSession, dir: String): (Long, Long) =
+    bm25StatsCache.getOrElseUpdate(s, dir)(
+      graft.sources.ArtifactStore.materializeValue(s, "text.bm25Stats",
+        dir) {
+        val r = bm25Index(s, dir)
+          .select("doc_id", "dl").distinct()
+          .agg(count(lit(1)).cast("long").as("n"),
+            expr("sum(dl) DIV count(*)").cast("long").as("avgdl"))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      } { v =>
+        val sp = s; import sp.implicits._
+        Seq(v).toDF("n_docs", "avgdl")
+      } { df =>
+        val r = df.head(); (r.getLong(0), r.getLong(1))
+      })
+
   // ---------------------------------------------------------------- H22
   /** BPE merge training as a dataflow — the tokenizer-TRAINING step
     * every LLM data pipeline runs before t_chunk can mean anything:
@@ -1114,8 +1165,8 @@ object TextAnalysis {
     * rows, one 1-row broadcast, and a map-only rewrite — exactly how
     * SentencePiece-style trainers scale, here as Catalyst plans.
     *
-    * The symbol string encodes each symbol PREFIXED by '_' (a char
-    * the [a-z]+ token alphabet cannot contain), so the merge rewrite
+    * The symbol string encodes each symbol PREFIXED by '_' (the char
+    * [[BpePretok]] RESERVES — no token can contain it), so the merge rewrite
     * is plain left-to-right non-overlapping `replace` of `_lhs_rhs`
     * with `_lhsrhs` — the marker anchors both symbol boundaries,
     * making a substring match impossible ("ab|c" can never match the
@@ -1128,6 +1179,30 @@ object TextAnalysis {
     */
   val BpeRounds = 5
 
+  /** The BPE PRE-TOKENIZER class (r14 — widened from the toy
+    * `[a-z]+`): GPT-style maximal runs of letters, digits, and
+    * other non-space symbols, each run a separate pre-token so a
+    * merge never crosses a letter/digit/punctuation boundary (the
+    * GPT-2 convention). Unicode classes `\p{L}`/`\p{N}` mean the
+    * same thing to Java regex and RE2, and the whitespace set is
+    * spelled explicitly (`\s` differs between the engines on \x0B),
+    * so DuckDB replays the identical token stream. The underscore is
+    * RESERVED as the symbol-boundary marker the merge rewrite anchors
+    * on (the SentencePiece ▁ stance) and is treated as whitespace by
+    * the pre-tokenizer — a text underscore can therefore never
+    * counterfeit a symbol boundary.
+    */
+  private[graft] val BpePretok: String =
+    """[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\r\f\x0B_]+"""
+
+  /** The class embedded in a Spark SQL string literal (backslashes
+    * doubled for the SQL parser) and in a DuckDB literal (verbatim —
+    * DuckDB quoted strings keep backslashes).
+    */
+  private[graft] val BpePretokSparkLit: String =
+    BpePretok.replace("\\", "\\\\")
+  private[graft] val BpePretokDuckLit: String = BpePretok
+
   /** The trainer over an arbitrary docs relation (needs a `text`
     * column) — parameterized so specs can pin the merge table on a
     * hand-computed corpus.
@@ -1135,7 +1210,8 @@ object TextAnalysis {
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
     var types = docs
       .select(explode(expr(
-        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+        s"regexp_extract_all(lower(text), '$BpePretokSparkLit', 0)"))
+        .as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .select(regexp_replace(col("tok"), "(.)", "_$1").as("sym"),
         col("cnt"))
@@ -1275,7 +1351,8 @@ object TextAnalysis {
       else docs.filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
     sampled
       .select(explode(expr(
-        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+        s"regexp_extract_all(lower(text), '$BpePretokSparkLit', 0)"))
+        .as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(maxTypes)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -1315,8 +1392,8 @@ object TextAnalysis {
     s"""t0 AS MATERIALIZED (
        |  SELECT regexp_replace(tok, '(.)', '_\\1', 'g') AS sym,
        |    CAST(count(*) AS BIGINT) AS cnt
-       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
-       |          AS tok FROM documents)
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text),
+       |          '$BpePretokDuckLit')) AS tok FROM documents)
        |  GROUP BY 1),
        |$roundCtes""".stripMargin
   }
@@ -1383,7 +1460,7 @@ object TextAnalysis {
     (s, dir) => {
       val merges = bpeMergeTable(s, dir)
       val enc0 = array_join(transform(
-        expr("regexp_extract_all(lower(text), '[a-z]+', 0)"),
+        expr(s"regexp_extract_all(lower(text), '$BpePretokSparkLit', 0)"),
         t => regexp_replace(t, "(.)", "_$1")), " ")
       val enc = merges.foldLeft(enc0) { case (c, (l, r)) =>
         replace(c, lit(s"_${l}_$r"), lit(s"_$l$r"))
@@ -1396,7 +1473,7 @@ object TextAnalysis {
         .orderBy("doc_id")
     }, {
       val enc0 = "array_to_string(list_transform(" +
-        "regexp_extract_all(lower(text), '[a-z]+')," +
+        s"regexp_extract_all(lower(text), '$BpePretokDuckLit')," +
         " t -> regexp_replace(t, '(.)', '_\\1', 'g')), ' ')"
       val enc = (1 to BpeRounds).foldLeft(enc0)((c, r) =>
         s"replace($c, '_' || b$r.lhs || '_' || b$r.rhs," +

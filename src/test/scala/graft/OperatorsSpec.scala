@@ -597,10 +597,14 @@ class OperatorsSpec extends SparkSpec {
     // encode replays the training rewrite exactly (shared replace
     // primitive), and every weighted merge occurrence removes exactly
     // one symbol — so the corpus-wide symbol count after encoding is
-    // the initial letter count minus the sum of the merge weights
+    // the initial pre-token character count minus the sum of the
+    // merge weights (counted via the SAME pre-tokenizer class)
     val letters = Tables.documents(spark, sf)
-      .select(sum(length(regexp_replace(
-        lower(col("text")), "[^a-z]", ""))).cast("long")).head().getLong(0)
+      .select(sum(expr(
+        "aggregate(regexp_extract_all(lower(text), '" +
+          graft.operators.TextAnalysis.BpePretokSparkLit +
+          "', 0), 0L, (acc, t) -> acc + length(t))"))
+        .cast("long")).head().getLong(0)
     val weights = SparkEntry.queries("t_bpe")(spark, sf)
       .agg(sum("w")).head().getLong(0)
     val nSym = SparkEntry.queries("t_bpe_encode")(spark, sf)
@@ -629,6 +633,58 @@ class OperatorsSpec extends SparkSpec {
     assert(TextAnalysis.bpeTrainScalable(
       Seq("abc", "abc", "bc").toDF("text"), 2)
       === Seq((1L, "b", "c", "bc", 3L), (2L, "a", "bc", "abc", 2L)))
+  }
+
+  test("BPE pre-tokenizer (r14): digits, punctuation, and non-ASCII " +
+    "round-trip — trainer parity and the conservation law hold " +
+    "beyond [a-z]") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      "Price: 12,345.67!! call 911 now",
+      "snake_case_name == foo123 && bar--",
+      "déjà vu naïve café 3.14",
+      "12345 12345 ab12 ab12 !!").toDF("text")
+    val pretok = s"regexp_extract_all(lower(text), " +
+      s"'${TextAnalysis.BpePretokSparkLit}', 0)"
+    val toks = docs.select(explode(expr(pretok)).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    // GPT-style runs: letters, digits, and symbols never mix inside
+    // one pre-token; the reserved marker '_' acts as whitespace
+    assert(toks.contains("price") && toks.contains("12") &&
+      toks.contains("345") && toks.contains("67") && toks.contains("!!"))
+    assert(toks.contains("foo") && toks.contains("123"),
+      "letter/digit boundary must split foo123")
+    assert(toks.contains("déjà") && toks.contains("café"),
+      "\\p{L} must cover non-ASCII letters")
+    assert(toks.contains("snake") && toks.contains("case") &&
+      !toks.exists(_.contains("_")),
+      "underscore is the reserved symbol marker, never a token char")
+    // trainer parity holds on the widened class
+    val dataflow = TextAnalysis.bpeMerges(docs, 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val local = TextAnalysis.bpeTrainScalable(docs, 4)
+    assert(local === dataflow,
+      "scalable/dataflow parity must survive digits and punctuation")
+    assert(local.nonEmpty)
+    // conservation law on the widened class: encode with the learned
+    // table (the tBpeEncode expression verbatim) — Σ n_sym must equal
+    // pre-token characters − Σ merge weights
+    val enc0 = array_join(transform(expr(pretok),
+      t => regexp_replace(t, "(.)", "_$1")), " ")
+    val enc = local.map(t => (t._2, t._3)).foldLeft(enc0) {
+      case (c, (l, r)) => replace(c, lit(s"_${l}_$r"), lit(s"_$l$r"))
+    }
+    val nSym = docs.select(sum(
+      (length(enc) - length(replace(enc, lit("_"), lit(""))))
+        .cast("long"))).head().getLong(0)
+    val units = docs.select(sum(expr(
+      s"aggregate($pretok, 0L, (acc, t) -> acc + length(t))"))
+      .cast("long")).head().getLong(0)
+    assert(nSym === units - local.map(_._5).sum,
+      s"symbols $nSym, pre-token chars $units, weights " +
+        s"${local.map(_._5).sum}")
   }
 
   test("bpeTrainScalable at real vocabulary scale: 512 merges cost " +

@@ -558,6 +558,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join belongs here:\n$p")
   }
 
+  test("s_hybrid_topk: query terms and df BROADCAST onto the standing " +
+    "postings index — the only shuffles are the per-doc score " +
+    "aggregate and the tiny rank windows; no SMJ, no cartesian") {
+    val df = SparkEntry.queries("s_hybrid_topk")(spark, sf)
+    df.collect() // finalize AQE
+    val p = plan(df)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"query-term and df joins must broadcast:\n$p")
+    // the ONLY sort-merge join allowed is the rank FUSION itself — a
+    // full-outer join of two ≤RerankC-row rank lists (full outer
+    // cannot broadcast); the corpus-scale sparse leg must never SMJ
+    val smjLines = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smjLines.forall(_.contains("FullOuter")),
+      s"only the tiny full-outer fusion join may sort-merge:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"no nest-loop belongs here:\n$p")
+    // the lexical leg reads the STANDING bm25 postings artifact, not
+    // a fresh corpus tokenization (the L21 artifact-share stance)
+    assert(p.linesIterator.exists(l => l.contains("Scan ExistingRDD")
+        || l.contains("graft-artifacts")),
+      s"the sparse leg must read the standing bm25 index:\n$p")
+    spark.catalog.clearCache()
+  }
+
   private implicit class SubstrAfter(private val s: String) {
     def substringAfter(sep: String): String = {
       val i = s.indexOf(sep)
