@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.{ChangeStream, LakeMerge}
+
+/** L23 — the streaming consumer of the lake change feed: an
+  * incremental (count, sum) view maintained under a VERSION WATERMARK
+  * carried in the view table's own manifest. The contracts pinned
+  * here are the r13 verdict's "Done" line: a view maintained by the
+  * streaming feed ACROSS A RESTART equals the full recompute, replays
+  * apply nothing, and version discovery rides the L20 checkpoint
+  * (O(interval) metadata reads, not O(versions)).
+  */
+class ChangeStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def srcBatch(rows: Seq[(Long, String, Long, Long)]): DataFrame =
+    rows.toDF("k", "dt", "cust", "cents")
+
+  private def recompute(srcDir: String): Seq[(Long, Long, Long)] =
+    LakeMerge.read(spark, srcDir).groupBy("cust")
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+
+  private def viewRows(viewDir: String): Seq[(Long, Long, Long)] =
+    LakeMerge.read(spark, viewDir)
+      .select("cust", "n_rows", "total")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+
+  private def tick(): String = {
+    val in = tempDir("graft_cdcv_tick")
+    Seq(1L).toDF("tick").coalesce(1).write.mode("overwrite").parquet(in)
+    in
+  }
+
+  private def runOnce(srcDir: String, viewDir: String): Unit = {
+    // a FRESH streaming query each call: new tick source, new
+    // checkpoint — the restart the watermark must survive
+    val q = ChangeStream.streamingView(
+      spark.readStream.schema("tick LONG").parquet(tick()),
+      srcDir, viewDir, appId = "specview", groupCol = "cust",
+      sumCol = "cents", ckDir = tempDir("graft_cdcv_ck"))
+    q.awaitTermination(120000)
+    val stateless = Option(q.lastProgress)
+      .forall(_.stateOperators.isEmpty)
+    q.stop()
+    assert(stateless, "watermarked view refresh must carry no stream state")
+  }
+
+  test("L23 streaming CDC view: bootstrap + two incremental advances " +
+    "across RESTARTED queries equal the full recompute; a replayed " +
+    "tick commits nothing") {
+    val srcDir = tempDir("graft_cdcv_src")
+    val viewDir = tempDir("graft_cdcv_view")
+    // src v0: two customers
+    LakeMerge.init(spark, srcDir, srcBatch(Seq(
+      (1L, "2024-01", 100L, 10L), (2L, "2024-01", 100L, 20L),
+      (3L, "2024-02", 200L, 5L))), "dt", "k", "cents")
+    ChangeStream.initView(spark, viewDir, "cust", "n_rows", "total")
+    runOnce(srcDir, viewDir) // bootstrap from the v0 snapshot
+    assert(viewRows(viewDir) === recompute(srcDir))
+    assert(LakeMerge.lastTxn(spark, viewDir, "cdc-view:specview")
+      === Some(0L))
+    // src v1: an update (k=2 doubles), an insert (new cust 300), a
+    // delete (k=3 → cust 200 drops to zero and must LEAVE the view)
+    LakeMerge.merge(spark, srcDir, srcBatch(Seq(
+      (2L, "2024-01", 100L, 40L), (4L, "2024-02", 300L, 7L)))
+      .withColumn("op", lit("upsert"))
+      .unionByName(srcBatch(Seq((3L, "2024-02", 200L, 5L)))
+        .withColumn("op", lit("delete"))),
+      opCol = Some("op"))
+    runOnce(srcDir, viewDir) // a RESTARTED query picks up v0→v1
+    assert(viewRows(viewDir) === recompute(srcDir))
+    assert(viewRows(viewDir).map(_._1) === Seq(100L, 300L),
+      "the zero-count group must be deleted from the view")
+    assert(LakeMerge.lastTxn(spark, viewDir, "cdc-view:specview")
+      === Some(1L))
+    // replay: nothing new committed upstream → the advance must be a
+    // pure no-op (no view version, no watermark movement)
+    val vBefore = LakeMerge.latestVersion(spark, viewDir)
+    runOnce(srcDir, viewDir)
+    assert(LakeMerge.latestVersion(spark, viewDir) === vBefore,
+      "a tick with no new source versions must commit nothing")
+    // src v2: another update — a third restarted query stays exact
+    LakeMerge.merge(spark, srcDir, srcBatch(Seq(
+      (1L, "2024-01", 100L, 11L))).withColumn("op", lit("upsert")),
+      opCol = Some("op"))
+    runOnce(srcDir, viewDir)
+    assert(viewRows(viewDir) === recompute(srcDir))
+  }
+
+  test("L23 version discovery is O(interval): advancing over a " +
+    "checkpointed many-commit source adds no full manifest listings") {
+    val srcDir = tempDir("graft_cdcv_src2")
+    val viewDir = tempDir("graft_cdcv_view2")
+    LakeMerge.init(spark, srcDir, srcBatch(Seq(
+      (1L, "2024-01", 100L, 10L))), "dt", "k", "cents")
+    // 24 commits → past two checkpoint intervals (interval 10)
+    (1 to 24).foreach { i =>
+      LakeMerge.merge(spark, srcDir, srcBatch(Seq(
+        (1L, "2024-01", 100L, 10L + i))).withColumn("op", lit("upsert")),
+        opCol = Some("op"))
+    }
+    ChangeStream.initView(spark, viewDir, "cust", "n_rows", "total")
+    ChangeStream.advanceView(spark, srcDir, viewDir, "specview2",
+      "cust", "cents")
+    assert(viewRows(viewDir) === recompute(srcDir))
+    // incremental advance over ONE new commit: the version probe must
+    // ride the checkpoint — zero full `_manifest` listings
+    LakeMerge.merge(spark, srcDir, srcBatch(Seq(
+      (2L, "2024-01", 100L, 3L))).withColumn("op", lit("upsert")),
+      opCol = Some("op"))
+    // the SOURCE's version discovery alone: zero listings (checkpoint
+    // probe + tail existence checks only)
+    val l0 = LakeMerge.metaListings
+    LakeMerge.latestVersion(spark, srcDir)
+    assert(LakeMerge.metaListings === l0,
+      "source version discovery must probe the checkpoint, never " +
+        "list the manifest directory")
+    // the full advance: any listing growth must come from the YOUNG
+    // view table (2 commits — below its first checkpoint interval,
+    // so its lastTxn/commit metadata still lists), never from the
+    // many-commit source. A handful of view-side listings is the
+    // young-table constant; O(versions) source listings would be ≥
+    // the 26-commit chain.
+    val l1 = LakeMerge.metaListings
+    ChangeStream.advanceView(spark, srcDir, viewDir, "specview2",
+      "cust", "cents")
+    assert(LakeMerge.metaListings - l1 <= 4,
+      "the advance may list only the un-checkpointed view table's " +
+        "own metadata, never walk the source's version chain")
+    assert(viewRows(viewDir) === recompute(srcDir))
+  }
+}
