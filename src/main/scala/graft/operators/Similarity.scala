@@ -478,7 +478,7 @@ object Similarity {
     * no shuffle; struct comparison breaks dist ties by cell id, so
     * assignment is deterministic and engine-identical).
     */
-  private def ivfCells(codebook: Array[(Long, Array[Long])]): Column = {
+  private[graft] def ivfCells(codebook: Array[(Long, Array[Long])]): Column = {
     val eq = transform(col("embedding"),
       x => round(x.cast("double") * 1e6).cast("long"))
     array(codebook.map { case (lbl, cvec) =>
@@ -1372,14 +1372,14 @@ object Similarity {
     transform(col("embedding"),
       x => round(x.cast("double") * 1e6).cast("long"))
 
-  private def kmeansInit(s: SparkSession, dir: String)
-      : Array[(Long, Array[Long])] =
-    Tables.embeddings(s, dir).orderBy("vec_id").limit(KmeansK)
+  private[graft] def kmeansInit(s: SparkSession, dir: String,
+      k: Int = KmeansK): Array[(Long, Array[Long])] =
+    Tables.embeddings(s, dir).orderBy("vec_id").limit(k)
       .select(col("vec_id"), microVec.as("v")).collect()
       .sortBy(_.getLong(0)).zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toArray) }
 
-  private def kmeansRound(s: SparkSession, dir: String,
+  private[graft] def kmeansRound(s: SparkSession, dir: String,
       cents: Array[(Long, Array[Long])]): Array[(Long, Array[Long])] =
     Tables.embeddings(s, dir)
       // two selects: a generator in the same projection as the argmin
