@@ -165,8 +165,11 @@ object Graph {
     * it). Two hash joins + one explode-aggregate; the DuckDB oracle
     * replays the same orientation with row-value comparisons.
     */
-  def reportTriangles(s: SparkSession, dir: String): DataFrame = {
-    val und = undirectedEdges(s, dir)
+  /** The degree-oriented triangle enumeration, factored for reuse by
+    * the per-vertex counts (J3) and the per-edge common-neighbor
+    * metric (J8): one row per triangle (x, y, z) in oriented order.
+    */
+  private def orientedTriangles(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("id"))
       .unionAll(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
@@ -179,17 +182,14 @@ object Graph {
     val e1 = o.select(col("u").as("u1"), col("v").as("v1"))
     val e2 = o.select(col("u").as("u2"), col("v").as("v2"))
     val e3 = o.select(col("u").as("u3"), col("v").as("v3"))
-    val tri = e1.join(e2, col("u2") === col("v1"))
+    e1.join(e2, col("u2") === col("v1"))
       .join(e3, col("u3") === col("u1") && col("v3") === col("v2"))
       .select(col("u1").as("x"), col("v1").as("y"), col("v2").as("z"))
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("player_id"))
-      .groupBy("player_id").agg(count(lit(1)).as("n_triangles"))
-      .orderBy("player_id")
   }
 
-  val qReportTriangles: Q = Q(reportTriangles _,
-    s"""WITH e AS MATERIALIZED ($edgesSql),
-       |und AS (SELECT DISTINCT least(src, dst) AS a,
+  /** The matching oracle CTE chain: `und` → `deg` → `o` → `tri`. */
+  private val triCteSql: String =
+    s"""und AS (SELECT DISTINCT least(src, dst) AS a,
        |                        greatest(src, dst) AS b FROM e),
        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d
        |        FROM (SELECT a AS id FROM und
@@ -204,7 +204,18 @@ object Graph {
        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
        |  FROM o e1
        |  JOIN o e2 ON e2.u = e1.v
-       |  JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v)
+       |  JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v)""".stripMargin
+
+  def reportTriangles(s: SparkSession, dir: String): DataFrame = {
+    val tri = orientedTriangles(undirectedEdges(s, dir))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("player_id"))
+      .groupBy("player_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("player_id")
+  }
+
+  val qReportTriangles: Q = Q(reportTriangles _,
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |$triCteSql
        |SELECT player_id, CAST(count(*) AS BIGINT) AS n_triangles
        |FROM (SELECT x AS player_id FROM tri
        |      UNION ALL SELECT y FROM tri
@@ -311,10 +322,261 @@ object Graph {
     (s, dir) => lpa(undirectedEdges(s, dir)).orderBy("node"),
     lpaSql)
 
+  // ---------------------------------------------------------------- J7
+  /** k-core decomposition by synchronous peeling — the graph-density
+    * sibling of the triangle counts: the 2-core is what remains after
+    * repeatedly deleting every node with fewer than 2 surviving
+    * neighbors, so hang-around leaves and chains fall away and only
+    * structurally-embedded players remain (a collusion ring is a
+    * k-core; a lone noisy reporter never is). Output per node:
+    * `in_core` plus the PEEL ROUND at which the node fell (the "onion
+    * layer" — 1 = outermost leaf, 0 = survives), a strictly richer
+    * signal than the boolean.
+    *
+    * Determinism: peeling is SYNCHRONIZED (each round removes every
+    * current sub-k-degree node simultaneously), so there is no
+    * removal-order dependence and the DuckDB oracle replays the
+    * identical fixed-round chain. Rounds are capped at
+    * [[KcoreRounds]]; a round that peels nothing is a fixpoint (the
+    * edge set is unchanged, so every later round peels nothing), which
+    * lets the Spark loop exit early while still matching the oracle's
+    * unrolled rounds exactly.
+    *
+    * Scale shape: per round one degree aggregation over surviving
+    * edges (map-side combinable) + two anti-joins, all keyed on node
+    * id; the edge relation shrinks monotonically and is eagerly
+    * checkpointed per round (shallow lineage, the [[Dedup.propagate]]
+    * stance). O(E) per round, [[KcoreRounds]] fixed.
+    */
+  val KcoreK = 2
+  val KcoreRounds = 6
+
+  def kcore(s: SparkSession, dir: String): DataFrame =
+    kcoreOf(undirectedEdges(s, dir))
+
+  private[graft] def kcoreOf(und: DataFrame): DataFrame = {
+    val nodes = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id"))).distinct()
+      .localCheckpoint(true)
+    var edges = und
+    var alive = nodes
+    var peeled: DataFrame = null
+    var done = false
+    for (r <- 1 to KcoreRounds if !done) {
+      val deg = edges.select(col("a").as("id"))
+        .unionAll(edges.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val peel = alive.join(deg, Seq("id"), "left")
+        .filter(coalesce(col("d"), lit(0L)) < KcoreK)
+        .select(col("id"), lit(r.toLong).as("peel_round"))
+        .localCheckpoint(true)
+      if (peel.isEmpty) done = true
+      else {
+        peeled = if (peeled == null) peel else peeled.unionAll(peel)
+        alive = alive.join(peel, Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        edges = edges
+          .join(peel.select(col("id").as("a")), Seq("a"), "left_anti")
+          .join(peel.select(col("id").as("b")), Seq("b"), "left_anti")
+          .localCheckpoint(true)
+      }
+    }
+    val fallen = if (peeled == null)
+      nodes.select(col("id"), lit(null).cast("long").as("peel_round"))
+        .limit(0)
+    else peeled
+    nodes.join(fallen, Seq("id"), "left")
+      .select(col("id").as("player_id"),
+        coalesce(col("peel_round"), lit(0L)).as("peel_round"),
+        when(col("peel_round").isNull, lit(1L)).otherwise(lit(0L))
+          .as("in_core"))
+      .orderBy("player_id")
+  }
+
+  private def kcoreSql: String = {
+    val rounds = (1 to KcoreRounds).map { r =>
+      val p = r - 1
+      s"""d$r AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS d
+         |  FROM (SELECT a AS id FROM e$p UNION ALL SELECT b FROM e$p)
+         |  GROUP BY id),
+         |peel$r AS MATERIALIZED (
+         |  SELECT n.id, CAST($r AS BIGINT) AS peel_round
+         |  FROM alive$p n LEFT JOIN d$r ON d$r.id = n.id
+         |  WHERE COALESCE(d$r.d, 0) < $KcoreK),
+         |alive$r AS MATERIALIZED (SELECT id FROM alive$p
+         |  WHERE id NOT IN (SELECT id FROM peel$r)),
+         |e$r AS MATERIALIZED (SELECT a, b FROM e$p
+         |  WHERE a NOT IN (SELECT id FROM peel$r)
+         |    AND b NOT IN (SELECT id FROM peel$r))""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to KcoreRounds)
+      .map(r => s"SELECT * FROM peel$r").mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+       |                        greatest(src, dst) AS b FROM e),
+       |nodes AS MATERIALIZED (SELECT a AS id FROM und
+       |                       UNION SELECT b FROM und),
+       |e0 AS MATERIALIZED (SELECT a, b FROM und),
+       |alive0 AS MATERIALIZED (SELECT id FROM nodes),
+       |$rounds,
+       |fallen AS ($union)
+       |SELECT n.id AS player_id,
+       |  COALESCE(f.peel_round, 0) AS peel_round,
+       |  CAST(CASE WHEN f.id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS in_core
+       |FROM nodes n LEFT JOIN fallen f ON f.id = n.id
+       |ORDER BY player_id""".stripMargin
+  }
+
+  val qKcore: Q = Q(kcore _, kcoreSql)
+
+  // ---------------------------------------------------------------- J8
+  /** Per-EDGE common-neighbor count + neighborhood Jaccard — the link
+    * strength / link prediction signal (an edge whose endpoints share
+    * most of their neighborhoods is intra-community; a bridge shares
+    * none): for each undirected edge (a, b), `cn` = |N(a) ∩ N(b)| and
+    * `jaccard_bp` = 10⁴·cn / (da + db − cn − 2) (neighborhoods
+    * excluding the endpoints themselves; degenerate divisor → 0).
+    *
+    * cn per edge IS the triangle count through that edge, so this
+    * reuses the degree-oriented enumeration ([[orientedTriangles]] —
+    * fan-out bounded by oriented out-degree, hub-safe) instead of an
+    * adjacency self-join whose cost is Σ deg² on the very hubs a
+    * report graph has. Each triangle contributes to its 3 edges; one
+    * explode + count, two broadcast-scale degree joins. All-integer ⇒
+    * oracle-gated.
+    */
+  def edgeJaccard(s: SparkSession, dir: String): DataFrame =
+    edgeJaccardOf(undirectedEdges(s, dir))
+
+  private[graft] def edgeJaccardOf(und: DataFrame): DataFrame = {
+    val tri = orientedTriangles(und)
+    val triEdges = tri.select(explode(array(
+        struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")),
+        struct(least(col("x"), col("z")).as("a"),
+          greatest(col("x"), col("z")).as("b")),
+        struct(least(col("y"), col("z")).as("a"),
+          greatest(col("y"), col("z")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    und.join(triEdges, Seq("a", "b"), "left")
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"),
+        coalesce(col("cn"), lit(0L)).as("cn"),
+        col("da"), col("db"))
+      .withColumn("jaccard_bp",
+        when(col("da") + col("db") - col("cn") - 2 > 0,
+          expr("10000 * cn DIV (da + db - cn - 2)")).otherwise(lit(0L)))
+      .orderBy("a", "b")
+  }
+
+  val qEdgeJaccard: Q = Q(edgeJaccard _,
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |$triCteSql,
+       |te AS (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS cn FROM (
+       |    SELECT least(x, y) AS a, greatest(x, y) AS b FROM tri
+       |    UNION ALL SELECT least(x, z), greatest(x, z) FROM tri
+       |    UNION ALL SELECT least(y, z), greatest(y, z) FROM tri)
+       |  GROUP BY a, b)
+       |SELECT u.a AS a, u.b AS b, COALESCE(te.cn, 0) AS cn,
+       |  da.d AS da, db.d AS db,
+       |  CAST(CASE WHEN da.d + db.d - COALESCE(te.cn, 0) - 2 > 0
+       |    THEN 10000 * COALESCE(te.cn, 0)
+       |      // (da.d + db.d - COALESCE(te.cn, 0) - 2)
+       |    ELSE 0 END AS BIGINT) AS jaccard_bp
+       |FROM und u
+       |LEFT JOIN te ON te.a = u.a AND te.b = u.b
+       |JOIN deg da ON da.id = u.a
+       |JOIN deg db ON db.id = u.b
+       |ORDER BY a, b""".stripMargin)
+
+  // ---------------------------------------------------------------- J9
+  /** Hub-capped friend-of-friend recommendations — the 2-hop
+    * "accounts you likely interact with" view (or, on the report
+    * graph, "players co-reported with the ones you report"): for each
+    * node, the top [[FofTopK]] NON-adjacent nodes ranked by shared
+    * neighbors. The classic 2-path enumeration is Σ deg(m)² over
+    * middle nodes m — quadratic on exactly the mega-hubs a power-law
+    * graph has — so middles above [[FofHubCap]] degree are EXCLUDED
+    * (the [[Dedup.MaxBucket]] occupancy stance applied to 2-paths): a
+    * node adjacent to everyone "recommends" everyone to everyone,
+    * carrying no signal while dominating the join. With the cap the
+    * fan-out is ≤ cap per middle ⇒ O(E·cap) candidates total at any
+    * corpus size. Ranking is a per-source row_number (n_common DESC,
+    * candidate ASC) — the E26 heap operator serves the same plan at
+    * scale. All-integer ⇒ oracle-gated.
+    */
+  val FofHubCap = 64
+  val FofTopK = 5
+
+  def fofReco(s: SparkSession, dir: String): DataFrame =
+    fofRecoOf(undirectedEdges(s, dir))
+
+  private[graft] def fofRecoOf(und: DataFrame): DataFrame = {
+    val sym = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = sym.groupBy("node").agg(count(lit(1)).as("d"))
+    val mids = sym.join(deg.filter(col("d") <= FofHubCap), "node")
+      .select(col("node").as("mid"), col("nbr"))
+    val pairs = mids.select(col("mid"), col("nbr").as("pa"))
+      .join(mids.select(col("mid"), col("nbr").as("pc")), "mid")
+      .filter(col("pa") =!= col("pc"))
+      .groupBy(col("pa").as("player_id"), col("pc").as("reco"))
+      .agg(count(lit(1)).as("n_common"))
+    val adj = und.select(col("a"), col("b"))
+    val nonAdj = pairs.join(adj,
+        least(col("player_id"), col("reco")) === col("a") &&
+          greatest(col("player_id"), col("reco")) === col("b"),
+        "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("player_id")
+      .orderBy(col("n_common").desc, col("reco"))
+    nonAdj.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= FofTopK)
+      .orderBy("player_id", "rn")
+  }
+
+  val qFofReco: Q = Q(fofReco _,
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |und AS (SELECT DISTINCT least(src, dst) AS a,
+       |                        greatest(src, dst) AS b FROM e),
+       |sym AS (SELECT a AS node, b AS nbr FROM und
+       |        UNION ALL SELECT b, a FROM und),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+       |        FROM sym GROUP BY node),
+       |mids AS (SELECT s.node AS mid, s.nbr FROM sym s
+       |         JOIN deg ON deg.node = s.node WHERE deg.d <= $FofHubCap),
+       |pairs AS (
+       |  SELECT m1.nbr AS player_id, m2.nbr AS reco,
+       |         CAST(count(*) AS BIGINT) AS n_common
+       |  FROM mids m1 JOIN mids m2 ON m2.mid = m1.mid
+       |  WHERE m1.nbr <> m2.nbr
+       |  GROUP BY m1.nbr, m2.nbr),
+       |nonadj AS (
+       |  SELECT p.* FROM pairs p
+       |  WHERE NOT EXISTS (SELECT 1 FROM und u
+       |    WHERE u.a = least(p.player_id, p.reco)
+       |      AND u.b = greatest(p.player_id, p.reco)))
+       |SELECT player_id, reco, n_common, rn FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY player_id
+       |    ORDER BY n_common DESC, reco) AS BIGINT) AS rn
+       |  FROM nonadj)
+       |WHERE rn <= $FofTopK
+       |ORDER BY player_id, rn""".stripMargin)
+
   val registry: Map[String, Q] = Map(
     "q_suspicion_rank" -> qSuspicionRank,
     "q_mutual_reports" -> qMutualReports,
     "q_report_triangles" -> qReportTriangles,
     "q_report_components" -> qReportComponents,
-    "q_communities" -> qCommunities)
+    "q_communities" -> qCommunities,
+    "q_kcore" -> qKcore,
+    "q_edge_jaccard" -> qEdgeJaccard,
+    "q_fof_reco" -> qFofReco)
 }

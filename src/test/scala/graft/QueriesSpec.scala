@@ -1551,4 +1551,80 @@ class QueriesSpec extends SparkSpec {
     }
     assert(rows.forall(r => r._5 <= r._3), "kept_docs must be ≤ n_docs")
   }
+
+  test("q_kcore: synchronous peeling — a pendant chain peels layer by " +
+    "layer, the clique survives as the 2-core, and an isolated edge " +
+    "peels in round 1") {
+    import spark.implicits._
+    // triangle (1,2,3) with a chain 3-4-5 hanging off it, plus an
+    // isolated edge (10,11): the chain peels outside-in (5 first,
+    // then 4), both ends of the bare edge peel in round 1 (deg 1),
+    // the triangle is the 2-core.
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L)).toDF("a", "b")
+    val got = graft.operators.Graph.kcoreOf(und).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> ((0L, 1L)), 2L -> ((0L, 1L)), 3L -> ((0L, 1L)),
+      4L -> ((2L, 0L)), 5L -> ((1L, 0L)),
+      10L -> ((1L, 0L)), 11L -> ((1L, 0L))))
+    // corpus query: every node accounted for, rounds within the cap
+    val q = SparkEntry.queries("q_kcore")(spark, sf).collect()
+    assert(q.nonEmpty)
+    assert(q.forall(r => r.getLong(1) >= 0 &&
+      r.getLong(1) <= graft.operators.Graph.KcoreRounds))
+    assert(q.forall(r => (r.getLong(2) == 1L) == (r.getLong(1) == 0L)),
+      "in_core must be exactly peel_round == 0")
+  }
+
+  test("q_edge_jaccard: cn is the triangle count through the edge and " +
+    "jaccard matches the set definition") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: every edge sits in 2 triangles, each endpoint
+    // has degree 3 ⇒ jaccard = 2/(3+3-2-2) = 1 (10000 bp).
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b }
+      yield (a, b)).toDF("a", "b")
+    val gotK4 = graft.operators.Graph.edgeJaccardOf(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(5)))).toMap
+    for { a <- 1L to 4L; b <- 1L to 4L if a < b }
+      assert(gotK4((a, b)) === ((2L, 10000L)), s"edge ($a,$b)")
+    // path 1-2-3: no triangles; edge (1,2) has da 1, db 2 ⇒ divisor
+    // 1+2-0-2 = 1 ⇒ jaccard 0; degenerate isolated edge (10,11) has
+    // divisor 0 ⇒ defined as 0
+    val path = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val gotP = graft.operators.Graph.edgeJaccardOf(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(5)))).toMap
+    assert(gotP((1L, 2L)) === ((0L, 0L)))
+    assert(gotP((10L, 11L)) === ((0L, 0L)))
+    // corpus: jaccard bounded, cn symmetric sum = 3 × triangles
+    val q = SparkEntry.queries("q_edge_jaccard")(spark, sf).collect()
+    assert(q.forall(r => r.getLong(5) >= 0 && r.getLong(5) <= 10000))
+    // each triangle contributes 1 to the cn of each of its 3 edges AND
+    // 1 to the count of each of its 3 vertices ⇒ the two sums agree
+    val triSum = SparkEntry.queries("q_report_triangles")(spark, sf)
+      .agg(sum("n_triangles")).head().getLong(0)
+    assert(q.map(_.getLong(2)).sum === triSum,
+      "Σ per-edge cn must equal Σ per-vertex triangle counts")
+  }
+
+  test("q_fof_reco: 2-hop candidates exclude direct neighbors and " +
+    "mega-hub middles carry no recommendations") {
+    import spark.implicits._
+    // path 1-2-3 ⇒ 1 and 3 recommend each other through middle 2;
+    // star hub 100 with FofHubCap+1 leaves contributes NOTHING (its
+    // degree exceeds the cap), so leaves get no recommendations.
+    val cap = graft.operators.Graph.FofHubCap
+    val star = (1L to (cap + 1L)).map(i => (100L, 1000L + i))
+    val und = (Seq((1L, 2L), (2L, 3L)) ++ star).toDF("a", "b")
+    val got = graft.operators.Graph.fofRecoOf(und).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet === Set((1L, 3L), (3L, 1L)),
+      "only the path endpoints pair up; the over-cap hub is excluded")
+    // corpus: rn within top-k, recommendations never adjacent
+    val q = SparkEntry.queries("q_fof_reco")(spark, sf).collect()
+    assert(q.nonEmpty)
+    assert(q.forall(_.getLong(3) <= graft.operators.Graph.FofTopK))
+  }
 }
