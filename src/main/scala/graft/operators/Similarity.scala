@@ -1562,6 +1562,231 @@ object Similarity {
        |FROM asg, p WHERE vec_id <> 0 AND cell = pcell
        |ORDER BY score_micro DESC, vec_id LIMIT 10""".stripMargin)
 
+  // --------------------------------------------------------------- G20
+  /** The shared km-codebook oracle chain, factored: `e` (micro
+    * vectors) → `c0` (init) → two Lloyd rounds → `fin` (the final
+    * assignment). Identical text to the chains inlined in
+    * [[sKmeans]]/[[sAnnIvfKm]].
+    */
+  private val kmFinCteSql: String =
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |    AS cl, v
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $KmeansK)),
+       |a1 AS (${kmAssignSql("c0")}),
+       |c1 AS (${kmRefreshSql("a1")}),
+       |a2 AS (${kmAssignSql("c1")}),
+       |c2 AS (${kmRefreshSql("a2")}),
+       |fin AS (${kmAssignSql("c2")})""".stripMargin
+
+  /** The ALL-PAIRS kNN GRAPH — every vector's [[KnnGraphK]] nearest
+    * neighbors, not one probe's: the standing relation graph-based
+    * curation is built ON (SemDeDup's cluster pruning, kNN-graph
+    * agreement filtering, HNSW layer seeding all start here).
+    * Candidates are blocked on the label-free km codebook cell (G14's
+    * production assignment, map-only under the trained literals), so
+    * the self-join is Σ cells·width² — and the DIAL is codebook size:
+    * train k ≈ corpus/target_width centroids (G10 scales, the
+    * AnnSweep evidence) and the per-cell width stays flat, making the
+    * join linear in corpus size at fixed occupancy; the exact kernel
+    * then scores only within-cell pairs and a per-vector
+    * (score DESC, id) row_number keeps k — served by the E26 heap
+    * operator at scale, no per-partition sort. Boundary effect (true
+    * neighbors in adjacent cells are unseen) is the standard IVF
+    * recall trade measured by G15. All-integer ⇒ oracle-gated.
+    */
+  val KnnGraphK = 3
+
+  val sKnnGraph: Q = Q(
+    (s, dir) => {
+      val asg = Tables.embeddings(s, dir)
+        .withColumn("cell", ivfCellCol(kmCodebook(s, dir)))
+      val left = asg.select(col("vec_id"), col("cell"), col("embedding"))
+      val right = asg.select(col("vec_id").as("nbr"), col("cell"),
+        col("embedding").as("nbr_embedding"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id")
+        .orderBy(col("score_micro").desc, col("nbr"))
+      left.join(right, Seq("cell"))
+        .filter(col("vec_id") =!= col("nbr"))
+        .select(col("vec_id"), col("nbr"),
+          nativeScoreMicro(s, "embedding", "nbr_embedding")
+            .as("score_micro"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= KnnGraphK)
+        .orderBy("vec_id", "rn")
+    },
+    s"""WITH $kmFinCteSql,
+       |asg AS MATERIALIZED (
+       |  SELECT emb.vec_id, emb.embedding, CAST(f.cl AS BIGINT) AS cell
+       |  FROM embeddings emb JOIN fin f ON f.vec_id = emb.vec_id),
+       |scored AS (
+       |  SELECT l.vec_id, r.vec_id AS nbr,
+       |    ${scoreMicroSql("l.embedding", "r.embedding")} AS score_micro
+       |  FROM asg l JOIN asg r
+       |    ON r.cell = l.cell AND r.vec_id <> l.vec_id)
+       |SELECT vec_id, nbr, score_micro, rn FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score_micro DESC, nbr) AS BIGINT) AS rn
+       |  FROM scored)
+       |WHERE rn <= $KnnGraphK
+       |ORDER BY vec_id, rn""".stripMargin)
+
+  // --------------------------------------------------------------- G21
+  /** RANGE SEARCH — every vector within a similarity RADIUS of the
+    * probe (cosine ≥ [[RangeMicro]] micro-units), the
+    * "all-sufficiently-similar" query dedup gating and contamination
+    * sweeps state (top-k answers "the nearest k whatever they look
+    * like"; a near-dup gate needs "everything above τ, however many").
+    * Same scan shape as the G14 nprobe probe — the probe ranks the km
+    * codebook, scans its [[NProbe]] nearest cells via the exploded
+    * broadcast equi-join, pays the exact kernel per candidate — with
+    * the top-k cut replaced by the threshold predicate, so the result
+    * size tracks true neighborhood density. nprobe is the recall dial
+    * here exactly as for top-k (a radius match in an unprobed cell is
+    * missed; G15 measures the trade). All-integer ⇒ oracle-gated.
+    */
+  val RangeMicro = 200000L
+
+  val sRangeSearch: Q = Q(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cells = ivfCells(kmCodebook(s, dir))
+      val assigned = emb.withColumn("cell",
+        array_min(cells).getField("cell"))
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"),
+          explode(transform(slice(array_sort(cells), 1, NProbe),
+            c => c.getField("cell"))).as("pcell"))
+      assigned.filter(col("vec_id") =!= 0)
+        .join(broadcast(probe), col("cell") === col("pcell"))
+        .select(col("vec_id"), col("label"), col("cell"),
+          nativeScoreMicro(s, "embedding", "probe").as("score_micro"))
+        .filter(col("score_micro") >= RangeMicro)
+        .orderBy(col("score_micro").desc, col("vec_id"))
+    },
+    s"""WITH $kmFinCteSql,
+       |rankedKm AS (
+       |  SELECT q.vec_id, CAST(c.cl AS BIGINT) AS cell,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_sum(list_transform(list_zip(q.v, c.v),
+       |        z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cl) AS rn
+       |  FROM e q CROSS JOIN c2 c),
+       |asg AS (
+       |  SELECT emb.vec_id, emb.label, emb.embedding, r.cell
+       |  FROM embeddings emb
+       |  JOIN rankedKm r ON r.vec_id = emb.vec_id AND r.rn = 1),
+       |p AS (
+       |  SELECT emb.embedding AS probe, r.cell AS pcell
+       |  FROM embeddings emb
+       |  JOIN rankedKm r ON r.vec_id = emb.vec_id AND r.rn <= $NProbe
+       |  WHERE emb.vec_id = 0),
+       |sc AS (
+       |  SELECT vec_id, label, cell,
+       |    ${scoreMicroSql("embedding", "probe")} AS score_micro
+       |  FROM asg, p WHERE vec_id <> 0 AND cell = pcell)
+       |SELECT vec_id, label, cell, score_micro FROM sc
+       |WHERE score_micro >= $RangeMicro
+       |ORDER BY score_micro DESC, vec_id""".stripMargin)
+
+  // --------------------------------------------------------------- G22
+  /** MMR DIVERSIFIED RE-RANKING — maximal marginal relevance over the
+    * G16 shortlist, the last stage of a production retrieval stack
+    * (after hybrid fusion and exact re-rank, a RAG context window
+    * wants 5 results that are relevant AND mutually non-redundant —
+    * a near-dup-heavy corpus otherwise fills all 5 slots with copies
+    * of the same passage). Greedy MMR with λ = ½ scaled out of the
+    * integer arithmetic: pick argmax(rel), then [[MmrK]]−1 times pick
+    * argmax(rel − max-sim-to-selected) with (value DESC, id) ties —
+    * all in exact micro-units, so the whole greedy chain replays in
+    * DuckDB and the row hash gates it.
+    *
+    * Cost shape: every round touches only the C = [[RerankC]]-row
+    * shortlist joined to the ≤ [[MmrK]] selected rows — O(C·k·dim)
+    * kernel work per QUERY, corpus-size-free (the corpus was paid by
+    * the IVFPQ probe that built the shortlist). The selection loop is
+    * inherently sequential (that is MMR), but each round is one tiny
+    * broadcast join — the per-query latency adder every diversified
+    * retrieval system accepts.
+    */
+  val MmrK = 5
+
+  val sMmr: Q = Q(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      val rel = rerankShortlist(s, dir)
+        .join(emb, "vec_id")
+        .select(col("vec_id"), col("score_micro").as("rel_micro"),
+          col("embedding"))
+      var selected = rel
+        .orderBy(col("rel_micro").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), lit(1L).as("sel_round"),
+          col("rel_micro"), lit(0L).as("maxsim_micro"), col("embedding"))
+      for (r <- 2 to MmrK) {
+        val selEmb = selected.select(col("vec_id").as("sel_id"),
+          col("embedding").as("sel_embedding"))
+        val pick = rel
+          .join(selEmb, col("vec_id") === col("sel_id"), "left_anti")
+          .crossJoin(broadcast(selEmb))
+          .groupBy(col("vec_id"), col("rel_micro"), col("embedding"))
+          .agg(max(nativeScoreMicro(s, "embedding", "sel_embedding"))
+            .as("maxsim_micro"))
+          .orderBy((col("rel_micro") - col("maxsim_micro")).desc,
+            col("vec_id"))
+          .limit(1)
+          .select(col("vec_id"), lit(r.toLong).as("sel_round"),
+            col("rel_micro"), col("maxsim_micro"), col("embedding"))
+        selected = selected.unionAll(pick)
+      }
+      selected
+        .withColumn("mmr_micro", col("rel_micro") - col("maxsim_micro"))
+        .select("sel_round", "vec_id", "rel_micro", "maxsim_micro",
+          "mmr_micro")
+        .orderBy("sel_round")
+    },
+    {
+      val rounds = (2 to MmrK).map { r =>
+        val prevSel = (1 until r).map(i => s"SELECT * FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""m$r AS MATERIALIZED (
+           |  SELECT c.vec_id, c.rel_micro, c.embedding,
+           |    max(${scoreMicroSql("c.embedding", "s.embedding")})
+           |      AS maxsim_micro
+           |  FROM rel c, ($prevSel) s
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM ($prevSel))
+           |  GROUP BY c.vec_id, c.rel_micro, c.embedding),
+           |s$r AS MATERIALIZED (
+           |  SELECT vec_id, CAST($r AS BIGINT) AS sel_round, rel_micro,
+           |    maxsim_micro, embedding
+           |  FROM m$r
+           |  ORDER BY rel_micro - maxsim_micro DESC, vec_id
+           |  LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val all = (1 to MmrK).map(i => s"SELECT * FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""WITH $ivfRankedCteSql,
+         |$rerankShortCteSql,
+         |rel AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    ${scoreMicroSql("embedding", "probe")} AS rel_micro,
+         |    embedding
+         |  FROM short),
+         |s1 AS MATERIALIZED (
+         |  SELECT vec_id, CAST(1 AS BIGINT) AS sel_round, rel_micro,
+         |    CAST(0 AS BIGINT) AS maxsim_micro, embedding
+         |  FROM rel ORDER BY rel_micro DESC, vec_id LIMIT 1),
+         |$rounds
+         |SELECT sel_round, vec_id, rel_micro, maxsim_micro,
+         |  rel_micro - maxsim_micro AS mmr_micro
+         |FROM ($all)
+         |ORDER BY sel_round""".stripMargin
+    })
+
   // --------------------------------------------------------- G-recall
   /** The ANN EVIDENCE TABLE: recall@10 of every approximate rung
     * against the brute-force kernel (G1), in one oracle-gated
@@ -1705,6 +1930,9 @@ object Similarity {
     "s_ann_sq8" -> sAnnSq8,
     "s_ann_rerank" -> sAnnRerank,
     "s_hybrid_topk" -> sHybridTopk,
+    "s_knn_graph" -> sKnnGraph,
+    "s_range_search" -> sRangeSearch,
+    "s_mmr" -> sMmr,
     "s_ann_filtered" -> sAnnFiltered,
     "s_diverse_sample" -> sDiverseSample,
     "d_embed_clusters" -> dEmbedClusters)

@@ -1552,6 +1552,71 @@ class QueriesSpec extends SparkSpec {
     assert(rows.forall(r => r._5 <= r._3), "kept_docs must be ≤ n_docs")
   }
 
+  test("s_knn_graph: k per vector, no self edges, scores non-increasing " +
+    "in rank, and every neighbor shares the vector's km cell") {
+    val g = SparkEntry.queries("s_knn_graph")(spark, sf).collect()
+    assert(g.nonEmpty)
+    assert(g.forall(r => r.getLong(0) != r.getLong(1)), "no self edges")
+    val byVec = g.groupBy(_.getLong(0))
+    assert(byVec.values.forall(_.length <= graft.operators.Similarity.KnnGraphK))
+    for ((_, rows) <- byVec) {
+      val ordered = rows.sortBy(_.getLong(3))
+      assert(ordered.map(_.getLong(3)).toSeq ===
+        (1L to ordered.length).toSeq, "ranks are 1..n")
+      assert(ordered.sliding(2).forall(p => p.length < 2 ||
+        p(0).getLong(2) >= p(1).getLong(2)), "scores non-increasing")
+    }
+    // blocked on the km cell: both endpoints assigned the same cell
+    val cells = SparkEntry.queries("s_kmeans")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g.forall(r => cells(r.getLong(0)) == cells(r.getLong(1))),
+      "kNN-graph edges never cross quantizer cells")
+  }
+
+  test("s_range_search: every hit clears the radius with its EXACT " +
+    "kernel score, and hits are a subset of the brute-force radius set") {
+    import graft.operators.Similarity
+    val hits = SparkEntry.queries("s_range_search")(spark, sf).collect()
+    assert(hits.forall(_.getLong(3) >= Similarity.RangeMicro))
+    // exactness + soundness vs the brute kernel over the whole corpus
+    val emb = Tables.embeddings(spark, sf)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    val brute = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        Similarity.nativeScoreMicro(spark, "embedding", "probe")
+          .as("score_micro"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (h <- hits) {
+      assert(brute(h.getLong(0)) === h.getLong(3),
+        "returned score must be the exact kernel score")
+    }
+    val bruteRadius = brute.filter(_._2 >= Similarity.RangeMicro).keySet
+    assert(hits.map(_.getLong(0)).toSet.subsetOf(bruteRadius),
+      "an approximate probe may miss radius members, never invent them")
+  }
+
+  test("s_mmr: greedy invariants — round 1 is the pure-relevance " +
+    "argmax, later rounds trade relevance for diversity, output exact") {
+    val sel = SparkEntry.queries("s_mmr")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(sel.length === graft.operators.Similarity.MmrK)
+    assert(sel.map(_.getLong(0)).toSeq ===
+      (1L to graft.operators.Similarity.MmrK).toSeq)
+    assert(sel.map(_.getLong(1)).distinct.length === sel.length,
+      "5 distinct vectors selected")
+    assert(sel.head.getLong(3) === 0L, "round 1 has no selected set")
+    assert(sel.forall(r => r.getLong(4) === r.getLong(2) - r.getLong(3)),
+      "mmr = rel − maxsim, exactly")
+    // round 1 must agree with the exact re-rank's top answer
+    val top = SparkEntry.queries("s_ann_rerank")(spark, sf).head()
+    assert(sel.head.getLong(1) === top.getLong(0) &&
+      sel.head.getLong(2) === top.getLong(2))
+    assert(sel.tail.forall(r => r.getLong(3) >= -1000000L &&
+      r.getLong(3) <= 1000000L),
+      "maxsim is a cosine in micro-units (may be negative)")
+  }
+
   test("q_kcore: synchronous peeling — a pendant chain peels layer by " +
     "layer, the clique survives as the 2-core, and an isolated edge " +
     "peels in round 1") {
