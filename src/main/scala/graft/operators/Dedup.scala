@@ -1969,7 +1969,86 @@ object Dedup {
        |  FROM l$Iters GROUP BY label)
        |GROUP BY n_members ORDER BY n_members""".stripMargin)
 
+  // ---------------------------------------------------------------- F23
+  /** NORMALIZE-then-exact dedup — the cheap first rung real pipelines
+    * run BEFORE any sketch: casefold, strip everything outside
+    * [a-z0-9] to single spaces, trim, then hash-group. Catches the
+    * trivially-reformatted duplicates (case, punctuation, whitespace,
+    * markup residue) that byte-exact F1 misses and that MinHash
+    * should never have to pay for. Same plan shape as F1 — one
+    * map-only normalize + md5, one hash groupBy (map-side
+    * combinable), dup groups only. The normalized hash is also the
+    * natural URL/near-exact dedup key a web pipeline groups on at
+    * landing time.
+    */
+  /** The canonical-form key F23 groups on, exposed for ingest use. */
+  def normKey(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  val dNormExact: Q = Q(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(normKey(col("text")).as("norm_md5"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id"),
+    """SELECT md5(trim(regexp_replace(lower(text),
+      |    '[^a-z0-9]+', ' ', 'g'))) AS norm_md5,
+      |  min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+      |FROM documents
+      |GROUP BY 1 ORDER BY keep_id""".stripMargin)
+
+  // ---------------------------------------------------------------- F24
+  /** DUPLICATION INFLATION per source — the composition number a
+    * dedup run reports UP (t_mix_plan consumes it): per source, doc
+    * and char mass before vs after near-dup removal (F9's
+    * representative-only corpus) and `inflation_bp` = 10⁴·chars DIV
+    * chars_dedup — a source at 15000 bp ships 1.5 bytes for every
+    * byte of unique content, and its mixing weight should be priced
+    * on the DEDUPED mass. Third consumer of the materialized
+    * [[clusterMap]] artifact: one broadcast-scale anti-join list +
+    * two map-side-combinable aggregations over one corpus scan —
+    * never a pipeline re-run.
+    */
+  val dDupInflation: Q = Q(
+    (s, dir) => {
+      val drop = sizeGatedBroadcast(clusterMap(s, dir)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id").localCheckpoint(true))
+      Tables.documents(s, dir)
+        .join(drop.withColumn("dropped", lit(1L)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          count(when(col("dropped").isNull, 1)).as("n_docs_dedup"),
+          sum(when(col("dropped").isNull, col("n_chars"))
+            .otherwise(0L)).as("n_chars_dedup"))
+        .withColumn("inflation_bp",
+          when(col("n_chars_dedup") > 0,
+            expr("10000 * n_chars DIV n_chars_dedup")).otherwise(lit(0L)))
+        .orderBy("source")
+    },
+    s"""WITH $clustersCteSql,
+       |drop_ids AS MATERIALIZED (
+       |  SELECT doc_id FROM l$Iters WHERE doc_id <> label)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(count(CASE WHEN x.doc_id IS NULL THEN 1 END) AS BIGINT)
+       |    AS n_docs_dedup,
+       |  CAST(sum(CASE WHEN x.doc_id IS NULL THEN n_chars ELSE 0 END)
+       |    AS BIGINT) AS n_chars_dedup,
+       |  CAST(CASE WHEN sum(CASE WHEN x.doc_id IS NULL THEN n_chars
+       |         ELSE 0 END) > 0
+       |    THEN 10000 * CAST(sum(n_chars) AS BIGINT)
+       |      // CAST(sum(CASE WHEN x.doc_id IS NULL THEN n_chars
+       |           ELSE 0 END) AS BIGINT)
+       |    ELSE 0 END AS BIGINT) AS inflation_bp
+       |FROM documents d
+       |LEFT JOIN drop_ids x ON x.doc_id = d.doc_id
+       |GROUP BY source ORDER BY source""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "d_norm_exact" -> dNormExact,
+    "d_dup_inflation" -> dDupInflation,
     "d_cluster_sizes" -> dClusterSizes,
     "d_dup_span_ratio" -> dDupSpanRatio,
     "d_strip_spans" -> dStripSpans,

@@ -1727,7 +1727,93 @@ object TextAnalysis {
        |FROM d GROUP BY ROLLUP(source, lang)
        |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin)
 
+  // ---------------------------------------------------------------- H27
+  /** CONTENT-DEFINED CHUNKING — variable-size chunks whose boundaries
+    * are a pure function of LOCAL content (the rolling-hash scheme
+    * rsync/FastCDC/dedup stores use, here with md5 of the trailing
+    * [[CdcGram]]-char gram as the deterministic cross-engine "rolling"
+    * hash): position i ends a chunk iff the gram ending at i hashes
+    * below [[CdcMaskHex]] (8/256 ⇒ expected ~32-char chunks). The
+    * property fixed-width H17 windows lack: an INSERTION near the
+    * front shifts every fixed window, but content-defined boundaries
+    * re-synchronize right after the edit, so all downstream chunks
+    * keep their hashes — chunk-level dedup then recognizes the
+    * near-identical doc pair from their shared chunk md5s
+    * (spec-pinned).
+    *
+    * Scale shape: the position explode is pipelined map-side (the fat
+    * text column never crosses a shuffle — only the thin boundary
+    * rows (doc_id, pos) survive the filter into the doc-partitioned
+    * lag window), and every chunk row carries md5 + offsets, not
+    * text. O(corpus chars) work, one doc-keyed exchange, same
+    * partitioning story as H17. All deterministic ⇒ oracle-gated.
+    */
+  val CdcGram = 8
+  val CdcMaskHex = "07"
+
+  /** The chunker over any (doc_id, text) relation — [[tCdcChunk]]
+    * binds it to the documents table; specs feed synthetic docs.
+    */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+      val d = docs
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n"))
+      val bpos = d
+        .select(col("doc_id"), col("text"), col("n"),
+          explode(when(col("n") >= CdcGram,
+            sequence(lit(CdcGram.toLong), col("n")))
+            .otherwise(array())).as("i"))
+        .filter(substring(md5(expr(
+          s"substring(text, i - ${CdcGram - 1}, $CdcGram)")), 1, 2)
+          <= CdcMaskHex)
+        .select(col("doc_id"), col("i").as("pos"))
+      val allB = bpos
+        .unionByName(d.select(col("doc_id"), col("n").as("pos")))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      allB
+        .withColumn("start",
+          coalesce(lag(col("pos"), 1).over(w) + 1, lit(1L)))
+        .withColumn("chunk_idx", row_number().over(w).cast("long"))
+        .join(d.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"), col("chunk_idx"), col("start"),
+          (col("pos") - col("start") + 1).as("chunk_len"),
+          md5(expr("substring(text, start, pos - start + 1)"))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+  }
+
+  val tCdcChunk: Q = Q(
+    (s, dir) => cdcChunks(Tables.documents(s, dir)),
+    s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+       |           FROM documents),
+       |bpos AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range($CdcGram, CAST(n + 1 AS BIGINT))) AS i
+       |        FROM d)
+       |  WHERE substr(md5(substr(text, CAST(i AS INT) - ${CdcGram - 1},
+       |          $CdcGram)), 1, 2) <= '$CdcMaskHex'),
+       |allb AS (SELECT DISTINCT doc_id, pos FROM (
+       |  SELECT doc_id, pos FROM bpos
+       |  UNION ALL SELECT doc_id, n AS pos FROM d)),
+       |ch AS (
+       |  SELECT doc_id, pos,
+       |    COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |      + 1, 1) AS start,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+       |      AS BIGINT) AS chunk_idx
+       |  FROM allb)
+       |SELECT c.doc_id AS doc_id, c.chunk_idx, c.start,
+       |  c.pos - c.start + 1 AS chunk_len,
+       |  md5(substr(d.text, CAST(c.start AS INT),
+       |    CAST(c.pos - c.start + 1 AS INT))) AS chunk_md5
+       |FROM ch c JOIN d ON d.doc_id = c.doc_id
+       |ORDER BY c.doc_id, c.chunk_idx""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "t_cdc_chunk" -> tCdcChunk,
     "t_dataset_card" -> tDatasetCard,
     "t_epoch_order" -> tEpochOrder,
     "t_strip_html" -> tStripHtml,

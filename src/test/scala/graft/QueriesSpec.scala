@@ -1552,6 +1552,73 @@ class QueriesSpec extends SparkSpec {
     assert(rows.forall(r => r._5 <= r._3), "kept_docs must be ≤ n_docs")
   }
 
+  test("t_cdc_chunk: chunks tile every doc exactly, and content-defined " +
+    "boundaries RE-SYNCHRONIZE after an insertion (the property fixed " +
+    "windows lack)") {
+    import spark.implicits._
+    // tiling on the real corpus
+    val chunks = SparkEntry.queries("t_cdc_chunk")(spark, sf).collect()
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet === lens.keySet, "every doc chunked")
+    for ((doc, rows) <- byDoc) {
+      val ordered = rows.sortBy(_.getLong(1))
+      assert(ordered.map(_.getLong(1)).toSeq === (1L to ordered.length),
+        s"doc $doc chunk_idx contiguous")
+      assert(ordered.head.getLong(2) === 1L, s"doc $doc starts at 1")
+      assert(ordered.map(_.getLong(3)).sum === lens(doc),
+        s"doc $doc chunk lengths must sum to its char count")
+      assert(ordered.sliding(2).forall(p => p.length < 2 ||
+        p(1).getLong(2) === p(0).getLong(2) + p(0).getLong(3)),
+        s"doc $doc chunks contiguous")
+    }
+    // re-synchronization: same long text with a short insertion near
+    // the front shares most chunk hashes with the original — a
+    // fixed-width windowing shares none past the edit point
+    val base = (1 to 400).map(i => s"w${i % 17}tok").mkString(" ")
+    val edited = "INSERTED PREFIX " + base
+    val two = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ch = graft.operators.TextAnalysis.cdcChunks(two).collect()
+    val h1 = ch.filter(_.getLong(0) == 1L).map(_.getString(4)).toSet
+    val h2 = ch.filter(_.getLong(0) == 2L).map(_.getString(4)).toSet
+    val shared = h1.intersect(h2).size
+    assert(shared >= (h1.size * 2) / 3,
+      s"boundaries must re-synchronize: only $shared of ${h1.size} " +
+        "chunk hashes survive the insertion")
+  }
+
+  test("d_norm_exact: case/punctuation/whitespace variants collapse " +
+    "to one group; corpus accounting exact") {
+    import spark.implicits._
+    val variants = Seq("Hello, World!", "hello world", "  hello   WORLD ",
+      "hello-world").toDF("text")
+    assert(variants.select(graft.operators.Dedup.normKey(col("text")))
+      .distinct().count() === 1L, "all variants share one norm key")
+    assert(Seq("hello world", "helloworld").toDF("text")
+      .select(graft.operators.Dedup.normKey(col("text")))
+      .distinct().count() === 2L, "token boundaries stay significant")
+    val groups = SparkEntry.queries("d_norm_exact")(spark, sf).collect()
+    assert(groups.map(_.getLong(2)).sum ===
+      Tables.documents(spark, sf).count())
+  }
+
+  test("d_dup_inflation: per-source accounting consistent with the " +
+    "dedup corpus, inflation ≥ 10000 bp wherever defined") {
+    val rows = SparkEntry.queries("d_dup_inflation")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) >= r.getLong(3) &&
+      r.getLong(2) >= r.getLong(4)), "dedup mass never exceeds raw mass")
+    assert(rows.forall(r => r.getLong(4) == 0L || r.getLong(5) >= 10000L),
+      "inflation is ≥ 1× wherever the deduped mass is non-zero")
+    val dedupN = SparkEntry.queries("d_dedup_corpus")(spark, sf).count()
+    assert(rows.map(_.getLong(3)).sum === dedupN,
+      "Σ per-source dedup docs ≡ the F9 corpus row count")
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.documents(spark, sf).count())
+  }
+
   test("s_knn_graph: k per vector, no self edges, scores non-increasing " +
     "in rank, and every neighbor shares the vector's km cell") {
     val g = SparkEntry.queries("s_knn_graph")(spark, sf).collect()
