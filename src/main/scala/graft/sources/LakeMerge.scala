@@ -571,7 +571,12 @@ object LakeMerge {
     // absent from the summaries, so the two retention APIs compose
     // (r11 advice) without per-version existence probes
     val entries = historyEntries(spark, dir)
+    // a TAGGED snapshot is pinned: expiry skips it (and therefore its
+    // data dirs survive the sweep below) until the tag is deleted —
+    // the Iceberg tag-retention contract
+    val pinned = tags(spark, dir).values.toSet
     val expired = entries.filter(e => e.version < latest &&
+      !pinned(e.version) &&
       e.committedAtMs.forall(_ < olderThanMs)) // unstamped expire
       .map(_.version)
     if (expired.isEmpty) return Nil
@@ -594,6 +599,83 @@ object LakeMerge {
         .filter(p => !live(s"data/${p.getName}"))
         .foreach(p => f.delete(p, true))
     expired
+  }
+
+  // ------------------------------------------------------------- tags
+  /** NAMED SNAPSHOT REFS — Iceberg-style TAGS: a human-named pin on a
+    * version (`release-2024-06`, `pre-backfill`) that (a) serves
+    * reproducible reads without anyone remembering version numbers
+    * and (b) PINS the snapshot against [[vacuumExpired]] until the
+    * tag is dropped. Metadata-only: a tag is one tiny create-exclusive
+    * file under `_manifest/` (same atomicity idiom as the commit
+    * claim — two sessions racing one name: one wins, the loser gets
+    * the standard CME), zero data I/O ever.
+    */
+  private val TagPrefix = "_tag_"
+
+  private def tagPath(dir: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9_.-]*"),
+      s"tag name '$name' must be [A-Za-z0-9][A-Za-z0-9_.-]*")
+    new Path(s"$dir/_manifest/$TagPrefix$name.ref")
+  }
+
+  /** Tag `version` (default: the latest snapshot) as `name`.
+    * Create-exclusive — retagging requires [[deleteTag]] first.
+    * Returns the pinned version.
+    */
+  def tag(spark: SparkSession, dir: String, name: String,
+      version: Option[Int] = None): Int = {
+    val v = version.getOrElse(latestVersion(spark, dir))
+    require(v >= 0, s"$dir has no committed snapshot")
+    // must point at a retained snapshot, not a vacuumed ghost
+    manifest(spark, dir, Some(v))
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(s"$dir/_manifest"))
+    val p = tagPath(dir, name)
+    def lost() = throw new java.util.ConcurrentModificationException(
+      s"tag '$name' of $dir already exists")
+    val out =
+      if (f.getScheme == "file") {
+        val jf = new java.io.File(p.toUri.getPath)
+        if (!jf.createNewFile()) lost()
+        f.create(p, /* overwrite = */ true)
+      } else {
+        try f.create(p, /* overwrite = */ false)
+        catch { case _: java.io.IOException => lost() }
+      }
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** All tags: name → pinned version. */
+  def tags(spark: SparkSession, dir: String): Map[String, Int] = {
+    val f = fs(spark, dir)
+    val root = new Path(s"$dir/_manifest")
+    if (!f.exists(root)) return Map.empty
+    f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(TagPrefix) && n.endsWith(".ref"))
+      .flatMap { n =>
+        val in = f.open(new Path(root, n))
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        txt.toIntOption.map(v =>
+          n.stripPrefix(TagPrefix).stripSuffix(".ref") -> v)
+      }.toMap
+  }
+
+  /** Drop a tag (unpinning its snapshot for future retention runs).
+    * Returns whether the tag existed.
+    */
+  def deleteTag(spark: SparkSession, dir: String, name: String): Boolean =
+    fs(spark, dir).delete(tagPath(dir, name), false)
+
+  /** Read the snapshot a tag pins — `SELECT * FROM t VERSION AS OF
+    * 'name'` without the version number.
+    */
+  def readTag(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val v = tags(spark, dir).getOrElse(name,
+      sys.error(s"no tag '$name' on $dir"))
+    read(spark, dir, Some(v))
   }
 
   /** Write `rows` (already winner-resolved) as version-`v` data files
@@ -939,6 +1021,67 @@ object LakeMerge {
       clusteredBy = m.clusteredBy,
       colPhysical = if (mapping.isEmpty) None else Some(mapping),
       retired = m.retired))
+  }
+
+  /** CONDITIONAL MERGE — the full `MERGE INTO` clause surface
+    * (Delta/Iceberg `WHEN MATCHED [AND cond] THEN UPDATE/DELETE`,
+    * `WHEN NOT MATCHED [AND cond] THEN INSERT`) composed on the
+    * engine's own primitives: the clauses are compiled into the
+    * plain upsert/delete op column [[merge]] already executes, so
+    * conditional MERGE inherits COW partition pruning, constraint
+    * enforcement, schema history, and optimistic concurrency
+    * unchanged.
+    *
+    * Each clause is a SQL boolean over the BATCH row's columns plus
+    * the matched TARGET row's columns exposed with a `t_` prefix
+    * (e.g. `"seq > t_seq"` — the only-update-if-newer guard;
+    * `"t_cust % 4 = 1"` — delete decided by current state). Clause
+    * precedence is fixed: matched rows try DELETE then UPDATE; a
+    * matched row satisfying neither leaves the target row untouched
+    * (its batch row is dropped); unmatched rows INSERT iff their
+    * clause holds. `None` means the action never fires.
+    *
+    * Cost shape: ONE extra read of the batch-affected partitions
+    * (manifest-pruned — the same partitions the merge itself
+    * rewrites) joined batch-side on `(dt, key)` to evaluate the
+    * clauses; the effective batch then rides the normal merge. The
+    * clause evaluation and the merge share one read version
+    * (`baseVersion` is pinned), so a concurrent commit between them
+    * surfaces as the usual ConcurrentModificationException instead
+    * of silently evaluating clauses against a stale snapshot.
+    */
+  def mergeConditional(spark: SparkSession, dir: String,
+      batch: DataFrame,
+      whenMatchedDelete: Option[String] = None,
+      whenMatchedUpdate: Option[String] = Some("true"),
+      whenNotMatchedInsert: Option[String] = Some("true"),
+      txn: Option[(String, Long)] = None): Int = {
+    val m = manifest(spark, dir)
+    def cond(c: Option[String]): Column =
+      c.map(sql => expr(sql)).getOrElse(lit(false))
+    val affected = batch.select(col(m.dtCol)).distinct()
+      .collect().map(_.getString(0)).toSet
+    val hit = m.partitions.filter(e => affected(e.dt))
+    val tgtCols = Seq(m.dtCol, m.keyCol) ++
+      m.columns.filterNot(c => c == m.dtCol || c == m.keyCol)
+    val tgt =
+      if (hit.isEmpty)
+        read(spark, dir, Some(m.version)).limit(0)
+      else readEntries(spark, dir, m, hit)
+    val tPref = tgt.select(tgtCols.distinct.map(c =>
+      col(c).as(s"t_$c")): _*)
+    val joined = batch.join(tPref,
+      col(m.dtCol) === col(s"t_${m.dtCol}") &&
+        col(m.keyCol) === col(s"t_${m.keyCol}"), "left")
+    val matched = col(s"t_${m.keyCol}").isNotNull
+    val op = when(matched && cond(whenMatchedDelete), lit(Delete))
+      .when(matched && cond(whenMatchedUpdate), lit(Upsert))
+      .when(!matched && cond(whenNotMatchedInsert), lit(Upsert))
+    val eff = joined.withColumn("_cop", op)
+      .filter(col("_cop").isNotNull)
+      .select(batch.columns.map(col).toSeq :+ col("_cop"): _*)
+    merge(spark, dir, eff, opCol = Some("_cop"),
+      baseVersion = Some(m.version), txn = txn)
   }
 
   /** Highest batchId the app `appId` has durably merged (from the
@@ -1803,7 +1946,55 @@ object LakeMerge {
        |SELECT k, dt, cust, price_cents FROM base
        |ORDER BY k""".stripMargin)
 
+  // --------------------------------------------------------------- L24
+  /** Conditional-MERGE result state: every clause of the MERGE INTO
+    * surface fires against the CDC orders table — matched deletes
+    * decided by CURRENT target state (`t_` columns), matched updates
+    * gated by a batch predicate, unmatched inserts filtered, and
+    * matched rows satisfying NO clause left untouched. The DuckDB
+    * oracle restates the final state declaratively (CASE over base),
+    * so a green row proves the clause compiler's semantics end to
+    * end through the real table.
+    */
+  private val condCache =
+    graft.Artifacts.cache[String]("lake.condTable")
+
+  private def condTable(s: SparkSession, dir: String): String =
+    condCache.getOrElseUpdate(s, dir) {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lake_cond").toString
+      val base = ordersBase(s, dir)
+      init(s, tmp, base, "dt", "k", "seq")
+      val upd = base.filter(col("k") % 3 === 0)
+        .withColumn("price_cents", col("price_cents") * 3)
+        .withColumn("seq", lit(1L))
+      val ins = base.filter(col("k") % 11 === 0 && col("k") =!= 0)
+        .withColumn("cust", col("k"))
+        .withColumn("k", -col("k"))
+        .withColumn("seq", lit(1L))
+      mergeConditional(s, tmp, upd.unionByName(ins),
+        whenMatchedDelete = Some("t_cust % 4 = 1"),
+        whenMatchedUpdate = Some("k % 2 = 0"),
+        whenNotMatchedInsert = Some("cust % 2 = 0"))
+      tmp
+    }
+
+  val lMergeCond: Q = Q(
+    (s, dir) => read(s, condTable(s, dir), Some(1))
+      .select("k", "dt", "cust", "price_cents").orderBy("k"),
+    s"""WITH base AS ($ordersBaseSql)
+       |SELECT k, dt, cust,
+       |  CASE WHEN k % 3 = 0 AND cust % 4 <> 1 AND k % 2 = 0
+       |       THEN price_cents * 3 ELSE price_cents END AS price_cents
+       |FROM base
+       |WHERE NOT (k % 3 = 0 AND cust % 4 = 1)
+       |UNION ALL
+       |SELECT -k, dt, k AS cust, price_cents FROM base
+       |WHERE k % 11 = 0 AND k <> 0 AND k % 2 = 0
+       |ORDER BY k""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "l_merge_cond" -> lMergeCond,
     "l_asof_read" -> lAsofRead,
     "l_merge_upsert" -> lMergeUpsert,
     "l_merge_history" -> lMergeHistory,

@@ -1329,4 +1329,71 @@ class LakeMergeSpec extends SparkSpec {
     assert(rows(LakeMerge.read(spark, dir))
       .contains((1L, "2024-02", "p1-v12")))
   }
+
+  test("mergeConditional: clause semantics — matched delete by target " +
+    "state, update gated only-if-newer, filtered insert, and a matched " +
+    "row satisfying NO clause leaves the target untouched") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    // batch: touch keys 0..4 (matched) with seq 5 except key 2 (seq
+    // -1: stale), plus new keys 100 (kept by insert clause) and 101
+    // (filtered out)
+    val batch = Seq(
+      (0L, "2024-01", "del-me", 5L),   // matched, delete clause fires
+      (1L, "2024-02", "p1-new", 5L),   // matched, newer → update
+      (2L, "2024-03", "p2-stale", -1L),// matched, STALE → no clause
+      (100L, "2024-01", "ins-even", 5L), // unmatched, k even → insert
+      (101L, "2024-01", "ins-odd", 5L))  // unmatched, k odd → dropped
+      .toDF("k", "dt", "payload", "seq")
+    LakeMerge.mergeConditional(spark, dir, batch,
+      whenMatchedDelete = Some("t_payload = 'p0'"),
+      whenMatchedUpdate = Some("seq > t_seq"),
+      whenNotMatchedInsert = Some("k % 2 = 0"))
+    val got = rows(LakeMerge.read(spark, dir))
+    assert(!got.exists(_._1 == 0L), "matched delete clause fired")
+    assert(got.contains((1L, "2024-02", "p1-new")), "newer update applied")
+    assert(got.contains((2L, "2024-03", "p2")),
+      "stale batch row must leave the target row untouched")
+    assert(got.contains((100L, "2024-01", "ins-even")))
+    assert(!got.exists(_._1 == 101L), "insert clause filtered the odd key")
+    assert(got.size === 30) // 30 − 1 delete + 1 insert
+    // v0 stays exactly readable under the conditional commit
+    assert(rows(LakeMerge.read(spark, dir, Some(0))).size === 30)
+  }
+
+  test("tags: named refs read their snapshot, pin it against " +
+    "vacuumExpired, are create-exclusive, and unpin on delete") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    LakeMerge.merge(spark, dir,
+      Seq((1L, "2024-02", "p1-v1", 9L)).toDF("k", "dt", "payload", "seq"))
+    LakeMerge.merge(spark, dir,
+      Seq((1L, "2024-02", "p1-v2", 10L)).toDF("k", "dt", "payload", "seq"))
+    LakeMerge.tag(spark, dir, "baseline", Some(0))
+    assert(LakeMerge.tags(spark, dir) === Map("baseline" -> 0))
+    assert(rows(LakeMerge.readTag(spark, dir, "baseline"))
+      .contains((1L, "2024-02", "p1")), "tag reads the pinned snapshot")
+    intercept[java.util.ConcurrentModificationException] {
+      LakeMerge.tag(spark, dir, "baseline", Some(1))
+    }
+    // expiry would drop v0 and v1; the tag pins v0
+    val expired = LakeMerge.vacuumExpired(spark, dir,
+      System.currentTimeMillis() + 3600000L)
+    assert(expired === Seq(1), "only the untagged mid version expires")
+    assert(rows(LakeMerge.readTag(spark, dir, "baseline"))
+      .contains((1L, "2024-02", "p1")),
+      "the tagged snapshot survives retention, data files intact")
+    // unpin → the next sweep reclaims it
+    assert(LakeMerge.deleteTag(spark, dir, "baseline"))
+    assert(LakeMerge.tags(spark, dir).isEmpty)
+    assert(LakeMerge.vacuumExpired(spark, dir,
+      System.currentTimeMillis() + 3600000L) === Seq(0))
+    intercept[RuntimeException] {
+      LakeMerge.readTag(spark, dir, "baseline")
+    }
+    // a tag cannot point at a vacuumed ghost or an invalid name
+    intercept[IllegalArgumentException] {
+      LakeMerge.tag(spark, dir, "bad name!")
+    }
+  }
 }
