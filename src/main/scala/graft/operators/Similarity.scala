@@ -1719,14 +1719,21 @@ object Similarity {
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"))
+      // the C-row shortlist is the input to EVERY greedy round — as a
+      // lazy plan each round would re-run the whole IVFPQ probe, and
+      // the accumulating union would nest it exponentially (measured:
+      // 25 s for 5 rounds); one eager checkpoint of 50 rows makes
+      // every later round a millisecond-scale join
       val rel = rerankShortlist(s, dir)
         .join(emb, "vec_id")
         .select(col("vec_id"), col("score_micro").as("rel_micro"),
           col("embedding"))
+        .localCheckpoint(true)
       var selected = rel
         .orderBy(col("rel_micro").desc, col("vec_id")).limit(1)
         .select(col("vec_id"), lit(1L).as("sel_round"),
           col("rel_micro"), lit(0L).as("maxsim_micro"), col("embedding"))
+        .localCheckpoint(true)
       for (r <- 2 to MmrK) {
         val selEmb = selected.select(col("vec_id").as("sel_id"),
           col("embedding").as("sel_embedding"))
@@ -1741,7 +1748,7 @@ object Similarity {
           .limit(1)
           .select(col("vec_id"), lit(r.toLong).as("sel_round"),
             col("rel_micro"), col("maxsim_micro"), col("embedding"))
-        selected = selected.unionAll(pick)
+        selected = selected.unionAll(pick).localCheckpoint(true)
       }
       selected
         .withColumn("mmr_micro", col("rel_micro") - col("maxsim_micro"))
