@@ -1588,31 +1588,67 @@ object Similarity {
     * curation is built ON (SemDeDup's cluster pruning, kNN-graph
     * agreement filtering, HNSW layer seeding all start here).
     * Candidates are blocked on the label-free km codebook cell (G14's
-    * production assignment, map-only under the trained literals), so
-    * the self-join is Σ cells·width² — and the DIAL is codebook size:
-    * train k ≈ corpus/target_width centroids (G10 scales, the
-    * AnnSweep evidence) and the per-cell width stays flat, making the
-    * join linear in corpus size at fixed occupancy; the exact kernel
-    * then scores only within-cell pairs and a per-vector
-    * (score DESC, id) row_number keeps k — served by the E26 heap
-    * operator at scale, no per-partition sort. Boundary effect (true
-    * neighbors in adjacent cells are unseen) is the standard IVF
-    * recall trade measured by G15. All-integer ⇒ oracle-gated.
+    * production assignment, map-only under the trained literals).
+    * The naive within-cell self-join is Σ cells·width² — quadratic in
+    * cell width — so over-cap cells (> [[MaxKnnCell]] vectors) get
+    * the engine's SPLIT-DON'T-DROP occupancy policy
+    * ([[Dedup.MaxBucket]]'s r14 treatment, applied to quantizer
+    * cells): each over-cap cell splits into ⌈n/cap⌉ salted
+    * sub-cells, repeated [[KnnSplitRounds]] times with independent
+    * salts, candidates = pairs colliding in ANY round, deduped before
+    * the kernel. Within-cap cells are untouched (one sub-cell), so
+    * the correctness-SF results are the exact within-cell graph; an
+    * over-cap cell keeps each pair with probability
+    * ≥ 1−(1−1/⌈n/cap⌉)^R and the join stays ≤ R·n·cap per cell —
+    * linear in corpus size. The PRIMARY dial is still codebook size
+    * (k ≈ corpus/target_width keeps cells within-cap and the graph
+    * exact — the AnnSweep evidence); the split is the skew guard for
+    * the hot cells any real embedding distribution has. Exact kernel
+    * on candidates, per-vector (score DESC, id) row_number keeps k —
+    * the E26 heap's plan at scale. All-integer ⇒ oracle-gated.
     */
   val KnnGraphK = 3
+  val MaxKnnCell = 256
+  val KnnSplitRounds = 2
+
+  private def knnSubSpark: String =
+    s"""CAST(conv(substring(md5(concat(CAST(vec_id AS STRING), '#',
+       |  CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT)
+       |  % ((cell_n + ${MaxKnnCell - 1}) DIV $MaxKnnCell)"""
+      .stripMargin.replace("\n", " ")
+
+  private def knnSubDuck: String =
+    s"""CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#' ||
+       |  CAST(r AS VARCHAR)), 1, 8) AS BIGINT)
+       |  % ((cell_n + ${MaxKnnCell - 1}) // $MaxKnnCell)"""
+      .stripMargin.replace("\n", " ")
 
   val sKnnGraph: Q = Q(
     (s, dir) => {
-      val asg = Tables.embeddings(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      // thin split relation: (vec_id, cell, r, sub) — embeddings join
+      // back per side so the fat arrays never ride the explode
+      val split = emb
         .withColumn("cell", ivfCellCol(kmCodebook(s, dir)))
-      val left = asg.select(col("vec_id"), col("cell"), col("embedding"))
-      val right = asg.select(col("vec_id").as("nbr"), col("cell"),
-        col("embedding").as("nbr_embedding"))
+        .withColumn("cell_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cell")))
+        .withColumn("r",
+          explode(typedLit((0 until KnnSplitRounds).map(_.toLong))))
+        .withColumn("sub", expr(knnSubSpark))
+        .select("vec_id", "cell", "r", "sub")
+        .cache()
+      val cand = split
+        .join(split.select(col("vec_id").as("nbr"), col("cell"),
+          col("r"), col("sub")), Seq("cell", "r", "sub"))
+        .filter(col("vec_id") =!= col("nbr"))
+        .select("vec_id", "nbr").distinct()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id")
         .orderBy(col("score_micro").desc, col("nbr"))
-      left.join(right, Seq("cell"))
-        .filter(col("vec_id") =!= col("nbr"))
+      cand
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(emb.select(col("vec_id").as("nbr"),
+          col("embedding").as("nbr_embedding")), "nbr")
         .select(col("vec_id"), col("nbr"),
           nativeScoreMicro(s, "embedding", "nbr_embedding")
             .as("score_micro"))
@@ -1624,11 +1660,23 @@ object Similarity {
        |asg AS MATERIALIZED (
        |  SELECT emb.vec_id, emb.embedding, CAST(f.cl AS BIGINT) AS cell
        |  FROM embeddings emb JOIN fin f ON f.vec_id = emb.vec_id),
+       |splitc AS MATERIALIZED (
+       |  SELECT vec_id, cell, r, $knnSubDuck AS sub
+       |  FROM (SELECT vec_id, cell,
+       |          count(*) OVER (PARTITION BY cell) AS cell_n
+       |        FROM asg),
+       |       (SELECT unnest(range($KnnSplitRounds)) AS r) rr),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr
+       |  FROM splitc a JOIN splitc b
+       |    ON b.cell = a.cell AND b.r = a.r AND b.sub = a.sub
+       |    AND b.vec_id <> a.vec_id),
        |scored AS (
-       |  SELECT l.vec_id, r.vec_id AS nbr,
-       |    ${scoreMicroSql("l.embedding", "r.embedding")} AS score_micro
-       |  FROM asg l JOIN asg r
-       |    ON r.cell = l.cell AND r.vec_id <> l.vec_id)
+       |  SELECT c.vec_id, c.nbr,
+       |    ${scoreMicroSql("l.embedding", "r2.embedding")} AS score_micro
+       |  FROM cand c
+       |  JOIN asg l ON l.vec_id = c.vec_id
+       |  JOIN asg r2 ON r2.vec_id = c.nbr)
        |SELECT vec_id, nbr, score_micro, rn FROM (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
        |    ORDER BY score_micro DESC, nbr) AS BIGINT) AS rn

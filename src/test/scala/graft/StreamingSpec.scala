@@ -883,4 +883,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === Seq((1L, 0L, 0), (1L, 1L, 2), (1L, 2L, 4),
       (2L, 0L, 0), (2L, 1L, 3)))
   }
+
+  test("H27 content-defined chunking runs at ingest: per-micro-batch " +
+    "chunks equal the batch chunker, zero stream state") {
+    // a doc's chunks derive entirely from its own row (every window in
+    // cdcChunks is doc-partitioned), so the chunker runs per
+    // micro-batch inside foreachBatch with zero state and any
+    // micro-batch boundary yields the batch-identical result — the
+    // F13/I5-stream ingest-gate stance applied to chunking
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val half = docs.count() / 2
+    val in = tempDir("graft_cdc_in")
+    docs.filter(col("doc_id") < half).write.parquet(s"$in/b0")
+    docs.filter(col("doc_id") >= half).write.parquet(s"$in/b1")
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String)]
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = graft.operators.TextAnalysis.cdcChunks(b).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .option("checkpointLocation", tempDir("graft_cdc_ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stateless = Option(q.lastProgress)
+      .forall(_.stateOperators.isEmpty)
+    q.stop()
+    assert(stateless, "ingest-time chunking must carry zero stream state")
+    val nBatches = buf.synchronized { buf.toSet }
+    val batch = graft.operators.TextAnalysis
+      .cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+    assert(nBatches === batch,
+      "streamed chunks must be row-identical to the batch chunker")
+  }
 }
