@@ -2046,7 +2046,64 @@ object Dedup {
        |LEFT JOIN drop_ids x ON x.doc_id = d.doc_id
        |GROUP BY source ORDER BY source""".stripMargin)
 
+  // ---------------------------------------------------------------- F25
+  /** CHUNK-LEVEL duplicate mass — what the H27 content-defined
+    * chunker exists FOR: per doc, the share of characters sitting in
+    * chunks whose md5 also appears in ANOTHER doc, in bp. The
+    * chunk-granular sibling of F17's 8-gram span ratio with a very
+    * different cost model: one row per ~32 chars instead of a
+    * per-token 8-position fan-out, and because boundaries are
+    * content-defined the shared passages of two near-copies land in
+    * IDENTICAL chunks even when an edit shifted their offsets (the
+    * H27 re-synchronization property doing dedup work). One chunk
+    * relation → one (chunk_md5 → distinct-doc count) map-side
+    * combinable aggregate → broadcast-scale semi-join back → per-doc
+    * rollup. All-integer ⇒ oracle-gated.
+    */
+  def chunkDupStats(docs: DataFrame): DataFrame = {
+    val chunks = TextAnalysis.cdcChunks(docs)
+      .select("doc_id", "chunk_len", "chunk_md5")
+    val shared = chunks
+      .groupBy("chunk_md5")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("chunk_md5")
+    chunks
+      .join(shared.withColumn("dup", lit(1L)), Seq("chunk_md5"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("dup").isNotNull, 1)).as("n_dup_chunks"),
+        sum("chunk_len").as("n_chars"),
+        sum(when(col("dup").isNotNull, col("chunk_len"))
+          .otherwise(0L)).as("n_dup_chars"))
+      .withColumn("dup_bp", expr("10000 * n_dup_chars DIV n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val dChunkDup: Q = Q(
+    (s, dir) => chunkDupStats(Tables.documents(s, dir)),
+    s"""WITH ${TextAnalysis.cdcChunkCteSql},
+       |shared AS MATERIALIZED (
+       |  SELECT chunk_md5 FROM (
+       |    SELECT chunk_md5, count(DISTINCT doc_id) AS nd
+       |    FROM chunks GROUP BY chunk_md5) WHERE nd >= 2)
+       |SELECT c.doc_id AS doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(count(CASE WHEN s.chunk_md5 IS NOT NULL THEN 1 END)
+       |    AS BIGINT) AS n_dup_chunks,
+       |  CAST(sum(c.chunk_len) AS BIGINT) AS n_chars,
+       |  CAST(sum(CASE WHEN s.chunk_md5 IS NOT NULL THEN c.chunk_len
+       |    ELSE 0 END) AS BIGINT) AS n_dup_chars,
+       |  CAST(10000 * CAST(sum(CASE WHEN s.chunk_md5 IS NOT NULL
+       |      THEN c.chunk_len ELSE 0 END) AS BIGINT)
+       |    // CAST(sum(c.chunk_len) AS BIGINT) AS BIGINT) AS dup_bp
+       |FROM chunks c
+       |LEFT JOIN shared s ON s.chunk_md5 = c.chunk_md5
+       |GROUP BY c.doc_id
+       |ORDER BY doc_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "d_chunk_dup" -> dChunkDup,
     "d_norm_exact" -> dNormExact,
     "d_dup_inflation" -> dDupInflation,
     "d_cluster_sizes" -> dClusterSizes,

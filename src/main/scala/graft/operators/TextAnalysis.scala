@@ -1784,10 +1784,14 @@ object TextAnalysis {
         .orderBy("doc_id", "chunk_idx")
   }
 
-  val tCdcChunk: Q = Q(
-    (s, dir) => cdcChunks(Tables.documents(s, dir)),
-    s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
-       |           FROM documents),
+  /** The chunk-relation oracle CTE chain, shared by H27 and F25:
+    * ends at `chunks` = (doc_id, chunk_idx, start, chunk_len,
+    * chunk_md5).
+    */
+  private[operators] val cdcChunkCteSql: String =
+    s"""d AS MATERIALIZED (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+       |  FROM documents),
        |bpos AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS pos
        |  FROM (SELECT doc_id, text,
@@ -1804,13 +1808,20 @@ object TextAnalysis {
        |      + 1, 1) AS start,
        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
        |      AS BIGINT) AS chunk_idx
-       |  FROM allb)
-       |SELECT c.doc_id AS doc_id, c.chunk_idx, c.start,
-       |  c.pos - c.start + 1 AS chunk_len,
-       |  md5(substr(d.text, CAST(c.start AS INT),
-       |    CAST(c.pos - c.start + 1 AS INT))) AS chunk_md5
-       |FROM ch c JOIN d ON d.doc_id = c.doc_id
-       |ORDER BY c.doc_id, c.chunk_idx""".stripMargin)
+       |  FROM allb),
+       |chunks AS MATERIALIZED (
+       |  SELECT c.doc_id AS doc_id, c.chunk_idx, c.start,
+       |    c.pos - c.start + 1 AS chunk_len,
+       |    md5(substr(d.text, CAST(c.start AS INT),
+       |      CAST(c.pos - c.start + 1 AS INT))) AS chunk_md5
+       |  FROM ch c JOIN d ON d.doc_id = c.doc_id)""".stripMargin
+
+  val tCdcChunk: Q = Q(
+    (s, dir) => cdcChunks(Tables.documents(s, dir)),
+    s"""WITH $cdcChunkCteSql
+       |SELECT doc_id, chunk_idx, start, chunk_len, chunk_md5
+       |FROM chunks
+       |ORDER BY doc_id, chunk_idx""".stripMargin)
 
   val registry: Map[String, Q] = Map(
     "t_cdc_chunk" -> tCdcChunk,

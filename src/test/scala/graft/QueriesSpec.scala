@@ -1604,6 +1604,35 @@ class QueriesSpec extends SparkSpec {
       Tables.documents(spark, sf).count())
   }
 
+  test("d_chunk_dup: accounting exact over the corpus; near-copies " +
+    "share chunk mass through an offset-shifting edit, unique text " +
+    "shares none") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("d_chunk_dup")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet ===
+      Tables.documents(spark, sf).select("doc_id").collect()
+        .map(_.getLong(0)).toSet, "one row per doc")
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1) &&
+      r.getLong(4) <= r.getLong(3)), "dup mass bounded by total mass")
+    assert(rows.forall(r => r.getLong(5) >= 0L && r.getLong(5) <= 10000L))
+    assert(rows.map(_.getLong(3)).sum ===
+      Tables.documents(spark, sf)
+        .agg(sum(length(col("text")))).head().getLong(0),
+      "chunk char mass conserves the corpus char mass")
+    // constructed: B = A with a short insertion (all offsets shift);
+    // C is unrelated. Content-defined boundaries must keep most of
+    // A/B's shared mass in identical chunks; C must carry zero.
+    val base = (1 to 500).map(i => s"tok${i % 23}x").mkString(" ")
+    val docs = Seq((1L, base), (2L, "EDIT " + base),
+      (3L, (1 to 500).map(i => s"zq${i % 29}w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val st = graft.operators.Dedup.chunkDupStats(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(st(1L) >= 6000L && st(2L) >= 6000L,
+      s"near-copies must share most chunk mass, got $st")
+    assert(st(3L) === 0L, "unique doc shares no chunk")
+  }
+
   test("d_dup_inflation: per-source accounting consistent with the " +
     "dedup corpus, inflation ≥ 10000 bp wherever defined") {
     val rows = SparkEntry.queries("d_dup_inflation")(spark, sf).collect()
