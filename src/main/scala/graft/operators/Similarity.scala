@@ -1623,25 +1623,55 @@ object Similarity {
        |  % ((cell_n + ${MaxKnnCell - 1}) // $MaxKnnCell)"""
       .stripMargin.replace("\n", " ")
 
+  /** The split-blocked within-cell candidate relation (vec_id, nbr),
+    * both directions, deduped — shared by G20's kNN graph and F26's
+    * SemDeDup drop rule. Scored SEPARATELY by each consumer so the
+    * fat embedding arrays never ride the explode.
+    */
+  private def knnCandidates(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    // thin split relation: (vec_id, cell, r, sub) — embeddings join
+    // back per side so the fat arrays never ride the explode
+    val split = emb
+      .withColumn("cell", ivfCellCol(kmCodebook(s, dir)))
+      .withColumn("cell_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cell")))
+      .withColumn("r",
+        explode(typedLit((0 until KnnSplitRounds).map(_.toLong))))
+      .withColumn("sub", expr(knnSubSpark))
+      .select("vec_id", "cell", "r", "sub")
+      .cache()
+    split
+      .join(split.select(col("vec_id").as("nbr"), col("cell"),
+        col("r"), col("sub")), Seq("cell", "r", "sub"))
+      .filter(col("vec_id") =!= col("nbr"))
+      .select("vec_id", "nbr").distinct()
+  }
+
+  /** Oracle CTE chain ending at `cand` = (vec_id, nbr) — the DuckDB
+    * replay of [[knnCandidates]]; shared by G20 and F26.
+    */
+  private val knnCandCteSql: String =
+    s"""$kmFinCteSql,
+       |asg AS MATERIALIZED (
+       |  SELECT emb.vec_id, emb.embedding, CAST(f.cl AS BIGINT) AS cell
+       |  FROM embeddings emb JOIN fin f ON f.vec_id = emb.vec_id),
+       |splitc AS MATERIALIZED (
+       |  SELECT vec_id, cell, r, $knnSubDuck AS sub
+       |  FROM (SELECT vec_id, cell,
+       |          count(*) OVER (PARTITION BY cell) AS cell_n
+       |        FROM asg),
+       |       (SELECT unnest(range($KnnSplitRounds)) AS r) rr),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr
+       |  FROM splitc a JOIN splitc b
+       |    ON b.cell = a.cell AND b.r = a.r AND b.sub = a.sub
+       |    AND b.vec_id <> a.vec_id)""".stripMargin
+
   val sKnnGraph: Q = Q(
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      // thin split relation: (vec_id, cell, r, sub) — embeddings join
-      // back per side so the fat arrays never ride the explode
-      val split = emb
-        .withColumn("cell", ivfCellCol(kmCodebook(s, dir)))
-        .withColumn("cell_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("cell")))
-        .withColumn("r",
-          explode(typedLit((0 until KnnSplitRounds).map(_.toLong))))
-        .withColumn("sub", expr(knnSubSpark))
-        .select("vec_id", "cell", "r", "sub")
-        .cache()
-      val cand = split
-        .join(split.select(col("vec_id").as("nbr"), col("cell"),
-          col("r"), col("sub")), Seq("cell", "r", "sub"))
-        .filter(col("vec_id") =!= col("nbr"))
-        .select("vec_id", "nbr").distinct()
+      val cand = knnCandidates(s, dir)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id")
         .orderBy(col("score_micro").desc, col("nbr"))
@@ -1656,21 +1686,7 @@ object Similarity {
         .filter(col("rn") <= KnnGraphK)
         .orderBy("vec_id", "rn")
     },
-    s"""WITH $kmFinCteSql,
-       |asg AS MATERIALIZED (
-       |  SELECT emb.vec_id, emb.embedding, CAST(f.cl AS BIGINT) AS cell
-       |  FROM embeddings emb JOIN fin f ON f.vec_id = emb.vec_id),
-       |splitc AS MATERIALIZED (
-       |  SELECT vec_id, cell, r, $knnSubDuck AS sub
-       |  FROM (SELECT vec_id, cell,
-       |          count(*) OVER (PARTITION BY cell) AS cell_n
-       |        FROM asg),
-       |       (SELECT unnest(range($KnnSplitRounds)) AS r) rr),
-       |cand AS MATERIALIZED (
-       |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr
-       |  FROM splitc a JOIN splitc b
-       |    ON b.cell = a.cell AND b.r = a.r AND b.sub = a.sub
-       |    AND b.vec_id <> a.vec_id),
+    s"""WITH $knnCandCteSql,
        |scored AS (
        |  SELECT c.vec_id, c.nbr,
        |    ${scoreMicroSql("l.embedding", "r2.embedding")} AS score_micro
@@ -1683,6 +1699,82 @@ object Similarity {
        |  FROM scored)
        |WHERE rn <= $KnnGraphK
        |ORDER BY vec_id, rn""".stripMargin)
+
+  // --------------------------------------------------------------- F26
+  /** SEMANTIC DEDUPLICATION — the SemDeDup scheme (Abbas et al. 2023,
+    * arXiv:2303.09540) the G20 docstring names as the kNN graph's
+    * first consumer: embeddings are clustered (here the label-free km
+    * codebook, G14's production quantizer), and WITHIN each cluster a
+    * vector is dropped when its cosine to another cluster member
+    * clears [[SemDupMicro]]. The published implementation resolves
+    * "keep one of the pair" by a fixed ordering over the upper
+    * triangle of the within-cluster similarity matrix — exactly the
+    * min-id dominance rule used here: v is dropped iff SOME same-cell
+    * candidate u < v scores ≥ τ (whether or not u itself survives —
+    * the paper's rule, NOT connected components: a similarity chain
+    * a~b~c with a≁c keeps a and c, where component dedup would
+    * over-drop c). Candidates
+    * are [[knnCandidates]] — same split-don't-drop occupancy policy,
+    * so over-cap cells degrade recall, never cost. Per vector: its
+    * cell, how many smaller-id semantic dups dominate it, the
+    * smallest such keeper and the strongest similarity — the drop
+    * LIST with its evidence, not just a count. τ here is calibrated
+    * to this synthetic corpus (= F6's near-dup bar; a real embedding
+    * model runs ~0.95e6). All-integer ⇒ oracle-gated.
+    */
+  val SemDupMicro = 350000L
+
+  val dSemDedup: Q = Q(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val doms = knnCandidates(s, dir)
+        .filter(col("nbr") < col("vec_id"))
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(emb.select(col("vec_id").as("nbr"),
+          col("embedding").as("nbr_embedding")), "nbr")
+        .select(col("vec_id"), col("nbr"),
+          nativeScoreMicro(s, "embedding", "nbr_embedding")
+            .as("score_micro"))
+        .filter(col("score_micro") >= SemDupMicro)
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_sem_dups"),
+          min("nbr").as("keeper"),
+          max("score_micro").as("max_sim_micro"))
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          ivfCellCol(kmCodebook(s, dir)).as("cell"))
+        .join(doms, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("n_sem_dups"), lit(0L)).as("n_sem_dups"),
+          when(col("keeper").isNull, lit(1L)).otherwise(lit(0L))
+            .as("kept"),
+          col("keeper"), col("max_sim_micro"))
+        .orderBy("vec_id")
+    },
+    s"""WITH $knnCandCteSql,
+       |doms AS (
+       |  SELECT vec_id,
+       |    CAST(count(*) AS BIGINT) AS n_sem_dups,
+       |    min(nbr) AS keeper,
+       |    max(score_micro) AS max_sim_micro
+       |  FROM (
+       |    SELECT c.vec_id, c.nbr,
+       |      ${scoreMicroSql("l.embedding", "r2.embedding")}
+       |        AS score_micro
+       |    FROM cand c
+       |    JOIN asg l ON l.vec_id = c.vec_id
+       |    JOIN asg r2 ON r2.vec_id = c.nbr
+       |    WHERE c.nbr < c.vec_id)
+       |  WHERE score_micro >= $SemDupMicro
+       |  GROUP BY vec_id)
+       |SELECT a.vec_id, a.cell,
+       |  CAST(coalesce(d.n_sem_dups, 0) AS BIGINT) AS n_sem_dups,
+       |  CAST(CASE WHEN d.keeper IS NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS kept,
+       |  d.keeper, d.max_sim_micro
+       |FROM asg a
+       |LEFT JOIN doms d ON d.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin)
 
   // --------------------------------------------------------------- G21
   /** RANGE SEARCH — every vector within a similarity RADIUS of the
@@ -1986,6 +2078,7 @@ object Similarity {
     "s_ann_rerank" -> sAnnRerank,
     "s_hybrid_topk" -> sHybridTopk,
     "s_knn_graph" -> sKnnGraph,
+    "d_semdedup" -> dSemDedup,
     "s_range_search" -> sRangeSearch,
     "s_mmr" -> sMmr,
     "s_ann_filtered" -> sAnnFiltered,

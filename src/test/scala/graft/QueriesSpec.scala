@@ -1669,6 +1669,55 @@ class QueriesSpec extends SparkSpec {
       "kNN-graph edges never cross quantizer cells")
   }
 
+  test("d_semdedup: min-id dominance exact vs the brute within-cell " +
+    "pair relation (cells under-cap ⇒ the split policy must lose " +
+    "nothing); per-cell min always kept") {
+    import graft.operators.Similarity
+    val out = SparkEntry.queries("d_semdedup")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // kept ⟺ no keeper; evidence columns coherent
+    assert(out.forall { r =>
+      if (r.getLong(3) == 1L) r.isNullAt(4) && r.getLong(2) == 0L
+      else !r.isNullAt(4) && r.getLong(4) < r.getLong(0) &&
+        r.getLong(5) >= Similarity.SemDupMicro && r.getLong(2) >= 1L
+    }, "kept/keeper/evidence coherence")
+    // the smallest vec_id in every cell has no smaller-id witness
+    val minPerCell = out.groupBy(_.getLong(1)).values
+      .map(_.minBy(_.getLong(0)))
+    assert(minPerCell.forall(_.getLong(3) == 1L),
+      "per-cell min-id vector is always kept")
+    // brute: same-cell smaller-id pairs ≥ τ, computed with the exact
+    // kernel and NO split blocking — must agree row-for-row
+    val withEmb = SparkEntry.queries("d_semdedup")(spark, sf)
+      .select("vec_id", "cell")
+      .join(Tables.embeddings(spark, sf)
+        .select("vec_id", "embedding"), "vec_id")
+    val a = withEmb.select(col("vec_id").as("va"), col("cell"),
+      col("embedding").as("ea"))
+    val b = withEmb.select(col("vec_id").as("vb"), col("cell"),
+      col("embedding").as("eb"))
+    val brute = a.join(b, Seq("cell")).filter(col("vb") < col("va"))
+      .select(col("va"), col("vb"),
+        Similarity.nativeScoreMicro(spark, "ea", "eb").as("s"))
+      .filter(col("s") >= Similarity.SemDupMicro)
+      .groupBy("va")
+      .agg(min("vb").as("k"), max("s").as("m"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    for (r <- out) {
+      brute.get(r.getLong(0)) match {
+        case Some((k, m, n)) =>
+          assert(r.getLong(3) === 0L && r.getLong(4) === k &&
+            r.getLong(5) === m && r.getLong(2) === n,
+            s"vec ${r.getLong(0)} disagrees with brute dominance")
+        case None =>
+          assert(r.getLong(3) === 1L,
+            s"vec ${r.getLong(0)} dropped without a brute witness")
+      }
+    }
+  }
+
   test("s_range_search: every hit clears the radius with its EXACT " +
     "kernel score, and hits are a subset of the brute-force radius set") {
     import graft.operators.Similarity
