@@ -1700,6 +1700,50 @@ object Similarity {
        |WHERE rn <= $KnnGraphK
        |ORDER BY vec_id, rn""".stripMargin)
 
+  // --------------------------------------------------------------- G23
+  /** kNN-AGREEMENT FILTER — per vector, the share of its kNN-graph
+    * neighbors carrying the SAME label, in bp: the standard
+    * neighborhood-consistency mislabel/outlier signal (a vector whose
+    * nearest neighbors all disagree with its label is either
+    * mislabeled or an off-manifold outlier — either way a curation
+    * candidate), and the third consumer of the G20 standing graph the
+    * docstring promises. Pure composition: the k edges per vector
+    * join the thin (vec_id, label) relation twice — broadcast-scale
+    * against the graph — then one map-side-combinable count/agree
+    * rollup. A vector alone in its quantizer cell has no graph edges
+    * and no row here (agreement over zero neighbors is undefined, not
+    * 0 — dropping silent vectors would masquerade as maximal
+    * disagreement). All-integer ⇒ oracle-gated.
+    */
+  val sKnnAgreement: Q = Q(
+    (s, dir) => {
+      val lab = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("label"))
+      sKnnGraph.fn(s, dir)
+        .select("vec_id", "nbr")
+        .join(lab, "vec_id")
+        .join(lab.select(col("vec_id").as("nbr"),
+          col("label").as("nbr_label")), "nbr")
+        .groupBy("vec_id", "label")
+        .agg(count(lit(1)).as("n_nbrs"),
+          count(when(col("nbr_label") === col("label"), 1))
+            .as("n_agree"))
+        .withColumn("agree_bp", expr("10000 * n_agree DIV n_nbrs"))
+        .orderBy("vec_id")
+    },
+    s"""WITH agg AS (
+       |  SELECT g.vec_id, e.label,
+       |    CAST(count(*) AS BIGINT) AS n_nbrs,
+       |    CAST(count(CASE WHEN ne.label = e.label THEN 1 END)
+       |      AS BIGINT) AS n_agree
+       |  FROM (SELECT vec_id, nbr FROM (${sKnnGraph.oracle.get})) g
+       |  JOIN embeddings e ON e.vec_id = g.vec_id
+       |  JOIN embeddings ne ON ne.vec_id = g.nbr
+       |  GROUP BY g.vec_id, e.label)
+       |SELECT vec_id, label, n_nbrs, n_agree,
+       |  CAST(10000 * n_agree // n_nbrs AS BIGINT) AS agree_bp
+       |FROM agg ORDER BY vec_id""".stripMargin)
+
   // --------------------------------------------------------------- F26
   /** SEMANTIC DEDUPLICATION — the SemDeDup scheme (Abbas et al. 2023,
     * arXiv:2303.09540) the G20 docstring names as the kNN graph's
@@ -2078,6 +2122,7 @@ object Similarity {
     "s_ann_rerank" -> sAnnRerank,
     "s_hybrid_topk" -> sHybridTopk,
     "s_knn_graph" -> sKnnGraph,
+    "s_knn_agreement" -> sKnnAgreement,
     "d_semdedup" -> dSemDedup,
     "s_range_search" -> sRangeSearch,
     "s_mmr" -> sMmr,

@@ -1669,6 +1669,30 @@ class QueriesSpec extends SparkSpec {
       "kNN-graph edges never cross quantizer cells")
   }
 
+  test("s_knn_agreement: exact re-derivation from the kNN graph + " +
+    "labels; bounds coherent") {
+    val ag = SparkEntry.queries("s_knn_agreement")(spark, sf).collect()
+    assert(ag.nonEmpty)
+    assert(ag.forall(r => r.getLong(3) <= r.getLong(2) &&
+      r.getLong(2) <= graft.operators.Similarity.KnnGraphK &&
+      r.getLong(4) === 10000L * r.getLong(3) / r.getLong(2)))
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = SparkEntry.queries("s_knn_graph")(spark, sf)
+      .select("vec_id", "nbr").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1)
+      .map { case (v, es) =>
+        v -> ((es.length.toLong,
+          es.count(e => labels(e._2) == labels(v)).toLong))
+      }
+    assert(ag.map(_.getLong(0)).toSet === expected.keySet)
+    for (r <- ag)
+      assert((r.getLong(2), r.getLong(3)) === expected(r.getLong(0)),
+        s"vec ${r.getLong(0)} agreement mismatch")
+  }
+
   test("d_semdedup: min-id dominance exact vs the brute within-cell " +
     "pair relation (cells under-cap ⇒ the split policy must lose " +
     "nothing); per-cell min always kept") {
