@@ -2102,8 +2102,125 @@ object Dedup {
        |GROUP BY c.doc_id
        |ORDER BY doc_id""".stripMargin)
 
+  // ---------------------------------------------------------------- F27
+  /** THE DEDUP REPORT CARD — one row per source composing every dedup
+    * rung's per-source damage into the single table a corpus release
+    * reviews (the F-family's H26): raw doc/char mass, byte-exact
+    * duplicate docs (F1's rule), normalize-then-exact duplicates
+    * (F23's rule — the gap between the two columns IS the
+    * reformatting-dup mass), near-dup drops (F8's materialized
+    * cluster map, F9's rule), and chunk-level duplicate char share
+    * (F25's rule rolled up to the source). Each rung keeps its own
+    * plan shape: the two hash rungs are thin (source, doc_id, key)
+    * window-min relations — the fat text column never crosses a
+    * shuffle, the md5 does; the near-dup rung is the broadcast-scale
+    * drop-list left join; the chunk rung joins the thin doc→source
+    * map into F25's chunk relation. The S-row rung outputs then join
+    * on source. `chunk_dup_bp` is 0 for a source with no chunk mass
+    * (all-empty texts), matching F25's absent-doc stance.
+    */
+  val dDedupCard: Q = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val w = Window.partitionBy("k")
+      def dupDocs(key: Column, out: String): DataFrame =
+        docs.select(col("source"), col("doc_id"), key.as("k"))
+          .withColumn("keep", min("doc_id").over(w))
+          .filter(col("doc_id") =!= col("keep"))
+          .groupBy("source").agg(count(lit(1)).as(out))
+      val exactD = dupDocs(md5(col("text")), "exact_dup_docs")
+      val normD = dupDocs(normKey(col("text")), "norm_dup_docs")
+      val drop = sizeGatedBroadcast(clusterMap(s, dir)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id").localCheckpoint(true))
+      val nearD = docs.select("source", "doc_id")
+        .join(drop.withColumn("dropped", lit(1L)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(when(col("dropped").isNotNull, 1))
+          .as("neardup_drop_docs"))
+      val chunks = TextAnalysis.cdcChunks(docs)
+        .select("doc_id", "chunk_len", "chunk_md5")
+      val sharedC = chunks.groupBy("chunk_md5")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("chunk_md5")
+      val chunkD = chunks
+        .join(sharedC.withColumn("dup", lit(1L)), Seq("chunk_md5"), "left")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(sum("chunk_len").as("cc"),
+          sum(when(col("dup").isNotNull, col("chunk_len"))
+            .otherwise(0L)).as("dc"))
+        .select(col("source"),
+          when(col("cc") > 0, expr("10000 * dc DIV cc"))
+            .otherwise(lit(0L)).as("chunk_dup_bp"))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+        .join(exactD, Seq("source"), "left")
+        .join(normD, Seq("source"), "left")
+        .join(nearD, Seq("source"), "left")
+        .join(chunkD, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          coalesce(col("exact_dup_docs"), lit(0L)).as("exact_dup_docs"),
+          coalesce(col("norm_dup_docs"), lit(0L)).as("norm_dup_docs"),
+          coalesce(col("neardup_drop_docs"), lit(0L))
+            .as("neardup_drop_docs"),
+          coalesce(col("chunk_dup_bp"), lit(0L)).as("chunk_dup_bp"))
+        .orderBy("source")
+    },
+    s"""WITH $clustersCteSql,
+       |${TextAnalysis.cdcChunkCteSql},
+       |exact_d AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS exact_dup_docs
+       |  FROM (SELECT source, doc_id,
+       |          min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+       |        FROM documents)
+       |  WHERE doc_id <> keep GROUP BY source),
+       |norm_d AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS norm_dup_docs
+       |  FROM (SELECT source, doc_id,
+       |          min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(
+       |            lower(text), '[^a-z0-9]+', ' ', 'g')))) AS keep
+       |        FROM documents)
+       |  WHERE doc_id <> keep GROUP BY source),
+       |near_d AS (
+       |  SELECT d2.source, CAST(count(x.doc_id) AS BIGINT)
+       |    AS neardup_drop_docs
+       |  FROM documents d2
+       |  LEFT JOIN (SELECT doc_id FROM l$Iters WHERE doc_id <> label) x
+       |    ON x.doc_id = d2.doc_id
+       |  GROUP BY d2.source),
+       |chunk_d AS (
+       |  SELECT d3.source,
+       |    CAST(CASE WHEN sum(c.chunk_len) > 0
+       |      THEN 10000 * CAST(sum(CASE WHEN sh.chunk_md5 IS NOT NULL
+       |          THEN c.chunk_len ELSE 0 END) AS BIGINT)
+       |        // CAST(sum(c.chunk_len) AS BIGINT)
+       |      ELSE 0 END AS BIGINT) AS chunk_dup_bp
+       |  FROM chunks c
+       |  LEFT JOIN (SELECT chunk_md5 FROM (
+       |      SELECT chunk_md5, count(DISTINCT doc_id) AS nd
+       |      FROM chunks GROUP BY chunk_md5) WHERE nd >= 2) sh
+       |    ON sh.chunk_md5 = c.chunk_md5
+       |  JOIN documents d3 ON d3.doc_id = c.doc_id
+       |  GROUP BY d3.source)
+       |SELECT b.source, b.n_docs, b.n_chars,
+       |  coalesce(e.exact_dup_docs, 0) AS exact_dup_docs,
+       |  coalesce(n.norm_dup_docs, 0) AS norm_dup_docs,
+       |  coalesce(nd.neardup_drop_docs, 0) AS neardup_drop_docs,
+       |  coalesce(c.chunk_dup_bp, 0) AS chunk_dup_bp
+       |FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |      FROM documents GROUP BY source) b
+       |LEFT JOIN exact_d e ON e.source = b.source
+       |LEFT JOIN norm_d n ON n.source = b.source
+       |LEFT JOIN near_d nd ON nd.source = b.source
+       |LEFT JOIN chunk_d c ON c.source = b.source
+       |ORDER BY b.source""".stripMargin)
+
   val registry: Map[String, Q] = Map(
     "d_chunk_dup" -> dChunkDup,
+    "d_dedup_card" -> dDedupCard,
     "d_norm_exact" -> dNormExact,
     "d_dup_inflation" -> dDupInflation,
     "d_cluster_sizes" -> dClusterSizes,

@@ -1633,6 +1633,41 @@ class QueriesSpec extends SparkSpec {
     assert(st(3L) === 0L, "unique doc shares no chunk")
   }
 
+  test("d_dedup_card: every rung column reconciles with its component " +
+    "query") {
+    val card = SparkEntry.queries("d_dedup_card")(spark, sf).collect()
+    assert(card.nonEmpty)
+    assert(card.map(_.getLong(1)).sum ===
+      Tables.documents(spark, sf).count())
+    // Σ exact/norm dup docs ≡ Σ (n_copies − 1) of the rung queries
+    def dupTotal(q: String): Long =
+      SparkEntry.queries(q)(spark, sf).collect()
+        .map(r => r.getLong(r.length - 1) - 1L).sum
+    assert(card.map(_.getLong(3)).sum === dupTotal("d_exact"),
+      "exact rung reconciles with d_exact")
+    assert(card.map(_.getLong(4)).sum === dupTotal("d_norm_exact"),
+      "norm rung reconciles with d_norm_exact")
+    // near-dup drops per source ≡ F24's n_docs − n_docs_dedup
+    val infl = SparkEntry.queries("d_dup_inflation")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1) - r.getLong(3))).toMap
+    for (r <- card)
+      assert(r.getLong(5) === infl(r.getString(0)),
+        s"near-dup rung disagrees with d_dup_inflation for ${r.getString(0)}")
+    // chunk rung ≡ F25 rolled up by source
+    val docSrc = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySrc = SparkEntry.queries("d_chunk_dup")(spark, sf).collect()
+      .groupBy(r => docSrc(r.getLong(0)))
+      .map { case (src, rs) =>
+        val cc = rs.map(_.getLong(3)).sum
+        val dc = rs.map(_.getLong(4)).sum
+        src -> (if (cc > 0) 10000L * dc / cc else 0L)
+      }
+    for (r <- card)
+      assert(r.getLong(6) === bySrc.getOrElse(r.getString(0), 0L),
+        s"chunk rung disagrees with d_chunk_dup for ${r.getString(0)}")
+  }
+
   test("d_dup_inflation: per-source accounting consistent with the " +
     "dedup corpus, inflation ≥ 10000 bp wherever defined") {
     val rows = SparkEntry.queries("d_dup_inflation")(spark, sf).collect()
