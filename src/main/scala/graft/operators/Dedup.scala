@@ -1528,6 +1528,75 @@ object Dedup {
        |LEFT JOIN dups u ON u.new_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin)
 
+  // ---------------------------------------------------------------- F28
+  /** INCREMENTAL CHUNK-LEVEL DEDUP — F13's crawl-ingest question
+    * asked at F25's chunk granularity: for each doc in a NEW batch
+    * (H8's deterministic carve, standing = the rest), how much of its
+    * char mass is ALREADY in the corpus, measured as chunks whose md5
+    * hits the standing chunk index. Where F13 answers "is this new
+    * doc a near-copy of some old doc" (a pairwise verdict), this
+    * answers "how many of this new doc's BYTES are old" — the
+    * dedup-at-landing accounting a crawl pipeline bills on (a 9000 bp
+    * doc is re-crawl; a 3000 bp doc is an update worth keeping with
+    * its novel spans). The standing index is a materialized
+    * [[graft.sources.ArtifactStore]] lake table of DISTINCT chunk
+    * md5s — built once, hit by every batch; only the BATCH is ever
+    * chunked at query time, and the probe is one semi-join shape
+    * against an index whose size tracks unique corpus content, not
+    * corpus mass. All-integer ⇒ oracle-gated.
+    */
+  private val chunkIndexCache =
+    graft.Artifacts.cache[DataFrame]("dedup.chunkIndex")
+
+  /** Distinct chunk-md5 index over the standing (non-batch) corpus —
+    * the lake artifact incremental chunk dedup probes.
+    */
+  private[graft] def chunkIndex(s: SparkSession, dir: String): DataFrame =
+    chunkIndexCache.getOrElseUpdate(s, dir)(
+      graft.sources.ArtifactStore.materialize(s, "dedup.chunkIndex", dir)(
+        TextAnalysis.cdcChunks(Tables.documents(s, dir)
+          .filter(col("doc_id") % 5 =!= 4))
+          .select("chunk_md5").distinct()))
+
+  val dIncrChunk: Q = Q(
+    (s, dir) => {
+      val newDocs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 4)
+      TextAnalysis.cdcChunks(newDocs)
+        .select("doc_id", "chunk_len", "chunk_md5")
+        .join(chunkIndex(s, dir).withColumn("hit", lit(1L)),
+          Seq("chunk_md5"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("chunk_len").as("n_chars"),
+          sum(when(col("hit").isNotNull, col("chunk_len"))
+            .otherwise(0L)).as("n_known_chars"))
+        .withColumn("known_bp", expr("10000 * n_known_chars DIV n_chars"))
+        .join(newDocs.select("doc_id", "source"), Seq("doc_id"))
+        .select("doc_id", "source", "n_chunks", "n_chars",
+          "n_known_chars", "known_bp")
+        .orderBy("doc_id")
+    },
+    s"""WITH ${TextAnalysis.cdcChunkCteSql},
+       |standing AS MATERIALIZED (
+       |  SELECT DISTINCT chunk_md5 FROM chunks WHERE doc_id % 5 <> 4),
+       |agg AS (
+       |  SELECT c.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_chunks,
+       |    CAST(sum(c.chunk_len) AS BIGINT) AS n_chars,
+       |    CAST(sum(CASE WHEN st.chunk_md5 IS NOT NULL THEN c.chunk_len
+       |      ELSE 0 END) AS BIGINT) AS n_known_chars
+       |  FROM chunks c
+       |  LEFT JOIN standing st ON st.chunk_md5 = c.chunk_md5
+       |  WHERE c.doc_id % 5 = 4
+       |  GROUP BY c.doc_id)
+       |SELECT a.doc_id, d.source, a.n_chunks, a.n_chars,
+       |  a.n_known_chars,
+       |  CAST(10000 * a.n_known_chars // a.n_chars AS BIGINT)
+       |    AS known_bp
+       |FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+       |ORDER BY a.doc_id""".stripMargin)
+
   // ---------------------------------------------------------------- F12
   /** Span-level duplicate detection — the winnowing answer to "these
     * two docs share a long copied PASSAGE" (partial overlap that
@@ -2228,6 +2297,7 @@ object Dedup {
     "d_strip_spans" -> dStripSpans,
     "d_span_dup" -> dSpanDup,
     "d_incr_dedup" -> dIncrDedup,
+    "d_incr_chunk" -> dIncrChunk,
     "d_minhash_est" -> dMinhashEst,
     "d_source_overlap" -> dSourceOverlap,
     "d_ppjoin" -> dPpjoin,

@@ -1668,6 +1668,32 @@ class QueriesSpec extends SparkSpec {
         s"chunk rung disagrees with d_chunk_dup for ${r.getString(0)}")
   }
 
+  test("d_incr_chunk: exact re-derivation — batch chunks probed " +
+    "against the standing distinct-md5 set; carve and bounds hold") {
+    val out = SparkEntry.queries("d_incr_chunk")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(0) % 5 == 4), "batch carve respected")
+    assert(out.forall(r => r.getLong(4) <= r.getLong(3) &&
+      r.getLong(5) === 10000L * r.getLong(4) / r.getLong(3)))
+    val chunks = graft.operators.TextAnalysis
+      .cdcChunks(Tables.documents(spark, sf))
+      .select("doc_id", "chunk_len", "chunk_md5").collect()
+    val standing = chunks.filter(_.getLong(0) % 5 != 4)
+      .map(_.getString(2)).toSet
+    val expected = chunks.filter(_.getLong(0) % 5 == 4)
+      .groupBy(_.getLong(0))
+      .map { case (d, rs) =>
+        d -> ((rs.length.toLong, rs.map(_.getLong(1)).sum,
+          rs.filter(r => standing(r.getString(2)))
+            .map(_.getLong(1)).sum))
+      }
+    assert(out.map(_.getLong(0)).toSet === expected.keySet)
+    for (r <- out)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        expected(r.getLong(0)),
+        s"doc ${r.getLong(0)} disagrees with the re-derivation")
+  }
+
   test("d_dup_inflation: per-source accounting consistent with the " +
     "dedup corpus, inflation ≥ 10000 bp wherever defined") {
     val rows = SparkEntry.queries("d_dup_inflation")(spark, sf).collect()
