@@ -1713,6 +1713,60 @@ object LakeMerge {
        |FROM base WHERE k % 5 = 0 AND k <> 0
        |ORDER BY k""".stripMargin)
 
+  // ---------------------------------------------------------------- L26
+  /** STATE-BASED VERSION DIFF — the semantic diff between two
+    * snapshots computed from the SNAPSHOTS THEMSELVES (full outer
+    * join on the merge key, classify insert/update/delete, updates
+    * carry BOTH images), not from stored CDC rows: the fallback every
+    * lake needs when the change feed wasn't captured for a version
+    * range, and the reconciliation tool that PROVES the stored feed
+    * against table state (L5 reads what the writer recorded; this
+    * derives what must have happened — spec pins them equal on the
+    * shared table, two independent code paths agreeing). State-based
+    * also collapses intermediate churn: diffing v0→vN reports net
+    * row-level change however many commits happened between. Scale:
+    * both sides are manifest-pruned snapshot reads and the join
+    * shuffles on the merge key — the same key both versions' MERGEs
+    * clustered by.
+    */
+  val lVersionDiff: Q = Q(
+    (s, dir) => {
+      val t = mergedTable(s, dir)
+      val v0 = read(s, t, Some(0)).select(col("k"),
+        col("dt").as("dt0"), col("cust").as("cust0"),
+        col("price_cents").as("p0"))
+      val v1 = read(s, t, Some(1))
+        .select(col("k"), col("dt"), col("cust"), col("price_cents"))
+      v1.join(v0, Seq("k"), "full_outer")
+        .withColumn("change_type",
+          when(col("p0").isNull, lit("insert"))
+            .when(col("price_cents").isNull, lit("delete"))
+            .when(col("price_cents") =!= col("p0") ||
+              col("cust") =!= col("cust0") ||
+              col("dt") =!= col("dt0"), lit("update"))
+            .otherwise(lit("unchanged")))
+        .filter(col("change_type") =!= "unchanged")
+        .select(col("change_type"), col("k"),
+          coalesce(col("dt"), col("dt0")).as("dt"),
+          coalesce(col("cust"), col("cust0")).as("cust"),
+          col("price_cents"), col("p0").as("old_price_cents"))
+        .orderBy("k", "change_type")
+    },
+    s"""WITH base AS ($ordersBaseSql)
+       |SELECT 'update' AS change_type, k, dt, cust,
+       |  price_cents * 2 AS price_cents,
+       |  price_cents AS old_price_cents
+       |FROM base WHERE k % 7 = 0 AND k % 13 <> 0
+       |UNION ALL
+       |SELECT 'delete', k, dt, cust, CAST(NULL AS BIGINT),
+       |  price_cents
+       |FROM base WHERE k % 13 = 0
+       |UNION ALL
+       |SELECT 'insert', -k, dt, CAST(0 AS BIGINT), price_cents,
+       |  CAST(NULL AS BIGINT)
+       |FROM base WHERE k % 5 = 0 AND k <> 0
+       |ORDER BY k, change_type""".stripMargin)
+
   // ---------------------------------------------------------------- L22
   /** The FULL CDC replay since table creation ([[changesSinceCreation]]):
     * v0's rows as `insert` followed by the v0→v1 diff — the feed a
@@ -1999,6 +2053,7 @@ object LakeMerge {
     "l_merge_upsert" -> lMergeUpsert,
     "l_merge_history" -> lMergeHistory,
     "l_change_feed" -> lChangeFeed,
+    "l_version_diff" -> lVersionDiff,
     "l_changes_full" -> lChangesFull,
     "l_compact_read" -> lCompactRead,
     "l_incr_agg" -> lIncrAgg,

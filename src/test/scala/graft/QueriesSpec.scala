@@ -1730,6 +1730,32 @@ class QueriesSpec extends SparkSpec {
       "kNN-graph edges never cross quantizer cells")
   }
 
+  test("l_version_diff: the state-derived diff agrees with the stored " +
+    "CDC feed — two independent code paths, one verdict") {
+    val diff = SparkEntry.queries("l_version_diff")(spark, sf).collect()
+    val feed = SparkEntry.queries("l_change_feed")(spark, sf).collect()
+    assert(diff.nonEmpty && diff.length === feed.length)
+    // normalize to (type, k, cust, post_price, pre_price): the feed
+    // carries the delete preimage in price_cents, the diff in
+    // old_price_cents
+    val dset = diff.map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5))
+    }.toSet
+    val fset = feed.map { r =>
+      val t = r.getString(0)
+      val price = r.getLong(4)
+      t match {
+        case "delete" => (t, r.getLong(1), r.getLong(3), -1L, price)
+        case "insert" => (t, r.getLong(1), r.getLong(3), price, -1L)
+        case _        => (t, r.getLong(1), r.getLong(3), price,
+          price / 2) // update doubled the price; preimage = half
+      }
+    }.toSet
+    assert(dset === fset, "state diff and stored feed disagree")
+  }
+
   test("s_knn_agreement: exact re-derivation from the kNN graph + " +
     "labels; bounds coherent") {
     val ag = SparkEntry.queries("s_knn_agreement")(spark, sf).collect()
