@@ -1744,6 +1744,62 @@ object Similarity {
        |  CAST(10000 * n_agree // n_nbrs AS BIGINT) AS agree_bp
        |FROM agg ORDER BY vec_id""".stripMargin)
 
+  // --------------------------------------------------------------- G24
+  /** EMBEDDING-DISTRIBUTION DRIFT — the monitor every embedding
+    * pipeline runs when a new crawl batch lands (H23's `t_drift`
+    * stance moved into embedding space): per production-quantizer
+    * cell (the km codebook — the SAME cells the ANN index and
+    * SemDeDup live on), the standing corpus's occupancy share vs the
+    * new batch's (F13/F28's deterministic carve), in bp, plus the
+    * absolute per-cell delta. Σ delta_bp / 2 is total-variation
+    * distance — drift concentrated in one cell says "the new crawl
+    * found a new mode; retrain the codebook before the index quality
+    * quietly rots" (cells are trained artifacts: drift here IS index
+    * staleness, not just data change). One map-only cell assignment,
+    * one map-side-combinable conditional count, totals broadcast.
+    * All-integer ⇒ oracle-gated.
+    */
+  val sEmbedDrift: Q = Q(
+    (s, dir) => {
+      val asg = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          ivfCellCol(kmCodebook(s, dir)).as("cell"),
+          (col("vec_id") % 5 === 4).as("is_new"))
+      val cells = asg.groupBy("cell")
+        .agg(count(when(!col("is_new"), 1)).as("n_standing"),
+          count(when(col("is_new"), 1)).as("n_batch"))
+      val tots = cells.agg(sum("n_standing").as("ts"),
+        sum("n_batch").as("tb"))
+      cells.crossJoin(broadcast(tots))
+        .select(col("cell"), col("n_standing"), col("n_batch"),
+          expr("10000 * n_standing DIV ts").as("standing_bp"),
+          expr("10000 * n_batch DIV tb").as("batch_bp"))
+        .withColumn("delta_bp", abs(col("standing_bp") - col("batch_bp")))
+        .orderBy("cell")
+    },
+    s"""WITH $kmFinCteSql,
+       |asg AS (
+       |  SELECT vec_id, CAST(cl AS BIGINT) AS cell,
+       |    vec_id % 5 = 4 AS is_new
+       |  FROM fin),
+       |cells AS (
+       |  SELECT cell,
+       |    CAST(count(CASE WHEN NOT is_new THEN 1 END) AS BIGINT)
+       |      AS n_standing,
+       |    CAST(count(CASE WHEN is_new THEN 1 END) AS BIGINT)
+       |      AS n_batch
+       |  FROM asg GROUP BY cell),
+       |tots AS (
+       |  SELECT CAST(sum(n_standing) AS BIGINT) AS ts,
+       |    CAST(sum(n_batch) AS BIGINT) AS tb
+       |  FROM cells)
+       |SELECT cell, n_standing, n_batch,
+       |  CAST(10000 * n_standing // ts AS BIGINT) AS standing_bp,
+       |  CAST(10000 * n_batch // tb AS BIGINT) AS batch_bp,
+       |  CAST(abs(10000 * n_standing // ts - 10000 * n_batch // tb)
+       |    AS BIGINT) AS delta_bp
+       |FROM cells, tots ORDER BY cell""".stripMargin)
+
   // --------------------------------------------------------------- F26
   /** SEMANTIC DEDUPLICATION — the SemDeDup scheme (Abbas et al. 2023,
     * arXiv:2303.09540) the G20 docstring names as the kNN graph's
@@ -2123,6 +2179,7 @@ object Similarity {
     "s_hybrid_topk" -> sHybridTopk,
     "s_knn_graph" -> sKnnGraph,
     "s_knn_agreement" -> sKnnAgreement,
+    "s_embed_drift" -> sEmbedDrift,
     "d_semdedup" -> dSemDedup,
     "s_range_search" -> sRangeSearch,
     "s_mmr" -> sMmr,

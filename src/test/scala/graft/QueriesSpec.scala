@@ -1780,6 +1780,25 @@ class QueriesSpec extends SparkSpec {
         s"vec ${r.getLong(0)} agreement mismatch")
   }
 
+  test("s_embed_drift: occupancy accounting exact — counts reconcile " +
+    "with the corpus carve, shares sum to ~10000 bp, delta is TV mass") {
+    val rows = SparkEntry.queries("s_embed_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nStanding = rows.map(_.getLong(1)).sum
+    val nBatch = rows.map(_.getLong(2)).sum
+    val emb = Tables.embeddings(spark, sf)
+    assert(nBatch === emb.filter(col("vec_id") % 5 === 4).count())
+    assert(nStanding + nBatch === emb.count())
+    // integer-division shares: each side sums to 10000 − (truncation
+    // loss < #cells)
+    val sBp = rows.map(_.getLong(3)).sum
+    val bBp = rows.map(_.getLong(4)).sum
+    assert(sBp > 10000L - rows.length && sBp <= 10000L)
+    assert(bBp > 10000L - rows.length && bBp <= 10000L)
+    assert(rows.forall(r =>
+      r.getLong(5) === math.abs(r.getLong(3) - r.getLong(4))))
+  }
+
   test("d_semdedup: min-id dominance exact vs the brute within-cell " +
     "pair relation (cells under-cap ⇒ the split policy must lose " +
     "nothing); per-cell min always kept") {
