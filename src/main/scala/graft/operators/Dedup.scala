@@ -1558,25 +1558,32 @@ object Dedup {
           .filter(col("doc_id") % 5 =!= 4))
           .select("chunk_md5").distinct()))
 
+  /** F28's per-batch kernel, exposed for the streaming ingest gate: a
+    * doc's accounting derives only from its own chunks plus the
+    * STATIC standing index, so any micro-batch boundary yields the
+    * batch-identical result with zero stream state (the F13/H27
+    * ingest-gate stance).
+    */
+  private[graft] def incrChunkStats(s: SparkSession, batch: DataFrame,
+      dir: String): DataFrame =
+    TextAnalysis.cdcChunks(batch)
+      .select("doc_id", "chunk_len", "chunk_md5")
+      .join(chunkIndex(s, dir).withColumn("hit", lit(1L)),
+        Seq("chunk_md5"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("chunk_len").as("n_chars"),
+        sum(when(col("hit").isNotNull, col("chunk_len"))
+          .otherwise(0L)).as("n_known_chars"))
+      .withColumn("known_bp", expr("10000 * n_known_chars DIV n_chars"))
+      .join(batch.select("doc_id", "source"), Seq("doc_id"))
+      .select("doc_id", "source", "n_chunks", "n_chars",
+        "n_known_chars", "known_bp")
+
   val dIncrChunk: Q = Q(
-    (s, dir) => {
-      val newDocs = Tables.documents(s, dir)
-        .filter(col("doc_id") % 5 === 4)
-      TextAnalysis.cdcChunks(newDocs)
-        .select("doc_id", "chunk_len", "chunk_md5")
-        .join(chunkIndex(s, dir).withColumn("hit", lit(1L)),
-          Seq("chunk_md5"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_chunks"),
-          sum("chunk_len").as("n_chars"),
-          sum(when(col("hit").isNotNull, col("chunk_len"))
-            .otherwise(0L)).as("n_known_chars"))
-        .withColumn("known_bp", expr("10000 * n_known_chars DIV n_chars"))
-        .join(newDocs.select("doc_id", "source"), Seq("doc_id"))
-        .select("doc_id", "source", "n_chunks", "n_chars",
-          "n_known_chars", "known_bp")
-        .orderBy("doc_id")
-    },
+    (s, dir) => incrChunkStats(s,
+      Tables.documents(s, dir).filter(col("doc_id") % 5 === 4), dir)
+      .orderBy("doc_id"),
     s"""WITH ${TextAnalysis.cdcChunkCteSql},
        |standing AS MATERIALIZED (
        |  SELECT DISTINCT chunk_md5 FROM chunks WHERE doc_id % 5 <> 4),

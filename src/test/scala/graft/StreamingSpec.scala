@@ -921,4 +921,46 @@ class StreamingSpec extends SparkSpec {
     assert(nBatches === batch,
       "streamed chunks must be row-identical to the batch chunker")
   }
+
+  test("F28 incremental chunk dedup runs at ingest: per-micro-batch " +
+    "accounting vs the STATIC standing index equals the batch query, " +
+    "zero stream state") {
+    // stream-static: the standing chunk index is a fixed lake
+    // artifact; each micro-batch of new docs is chunked and probed
+    // against it independently — no state operator, restart-safe
+    val newDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 4)
+      .select("doc_id", "source", "text")
+    val ids = newDocs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val half = ids(ids.length / 2) // median: two non-empty micro-batches
+    val in = tempDir("graft_incrchunk_in")
+    newDocs.filter(col("doc_id") < half).write.parquet(s"$in/b0")
+    newDocs.filter(col("doc_id") >= half).write.parquet(s"$in/b1")
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    val stream = spark.readStream.schema(newDocs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = graft.operators.Dedup
+          .incrChunkStats(spark, b, sf).collect()
+          .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5)))
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .option("checkpointLocation", tempDir("graft_incrchunk_ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stateless = Option(q.lastProgress)
+      .forall(_.stateOperators.isEmpty)
+    q.stop()
+    assert(stateless, "the ingest gate must carry zero stream state")
+    val streamed = buf.synchronized { buf.toSet }
+    val batch = SparkEntry.queries("d_incr_chunk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(streamed === batch,
+      "streamed incremental chunk dedup must equal the batch query")
+  }
 }
