@@ -678,6 +678,38 @@ object LakeMerge {
     read(spark, dir, Some(v))
   }
 
+  // ---------------------------------------------------- shallow clone
+  /** SHALLOW CLONE — the `CREATE TABLE dst SHALLOW CLONE src [VERSION
+    * AS OF v]` surface: a NEW table whose v0 manifest REFERENCES the
+    * parent snapshot's data files by ABSOLUTE path — zero data bytes
+    * copied, O(partitions) metadata, created atomically with the same
+    * create-exclusive commit claim as any snapshot. The clone then
+    * evolves independently: its merges land LOCAL version dirs beside
+    * the inherited references, [[compact]] rewrites inherited
+    * references into local files (self-containment on demand), and
+    * its [[vacuumExpired]] only ever deletes local dirs (absolute
+    * references are never under the clone's `data/`). Caveat — the
+    * same one Delta documents: the PARENT's retention does not know
+    * about clones, so [[tag]] the cloned version on the parent for as
+    * long as un-compacted clones reference its files.
+    */
+  def shallowClone(spark: SparkSession, src: String, dst: String,
+      version: Option[Int] = None): Int = {
+    val v = version.getOrElse(latestVersion(spark, src))
+    require(v >= 0, s"$src has no committed snapshot")
+    val m = manifest(spark, src, Some(v))
+    val srcAbs = new Path(src).toUri.getPath
+    def abs(rel: String): String =
+      if (rel.startsWith("/")) rel else s"$srcAbs/$rel"
+    val cloned = m.copy(
+      version = 0, parent = -1,
+      partitions = m.partitions.map(e => e.copy(
+        dir = abs(e.dir),
+        deleteFiles = e.deleteFiles.map(_.map(abs)))),
+      committedAtMs = None)
+    commit(spark, dst, cloned)
+  }
+
   /** Write `rows` (already winner-resolved) as version-`v` data files
     * and return the manifest entries, with per-partition stats taken
     * from ONE pruned read-back scan of the new files (which doubles
@@ -851,9 +883,10 @@ object LakeMerge {
       m: Manifest, entries: Seq[PartitionEntry]): DataFrame = {
     val groups = entries.groupBy(_.dir)
     val parts = groups.toSeq.sortBy(_._1).map { case (rel, es) =>
+      val base = resolveRel(dir, rel)
       val paths = es.flatMap(e =>
-        e.files.map(fn => s"$dir/$rel/${m.dtCol}=${e.dt}/$fn"))
-      readDirs(spark, s"$dir/$rel", paths)
+        e.files.map(fn => s"$base/${m.dtCol}=${e.dt}/$fn"))
+      readDirs(spark, base, paths)
     }
     val cols = m.columns.map(col)
     val data = parts.map(p => fillMissing(toLogical(p, m), m).select(cols: _*))
@@ -887,13 +920,15 @@ object LakeMerge {
     else {
       val dels = delPaths.groupBy(versionDirOf).toSeq.sortBy(_._1)
         .map { case (rel, ps) =>
-          readDirs(spark, s"$dir/$rel", ps.map(p => s"$dir/$p"))
+          readDirs(spark, resolveRel(dir, rel),
+            ps.map(p => resolveRel(dir, p)))
             .select(col(m.dtCol).cast("string"), col(m.keyCol))
         }
         .reduce(_.unionByName(_)).distinct()
       val f = fs(spark, dir)
       val vectorBytes = delPaths
-        .map(p => f.getFileStatus(new Path(s"$dir/$p")).getLen).sum
+        .map(p => f.getFileStatus(new Path(resolveRel(dir, p))).getLen)
+        .sum
       val hinted =
         if (vectorBytes <= MaxBroadcastVectorBytes) broadcast(dels)
         else dels
@@ -909,7 +944,20 @@ object LakeMerge {
 
   /** "data/vN-attempt" prefix of a table-relative file path. */
   private def versionDirOf(p: String): String =
-    p.split("/").take(2).mkString("/")
+    if (p.startsWith("/")) {
+      // absolute (shallow-clone) reference: keep everything up to and
+      // including the parent table's data/vN segment
+      val i = p.indexOf("/data/v")
+      val j = if (i >= 0) p.indexOf('/', i + "/data/".length) else -1
+      if (j >= 0) p.substring(0, j) else p.substring(0, p.lastIndexOf('/'))
+    } else p.split("/").take(2).mkString("/")
+
+  /** Entry paths are table-relative ("data/v3") except in a SHALLOW
+    * CLONE's inherited manifest, where they are absolute references
+    * into the parent table's directory.
+    */
+  private def resolveRel(dir: String, rel: String): String =
+    if (rel.startsWith("/")) rel else s"$dir/$rel"
 
   /** The winner-resolution core: latest row per `(dt, key)` —
     * batch over base, then `orderCol` descending — via the engine's

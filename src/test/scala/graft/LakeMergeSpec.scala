@@ -1361,6 +1361,44 @@ class LakeMergeSpec extends SparkSpec {
     assert(rows(LakeMerge.read(spark, dir, Some(0))).size === 30)
   }
 
+  test("shallow clone: zero-copy fork of a pinned snapshot; clone and " +
+    "parent then evolve independently; compaction self-contains") {
+    val src = tempTable()
+    LakeMerge.init(spark, src, baseDf, "dt", "k", "seq")          // v0
+    LakeMerge.merge(spark, src,                                    // v1
+      Seq((1L, "2024-02", "p1-v1", 1L)).toDF("k", "dt", "payload", "seq"))
+    LakeMerge.merge(spark, src,                                    // v2
+      Seq((2L, "2024-03", "p2-v2", 2L)).toDF("k", "dt", "payload", "seq"))
+    val dst = tempTable()
+    assert(LakeMerge.shallowClone(spark, src, dst, Some(1)) === 0)
+    // the clone reads the parent's v1 snapshot exactly...
+    assert(rows(LakeMerge.read(spark, dst)) ===
+      rows(LakeMerge.read(spark, src, Some(1))))
+    // ...with ZERO data bytes copied: no data dir under the clone
+    assert(!new java.io.File(s"$dst/data").exists(),
+      "a shallow clone must not copy data files")
+    // divergence: a merge into the clone is invisible to the parent
+    LakeMerge.merge(spark, dst,
+      Seq((50L, "2024-01", "clone-only", 3L))
+        .toDF("k", "dt", "payload", "seq"))
+    assert(rows(LakeMerge.read(spark, dst))
+      .contains((50L, "2024-01", "clone-only")))
+    assert(!rows(LakeMerge.read(spark, src))
+      .contains((50L, "2024-01", "clone-only")))
+    // and the parent's later history never leaked in
+    assert(!rows(LakeMerge.read(spark, dst))
+      .contains((2L, "2024-03", "p2-v2")))
+    // compaction rewrites inherited references into LOCAL files:
+    // after it, no partition entry points outside the clone
+    val state = rows(LakeMerge.read(spark, dst))
+    LakeMerge.compact(spark, dst, targetRows = 4096)
+    assert(LakeMerge.manifest(spark, dst).partitions
+      .forall(!_.dir.startsWith("/")),
+      "compaction must self-contain the clone")
+    assert(rows(LakeMerge.read(spark, dst)) === state,
+      "compaction is pure re-layout")
+  }
+
   test("tags: named refs read their snapshot, pin it against " +
     "vacuumExpired, are create-exclusive, and unpin on delete") {
     val dir = tempTable()
