@@ -470,7 +470,7 @@ object Dedup {
     * F8 and F9 oracles; `SELECT doc_id, label FROM l$Iters` is the
     * final cluster map.
     */
-  private val clustersCteSql: String = {
+  private[operators] val clustersCteSql: String = {
     // Every CTE is MATERIALIZED and the per-round min-neighbor is a
     // grouped LEFT JOIN, not a correlated subquery: DuckDB re-inlines
     // plain CTEs per consumer, so the original correlated chain
@@ -767,7 +767,7 @@ object Dedup {
     * on a raw plan the count would re-run the whole LSH pipeline.
     */
   val MaxBroadcastDropIds = 1000000L
-  private def sizeGatedBroadcast(dropIds: DataFrame): DataFrame =
+  private[operators] def sizeGatedBroadcast(dropIds: DataFrame): DataFrame =
     if (dropIds.count() <= MaxBroadcastDropIds) broadcast(dropIds)
     else dropIds
 

@@ -129,6 +129,76 @@ object Graph {
 
   val qSuspicionRank: Q = Q(suspicionRank _, suspicionSql)
 
+  // ---------------------------------------------------------------- J10
+  /** PERSONALIZED PageRank — J1's damped power iteration with the
+    * restart mass concentrated on ONE seed (the min player id: a
+    * deterministic stand-in for "the account under investigation"):
+    * r_{t+1}(v) = [v = seed]·150000 + 0.85·Σ_{u→v} r_t(u)/outdeg(u),
+    * three rounds from a seed-only start, so mass can only reach
+    * nodes within 3 hops of the seed — the "who is in THIS suspect's
+    * orbit" query, where J1 answers "who is suspicious globally".
+    * Nodes the walk never reached are dropped (r = 0 is non-evidence,
+    * and at 100 TB the neighborhood is what fits, not the graph).
+    * Same integer micro-unit arithmetic as J1 (`div` truncation over
+    * non-negative operands ≡ DuckDB `//`), same per-round one-agg +
+    * one-left-join shape over the shared edges artifact.
+    */
+  def pprRank(s: SparkSession, dir: String): DataFrame = {
+    val e = reportEdges(s, dir)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val seeded = nodes.crossJoin(broadcast(nodes.agg(min("id").as("seed"))))
+    var r = seeded.selectExpr("id", "seed",
+      "CAST(CASE WHEN id = seed THEN 1000000 ELSE 0 END AS BIGINT) AS r")
+    for (_ <- 1 to 3) {
+      val contrib = e
+        .join(deg, "src")
+        .join(r.select(col("id").as("src"), col("r")), "src")
+        .selectExpr("dst AS id", "r div outdeg AS share")
+        .groupBy("id").agg(sum("share").as("s"))
+      r = seeded.join(contrib, Seq("id"), "left")
+        .selectExpr("id", "seed",
+          """CAST(CASE WHEN id = seed THEN 150000 ELSE 0 END
+            |  + (85 * coalesce(s, 0)) div 100 AS BIGINT) AS r"""
+            .stripMargin)
+    }
+    r.filter(col("r") > 0)
+      .select(col("id").as("player_id"), col("r").as("ppr"))
+      .orderBy("player_id")
+  }
+
+  private val pprSql = {
+    def round(prev: String, next: String): String =
+      s"""$next AS (
+         |  SELECT n.id, n.seed,
+         |    CAST(CASE WHEN n.id = n.seed THEN 150000 ELSE 0 END
+         |      + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM seeded n LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(sum(p.r // d.outdeg) AS BIGINT) AS s
+         |    FROM edges e
+         |    JOIN deg d ON d.src = e.src
+         |    JOIN $prev p ON p.id = e.src
+         |    GROUP BY e.dst) c ON c.id = n.id)""".stripMargin
+    s"""WITH edges AS MATERIALIZED ($edgesSql),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |        FROM edges GROUP BY src),
+       |nodes AS (SELECT src AS id FROM edges
+       |          UNION SELECT dst FROM edges),
+       |seeded AS (SELECT id, (SELECT min(id) FROM nodes) AS seed
+       |           FROM nodes),
+       |r0 AS (SELECT id, seed,
+       |       CAST(CASE WHEN id = seed THEN 1000000 ELSE 0 END
+       |         AS BIGINT) AS r FROM seeded),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT id AS player_id, r AS ppr FROM r3 WHERE r > 0
+       |ORDER BY player_id""".stripMargin
+  }
+
+  val qPpr: Q = Q(pprRank _, pprSql)
+
   /** Mutual-report pairs (A reports B AND B reports A) — the simplest
     * collusion signal: organic reports rarely reciprocate, retaliation
     * and farmed accounts do. One semi-join of the edge list against
@@ -572,6 +642,7 @@ object Graph {
 
   val registry: Map[String, Q] = Map(
     "q_suspicion_rank" -> qSuspicionRank,
+    "q_ppr" -> qPpr,
     "q_mutual_reports" -> qMutualReports,
     "q_report_triangles" -> qReportTriangles,
     "q_report_components" -> qReportComponents,

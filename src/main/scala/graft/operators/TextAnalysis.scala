@@ -616,6 +616,64 @@ object TextAnalysis {
        |  CAST(n_s AS BIGINT) AS n_s, CAST(thresh_s AS BIGINT) AS thresh_s
        |FROM plan ORDER BY source""".stripMargin)
 
+  // --------------------------------------------------------------- H28
+  /** The mixing plan priced on DEDUPED mass — the composition F24's
+    * docstring prescribes ("a source at 15000 bp ships 1.5 bytes per
+    * unique byte; its mixing weight should be priced on the DEDUPED
+    * mass"): H14's exact plan math with the near-dup drop list (F8's
+    * materialized cluster map, F9's rule) anti-joined out FIRST, so a
+    * duplication-inflated source's √mass weight reflects its unique
+    * content, not its crawl redundancy — the difference between "this
+    * source is big" and "this source says a lot". Same shapes as H14:
+    * broadcast drop list into the one corpus scan, #sources-row stats
+    * cached, totals broadcast, thresholds exact integers. The sample
+    * twin stays H14's map-only Bernoulli, now over deduped docs only.
+    */
+  val tMixPlanDedup: Q = Q(
+    (s, dir) => {
+      val drop = Dedup.sizeGatedBroadcast(Dedup.clusterMap(s, dir)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id").localCheckpoint(true))
+      val dd = Tables.documents(s, dir)
+        .join(drop, Seq("doc_id"), "left_anti")
+      val stats = dd.groupBy("source")
+        .agg(count(lit(1)).as("cnt_s"), sum("n_chars").as("mass_s"))
+        .withColumn("w_s",
+          floor(sqrt(col("mass_s").cast("double"))).cast("long"))
+        .cache()
+      val tot = stats.agg(sum("cnt_s").as("n_total"),
+        sum("w_s").as("w_total"))
+      stats.crossJoin(broadcast(tot))
+        .withColumn("n_s", expr("(n_total DIV 2) * w_s DIV w_total"))
+        .withColumn("thresh_s", expr("n_s * 4294967296 DIV cnt_s"))
+        .select("source", "cnt_s", "mass_s", "w_s", "n_s", "thresh_s")
+        .orderBy("source")
+    },
+    s"""WITH ${Dedup.clustersCteSql},
+       |drop_ids AS MATERIALIZED (
+       |  SELECT doc_id FROM l${Dedup.Iters} WHERE doc_id <> label),
+       |dd AS (
+       |  SELECT d.source, d.n_chars FROM documents d
+       |  LEFT JOIN drop_ids x ON x.doc_id = d.doc_id
+       |  WHERE x.doc_id IS NULL),
+       |stats AS (
+       |  SELECT source, count(*) AS cnt_s, sum(n_chars) AS mass_s,
+       |    CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE))) AS BIGINT)
+       |      AS w_s
+       |  FROM dd GROUP BY source),
+       |tot AS (
+       |  SELECT sum(cnt_s) AS n_total, sum(w_s) AS w_total FROM stats),
+       |plan AS (
+       |  SELECT source, cnt_s, mass_s, w_s,
+       |    (n_total // 2) * w_s // w_total AS n_s,
+       |    ((n_total // 2) * w_s // w_total) * 4294967296 // cnt_s
+       |      AS thresh_s
+       |  FROM stats, tot)
+       |SELECT source, CAST(cnt_s AS BIGINT) AS cnt_s,
+       |  CAST(mass_s AS BIGINT) AS mass_s, w_s,
+       |  CAST(n_s AS BIGINT) AS n_s, CAST(thresh_s AS BIGINT) AS thresh_s
+       |FROM plan ORDER BY source""".stripMargin)
+
   /** The resampled corpus itself: H14's plan applied as a map-only
     * selection — keep a doc iff its 32-bit id hash (md5, the H8
     * idiom) falls below its source's precomputed threshold, i.e. a
@@ -1838,6 +1896,7 @@ object TextAnalysis {
     "t_oov" -> tOov,
     "t_char_gini" -> tCharGini,
     "t_mix_plan" -> tMixPlan,
+    "t_mix_plan_dedup" -> tMixPlanDedup,
     "t_mix_sample" -> tMixSample,
     "t_tokens" -> tTokens,
     "t_quality" -> tQuality,

@@ -1633,6 +1633,29 @@ class QueriesSpec extends SparkSpec {
     assert(st(3L) === 0L, "unique doc shares no chunk")
   }
 
+  test("t_mix_plan_dedup: stats ≡ the F9 deduped corpus per source; " +
+    "plan math exact") {
+    val plan = SparkEntry.queries("t_mix_plan_dedup")(spark, sf).collect()
+    assert(plan.nonEmpty)
+    val dd = SparkEntry.queries("d_dedup_corpus")(spark, sf).collect()
+      .groupBy(_.getString(1))
+      .map { case (src, rs) =>
+        src -> ((rs.length.toLong, rs.map(_.getLong(2)).sum))
+      }
+    assert(plan.map(_.getString(0)).toSet === dd.keySet,
+      "plan rows ≡ sources surviving dedup")
+    for (r <- plan) {
+      assert((r.getLong(1), r.getLong(2)) === dd(r.getString(0)),
+        s"stats for ${r.getString(0)} disagree with d_dedup_corpus")
+      assert(r.getLong(3) ===
+        math.floor(math.sqrt(r.getLong(2).toDouble)).toLong)
+      assert(r.getLong(5) === r.getLong(4) * 4294967296L / r.getLong(1))
+    }
+    val nTotal = plan.map(_.getLong(1)).sum
+    assert(plan.map(_.getLong(4)).sum <= nTotal / 2,
+      "Σ per-source takes never exceed the half-corpus budget")
+  }
+
   test("d_dedup_card: every rung column reconciles with its component " +
     "query") {
     val card = SparkEntry.queries("d_dedup_card")(spark, sf).collect()
@@ -1728,6 +1751,32 @@ class QueriesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(g.forall(r => cells(r.getLong(0)) == cells(r.getLong(1))),
       "kNN-graph edges never cross quantizer cells")
+  }
+
+  test("q_ppr: mass stays inside the seed's 3-hop forward orbit, the " +
+    "seed keeps its restart mass, and every row is positive") {
+    val out = SparkEntry.queries("q_ppr")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(1) > 0L))
+    val edges = graft.operators.Graph.reportEdges(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val seed = nodes.min
+    val adj = edges.groupBy(_._1).map { case (s0, es) =>
+      s0 -> es.map(_._2).toSet
+    }
+    // forward BFS, 3 hops
+    var frontier = Set(seed); var reach = Set(seed)
+    for (_ <- 1 to 3) {
+      frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+      reach ++= frontier
+    }
+    val got = out.map(_.getLong(0)).toSet
+    assert(got.subsetOf(reach),
+      "a node outside the 3-hop orbit can hold no walk mass")
+    val seedRow = out.find(_.getLong(0) == seed)
+    assert(seedRow.exists(_.getLong(1) >= 150000L),
+      "the seed always keeps at least its restart mass")
   }
 
   test("l_version_diff: the state-derived diff agrees with the stored " +
