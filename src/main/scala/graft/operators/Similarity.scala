@@ -1700,6 +1700,70 @@ object Similarity {
        |WHERE rn <= $KnnGraphK
        |ORDER BY vec_id, rn""".stripMargin)
 
+  // --------------------------------------------------------------- G25
+  /** kNN-GRAPH RECALL — the F21/G15 honesty instrument pointed at
+    * G20: over a fixed probe stratum (the [[KnnEvalProbes]]
+    * smallest vec_ids — fixed-SIZE, so the evidence row is
+    * constant-cost at any corpus scale, the F16 lesson), the exact
+    * corpus-wide top-[[KnnGraphK]] edges (same (score DESC, nbr) tie
+    * order as the graph) vs the edges the built graph actually holds.
+    * Measures BOTH loss channels at once: cross-cell true neighbors
+    * the quantizer blocking can never see, and within-cell pairs an
+    * over-cap split dropped. One (n_true, n_caught, recall_bp) row —
+    * the number a deployment reads before trusting SemDeDup or the
+    * agreement filter, and the re-tuning trigger when s_embed_drift
+    * says the codebook went stale. All-integer ⇒ oracle-gated.
+    */
+  val KnnEvalProbes = 128
+
+  val sKnnRecall: Q = Q(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") < KnnEvalProbes)
+        .select(col("vec_id"), col("embedding"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id")
+        .orderBy(col("score_micro").desc, col("nbr"))
+      val truth = probes
+        .join(emb.select(col("vec_id").as("nbr"),
+          col("embedding").as("nbr_embedding")),
+          col("nbr") =!= col("vec_id"))
+        .select(col("vec_id"), col("nbr"),
+          nativeScoreMicro(s, "embedding", "nbr_embedding")
+            .as("score_micro"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= KnnGraphK)
+        .select("vec_id", "nbr")
+      val got = sKnnGraph.fn(s, dir)
+        .filter(col("vec_id") < KnnEvalProbes)
+        .select(col("vec_id"), col("nbr"))
+        .withColumn("hit", lit(1L))
+      truth.join(got, Seq("vec_id", "nbr"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          count(when(col("hit").isNotNull, 1)).as("n_caught"))
+        .withColumn("recall_bp", expr("10000 * n_caught DIV n_true"))
+    },
+    s"""WITH truth AS (
+       |  SELECT vec_id, nbr FROM (
+       |    SELECT p.vec_id, e.vec_id AS nbr,
+       |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |        ${scoreMicroSql("p.embedding", "e.embedding")} DESC,
+       |        e.vec_id) AS rn
+       |    FROM (SELECT vec_id, embedding FROM embeddings
+       |          WHERE vec_id < $KnnEvalProbes) p
+       |    JOIN embeddings e ON e.vec_id <> p.vec_id)
+       |  WHERE rn <= $KnnGraphK),
+       |got AS (
+       |  SELECT vec_id, nbr FROM (${sKnnGraph.oracle.get})
+       |  WHERE vec_id < $KnnEvalProbes)
+       |SELECT CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(count(g.vec_id) AS BIGINT) AS n_caught,
+       |  CAST(10000 * count(g.vec_id) // count(*) AS BIGINT)
+       |    AS recall_bp
+       |FROM truth t
+       |LEFT JOIN got g ON g.vec_id = t.vec_id AND g.nbr = t.nbr"""
+      .stripMargin)
+
   // --------------------------------------------------------------- G23
   /** kNN-AGREEMENT FILTER — per vector, the share of its kNN-graph
     * neighbors carrying the SAME label, in bp: the standard
@@ -2179,6 +2243,7 @@ object Similarity {
     "s_hybrid_topk" -> sHybridTopk,
     "s_knn_graph" -> sKnnGraph,
     "s_knn_agreement" -> sKnnAgreement,
+    "s_knn_recall" -> sKnnRecall,
     "s_embed_drift" -> sEmbedDrift,
     "d_semdedup" -> dSemDedup,
     "s_range_search" -> sRangeSearch,

@@ -1848,6 +1848,39 @@ class QueriesSpec extends SparkSpec {
       r.getLong(5) === math.abs(r.getLong(3) - r.getLong(4))))
   }
 
+  test("s_knn_recall: accounting identity holds and the graph can " +
+    "never be credited with edges it does not hold") {
+    import graft.operators.Similarity
+    val r = SparkEntry.queries("s_knn_recall")(spark, sf).head()
+    val (nTrue, nCaught, bp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nCaught <= nTrue)
+    assert(nTrue <=
+      Similarity.KnnEvalProbes.toLong * Similarity.KnnGraphK)
+    assert(bp === 10000L * nCaught / nTrue)
+    // independent recount: truth ∩ graph, both re-derived
+    val graphEdges = SparkEntry.queries("s_knn_graph")(spark, sf)
+      .filter(col("vec_id") < Similarity.KnnEvalProbes)
+      .select("vec_id", "nbr").collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    val emb = Tables.embeddings(spark, sf)
+    val probes = emb.filter(col("vec_id") < Similarity.KnnEvalProbes)
+      .select(col("vec_id"), col("embedding"))
+    val truth = probes
+      .join(emb.select(col("vec_id").as("nbr"),
+        col("embedding").as("nbr_embedding")),
+        col("nbr") =!= col("vec_id"))
+      .select(col("vec_id"), col("nbr"),
+        Similarity.nativeScoreMicro(spark, "embedding", "nbr_embedding")
+          .as("s"))
+      .collect().groupBy(_.getLong(0)).toSeq
+      .flatMap { case (v, rows) =>
+        rows.sortBy(x => (-x.getLong(2), x.getLong(1)))
+          .take(Similarity.KnnGraphK).map(x => (v, x.getLong(1))).toSeq
+      }.toSet
+    assert(nTrue === truth.size.toLong)
+    assert(nCaught === truth.intersect(graphEdges).size.toLong)
+  }
+
   test("d_semdedup: min-id dominance exact vs the brute within-cell " +
     "pair relation (cells under-cap ⇒ the split policy must lose " +
     "nothing); per-cell min always kept") {
