@@ -1623,17 +1623,31 @@ object Similarity {
        |  % ((cell_n + ${MaxKnnCell - 1}) // $MaxKnnCell)"""
       .stripMargin.replace("\n", " ")
 
-  /** The split-blocked within-cell candidate relation (vec_id, nbr),
-    * both directions, deduped — shared by G20's kNN graph and F26's
-    * SemDeDup drop rule. Scored SEPARATELY by each consumer so the
-    * fat embedding arrays never ride the explode.
+  /** MULTI-ASSIGNMENT width: every vector is indexed into its
+    * [[KnnAssign]] nearest quantizer cells (IVF's standard
+    * multiple-assignment/spill trick), so a true neighbor sitting
+    * just across the argmin boundary — the dominant loss channel the
+    * G25 recall row measured at 3619 bp under single assignment — is
+    * still co-indexed with probability the second cell buys. Index
+    * rows grow ×A, the split-capped join stays ≤ R·(A·n)·cap — linear
+    * in corpus size at any A.
+    */
+  val KnnAssign = 2
+
+  /** The split-blocked shared-cell candidate relation (vec_id, nbr),
+    * both directions, deduped, under [[KnnAssign]]-way assignment —
+    * shared by G20's kNN graph and F26's SemDeDup drop rule. Scored
+    * SEPARATELY by each consumer so the fat embedding arrays never
+    * ride the explode.
     */
   private def knnCandidates(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     // thin split relation: (vec_id, cell, r, sub) — embeddings join
     // back per side so the fat arrays never ride the explode
     val split = emb
-      .withColumn("cell", ivfCellCol(kmCodebook(s, dir)))
+      .withColumn("cell", explode(transform(
+        slice(array_sort(ivfCells(kmCodebook(s, dir))), 1, KnnAssign),
+        c => c.getField("cell"))))
       .withColumn("cell_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("cell")))
       .withColumn("r",
@@ -1648,19 +1662,31 @@ object Similarity {
       .select("vec_id", "nbr").distinct()
   }
 
-  /** Oracle CTE chain ending at `cand` = (vec_id, nbr) — the DuckDB
-    * replay of [[knnCandidates]]; shared by G20 and F26.
+  /** Oracle CTE chain ending at `cand` = (vec_id, nbr) plus `aprim` =
+    * the single-row-per-vector PRIMARY (argmin) assignment — the
+    * DuckDB replay of [[knnCandidates]]; shared by G20 and F26.
+    * `rkm` ranks the trained centroids per vector exactly as the
+    * G14-probe oracle does; rn ≤ [[KnnAssign]] is the index relation,
+    * rn = 1 the reporting cell.
     */
   private val knnCandCteSql: String =
     s"""$kmFinCteSql,
-       |asg AS MATERIALIZED (
-       |  SELECT emb.vec_id, emb.embedding, CAST(f.cl AS BIGINT) AS cell
-       |  FROM embeddings emb JOIN fin f ON f.vec_id = emb.vec_id),
+       |rkm AS MATERIALIZED (
+       |  SELECT q.vec_id, CAST(c.cl AS BIGINT) AS cell,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_sum(list_transform(list_zip(q.v, c.v),
+       |        z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cl) AS rn
+       |  FROM e q CROSS JOIN c2 c),
+       |aprim AS MATERIALIZED (
+       |  SELECT emb.vec_id, emb.embedding, r.cell
+       |  FROM embeddings emb
+       |  JOIN rkm r ON r.vec_id = emb.vec_id AND r.rn = 1),
        |splitc AS MATERIALIZED (
        |  SELECT vec_id, cell, r, $knnSubDuck AS sub
        |  FROM (SELECT vec_id, cell,
        |          count(*) OVER (PARTITION BY cell) AS cell_n
-       |        FROM asg),
+       |        FROM (SELECT vec_id, cell FROM rkm
+       |              WHERE rn <= $KnnAssign)),
        |       (SELECT unnest(range($KnnSplitRounds)) AS r) rr),
        |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr
@@ -1691,8 +1717,8 @@ object Similarity {
        |  SELECT c.vec_id, c.nbr,
        |    ${scoreMicroSql("l.embedding", "r2.embedding")} AS score_micro
        |  FROM cand c
-       |  JOIN asg l ON l.vec_id = c.vec_id
-       |  JOIN asg r2 ON r2.vec_id = c.nbr)
+       |  JOIN aprim l ON l.vec_id = c.vec_id
+       |  JOIN aprim r2 ON r2.vec_id = c.nbr)
        |SELECT vec_id, nbr, score_micro, rn FROM (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
        |    ORDER BY score_micro DESC, nbr) AS BIGINT) AS rn
@@ -1926,8 +1952,8 @@ object Similarity {
        |      ${scoreMicroSql("l.embedding", "r2.embedding")}
        |        AS score_micro
        |    FROM cand c
-       |    JOIN asg l ON l.vec_id = c.vec_id
-       |    JOIN asg r2 ON r2.vec_id = c.nbr
+       |    JOIN aprim l ON l.vec_id = c.vec_id
+       |    JOIN aprim r2 ON r2.vec_id = c.nbr
        |    WHERE c.nbr < c.vec_id)
        |  WHERE score_micro >= $SemDupMicro
        |  GROUP BY vec_id)
@@ -1936,7 +1962,7 @@ object Similarity {
        |  CAST(CASE WHEN d.keeper IS NULL THEN 1 ELSE 0 END AS BIGINT)
        |    AS kept,
        |  d.keeper, d.max_sim_micro
-       |FROM asg a
+       |FROM aprim a
        |LEFT JOIN doms d ON d.vec_id = a.vec_id
        |ORDER BY a.vec_id""".stripMargin)
 

@@ -1746,11 +1746,28 @@ class QueriesSpec extends SparkSpec {
       assert(ordered.sliding(2).forall(p => p.length < 2 ||
         p(0).getLong(2) >= p(1).getLong(2)), "scores non-increasing")
     }
-    // blocked on the km cell: both endpoints assigned the same cell
-    val cells = SparkEntry.queries("s_kmeans")(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(g.forall(r => cells(r.getLong(0)) == cells(r.getLong(1))),
-      "kNN-graph edges never cross quantizer cells")
+    // blocked on the km cells: both endpoints share at least one of
+    // their KnnAssign assigned cells (multi-assignment, r14)
+    val cells = knnAssignedCells(sf)
+    assert(g.forall(r =>
+      cells(r.getLong(0)).intersect(cells(r.getLong(1))).nonEmpty),
+      "kNN-graph edges never cross the assigned-cell blocking")
+  }
+
+  /** Every vector's KnnAssign nearest km cells, re-derived through
+    * the same expression the engine indexes with.
+    */
+  private def knnAssignedCells(dir: String): Map[Long, Set[Long]] = {
+    import graft.operators.Similarity
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        slice(array_sort(Similarity.ivfCells(
+          Similarity.kmCodebook(spark, dir))), 1, Similarity.KnnAssign)
+          .as("cs"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toSet)
+      .toMap
   }
 
   test("q_ppr: mass stays inside the seed's 3-hop forward orbit, the " +
@@ -1893,24 +1910,27 @@ class QueriesSpec extends SparkSpec {
       else !r.isNullAt(4) && r.getLong(4) < r.getLong(0) &&
         r.getLong(5) >= Similarity.SemDupMicro && r.getLong(2) >= 1L
     }, "kept/keeper/evidence coherence")
-    // the smallest vec_id in every cell has no smaller-id witness
-    val minPerCell = out.groupBy(_.getLong(1)).values
-      .map(_.minBy(_.getLong(0)))
-    assert(minPerCell.forall(_.getLong(3) == 1L),
-      "per-cell min-id vector is always kept")
-    // brute: same-cell smaller-id pairs ≥ τ, computed with the exact
-    // kernel and NO split blocking — must agree row-for-row
-    val withEmb = SparkEntry.queries("d_semdedup")(spark, sf)
-      .select("vec_id", "cell")
+    // the globally smallest vec_id has no smaller-id witness anywhere
+    assert(out.minBy(_.getLong(0)).getLong(3) === 1L,
+      "the min-id vector is always kept")
+    // brute: shared-assigned-cell smaller-id pairs ≥ τ (KnnAssign-way
+    // multi-assignment, r14), exact kernel, NO split blocking — must
+    // agree row-for-row
+    import spark.implicits._
+    val asgCells = knnAssignedCells(sf).toSeq
+      .flatMap { case (v, cs) => cs.toSeq.map(c => (v, c)) }
+      .toDF("vec_id", "acell")
+    val withEmb = asgCells
       .join(Tables.embeddings(spark, sf)
         .select("vec_id", "embedding"), "vec_id")
-    val a = withEmb.select(col("vec_id").as("va"), col("cell"),
+    val a = withEmb.select(col("vec_id").as("va"), col("acell"),
       col("embedding").as("ea"))
-    val b = withEmb.select(col("vec_id").as("vb"), col("cell"),
+    val b = withEmb.select(col("vec_id").as("vb"), col("acell"),
       col("embedding").as("eb"))
-    val brute = a.join(b, Seq("cell")).filter(col("vb") < col("va"))
+    val brute = a.join(b, Seq("acell")).filter(col("vb") < col("va"))
       .select(col("va"), col("vb"),
         Similarity.nativeScoreMicro(spark, "ea", "eb").as("s"))
+      .distinct()
       .filter(col("s") >= Similarity.SemDupMicro)
       .groupBy("va")
       .agg(min("vb").as("k"), max("s").as("m"), count(lit(1)).as("n"))
