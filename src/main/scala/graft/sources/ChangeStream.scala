@@ -141,4 +141,81 @@ object ChangeStream {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  // ------------------------------------------------------- L28 mirror
+  /** The ROW-LEVEL replica — the other canonical feed consumer beside
+    * the aggregate view: a second lake table maintained change-for-
+    * change from the source's CDC feed (replication to another
+    * region/storage tier, the read-replica an analytics tenant gets,
+    * the staging copy a migration cuts over to). Same contract as the
+    * view: the replica's manifest txn entry IS the consumed-version
+    * watermark, committed atomically with the rows — restart-safe
+    * with zero stream state, exactly-once on trigger replay, CME
+    * retry against racing writers. The feed is the state diff, so a
+    * lagging mirror catching up over many source commits applies one
+    * NET row per key, not the full intermediate churn.
+    */
+  /** Create an empty replica with the source's schema and merge
+    * contract (dt/key/order columns). The first [[advanceMirror]]
+    * fills it from the source snapshot.
+    */
+  def initMirror(s: SparkSession, srcDir: String, dstDir: String): Int = {
+    val m = LakeMerge.manifest(s, srcDir)
+    LakeMerge.init(s, dstDir, LakeMerge.read(s, srcDir).limit(0),
+      m.dtCol, m.keyCol, m.orderCol)
+  }
+
+  /** ONE mirror advance: apply the source feed from the replica's
+    * watermark to the source tip (bootstrap = the snapshot as
+    * inserts) and commit rows + watermark in one optimistic
+    * transaction. Returns the consumed source version; a replayed
+    * call is a no-op.
+    */
+  def advanceMirror(s: SparkSession, srcDir: String, dstDir: String,
+      appId: String, maxRetries: Int = 5): Long = {
+    val app = s"cdc-mirror:$appId"
+    var attempt = 0
+    while (true) {
+      val srcTip = LakeMerge.latestVersion(s, srcDir).toLong
+      val consumed = LakeMerge.lastTxn(s, dstDir, app)
+      if (consumed.exists(_ >= srcTip)) return consumed.get
+      try {
+        val feed = consumed match {
+          case Some(v) => LakeMerge.changes(s, srcDir, v.toInt,
+            Some(srcTip.toInt))
+          case None => LakeMerge.read(s, srcDir, Some(srcTip.toInt))
+            .withColumn("_change_type", lit("insert"))
+        }
+        val dstV = LakeMerge.latestVersion(s, dstDir)
+        val batch = feed
+          .withColumn("op",
+            when(col("_change_type") === "delete", lit("delete"))
+              .otherwise(lit("upsert")))
+          .drop("_change_type")
+        LakeMerge.merge(s, dstDir, batch, opCol = Some("op"),
+          baseVersion = Some(dstV), txn = Some(app -> srcTip))
+        return srcTip
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Always-on mirror: every tick advances the replica to the source
+    * tip. Zero stream state — the replica's watermark is the offset.
+    */
+  def streamingMirror(ticks: DataFrame, srcDir: String, dstDir: String,
+      appId: String, ckDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ticks.writeStream
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        advanceMirror(b.sparkSession, srcDir, dstDir, appId)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -138,4 +138,52 @@ class ChangeStreamSpec extends SparkSpec {
         "own metadata, never walk the source's version chain")
     assert(viewRows(viewDir) === recompute(srcDir))
   }
+
+  private def tableRows(dir: String): Set[(Long, String, Long, Long)] =
+    LakeMerge.read(spark, dir).select("k", "dt", "cust", "cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+  test("L28 CDC mirror: bootstrap + incremental advances keep a " +
+    "row-level replica identical to the source; replays are no-ops; " +
+    "a lagging mirror catches up over several source commits with " +
+    "one net merge") {
+    val srcDir = tempDir("graft_cdcm_src")
+    val dstDir = tempDir("graft_cdcm_dst")
+    LakeMerge.init(spark, srcDir, srcBatch(Seq(
+      (1L, "2024-01", 100L, 10L), (2L, "2024-01", 100L, 20L),
+      (3L, "2024-02", 200L, 5L))), "dt", "k", "cents")
+    ChangeStream.initMirror(spark, srcDir, dstDir)
+    // bootstrap from the snapshot
+    assert(ChangeStream.advanceMirror(spark, srcDir, dstDir, "m1") === 0L)
+    assert(tableRows(dstDir) === tableRows(srcDir))
+    // replay: nothing committed
+    val vAfterBootstrap = LakeMerge.latestVersion(spark, dstDir)
+    assert(ChangeStream.advanceMirror(spark, srcDir, dstDir, "m1") === 0L)
+    assert(LakeMerge.latestVersion(spark, dstDir) === vAfterBootstrap)
+    // source evolves TWICE while the mirror lags: update k=1,
+    // delete k=2 (cents-bumped tombstone via op merge), insert k=9
+    LakeMerge.merge(spark, srcDir, srcBatch(Seq(
+      (1L, "2024-01", 100L, 11L))))                              // v1
+    LakeMerge.merge(spark, srcDir,
+      srcBatch(Seq((9L, "2024-02", 300L, 7L))))                  // v2
+    assert(ChangeStream.advanceMirror(spark, srcDir, dstDir, "m1") === 2L)
+    assert(tableRows(dstDir) === tableRows(srcDir),
+      "a lagging mirror catches up to the tip in one net advance")
+    // a real delete flows through as a delete, not a ghost row
+    val del = srcBatch(Seq((3L, "2024-02", 200L, 99L)))
+      .withColumn("op", lit("delete"))
+    LakeMerge.merge(spark, srcDir, del, opCol = Some("op"))       // v3
+    // streaming form: a fresh query with a fresh checkpoint resumes
+    // from the replica's own watermark (restart safety)
+    val q = ChangeStream.streamingMirror(
+      spark.readStream.schema("tick LONG").parquet(tick()),
+      srcDir, dstDir, appId = "m1", ckDir = tempDir("graft_cdcm_ck"))
+    q.awaitTermination(120000)
+    q.stop()
+    assert(tableRows(dstDir) === tableRows(srcDir))
+    assert(!tableRows(dstDir).exists(_._1 == 3L), "the delete mirrored")
+    assert(LakeMerge.lastTxn(spark, dstDir, "cdc-mirror:m1") === Some(3L))
+  }
 }
