@@ -582,6 +582,40 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("d_dedup_card: the near-dup drop join broadcasts and the hash " +
+    "rungs shuffle thin md5 keys, never the text column") {
+    val df = SparkEntry.queries("d_dedup_card")(spark, sf)
+    df.collect() // finalize AQE
+    val p = plan(df)
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftOuter")),
+      s"the cluster-map drop list must broadcast:\n$p")
+    // the window-min rungs partition on the md5 key k — the fat text
+    // column must be projected away BEFORE the exchange
+    val exchangeLines = p.linesIterator
+      .filter(_.contains("hashpartitioning(k")).toSeq
+    assert(exchangeLines.nonEmpty,
+      s"expected the hash rungs' k-keyed exchanges:\n$p")
+    assert(!exchangeLines.exists(_.contains("text")),
+      s"the text column must never ride a rung exchange:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("d_incr_chunk: the standing side is the materialized chunk " +
+    "index, and only the BATCH carve is chunked at query time") {
+    val df = SparkEntry.queries("d_incr_chunk")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.linesIterator.exists(l => l.contains("Scan ExistingRDD")
+        || l.contains("graft-artifacts")),
+      s"the probe must read the standing chunk-index artifact:\n$p")
+    // the batch filter reaches the documents scan: the corpus is
+    // never re-chunked for an incremental probe
+    assert(p.contains("(doc_id#") && p.contains("% 5)"),
+      s"the batch carve must sit in the scan stage:\n$p")
+    spark.catalog.clearCache()
+  }
+
   private implicit class SubstrAfter(private val s: String) {
     def substringAfter(sep: String): String = {
       val i = s.indexOf(sep)
