@@ -1966,6 +1966,47 @@ object Similarity {
        |LEFT JOIN doms d ON d.vec_id = a.vec_id
        |ORDER BY a.vec_id""".stripMargin)
 
+  /** F26 AT INGEST — the stream-static form of SemDeDup: each NEW
+    * vector is assigned its [[KnnAssign]] cells with the map-only
+    * trained-codebook expression, joined against the STANDING
+    * corpus's cell index, and dropped when any standing vector in a
+    * shared cell clears [[SemDupMicro]] — "is this new embedding a
+    * semantic re-crawl of something we already hold". A row's verdict
+    * derives only from itself plus the static standing side, so any
+    * micro-batch boundary yields the batch-identical result with
+    * zero stream state (the F13/F28/H27 ingest-gate stance;
+    * batch-internal duplicates are the offline F26 pass's job at the
+    * next compaction). Standing side = the F28 carve (vec_id % 5 ≠ 4)
+    * so spec batches never match themselves; in production it is the
+    * lake-resident vector table and the per-cell width is the
+    * codebook-size dial.
+    */
+  private[graft] def semDedupIngest(s: SparkSession, batch: DataFrame,
+      dir: String): DataFrame = {
+    val cells = explode(transform(
+      slice(array_sort(ivfCells(kmCodebook(s, dir))), 1, KnnAssign),
+      c => c.getField("cell")))
+    val standing = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 5 =!= 4)
+      .withColumn("cell", cells)
+      .select(col("cell"), col("vec_id").as("std_id"),
+        col("embedding").as("std_emb"))
+    batch.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", cells)
+      .join(standing, Seq("cell"), "left")
+      .withColumn("sim", when(col("std_id").isNotNull,
+        nativeScoreMicro(s, "embedding", "std_emb")))
+      .withColumn("wit", when(col("sim") >= SemDupMicro,
+        struct(col("std_id"), col("sim"))))
+      .groupBy("vec_id")
+      .agg(min(col("wit").getField("std_id")).as("witness"),
+        max(col("wit").getField("sim")).as("max_sim_micro"))
+      .select(col("vec_id"),
+        when(col("witness").isNull, lit(1L)).otherwise(lit(0L))
+          .as("kept"),
+        col("witness"), col("max_sim_micro"))
+  }
+
   // --------------------------------------------------------------- G21
   /** RANGE SEARCH — every vector within a similarity RADIUS of the
     * probe (cosine ≥ [[RangeMicro]] micro-units), the

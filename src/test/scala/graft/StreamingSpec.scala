@@ -963,4 +963,64 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch,
       "streamed incremental chunk dedup must equal the batch query")
   }
+
+  test("F26 SemDeDup runs at ingest: per-micro-batch verdicts against " +
+    "the STATIC standing corpus equal the batch pass, zero stream " +
+    "state, and every drop carries a real standing witness") {
+    import graft.operators.Similarity
+    val newVecs = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 4)
+      .select("vec_id", "embedding")
+    val ids = newVecs.select("vec_id").collect().map(_.getLong(0)).sorted
+    val half = ids(ids.length / 2)
+    val in = tempDir("graft_semingest_in")
+    newVecs.filter(col("vec_id") < half).write.parquet(s"$in/b0")
+    newVecs.filter(col("vec_id") >= half).write.parquet(s"$in/b1")
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Option[Long])]
+    val stream = spark.readStream.schema(newVecs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the micro-batch binds to a CLONED session — register the
+        // kernel there, not on the outer session
+        val rows = Similarity.semDedupIngest(b.sparkSession, b, sf)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .option("checkpointLocation", tempDir("graft_semingest_ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stateless = Option(q.lastProgress)
+      .forall(_.stateOperators.isEmpty)
+    q.stop()
+    assert(stateless, "the ingest gate must carry zero stream state")
+    val streamed = buf.synchronized { buf.toSet }
+    val batch = Similarity.semDedupIngest(spark, newVecs, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(streamed === batch,
+      "streamed SemDeDup verdicts must equal the batch pass")
+    // soundness: a drop's witness is a standing (non-batch) vector
+    // that really clears the threshold under the exact kernel
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6)
+    }
+    for ((v, kept, wit) <- streamed if kept == 0L) {
+      val w = wit.get
+      assert(w % 5 != 4, "witness must be a standing vector")
+      assert(cos(emb(v), emb(w)) >= Similarity.SemDupMicro,
+        s"witness $w for $v must clear the threshold exactly")
+    }
+  }
 }
