@@ -435,6 +435,64 @@ object MultiModal {
       .select("doc_id", "scene_idx", "frame_idx")
   }
 
+  /** Keyframes WITH their perceptual hash — the per-video scene
+    * summary [[videoNearDupPairs]] compares: (doc_id, frame_idx,
+    * phash) for each scene's cut frame.
+    */
+  def keyframeHashes(frames: Dataset[FrameHash],
+      maxHamming: Int = 6): DataFrame =
+    keyframes(frames, maxHamming)
+      .join(frames.toDF().select("doc_id", "frame_idx", "phash"),
+        Seq("doc_id", "frame_idx"))
+
+  // ---------------------------------------------------------------- I6
+  /** VIDEO near-dup pairs — the modality capstone over I5: two
+    * containers are near-duplicates when their KEYFRAME hash SETS
+    * overlap. The scene summary is the robustness trick: a re-cut /
+    * re-paced copy (frames inserted or dropped WITHIN shots, frame
+    * indexes shifted everywhere) keeps the same cut frames, so its
+    * keyframe-hash set survives where frame-by-frame alignment
+    * breaks. Then the F5/F12 playbook on those sets: exact hash
+    * equality is the blocking key (a shared keyframe = candidate — no
+    * all-pairs), hashes shared by more than `maxBucket` videos are
+    * boilerplate (intro cards, logos, test patterns) and are dropped
+    * BEFORE the self-join exactly like F12's over-shared winnowing
+    * fingerprints, and the surviving candidates gate on keyframe-set
+    * Jaccard ≥ `minBp`. Output one row per unordered pair with the
+    * evidence (shared keyframes, both set sizes, jaccard_bp). Scale:
+    * join cost ≤ Σ df² over kept hashes, bounded per hash by the cap;
+    * set sizes are scenes per video — tiny relations next to the
+    * frame mass that never leaves [[frameDHash]]'s map side.
+    */
+  def videoNearDupPairs(frames: Dataset[FrameHash],
+      maxHamming: Int = 6, minBp: Long = 5000L,
+      maxBucket: Int = 64): DataFrame = {
+    val kh = keyframeHashes(frames, maxHamming)
+      .select("doc_id", "phash").distinct().cache()
+    val sizes = kh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val capped = kh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("phash")))
+      .filter(col("df") <= maxBucket)
+      .select("doc_id", "phash")
+    capped
+      .join(capped.select(col("doc_id").as("doc_b"), col("phash")),
+        "phash")
+      .filter(col("doc_id") < col("doc_b"))
+      .groupBy(col("doc_id").as("video_a"), col("doc_b").as("video_b"))
+      .agg(count(lit(1)).as("shared_keyframes"))
+      .join(sizes.select(col("doc_id").as("video_a"), col("n").as("n_a")),
+        "video_a")
+      .join(sizes.select(col("doc_id").as("video_b"), col("n").as("n_b")),
+        "video_b")
+      .withColumn("jaccard_bp", expr(
+        "10000 * shared_keyframes DIV (n_a + n_b - shared_keyframes)"))
+      .filter(col("jaccard_bp") >= minBp)
+      .select("video_a", "video_b", "shared_keyframes", "n_a", "n_b",
+        "jaccard_bp")
+      .orderBy("video_a", "video_b")
+  }
+
   /** I5-maint: STREAMING keyframe extraction — the F13/G9-maint
     * ingest-gate stance applied to video curation: containers arrive
     * as a stream of [[MediaRow]]s and each micro-batch runs the full

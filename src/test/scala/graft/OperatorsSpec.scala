@@ -275,6 +275,73 @@ class OperatorsSpec extends SparkSpec {
       s"scene windows must partition by doc:\n$p")
   }
 
+  test("multimodal: video near-dup via keyframe-hash sets — a re-paced " +
+    "copy matches at 10000 bp, a one-shared-scene video sits at the " +
+    "threshold, boilerplate keyframes drop under the cap") {
+    def texturedGif(frames: Seq[(Int, Int) => Int], w: Int,
+        h: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (px <- frames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h) {
+          val v = px(x, y) & 0xff
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.close()
+      bos.toByteArray
+    }
+    val grad: (Int, Int) => Int = (x, _) => x * 255 / 17
+    val rev: (Int, Int) => Int = (x, _) => 255 - x * 255 / 17
+    // wide vertical stripes: survive the 9×8 downscale with
+    // alternating neighbor comparisons — a hash distinct from both
+    // the all-ones gradient and the all-zeros reverse
+    val diag: (Int, Int) => Int = (x, _) => ((x / 3) % 2) * 255
+    // A: shots grad|rev|grad; B: the same shots RE-PACED (frames
+    // inserted within shots, indexes shifted); D: grad only;
+    // E: unrelated texture
+    val vids = Seq(
+      MultiModal.MediaRow(1L,
+        texturedGif(Seq(grad, grad, rev, rev, grad), 18, 8), "gif", 18, 8),
+      MultiModal.MediaRow(2L,
+        texturedGif(Seq(grad, grad, grad, rev, grad, grad), 18, 8),
+        "gif", 18, 8),
+      MultiModal.MediaRow(3L,
+        texturedGif(Seq(grad, grad), 18, 8), "gif", 18, 8),
+      MultiModal.MediaRow(4L,
+        texturedGif(Seq(diag, diag), 18, 8), "gif", 18, 8))
+    val frames = MultiModal.frameDHash(spark.createDataset(vids)(
+      org.apache.spark.sql.Encoders.product[MultiModal.MediaRow]))
+    val pairs = MultiModal.videoNearDupPairs(frames)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    // A↔B: identical keyframe sets {grad, rev} → 10000 bp
+    assert(pairs.contains((1L, 2L, 2L, 10000L)),
+      s"re-paced copy must match exactly, got ${pairs.toSeq}")
+    // A↔D and B↔D: one of two keyframes shared → 5000 bp (at gate)
+    assert(pairs.contains((1L, 3L, 1L, 5000L)))
+    assert(pairs.contains((2L, 3L, 1L, 5000L)))
+    // E shares nothing
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // boilerplate cap: the grad keyframe is shared by 3 videos — at
+    // maxBucket=2 it drops BEFORE the join, so only A↔B (still
+    // sharing rev) survives, with the shared count down to 1
+    val capped = MultiModal.videoNearDupPairs(frames, maxBucket = 2,
+      minBp = 3000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.toSeq === Seq((1L, 2L, 1L)),
+      s"over-shared keyframes must drop under the cap, got ${capped.toSeq}")
+  }
+
   test("multimodal: dHash is brightness-invariant and the banded " +
     "pair search finds exactly the near-dup pairs") {
     import spark.implicits._
