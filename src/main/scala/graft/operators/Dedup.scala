@@ -2294,9 +2294,93 @@ object Dedup {
        |LEFT JOIN chunk_d c ON c.source = b.source
        |ORDER BY b.source""".stripMargin)
 
+  // ---------------------------------------------------------------- F29
+  /** RUNG-OVERLAP MATRIX — do the dedup rungs agree on WHAT to drop,
+    * or is each catching its own kind of duplicate? One row per rung
+    * pair over the three doc-id drop sets (F1 byte-exact, F23
+    * normalize-exact, F8/F9 near-dup), with both set sizes, the
+    * intersection, and drop-set Jaccard in bp. The release-review
+    * companion to F27's per-source card: near-100% overlap says a
+    * rung is redundant cost; near-0% says every rung is load-bearing
+    * and none can be skipped (byte-exact ⊆ normalize-exact by
+    * construction — the spec pins that containment as a hard
+    * invariant, n_both = n_a on that row). Three thin window-min /
+    * drop-list relations (the F27 shapes), three sort-merge-free
+    * set intersections at drop-list scale. All-integer ⇒
+    * oracle-gated.
+    */
+  val dRungOverlap: Q = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val w = Window.partitionBy("k")
+      def drops(key: Column): DataFrame =
+        docs.select(col("doc_id"), key.as("k"))
+          .withColumn("keep", min("doc_id").over(w))
+          .filter(col("doc_id") =!= col("keep")).select("doc_id")
+      val rungs: Seq[(String, DataFrame)] = Seq(
+        "exact" -> drops(md5(col("text"))),
+        "norm" -> drops(normKey(col("text"))),
+        "neardup" -> clusterMap(s, dir)
+          .filter(col("doc_id") =!= col("cluster_id")).select("doc_id"))
+      val cached = rungs.map { case (n, df) =>
+        n -> df.localCheckpoint(true)
+      }
+      val rows = for {
+        i <- cached.indices; j <- cached.indices if i < j
+      } yield {
+        val (na, a) = (cached(i)._1, cached(i)._2)
+        val (nb, b) = (cached(j)._1, cached(j)._2)
+        val ca = a.count(); val cb = b.count()
+        val both = a.join(b, Seq("doc_id"), "left_semi").count()
+        val denom = ca + cb - both
+        (na, nb, ca, cb, both,
+          if (denom > 0) 10000L * both / denom else 10000L)
+      }
+      import s.implicits._
+      rows.toDF("rung_a", "rung_b", "n_a", "n_b", "n_both",
+        "jaccard_bp").orderBy("rung_a", "rung_b")
+    },
+    s"""WITH $clustersCteSql,
+       |ex AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text))
+       |      AS keep FROM documents) WHERE doc_id <> keep),
+       |nm AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY
+       |      md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+       |      'g')))) AS keep FROM documents) WHERE doc_id <> keep),
+       |nd AS MATERIALIZED (
+       |  SELECT doc_id FROM l$Iters WHERE doc_id <> label),
+       |pair AS (
+       |  SELECT 'exact' AS rung_a, 'neardup' AS rung_b,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_a,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM nd) AS n_b,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM ex
+       |     WHERE doc_id IN (SELECT doc_id FROM nd)) AS n_both
+       |  UNION ALL
+       |  SELECT 'exact', 'norm',
+       |    (SELECT CAST(count(*) AS BIGINT) FROM ex),
+       |    (SELECT CAST(count(*) AS BIGINT) FROM nm),
+       |    (SELECT CAST(count(*) AS BIGINT) FROM ex
+       |     WHERE doc_id IN (SELECT doc_id FROM nm))
+       |  UNION ALL
+       |  SELECT 'norm', 'neardup',
+       |    (SELECT CAST(count(*) AS BIGINT) FROM nm),
+       |    (SELECT CAST(count(*) AS BIGINT) FROM nd),
+       |    (SELECT CAST(count(*) AS BIGINT) FROM nm
+       |     WHERE doc_id IN (SELECT doc_id FROM nd)))
+       |SELECT rung_a, rung_b, n_a, n_b, n_both,
+       |  CAST(CASE WHEN n_a + n_b - n_both > 0
+       |    THEN 10000 * n_both // (n_a + n_b - n_both)
+       |    ELSE 10000 END AS BIGINT) AS jaccard_bp
+       |FROM pair ORDER BY rung_a, rung_b""".stripMargin)
+
   val registry: Map[String, Q] = Map(
     "d_chunk_dup" -> dChunkDup,
     "d_dedup_card" -> dDedupCard,
+    "d_rung_overlap" -> dRungOverlap,
     "d_norm_exact" -> dNormExact,
     "d_dup_inflation" -> dDupInflation,
     "d_cluster_sizes" -> dClusterSizes,

@@ -1656,6 +1656,36 @@ class QueriesSpec extends SparkSpec {
       "Σ per-source takes never exceed the half-corpus budget")
   }
 
+  test("d_rung_overlap: byte-exact drops are CONTAINED in " +
+    "normalize-exact drops; sizes reconcile with the rung queries; " +
+    "jaccard identity holds") {
+    val rows = SparkEntry.queries("d_rung_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(rows.keySet === Set(("exact", "norm"), ("exact", "neardup"),
+      ("norm", "neardup")))
+    // byte-exact duplicates ARE normalize-exact duplicates: the
+    // containment is structural (normalization is deterministic), so
+    // the intersection equals the exact side — pinned as an invariant
+    val (ea, _, eb, _) = rows(("exact", "norm"))
+    assert(eb === ea, "exact drop set must be ⊆ the norm drop set")
+    for (((_, _), (na, nb, both, bp)) <- rows) {
+      assert(both <= math.min(na, nb))
+      val denom = na + nb - both
+      assert(bp === (if (denom > 0) 10000L * both / denom else 10000L))
+    }
+    // sizes ≡ the component queries
+    def dupTotal(q: String): Long =
+      SparkEntry.queries(q)(spark, sf).collect()
+        .map(r => r.getLong(r.length - 1) - 1L).sum
+    assert(rows(("exact", "norm"))._1 === dupTotal("d_exact"))
+    assert(rows(("exact", "norm"))._2 === dupTotal("d_norm_exact"))
+    val nearDrops = SparkEntry.queries("d_dup_inflation")(spark, sf)
+      .collect().map(r => r.getLong(1) - r.getLong(3)).sum
+    assert(rows(("norm", "neardup"))._2 === nearDrops)
+  }
+
   test("d_dedup_card: every rung column reconciles with its component " +
     "query") {
     val card = SparkEntry.queries("d_dedup_card")(spark, sf).collect()
