@@ -1899,13 +1899,14 @@ object Similarity {
     * clears [[SemDupMicro]]. The published implementation resolves
     * "keep one of the pair" by a fixed ordering over the upper
     * triangle of the within-cluster similarity matrix — exactly the
-    * min-id dominance rule used here: v is dropped iff SOME same-cell
-    * candidate u < v scores ≥ τ (whether or not u itself survives —
-    * the paper's rule, NOT connected components: a similarity chain
-    * a~b~c with a≁c keeps a and c, where component dedup would
-    * over-drop c). Candidates
-    * are [[knnCandidates]] — same split-don't-drop occupancy policy,
-    * so over-cap cells degrade recall, never cost. Per vector: its
+    * min-id dominance rule used here: v is dropped iff SOME candidate
+    * u < v sharing one of v's [[KnnAssign]] assigned cells scores ≥ τ
+    * (whether or not u itself survives — the paper's rule, NOT
+    * connected components: a similarity chain a~b~c with a≁c keeps a
+    * and c, where component dedup would over-drop c). Candidates
+    * are [[knnCandidates]] — multi-assignment widens recall across
+    * argmin boundaries, and the same split-don't-drop occupancy
+    * policy keeps over-cap cells degrading recall, never cost. Per vector: its
     * cell, how many smaller-id semantic dups dominate it, the
     * smallest such keeper and the strongest similarity — the drop
     * LIST with its evidence, not just a count. τ here is calibrated
