@@ -136,17 +136,18 @@ object Dedup {
     * F3→F5 verify composition below.
     */
   private[operators] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
-    // cached: the split band rows feed BOTH sides of the self-join —
-    // without the cache the whole tokens→minhash→bands subplan (the
-    // expensive part) executes twice. Lifetime note: the entry lives
-    // until the session drops it (same logical plan ⇒ one shared
-    // entry across calls, a few MB per sf dir); long-lived callers
-    // running many corpora should spark.catalog.clearCache()
-    // periodically, as Bench does between queries.
-    val b = bands(s, dir)
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "band_hash")))
+    // cached twice on purpose: `base` so the tokens→minhash→bands
+    // subplan (the expensive part) runs once even though occupancy
+    // counting reads it from two plan branches, and `b` so the split
+    // band rows feed BOTH sides of the self-join without redoing the
+    // occupancy join. Lifetime note: entries live until the session
+    // drops them (same logical plan ⇒ one shared entry across calls,
+    // a few MB per sf dir); long-lived callers running many corpora
+    // should spark.catalog.clearCache() periodically, as Bench does
+    // between queries. Occupancy is a groupBy+join, NOT a window —
+    // see [[Occupancy.attach]] for the 100 TB skew rationale.
+    val base = bands(s, dir).cache()
+    val b = Occupancy.attach(base, Seq("band", "band_hash"), "bucket_n")
       .withColumn("r",
         explode(typedLit((0 until SplitRounds).map(_.toLong))))
       .withColumn("sub", expr(splitSubSpark))
@@ -854,14 +855,16 @@ object Dedup {
     * than 64 docs is a degenerate bucket (e.g. near-constant token
     * mixes) and is skipped BEFORE the self-join — the quadratic
     * blowup on one hot band value is the single scale risk in any
-    * banded pair join. The capped subplan is identical on both join
-    * sides (aliases applied after), so Spark's ReuseExchange serves
-    * one shuffle to both.
+    * banded pair join. Occupancy is counted via [[Occupancy.attach]]
+    * (groupBy+join, AQE-skew-splittable), never a bucket-key window;
+    * the exploded band rows are cached so the signature agg runs once
+    * under the two occupancy branches, and the capped result is cached
+    * again to feed both self-join sides.
     */
   val dSimhashPairs: Q = Q(
     (s, dir) => {
       val sig = simhashSig(s, dir)
-      val banded = sig.select(col("doc_id"), col("sim_hi"), col("sim_lo"),
+      val exploded = sig.select(col("doc_id"), col("sim_hi"), col("sim_lo"),
         explode(array(
           struct(lit(0).as("band_idx"),
             col("sim_lo").bitwiseAND(65535L).as("band_val")),
@@ -874,11 +877,11 @@ object Dedup {
               .as("band_val")))).as("b"))
         .select(col("doc_id"), col("sim_hi"), col("sim_lo"),
           col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
-        .withColumn("bucket_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("band_idx", "band_val")))
+        .cache() // occupancy counting reads this from two branches
+      val banded = Occupancy
+        .attach(exploded, Seq("band_idx", "band_val"), "bucket_n")
         .filter(col("bucket_n") <= MaxBucket)
-        .cache() // feeds both self-join sides: signature agg runs once
+        .cache() // feeds both self-join sides: occupancy join runs once
       val a = banded.select(col("doc_id").as("doc_a"),
         col("sim_hi").as("hi_a"), col("sim_lo").as("lo_a"),
         col("band_idx"), col("band_val"))
@@ -1396,11 +1399,9 @@ object Dedup {
   private[graft] def bandIndex(s: SparkSession, dir: String): DataFrame =
     bandIndexCache.getOrElseUpdate(s, dir)(
       graft.sources.ArtifactStore.materialize(s, "dedup.bandIndex", dir)(
-        bands(s, dir)
-          .filter(col("doc_id") % 5 =!= 4)
-          .withColumn("bucket_n", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("band", "band_hash")))
+        Occupancy.attach(
+          bands(s, dir).filter(col("doc_id") % 5 =!= 4),
+          Seq("band", "band_hash"), "bucket_n")
           .filter(col("bucket_n") <= MaxBucket)
           .select("doc_id", "band", "band_hash")))
 
@@ -1628,9 +1629,10 @@ object Dedup {
       // consumes the MATERIALIZED fingerprint index (TextAnalysis
       // .fpIndex): when H4 already ran this session the winnowing
       // pass is not re-paid — the lake-table shape of a real pipeline
-      val fp = TextAnalysis.fpIndex(s, dir)
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("fp_hash")))
+      // fpIndex is a materialized artifact, so the two occupancy
+      // branches are two cheap parquet reads, not two winnowing passes
+      val fp = Occupancy
+        .attach(TextAnalysis.fpIndex(s, dir), Seq("fp_hash"), "df")
         .filter(col("df") <= MaxBucket)
         .select("doc_id", "fp_hash")
         .cache()
@@ -1791,10 +1793,12 @@ object Dedup {
   val dLshRecallCurve: Q = Q(
     (s, dir) => {
       val ev = broadcast(ppjoinEvalDocs(s, dir))
-      val b = bands(s, dir)
-        .withColumn("bucket_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("band", "band_hash")))
+      // occupancy stays corpus-wide (counted BEFORE the eval-stratum
+      // join — the rung semantics need the true bucket size), via the
+      // skew-safe groupBy+join; the bands cache entry is shared with
+      // lshCandidates (same logical plan)
+      val base = bands(s, dir).cache()
+      val b = Occupancy.attach(base, Seq("band", "band_hash"), "bucket_n")
         .join(ev, Seq("doc_id"))
         .withColumn("r",
           explode(typedLit((0 until SplitRounds).map(_.toLong))))

@@ -470,9 +470,9 @@ object MultiModal {
     val kh = keyframeHashes(frames, maxHamming)
       .select("doc_id", "phash").distinct().cache()
     val sizes = kh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val capped = kh
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("phash")))
+    // hash occupancy via groupBy+join off the cached kh (skew-safe;
+    // see Occupancy.attach) — never a phash-partitioned window
+    val capped = Occupancy.attach(kh, Seq("phash"), "df")
       .filter(col("df") <= maxBucket)
       .select("doc_id", "phash")
     capped

@@ -143,9 +143,13 @@ object Similarity {
   private[graft] def cells(e: DataFrame, numPlanes: Int = 0,
       maxCell: Int = MaxCell): DataFrame = {
     val np = if (numPlanes > 0) numPlanes else planesFor(e.count())
-    e.withColumn("bucket", bucketOf(col("embedding"), np))
-      .withColumn("cell_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+    // occupancy via groupBy+join (Occupancy.attach), not a bucket-key
+    // window: the hot cell the cap exists to drop must never be
+    // funneled into one WindowExec task just to be counted. The plane
+    // dot products run under both occupancy branches — consumers read
+    // this through the materialized cellsIndex, so that is build-time
+    val bucketed = e.withColumn("bucket", bucketOf(col("embedding"), np))
+    Occupancy.attach(bucketed, Seq("bucket"), "cell_n")
       .filter(col("cell_n") <= maxCell)
       .drop("cell_n")
   }
@@ -1350,7 +1354,7 @@ object Similarity {
     * the IVF family (G6-G9) was missing: the shipped codebook there is
     * aggregated from ground-truth labels, which a real corpus does not
     * have. Deterministic throughout so the oracle is exact: init =
-    * the [[KmeansK]] smallest vec_ids' vectors (cl 0..k-1 in id
+    * the [[kmeansKFor]] smallest vec_ids' vectors (cl 0..k-1 in id
     * order), [[KmeansRounds]] Lloyd rounds in integer MICRO units
     * (assign by squared-L2 argmin with ties to the smaller cluster id
     * — the same `array_min` struct trick as the IVF assignment, whose
@@ -1365,15 +1369,48 @@ object Similarity {
     * [[ivfCodebook]], now with the training loop included; driver
     * state is k×dim longs per round regardless of corpus size.
     */
-  val KmeansK = 8
+  /** Codebook-size ladder: k = the smallest power of two whose SQUARE
+    * covers the corpus — the FAISS-style k ≈ √n sizing rule snapped to
+    * powers of two so BOTH engines pick it with pure integer
+    * arithmetic (no float sqrt/log whose rounding could diverge at a
+    * boundary), clamped to [8, [[KmMaxK]]]. The r14 verdict's #3: a
+    * fixed k = 8 means n/8-vector cells at a billion vectors — no cap
+    * policy can save that; √n keeps EXPECTED cell width at √n too
+    * (500 vecs → k=32, 2000 → k=64, the sweep-picked production
+    * point). Beyond [[KmMaxK]] the inline-literal codebook expression
+    * stops being the right vehicle (k×dim literals in one projection)
+    * and a deployment moves to a broadcast-relation assignment; the
+    * clamp documents that boundary instead of hiding it.
+    */
+  val KmKLadder: Seq[Int] = Seq(8, 16, 32, 64, 128, 256)
+  val KmMaxK = 512
+
+  def kmeansKFor(n: Long): Int =
+    KmKLadder.find(p => p.toLong * p >= n).getOrElse(KmMaxK)
+
+  /** The same ladder pick as a DuckDB scalar subquery (pure integer
+    * compare against count(*), engine-identical to [[kmeansKFor]]).
+    */
+  private val kmKSql: String =
+    s"""(SELECT coalesce(min(p), $KmMaxK)
+       |  FROM (VALUES ${KmKLadder.map(p => s"($p)").mkString(", ")})
+       |    pows(p)
+       |  WHERE CAST(p AS BIGINT) * p >=
+       |    (SELECT count(*) FROM embeddings))"""
+      .stripMargin.replace("\n", " ")
+
   val KmeansRounds = 2
 
   private def microVec: Column =
     transform(col("embedding"),
       x => round(x.cast("double") * 1e6).cast("long"))
 
+  private[graft] def kmeansInit(s: SparkSession, dir: String)
+      : Array[(Long, Array[Long])] =
+    kmeansInit(s, dir, kmeansKFor(Tables.embeddings(s, dir).count()))
+
   private[graft] def kmeansInit(s: SparkSession, dir: String,
-      k: Int = KmeansK): Array[(Long, Array[Long])] =
+      k: Int): Array[(Long, Array[Long])] =
     Tables.embeddings(s, dir).orderBy("vec_id").limit(k)
       .select(col("vec_id"), microVec.as("v")).collect()
       .sortBy(_.getLong(0)).zipWithIndex
@@ -1433,7 +1470,7 @@ object Similarity {
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
        |    AS cl, v
-       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $KmeansK)),
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $kmKSql)),
        |a1 AS (${kmAssignSql("c0")}),
        |c1 AS (${kmRefreshSql("a1")}),
        |a2 AS (${kmAssignSql("c1")}),
@@ -1490,7 +1527,7 @@ object Similarity {
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
        |    AS cl, v
-       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $KmeansK)),
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $kmKSql)),
        |a1 AS (${kmAssignSql("c0")}),
        |c1 AS (${kmRefreshSql("a1")}),
        |a2 AS (${kmAssignSql("c1")}),
@@ -1537,7 +1574,7 @@ object Similarity {
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
        |    AS cl, v
-       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $KmeansK)),
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $kmKSql)),
        |a1 AS (${kmAssignSql("c0")}),
        |c1 AS (${kmRefreshSql("a1")}),
        |a2 AS (${kmAssignSql("c1")}),
@@ -1576,7 +1613,7 @@ object Similarity {
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
        |    AS cl, v
-       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $KmeansK)),
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $kmKSql)),
        |a1 AS (${kmAssignSql("c0")}),
        |c1 AS (${kmRefreshSql("a1")}),
        |a2 AS (${kmAssignSql("c1")}),
@@ -1644,12 +1681,20 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
     // thin split relation: (vec_id, cell, r, sub) — embeddings join
     // back per side so the fat arrays never ride the explode
-    val split = emb
+    // (vec_id, cell) assignment cached thin so the k-means argmin runs
+    // once; cell occupancy is a BROADCAST join of the k-row counts
+    // relation (groupBy collapses each cell map-side — the old
+    // partitionBy("cell") window was the repo's hardest single-task
+    // wall: cardinality k, so one task buffered n/k of the corpus by
+    // construction even with no skew at all)
+    val assigned = emb
       .withColumn("cell", explode(transform(
         slice(array_sort(ivfCells(kmCodebook(s, dir))), 1, KnnAssign),
         c => c.getField("cell"))))
-      .withColumn("cell_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("cell")))
+      .select("vec_id", "cell")
+      .cache()
+    val split = Occupancy
+      .attach(assigned, Seq("cell"), "cell_n", broadcastCounts = true)
       .withColumn("r",
         explode(typedLit((0 until KnnSplitRounds).map(_.toLong))))
       .withColumn("sub", expr(knnSubSpark))
@@ -2240,7 +2285,7 @@ object Similarity {
     * hash-threshold form (md5 first hex digit, H8's stance) when
     * ±binomial jitter per cell is acceptable. Oracle replays the
     * Lloyd chain and the same window. (Defined after the k-means
-    * block: the oracle string interpolates [[KmeansK]] at val-init,
+    * block: the oracle string interpolates [[kmKSql]] at val-init,
     * so declaration order is load-bearing.)
     */
   private val DiverseKeepDenom = 4
@@ -2269,7 +2314,7 @@ object Similarity {
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
        |    AS cl, v
-       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $KmeansK)),
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $kmKSql)),
        |a1 AS (${kmAssignSql("c0")}),
        |c1 AS (${kmRefreshSql("a1")}),
        |a2 AS (${kmAssignSql("c1")}),

@@ -616,6 +616,51 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("banded builders: bucket occupancy is never a bucket-key window") {
+    // the r14 verdict's one systemic scale finding, pinned closed: a
+    // count(*) OVER (PARTITION BY bucket-key) funnels the hot bucket
+    // the MaxBucket/MaxCell caps exist to defuse into ONE WindowExec
+    // task AQE cannot split. Occupancy.attach replaces it with a
+    // map-side-combinable groupBy joined back, so these candidate
+    // plans must carry no Window node at all
+    for (q <- Seq("d_minhash_lsh", "d_simhash_pairs", "d_span_dup",
+        "d_lsh_jaccard", "d_lsh_recall", "d_lsh_recall_curve")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // finalize AQE before reading the plan
+      val p = plan(df)
+      assert(!p.contains("Window"),
+        s"$q counts bucket occupancy with a window again:\n$p")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("cells: quantizer-cell occupancy is a groupBy+join, no window") {
+    val df = graft.operators.Similarity.cells(Tables.embeddings(spark, sf))
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Window"),
+      s"cells counts cell occupancy with a window again:\n$p")
+  }
+
+  test("s_knn_graph: the only window is the per-vector top-k rank — " +
+    "cell occupancy must not appear as a cell-partitioned window") {
+    // the worst r14 offender: partition key = km cell, cardinality k,
+    // so ONE task buffered n/k of the corpus by construction. The
+    // occupancy side is now a broadcast of the k-row counts relation;
+    // the surviving window partitions by vec_id (per-vector rank — a
+    // corpus-cardinality key, exactly what a window is for)
+    val df = SparkEntry.queries("s_knn_graph")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(l => l.contains("vec_id")),
+      s"a window lost its vec_id partitioning:\n${winLines.mkString("\n")}")
+    assert(!winLines.exists(_.contains("partitionBy(cell")) &&
+      !winLines.exists(l => l.contains("cell_n")),
+      s"cell occupancy crept back into a window:\n${winLines.mkString("\n")}")
+    spark.catalog.clearCache()
+  }
+
   private implicit class SubstrAfter(private val s: String) {
     def substringAfter(sep: String): String = {
       val i = s.indexOf(sep)

@@ -971,7 +971,8 @@ class QueriesSpec extends SparkSpec {
     val a = SparkEntry.queries("s_kmeans")(spark, sf).cache()
     assert(a.count() === Tables.embeddings(spark, sf).count(),
       "every vector gets exactly one cluster")
-    val k = graft.operators.Similarity.KmeansK
+    val k = graft.operators.Similarity.kmeansKFor(
+      Tables.embeddings(spark, sf).count())
     assert(a.filter(col("cluster") < 0 || col("cluster") >= k)
       .count() === 0)
     val used = a.select("cluster").distinct().count()
