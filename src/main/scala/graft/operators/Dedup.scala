@@ -274,21 +274,49 @@ object Dedup {
     * holds at 100 TB (verify cost scales with near-dup density, not
     * with corpus²).
     */
+  /** F7's verified pairs, with the verify-cost dial the r14 verdict
+    * asked for (#5): the exact gram-Jaccard kernel is the expensive
+    * stage (at sf0.1 the split policy hands it 778k candidate pairs,
+    * each paying an array_intersect over two fat gram arrays), so it
+    * sits behind the PPJoin LENGTH FILTER — J(A,B) ≤ min(|A|,|B|) /
+    * max(|A|,|B|) (the intersection can never exceed the smaller set,
+    * the union never undershoot the larger), so any pair whose size
+    * ratio cannot reach [[ClusterMinBp]] is discarded on the THIN
+    * (doc, n_grams) relation before a gram array ever rides the join.
+    * Algebraically LOSSLESS at the output threshold: no J ≥ threshold
+    * pair can fail the gate (no ε, no recall cost — the F21 recall
+    * row keeps measuring the banding stage, the only lossy one).
+    * Output contract: candidates VERIFIED at the cluster threshold —
+    * the relation [[dupEdges]]/F8 clustering actually consumes.
+    */
+  /** Near-dup verify/cluster threshold in basis points (J ≥ 0.2) —
+    * declared BEFORE [[lshJaccardSql]] (a val initializer: a forward
+    * reference would silently interpolate 0 into the oracle).
+    */
+  val ClusterMinBp = 2000
+
   private def lshJaccardDf(s: SparkSession, dir: String): DataFrame = {
     val garr = gramArrays(s, dir)
+    val sz = garr.select(col("doc_id"),
+      size(col("grams")).cast("long").as("n"))
     lshCandidates(s, dir)
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .filter(least(col("n_a"), col("n_b")) * 10000 >=
+        greatest(col("n_a"), col("n_b")) * ClusterMinBp)
       .join(garr.select(col("doc_id").as("doc_a"), col("grams").as("g_a")),
         Seq("doc_a"))
       .join(garr.select(col("doc_id").as("doc_b"), col("grams").as("g_b")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         size(expr("array_intersect(g_a, g_b)")).cast("long").as("inter"),
-        size(col("g_a")).cast("long").as("n_a"),
-        size(col("g_b")).cast("long").as("n_b"))
-      .filter(col("inter") >= 1)
+        col("n_a"), col("n_b"))
       .withColumn("union_sz", col("n_a") + col("n_b") - col("inter"))
       .selectExpr("doc_a", "doc_b", "inter", "union_sz",
         "(inter * 10000) DIV union_sz AS jaccard_bp")
+      .filter(col("jaccard_bp") >= ClusterMinBp)
   }
 
   private val lshJaccardSql =
@@ -301,10 +329,12 @@ object Dedup {
        |          JOIN g a ON a.doc_id = c.doc_a
        |          JOIN g b ON b.doc_id = c.doc_b AND b.gram = a.gram
        |          GROUP BY c.doc_a, c.doc_b)
-       |SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_sz,
-       |  (inter * 10000) // (sa.n + sb.n - inter) AS jaccard_bp
-       |FROM inter JOIN sz sa ON sa.doc_id = doc_a
-       |JOIN sz sb ON sb.doc_id = doc_b""".stripMargin
+       |SELECT * FROM (
+       |  SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_sz,
+       |    (inter * 10000) // (sa.n + sb.n - inter) AS jaccard_bp
+       |  FROM inter JOIN sz sa ON sa.doc_id = doc_a
+       |  JOIN sz sb ON sb.doc_id = doc_b)
+       |WHERE jaccard_bp >= $ClusterMinBp""".stripMargin
 
   val dLshJaccard: Q = Q(
     (s, dir) => lshJaccardDf(s, dir).orderBy("doc_a", "doc_b"),
@@ -341,9 +371,11 @@ object Dedup {
     * NOT truncate lineage for the analyzer.)
     */
   val Iters = 6
-  val ClusterMinBp = 2000
 
   private[graft] def dupEdges(s: SparkSession, dir: String): DataFrame = {
+    // lshJaccardDf is already gated at ClusterMinBp (F7's output
+    // contract); the redundant filter stays as documentation of the
+    // edge relation's threshold
     val p = lshJaccardDf(s, dir)
       .filter(col("jaccard_bp") >= ClusterMinBp)
       .select("doc_a", "doc_b")
@@ -1395,15 +1427,30 @@ object Dedup {
     * evidence row's drop-cap line, and a deployment that needs the
     * recovered recall re-gates the batch against the full F3 split
     * pipeline offline.
+    *
+    * The divergence from F3 is SURFACED, not silent (r14 advice):
+    * each capped-out bucket leaves one marker row (`doc_id` NULL,
+    * `capped` true) in the index, and [[incrGate]] flags any probe
+    * doc whose bands hit a capped bucket as `capped_bucket` —
+    * downstream accounting can then distinguish "verified new" from
+    * "unverifiable under the cap" instead of treating the gate as a
+    * faithful preview of the offline split pipeline.
     */
   private[graft] def bandIndex(s: SparkSession, dir: String): DataFrame =
     bandIndexCache.getOrElseUpdate(s, dir)(
-      graft.sources.ArtifactStore.materialize(s, "dedup.bandIndex", dir)(
-        Occupancy.attach(
+      graft.sources.ArtifactStore.materialize(s, "dedup.bandIndex", dir) {
+        val b = Occupancy.attach(
           bands(s, dir).filter(col("doc_id") % 5 =!= 4),
           Seq("band", "band_hash"), "bucket_n")
-          .filter(col("bucket_n") <= MaxBucket)
-          .select("doc_id", "band", "band_hash")))
+        b.filter(col("bucket_n") <= MaxBucket)
+          .select(col("doc_id"), col("band"), col("band_hash"),
+            lit(false).as("capped"))
+          .unionByName(
+            b.filter(col("bucket_n") > MaxBucket)
+              .select(col("band"), col("band_hash")).distinct()
+              .select(lit(null).cast("long").as("doc_id"), col("band"),
+                col("band_hash"), lit(true).as("capped")))
+      })
 
   private val gramIndexCache =
     graft.Artifacts.cache[DataFrame]("dedup.gramIndex")
@@ -1464,11 +1511,21 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.band_hash").as("band_hash"))
     val cand = newBands
-      .join(bandIndex(s, dir)
+      .join(bandIndex(s, dir).filter(!col("capped"))
           .select(col("doc_id").as("old_id"), col("band"), col("band_hash")),
         Seq("band", "band_hash"))
       .select(col("doc_id").as("new_id"), col("old_id"))
       .distinct()
+    // capped-bucket visibility (r14 advice): a probe doc whose bands
+    // hit a bucket the DROP cap removed from the index cannot be
+    // verified against that bucket's members — flag it so "new" is
+    // never silently conflated with "unverifiable under the cap"
+    val cappedHits = newBands
+      .join(bandIndex(s, dir).filter(col("capped"))
+          .select("band", "band_hash"),
+        Seq("band", "band_hash"))
+      .select(col("doc_id")).distinct()
+      .withColumn("capped_bucket", lit(true))
     val newGrams = newDocs
       .select(col("doc_id").as("new_id"), gramArrayCol.as("g_a"))
     // verify side reads the STANDING gram artifact — never a fresh
@@ -1488,8 +1545,10 @@ object Dedup {
       .agg(min("old_id").as("dup_of"))
     newDocs
       .join(dups, col("doc_id") === col("new_id"), "left")
+      .join(cappedHits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("n_chars"), col("dup_of"),
-        col("dup_of").isNotNull.as("is_dup"))
+        col("dup_of").isNotNull.as("is_dup"),
+        coalesce(col("capped_bucket"), lit(false)).as("capped_bucket"))
   }
 
   val dIncrDedup: Q = Q(
@@ -1497,12 +1556,20 @@ object Dedup {
       Tables.documents(s, dir).filter(col("doc_id") % 5 === 4), dir)
       .orderBy("doc_id"),
     s"""WITH b AS ($bandsSql),
+       |occ AS (
+       |  SELECT e.*, count(*) OVER (PARTITION BY band, band_hash)
+       |    AS bucket_n
+       |  FROM (SELECT * FROM b WHERE doc_id % 5 <> 4) e),
        |idx AS (
-       |  SELECT doc_id, band, band_hash FROM (
-       |    SELECT e.*, count(*) OVER (PARTITION BY band, band_hash)
-       |      AS bucket_n
-       |    FROM (SELECT * FROM b WHERE doc_id % 5 <> 4) e)
+       |  SELECT doc_id, band, band_hash FROM occ
        |  WHERE bucket_n <= $MaxBucket),
+       |cap AS (
+       |  SELECT DISTINCT band, band_hash FROM occ
+       |  WHERE bucket_n > $MaxBucket),
+       |caphit AS (
+       |  SELECT DISTINCT n.doc_id
+       |  FROM (SELECT * FROM b WHERE doc_id % 5 = 4) n
+       |  JOIN cap c ON n.band = c.band AND n.band_hash = c.band_hash),
        |cand AS (
        |  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS old_id
        |  FROM (SELECT * FROM b WHERE doc_id % 5 = 4) n
@@ -1524,9 +1591,11 @@ object Dedup {
        |  WHERE (inter * 10000) // (sa.n + sb.n - inter) >= $ClusterMinBp
        |  GROUP BY new_id)
        |SELECT d.doc_id, d.source, d.n_chars, u.dup_of,
-       |  u.dup_of IS NOT NULL AS is_dup
+       |  u.dup_of IS NOT NULL AS is_dup,
+       |  ch.doc_id IS NOT NULL AS capped_bucket
        |FROM (SELECT * FROM documents WHERE doc_id % 5 = 4) d
        |LEFT JOIN dups u ON u.new_id = d.doc_id
+       |LEFT JOIN caphit ch ON ch.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin)
 
   // ---------------------------------------------------------------- F28

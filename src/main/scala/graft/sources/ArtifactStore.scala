@@ -196,13 +196,6 @@ object ArtifactStore {
   private def exists(spark: SparkSession, dir: String): Boolean =
     fs(spark, dir).exists(new Path(s"$dir/_manifest/v0.json"))
 
-  /** A committed table dir whose read nonetheless fails (a partial
-    * vacuum took its data files, a torn external copy): delete it so
-    * the address can be rebuilt — without this, a poisoned fingerprint
-    * crashes every fresh session until someone removes the dir by
-    * hand. Best-effort (an unwritable root just leaves the throw to
-    * the rebuild fallback).
-    */
   /** Create the artifact root before the first persist. When the
     * root is the tmpdir DEFAULT (env unset, no spec override) it is
     * pinned owner-only: java.io.tmpdir is world-writable shared
@@ -225,9 +218,69 @@ object ArtifactStore {
     }
   }
 
+  /** True ONLY for the corruption signatures quarantine exists for:
+    * the v0 manifest is unparseable, or a data file v0 references is
+    * gone (a partial external vacuum, a torn copy). Everything else a
+    * load can throw — permission blip, transient FS error, concurrent
+    * maintenance mid-listing — returns false: a committed SHARED
+    * table other live sessions are reading must never be destroyed
+    * over a failure that may not be the table's fault.
+    */
+  private def isCorrupt(s: SparkSession, dir: String): Boolean =
+    try {
+      val m = LakeMerge.manifest(s, dir, Some(0))
+      val f = fs(s, dir)
+      m.partitions.exists { e =>
+        val base =
+          if (e.dir.startsWith("/")) e.dir else s"$dir/${e.dir}"
+        e.files.exists(fn =>
+          !f.exists(new Path(s"$base/${m.dtCol}=${e.dt}/$fn")))
+      }
+    } catch {
+      case _: com.fasterxml.jackson.core.JacksonException => true
+      case _: org.json4s.MappingException => true
+      // bytes contradict their checksum — definitive torn content,
+      // not a blip (Hadoop checksummed FS surfaces manifest
+      // corruption this way before JSON parsing ever sees it)
+      case _: org.apache.hadoop.fs.ChecksumException => true
+      case scala.util.control.NonFatal(_) => false // transient: keep it
+    }
+
+  /** Quarantine a CORRUPT committed dir by renaming it aside
+    * (tombstone), never recursive-delete: a rename leaves a
+    * concurrent builder's in-flight data files intact under the
+    * tombstoned name instead of deleting them mid-write, keeps the
+    * bytes for post-mortem, and the tombstone (still a committed
+    * single-snapshot table under the family dir) ages out through the
+    * normal [[vacuum]] retention by its own v0 commit stamp.
+    * Best-effort (an unwritable root just leaves the throw to the
+    * rebuild fallback).
+    */
   private def quarantine(s: SparkSession, dir: String): Unit =
-    try { fs(s, dir).delete(new Path(dir), true); () }
-    catch { case scala.util.control.NonFatal(_) => () }
+    try {
+      val f = fs(s, dir)
+      val dst = new Path(dir + ".tombstone-" + System.currentTimeMillis)
+      if (!f.rename(new Path(dir), dst)) () // racing quarantine won
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Load-failure policy: quarantine only a VERIFIED-corrupt dir
+    * (tombstoned aside), then RE-VERIFY the address — a racing
+    * session may have tombstoned and rebuilt it already, in which
+    * case the fresh v0 is read instead of built a second time. A
+    * transient failure leaves the table untouched and falls through
+    * to the build path, whose create-exclusive commit turns into a
+    * plain re-read via the ConcurrentModificationException branch.
+    */
+  private def recoverLoad[T](s: SparkSession, dir: String)(
+      retry: => T): Option[T] =
+    if (!isCorrupt(s, dir)) None
+    else {
+      quarantine(s, dir)
+      if (exists(s, dir))
+        try Some(retry)
+        catch { case scala.util.control.NonFatal(_) => None }
+      else None
+    }
 
   /** Lake-else-build-and-commit for a DataFrame artifact. The
     * returned relation is parquet-backed (fault-tolerant, shared
@@ -255,7 +308,9 @@ object ArtifactStore {
           Some(out)
         } catch {
           case scala.util.control.NonFatal(_) =>
-            quarantine(s, dir); None
+            recoverLoad(s, dir) {
+              val out = loadIt(); bump(loadCounts, family); out
+            }
         }
       }
     loaded.getOrElse {
@@ -349,7 +404,10 @@ object ArtifactStore {
           Some(out)
         } catch {
           case scala.util.control.NonFatal(_) =>
-            quarantine(s, dir); None
+            recoverLoad(s, dir) {
+              val out = fromDf(unwrap(LakeMerge.read(s, dir)))
+              bump(loadCounts, family); out
+            }
         }
       }
     loaded.getOrElse {

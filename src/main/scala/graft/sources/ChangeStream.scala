@@ -76,6 +76,10 @@ object ChangeStream {
     while (true) {
       val srcTip = LakeMerge.latestVersion(s, srcDir).toLong
       val consumed = LakeMerge.lastTxn(s, viewDir, app)
+      // a tick wired before the source's FIRST commit: latestVersion
+      // is -1 and there is no snapshot to read — no-op (keep the
+      // current watermark) instead of crashing the always-on query
+      if (srcTip < 0) return consumed.getOrElse(-1L)
       if (consumed.exists(_ >= srcTip)) return consumed.get
       try {
         val feed = consumed match {
@@ -178,6 +182,9 @@ object ChangeStream {
     while (true) {
       val srcTip = LakeMerge.latestVersion(s, srcDir).toLong
       val consumed = LakeMerge.lastTxn(s, dstDir, app)
+      // same pre-first-commit guard as advanceView: no snapshot yet,
+      // keep the watermark, never read version -1
+      if (srcTip < 0) return consumed.getOrElse(-1L)
       if (consumed.exists(_ >= srcTip)) return consumed.get
       try {
         val feed = consumed match {

@@ -580,7 +580,15 @@ object LakeMerge {
       e.committedAtMs.forall(_ < olderThanMs)) // unstamped expire
       .map(_.version)
     if (expired.isEmpty) return Nil
-    val expiredSet = expired.toSet
+    // close the tag/expiry TOCTOU from this side: a tag created after
+    // the first tags() read above still pins its snapshot for THIS
+    // run as long as its ref landed before this second look ([[tag]]
+    // closes the remaining sliver by re-verifying its manifest
+    // post-write and deleting the ref if retention won)
+    val repinned = tags(spark, dir).values.toSet
+    val expiredKept = expired.filterNot(repinned)
+    if (expiredKept.isEmpty) return Nil
+    val expiredSet = expiredKept.toSet
     // survivors pin their data + vector dirs; everything else goes
     val survivorEntries = entries.filterNot(e => expiredSet(e.version))
     val live = survivorEntries.map(_.version)
@@ -592,13 +600,13 @@ object LakeMerge {
     // latestVersion probe, and a crash after this write only makes
     // the checkpoint miss about-to-die versions, never list ghosts
     writeCheckpoint(spark, dir, survivorEntries, latest)
-    expired.foreach(v => f.delete(manifestPath(dir, v), false))
+    expiredKept.foreach(v => f.delete(manifestPath(dir, v), false))
     val dataRoot = new Path(s"$dir/data")
     if (f.exists(dataRoot))
       f.listStatus(dataRoot).toSeq.map(_.getPath)
         .filter(p => !live(s"data/${p.getName}"))
         .foreach(p => f.delete(p, true))
-    expired
+    expiredKept
   }
 
   // ------------------------------------------------------------- tags
@@ -644,6 +652,20 @@ object LakeMerge {
         catch { case _: java.io.IOException => lost() }
       }
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    // TOCTOU vs a concurrent [[vacuumExpired]]: the pre-write
+    // validation above and a retention run's tag-set snapshot can
+    // interleave so this ref lands just after retention stopped
+    // looking — a pin on a snapshot whose manifest is about to die.
+    // Re-verify AFTER the ref is durable; if retention won, remove
+    // the ghost ref (readTag must never resolve to a vacuumed
+    // version) and surface the loss as the standard racing-commit
+    // signal so the caller re-tags a retained snapshot.
+    if (!f.exists(manifestPath(dir, v))) {
+      f.delete(p, false)
+      throw new java.util.ConcurrentModificationException(
+        s"tag '$name': version $v of $dir was expired by a concurrent " +
+          "retention run — re-tag a retained snapshot")
+    }
     v
   }
 

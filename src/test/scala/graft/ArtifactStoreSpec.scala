@@ -257,6 +257,84 @@ class ArtifactStoreSpec extends SparkSpec {
     }
   }
 
+  test("quarantine TOMBSTONES a corrupt dir (rename-aside), never " +
+    "recursive-delete (r14 advice, medium)") {
+    withTempRoot {
+      val corpus = tempCorpus()
+      var builds = 0
+      def build(s: org.apache.spark.sql.SparkSession): DataFrame = {
+        builds += 1
+        val sp = s; import sp.implicits._
+        Seq((1L, 2L), (3L, 4L)).toDF("k", "v")
+      }
+      ArtifactStore.materialize(spark, "tomb.family", corpus)(build(spark))
+      val dir = new java.io.File(
+        ArtifactStore.tableDir(spark, "tomb.family", corpus))
+      // corrupt the MANIFEST (unparseable JSON) — the other corruption
+      // signature next to the missing-data-file case above
+      val v0 = new java.io.File(dir, "_manifest/v0.json")
+      java.nio.file.Files.write(v0.toPath,
+        "{ not json".getBytes("UTF-8"))
+      val s2 = spark.newSession()
+      val b = ArtifactStore.materialize(s2, "tomb.family", corpus)(
+        build(s2))
+      assert(builds === 2, "corrupt manifest must rebuild")
+      assert(sorted(b) === Seq("[1,2]", "[3,4]"))
+      // the wrecked dir was renamed aside, not destroyed: its bytes
+      // survive for post-mortem under a .tombstone-* sibling
+      val tombs = dir.getParentFile.listFiles()
+        .filter(_.getName.startsWith(dir.getName + ".tombstone-"))
+      assert(tombs.length === 1,
+        s"expected one tombstone next to ${dir.getName}")
+      assert(new java.io.File(tombs.head, "_manifest/v0.json").exists,
+        "tombstone must carry the original bytes")
+    }
+  }
+
+  test("a TRANSIENT load failure must NOT destroy a committed shared " +
+    "table: only corruption-specific signals quarantine (r14 advice, " +
+    "medium)") {
+    withTempRoot {
+      val corpus = tempCorpus()
+      var builds = 0
+      def build(s: org.apache.spark.sql.SparkSession): DataFrame = {
+        builds += 1
+        val sp = s; import sp.implicits._
+        Seq((7L, 8L)).toDF("k", "v")
+      }
+      ArtifactStore.materialize(spark, "trans.family", corpus)(build(spark))
+      val dir = new java.io.File(
+        ArtifactStore.tableDir(spark, "trans.family", corpus))
+      val v0 = new java.io.File(dir, "_manifest/v0.json")
+      val bytes = java.nio.file.Files.readAllBytes(v0.toPath)
+      // make the manifest UNOPENABLE without being unparseable — a
+      // stand-in for the permission blip / FS hiccup class: replace
+      // the file with a same-named directory so open() throws IO
+      assert(v0.delete())
+      assert(v0.mkdir())
+      val s2 = spark.newSession()
+      intercept[Exception] {
+        ArtifactStore.materialize(s2, "trans.family", corpus)(build(s2))
+      }
+      // the table dir is still in place — no delete, no tombstone
+      assert(dir.exists, "transient failure must not remove the dir")
+      assert(dir.getParentFile.listFiles()
+        .forall(!_.getName.contains(".tombstone-")),
+        "transient failure must not tombstone")
+      // repair the manifest: a later session loads with ZERO rebuild —
+      // the cache survived the blip
+      assert(v0.delete())
+      java.nio.file.Files.write(v0.toPath, bytes)
+      val buildsBefore = builds
+      val s3 = spark.newSession()
+      val c = ArtifactStore.materialize(s3, "trans.family", corpus)(
+        build(s3))
+      assert(builds === buildsBefore,
+        "recovered table must serve from the lake, not rebuild")
+      assert(sorted(c) === Seq("[7,8]"))
+    }
+  }
+
   test("vacuum age-gates UNSTAMPED dirs by mtime: a fresh in-flight " +
     "build (data landed, manifest not yet committed) survives " +
     "retention (r13 advice, low)") {

@@ -186,4 +186,86 @@ class ChangeStreamSpec extends SparkSpec {
     assert(!tableRows(dstDir).exists(_._1 == 3L), "the delete mirrored")
     assert(LakeMerge.lastTxn(spark, dstDir, "cdc-mirror:m1") === Some(3L))
   }
+
+  test("L23/L28 CHAOS (r14 verdict #6): view + mirror maintainers " +
+    "KILLED mid-advance and restarted from fresh checkpoints across " +
+    "3+ source versions with a concurrent compaction settle exact at " +
+    "every step — under the production RocksDB confs") {
+    // the L13 model-check stance applied to the always-on consumers:
+    // every advance commits rows + watermark in ONE manifest txn, so
+    // a kill lands in exactly one of three states — before the commit
+    // (nothing applied), after it (fully applied), or mid-backlog —
+    // and a restarted query with a BRAND-NEW checkpoint (zero stream
+    // state to recover) must settle to the full recompute regardless
+    import graft.streaming.ReportStream
+    val prev = ReportStream.productionStreamingConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    ReportStream.productionStreamingConfs
+      .foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val srcDir = tempDir("graft_chaos_src")
+      val viewDir = tempDir("graft_chaos_view")
+      val dstDir = tempDir("graft_chaos_dst")
+      LakeMerge.init(spark, srcDir, srcBatch(Seq(
+        (1L, "2024-01", 100L, 10L), (2L, "2024-01", 100L, 20L),
+        (3L, "2024-02", 200L, 5L))), "dt", "k", "cents")
+      ChangeStream.initView(spark, viewDir, "cust", "n_rows", "total")
+      ChangeStream.initMirror(spark, srcDir, dstDir)
+      def settleBoth(): Unit = {
+        runOnce(srcDir, viewDir)
+        val q = ChangeStream.streamingMirror(
+          spark.readStream.schema("tick LONG").parquet(tick()),
+          srcDir, dstDir, appId = "chaos-m",
+          ckDir = tempDir("graft_chaos_mck"))
+        q.awaitTermination(120000)
+        q.stop()
+        assert(viewRows(viewDir) === recompute(srcDir),
+          "view must settle to the full recompute")
+        assert(tableRows(dstDir) === tableRows(srcDir),
+          "mirror must settle row-identical to the source")
+      }
+      settleBoth() // bootstrap settle
+      for (round <- 1 to 3) {
+        // a new source version each round: update + insert (+ delete
+        // in the last round, so retraction rides the chaos too)
+        LakeMerge.merge(spark, srcDir, srcBatch(Seq(
+          (1L, "2024-01", 100L, 10L + round),
+          (10L + round, "2024-02", 300L + round, round.toLong)))
+          .withColumn("op", lit("upsert"))
+          .unionByName(
+            if (round == 3)
+              srcBatch(Seq((2L, "2024-01", 100L, 20L)))
+                .withColumn("op", lit("delete"))
+            else srcBatch(Nil).withColumn("op", lit("upsert"))),
+          opCol = Some("op"))
+        // concurrent COMPACTION mid-chase: commits a source version
+        // whose state diff is empty — the feed must apply net zero
+        if (round == 2)
+          LakeMerge.compact(spark, srcDir, targetRows = 2)
+        // CHAOS: start both maintainers and kill them IN FLIGHT (no
+        // await) — wherever the stop lands, the atomic rows+watermark
+        // txn means no torn state can survive
+        val kv = ChangeStream.streamingView(
+          spark.readStream.schema("tick LONG").parquet(tick()),
+          srcDir, viewDir, appId = "specview", groupCol = "cust",
+          sumCol = "cents", ckDir = tempDir("graft_chaos_kck"))
+        val km = ChangeStream.streamingMirror(
+          spark.readStream.schema("tick LONG").parquet(tick()),
+          srcDir, dstDir, appId = "chaos-m",
+          ckDir = tempDir("graft_chaos_kmck"))
+        kv.stop()
+        km.stop()
+        settleBoth() // restart from fresh checkpoints → exact settle
+      }
+      // final watermark: both consumed the tip exactly once
+      val tip = LakeMerge.latestVersion(spark, srcDir).toLong
+      assert(LakeMerge.lastTxn(spark, viewDir, "cdc-view:specview")
+        === Some(tip))
+      assert(LakeMerge.lastTxn(spark, dstDir, "cdc-mirror:chaos-m")
+        === Some(tip))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
