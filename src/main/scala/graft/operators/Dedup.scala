@@ -230,6 +230,38 @@ object Dedup {
           " i -> substring(norm, i, 3))) ELSE array() END"))
       .select("doc_id", "grams")
 
+  /** [[gramArrays]] with each 3-gram packed INJECTIVELY into one
+    * BIGINT: code-unit(c1)·2⁴² + code-unit(c2)·2²¹ + code-unit(c3)
+    * (every UTF-16 unit < 2²¹, so two distinct grams can never share
+    * a hash). Set sizes and intersections are therefore EXACTLY the
+    * string version's — results are byte-identical and the oracle
+    * keeps its string form — but the verify kernel intersects longs
+    * instead of strings, which is what the F7 verify stage's cost is
+    * made of (at sf0.1 the banding is so precise that 99.9% of the
+    * 778k candidates ARE true near-dups, so no gate can prune the
+    * verify — the only remaining dial is the per-pair kernel).
+    */
+  private def gramHashArrays(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), lower(col("text")).as("norm"))
+      // O(n) per doc: split('') + ascii gives the char-code array in
+      // one pass, and each gram is three O(1) element_at reads —
+      // `substring(norm, i, ...)` would be O(i) per call (UTF8String
+      // walks from the start), i.e. O(n²) per doc, which at ~2k-char
+      // docs dominated the whole verify pipeline. The code array is
+      // bound ONCE as a lambda variable (the bandArrayCol trick):
+      // left as a projected column, CollapseProject inlines it into
+      // every element_at and the split re-runs 3n times per doc.
+      .withColumn("grams", expr(
+        "element_at(transform(array(" +
+          " transform(split(norm, ''), c -> CAST(ascii(c) AS BIGINT)))," +
+          " cs -> CASE WHEN size(cs) >= 3 THEN" +
+          " array_distinct(transform(sequence(1, size(cs)-2)," +
+          " i -> element_at(cs, i) * 4398046511104" +
+          " + element_at(cs, i+1) * 2097152" +
+          " + element_at(cs, i+2))) ELSE array() END), 1)"))
+      .select("doc_id", "grams")
+
   // ---------------------------------------------------------------- F5
   /** Character-3-gram Jaccard for adjacent-id candidate pairs (pairs
     * sharing ≥1 gram). All-integer output: jaccard in basis points
@@ -296,7 +328,7 @@ object Dedup {
   val ClusterMinBp = 2000
 
   private def lshJaccardDf(s: SparkSession, dir: String): DataFrame = {
-    val garr = gramArrays(s, dir)
+    val garr = gramHashArrays(s, dir)
     val sz = garr.select(col("doc_id"),
       size(col("grams")).cast("long").as("n"))
     lshCandidates(s, dir)
@@ -306,10 +338,16 @@ object Dedup {
         Seq("doc_b"))
       .filter(least(col("n_a"), col("n_b")) * 10000 >=
         greatest(col("n_a"), col("n_b")) * ClusterMinBp)
-      .join(garr.select(col("doc_id").as("doc_a"), col("grams").as("g_a")),
-        Seq("doc_a"))
-      .join(garr.select(col("doc_id").as("doc_b"), col("grams").as("g_b")),
-        Seq("doc_b"))
+      // SHUFFLE_HASH, not sort-merge: the pair side carries (after
+      // these joins) kilobyte gram arrays per row, and an SMJ would
+      // SORT that fat relation twice; hashing builds from the doc-
+      // keyed gram side (rows = docs, not pairs) and streams the fat
+      // pairs through unsorted — at any scale the build side of each
+      // partition is the smaller, doc-cardinality relation
+      .join(garr.select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(garr.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
+        .hint("shuffle_hash"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         size(expr("array_intersect(g_a, g_b)")).cast("long").as("inter"),
         col("n_a"), col("n_b"))

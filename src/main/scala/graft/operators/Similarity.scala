@@ -482,17 +482,15 @@ object Similarity {
     * no shuffle; struct comparison breaks dist ties by cell id, so
     * assignment is deterministic and engine-identical).
     */
-  private[graft] def ivfCells(codebook: Array[(Long, Array[Long])]): Column = {
-    val eq = transform(col("embedding"),
-      x => round(x.cast("double") * 1e6).cast("long"))
-    array(codebook.map { case (lbl, cvec) =>
-      struct(
-        aggregate(
-          zip_with(eq, typedlit(cvec.toSeq), (x, c) => (x - c) * (x - c)),
-          lit(0L), (acc, d) => acc + d).as("dist"),
-        lit(lbl).as("cell"))
-    }: _*)
-  }
+  private[graft] def ivfCells(codebook: Array[(Long, Array[Long])]): Column =
+    // native fused kernel (graft.functions.IvfCells): the composed
+    // k-unrolled HOF form cost ~1.6 ms/row interpreted once the r15
+    // √n codebook landed (k=64: measured whole seconds per consumer
+    // query at sf0.1); the expression is two primitive loops with
+    // bit-identical arithmetic — same quantization (Round HALF_UP +
+    // truncating cast), same Long fold order, same codebook order and
+    // tie semantics. O(1) plan-tree size at any k.
+    graft.functions.IvfCells.cells(col("embedding"), codebook)
 
   /** DuckDB twin of the codebook + assignment: centroid CTE (G6's
     * arithmetic) and every vector's centroids ranked by exact integer
@@ -1669,7 +1667,8 @@ object Similarity {
     * rows grow ×A, the split-capped join stays ≤ R·(A·n)·cap — linear
     * in corpus size at any A.
     */
-  val KnnAssign = 2
+  val KnnAssign: Int =
+    sys.env.getOrElse("SPARK_GRAFT_KNN_ASSIGN", "4").toInt
 
   /** The split-blocked shared-cell candidate relation (vec_id, nbr),
     * both directions, deduped, under [[KnnAssign]]-way assignment —

@@ -86,8 +86,23 @@ object ScaleGen {
       f: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until factor).map(r => f(base, r)).reduce(_.unionAll(_))
 
+  /** The fixed boilerplate block for the skew derivation: 80 tokens,
+    * so a skewed doc's MinHash minima come from the shared block with
+    * probability ≈ 80/81 per seed — most skewed docs collapse into
+    * ONE band bucket per band (the license-header degeneracy the
+    * occupancy caps exist for).
+    */
+  private[graft] val SkewBoiler: String =
+    (0 until 80).map(i => s"lic${i}term").mkString(" ")
+
+  /** Share of rows redirected into the degenerate bucket: doc_id /
+    * vec_id % 7 == 0 ≈ 14% — inside the 10-20% band the r14 verdict
+    * prescribed for the probe corpus.
+    */
+  private[graft] val SkewMod = 7L
+
   def generate(spark: SparkSession, src: String, dst: String,
-      factor: Int): Unit = {
+      factor: Int, skew: Boolean = false): Unit = {
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
 
@@ -130,33 +145,63 @@ object ScaleGen {
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .distinct().collect().map(_.getString(0)).toSeq
-    write(replicate(docs, factor) { (d, r) =>
+    val docsRep = replicate(docs, factor) { (d, r) =>
       val pm = typedLit(vocabPerm(vocab, r))
       d.withColumn("doc_id", col("doc_id") + lit(r * DocStep))
         .withColumn("text", array_join(transform(
           split(col("text"), " "),
           t => coalesce(element_at(pm, t), t)), " "))
         .withColumn("n_chars", length(col("text")))
-    }, "documents")
+    }
+    // skew derivation (r14 verdict #2): ~1/SkewMod of all docs get
+    // the SAME boilerplate token block plus one per-doc token — their
+    // MinHash bands collapse into one degenerate bucket per band,
+    // CROSS-replica (the permutation is applied first, the shared
+    // block after), which is exactly the adversarial shape the
+    // MaxBucket policy and the groupBy-occupancy plan must absorb
+    write(
+      if (!skew) docsRep
+      else docsRep.withColumn("text",
+          when(col("doc_id") % SkewMod === 0,
+            concat(lit(SkewBoiler), lit(" uid"),
+              col("doc_id").cast("string")))
+            .otherwise(col("text")))
+        .withColumn("n_chars", length(col("text"))),
+      "documents")
 
     // embeddings: per-replica dimension permutation
     val emb = Tables.embeddings(spark, src)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    write(replicate(emb, factor) { (d, r) =>
+    val embRep = replicate(emb, factor) { (d, r) =>
       val perm = typedLit(dimPerm(dim, r))
       d.withColumn("vec_id", col("vec_id") + lit(r * VecStep))
         .withColumn("embedding", transform(perm,
           p => element_at(col("embedding"), p + 1)))
-    }, "embeddings")
+    }
+    // skew: ~1/SkewMod of all vectors become one fixed direction plus
+    // a tiny per-vec epsilon — distinct rows, one hot quantizer cell
+    write(
+      if (!skew) embRep
+      else embRep.withColumn("embedding",
+        when(col("vec_id") % SkewMod === 0,
+          transform(sequence(lit(1), lit(dim)), i =>
+            when(i === 1, lit(1.0d))
+              .otherwise(when(i === 2,
+                (col("vec_id") % 97).cast("double") / lit(1000000.0d))
+                .otherwise(lit(0.0d)))
+              .cast("float")))
+          .otherwise(col("embedding"))),
+      "embeddings")
   }
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/root/repo/testdata/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val skew = args.length > 3 && args(3) == "--skew"
     val spark = Settings.fromEnv().buildSession(aqe = true)
-    generate(spark, src, dst, factor)
-    println(s"""{"metric":"scalegen","src":"$src","dst":"$dst","factor":$factor}""")
+    generate(spark, src, dst, factor, skew)
+    println(s"""{"metric":"scalegen","src":"$src","dst":"$dst","factor":$factor,"skew":$skew}""")
     spark.stop()
   }
 }

@@ -1,0 +1,18 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the sql-private Column ↔ Expression converters for
+  * graft's native Catalyst expressions that carry non-literal model
+  * state (e.g. [[graft.functions.IvfCells]], whose codebook arrays
+  * cannot ride the function-registry path the way a two-argument
+  * scalar like cosine_sim can). Lives in `org.apache.spark.sql` only
+  * to satisfy `private[sql]`; no Spark internals are modified.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}
