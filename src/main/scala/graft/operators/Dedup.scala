@@ -47,8 +47,25 @@ object Dedup {
       |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
       |  FROM documents) WHERE tok <> ''""".stripMargin
 
-  /** MinHash signature rows: (doc_id, seed, min md5(tok#seed)). */
-  private[operators] def minhashSig(s: SparkSession, dir: String): DataFrame = {
+  private val minhashSigCache =
+    graft.Artifacts.cache[DataFrame]("dedup.minhashSig")
+
+  /** MinHash signature rows: (doc_id, seed, min md5(tok#seed)) —
+    * MATERIALIZED as a lake artifact (the fpIndex stance): the
+    * signature pass is the dedup family's md5-dense kernel
+    * (|distinct (doc, tok)| × NumHashes hashes — ~40M at sf0.1), and
+    * every banded consumer (F3/F7/F13/F15/F21 + the cluster-map
+    * build) starts from it; a production pipeline lands signatures
+    * next to the corpus at ingest and never re-hashes standing docs.
+    * 16 thin rows per doc, so the artifact tracks corpus row count,
+    * not corpus mass.
+    */
+  private[operators] def minhashSig(s: SparkSession, dir: String): DataFrame =
+    minhashSigCache.getOrElseUpdate(s, dir)(
+      graft.sources.ArtifactStore.materialize(s, "dedup.minhashSig", dir)(
+        minhashSigDerive(s, dir)))
+
+  private def minhashSigDerive(s: SparkSession, dir: String): DataFrame = {
     val seeds = s.range(NumHashes).select(col("id").as("seed"))
     tokens(s, dir)
       .crossJoin(broadcast(seeds))
@@ -70,14 +87,23 @@ object Dedup {
     s"""SELECT doc_id, seed, mh FROM ($minhashSigSql)
        |ORDER BY doc_id, seed""".stripMargin)
 
-  /** Band rows: signature sliced into bands, each band hashed. */
+  private val bandsCache = graft.Artifacts.cache[DataFrame]("dedup.bands")
+
+  /** Band rows: signature sliced into bands, each band hashed. Also a
+    * lake artifact (derived from the signature artifact, so a cold
+    * build is one cheap aggregation, never a re-hash of the corpus);
+    * the banded LSH index a production pipeline maintains at ingest.
+    */
   private[graft] def bands(s: SparkSession, dir: String): DataFrame =
-    minhashSig(s, dir)
-      .withColumn("band", floor(col("seed") / BandRows).cast("long"))
-      .groupBy("doc_id", "band")
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-          x => x.getField("mh")), ",")).as("band_hash"))
+    bandsCache.getOrElseUpdate(s, dir)(
+      graft.sources.ArtifactStore.materialize(s, "dedup.bands", dir)(
+        minhashSig(s, dir)
+          .withColumn("band", floor(col("seed") / BandRows).cast("long"))
+          .groupBy("doc_id", "band")
+          .agg(md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("seed"), col("mh")))),
+              x => x.getField("mh")), ",")).as("band_hash"))))
 
   private val bandsSql =
     s"""SELECT doc_id, seed // $BandRows AS band,
