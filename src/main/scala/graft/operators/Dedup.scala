@@ -210,53 +210,42 @@ object Dedup {
     s"""SELECT * FROM ($lshCandidatesSql)
        |ORDER BY doc_a, doc_b""".stripMargin)
 
-  /** Distinct char 3-grams per doc (SQL-generated, both engines). */
-  private def grams(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), lower(col("text")).as("norm"))
-      .selectExpr("doc_id",
-        // short-doc guard: len<3 ⇒ empty gram set (Spark's sequence
-        // with a non-positive stop would DESCEND; DuckDB's range is
-        // empty — both engines must agree on [])
-        "explode(CASE WHEN char_length(norm) >= 3 THEN" +
-          " transform(sequence(1, char_length(norm)-2)," +
-          " i -> substring(norm, i, 3)) ELSE array() END) AS gram")
-      .distinct()
-
+  /** Distinct char 3-grams per doc — the ORACLE-side relation (the
+    * engine's gram consumers all run on the BIGINT-packed form below,
+    * whose set sizes and intersections are provably identical).
+    * Short-doc guard: len<3 ⇒ empty gram set (Spark's sequence with a
+    * non-positive stop would DESCEND; DuckDB's range is empty — both
+    * engines must agree on []).
+    */
   private val gramsSql =
     """SELECT DISTINCT doc_id, gram FROM (
       |  SELECT doc_id, substring(norm, CAST(i AS INT), 3) AS gram
       |  FROM (SELECT doc_id, lower(text) AS norm FROM documents),
       |       unnest(range(1, length(norm) - 1)) AS t(i))""".stripMargin
 
+  /** The distinct-3-gram array as a map-only expression over `text` —
+    * usable on any doc relation, including a stream — in the same
+    * BIGINT packing as [[gramHashArrays]] (injective, so every count
+    * a consumer emits equals the string form's and the oracle keeps
+    * string grams). The char-code array is bound once as a lambda
+    * variable (the fingerprint idiom) so projection collapse cannot
+    * re-derive it per gram position, and the build is O(n) per doc.
+    */
+  private[graft] def gramArrayCol: Column = expr(
+    "element_at(transform(array(" +
+      " transform(split(lower(text), ''), c -> CAST(ascii(c) AS BIGINT)))," +
+      " cs -> CASE WHEN size(cs) >= 3 THEN" +
+      " array_distinct(transform(sequence(1, size(cs)-2)," +
+      " i -> element_at(cs, i) * 4398046511104" +
+      " + element_at(cs, i+1) * 2097152" +
+      " + element_at(cs, i+2))) ELSE array() END), 1)")
+
   /** Per-doc distinct char-3-gram ARRAYS — narrow joins +
     * array_intersect beat a million-row gram-level exploded join.
     * NOT cached: materializing the fat array column costs more than
     * recomputing it (measured 6s → 16s at sf0.1 when cached — the
     * cached relation also loses AQE's join-strategy freedom).
-    */
-  /** The distinct-3-gram array as a map-only expression over `text` —
-    * usable on any doc relation, including a stream. The normalized
-    * text is bound once as a lambda variable (the fingerprint idiom)
-    * so projection collapse cannot re-derive it per gram position.
-    */
-  private[graft] def gramArrayCol: Column =
-    element_at(transform(array(lower(col("text"))), n =>
-      when(length(n) >= 3,
-        array_distinct(transform(sequence(lit(1), length(n) - 2),
-          i => n.substr(i, lit(3)))))
-        .otherwise(array().cast("array<string>"))), 1)
-
-  private def gramArrays(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), lower(col("text")).as("norm"))
-      .withColumn("grams", expr(
-        "CASE WHEN char_length(norm) >= 3 THEN" +
-          " array_distinct(transform(sequence(1, char_length(norm)-2)," +
-          " i -> substring(norm, i, 3))) ELSE array() END"))
-      .select("doc_id", "grams")
-
-  /** [[gramArrays]] with each 3-gram packed INJECTIVELY into one
+    * Each 3-gram is packed INJECTIVELY into one
     * BIGINT: code-unit(c1)·2⁴² + code-unit(c2)·2²¹ + code-unit(c3)
     * (every UTF-16 unit < 2²¹, so two distinct grams can never share
     * a hash). Set sizes and intersections are therefore EXACTLY the
@@ -297,7 +286,10 @@ object Dedup {
     */
   val dNgramJaccard: Q = Q(
     (s, dir) => {
-      val garr = gramArrays(s, dir)
+      // hashed-gram kernel (see gramHashArrays): output is counts
+      // only, and the injective packing makes sizes/intersections
+      // exactly the string form's — the oracle keeps string grams
+      val garr = gramHashArrays(s, dir)
       val a = garr.select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
       val b = garr.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
       a.join(b, col("doc_a") + 1 === col("doc_b"))
@@ -1343,7 +1335,7 @@ object Dedup {
         .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))
           .as("n_agree"))
         .withColumn("est_bp", expr(s"n_agree * 10000 DIV $NumHashes"))
-      val garr = gramArrays(s, dir)
+      val garr = gramHashArrays(s, dir)
       eq.join(garr.select(col("doc_id").as("doc_a"), col("grams").as("g_a")),
           Seq("doc_a"))
         .join(garr.select(col("doc_id").as("doc_b"), col("grams").as("g_b")),
@@ -1534,7 +1526,7 @@ object Dedup {
   private[graft] def gramIndex(s: SparkSession, dir: String): DataFrame =
     gramIndexCache.getOrElseUpdate(s, dir)(
       graft.sources.ArtifactStore.materialize(s, "dedup.gramIndex", dir)(
-        gramArrays(s, dir)
+        gramHashArrays(s, dir)
           .filter(col("doc_id") % 5 =!= 4)))
 
   /** The whole MinHash signature → banded hashes as ONE map-only
