@@ -11,6 +11,27 @@ object Bench {
     val repeat = settings.repeat
     val only = settings.queries
     val spark = settings.buildSession(aqe = true)
+    // per-query scale instrument (r15 verdict #2): the max shuffle-read
+    // ROWS any single task consumed while the query ran — the quantity
+    // that walls at 100 TB (a window or hot bucket funnels a whole
+    // partition into one task; a bounded plan's max tracks the advisory
+    // partition size). Emitted beside seconds in the full map so the
+    // next window-wall-shaped regression self-reports in the closing
+    // artifact instead of waiting for a judge skew probe.
+    val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            val rows = m.shuffleReadMetrics.recordsRead
+            var cur = maxTask.get()
+            while (rows > cur && !maxTask.compareAndSet(cur, rows))
+              cur = maxTask.get()
+          }
+        }
+      })
     // untimed warmup: pay JVM/codegen/parquet-footer init once here,
     // not inside whichever query happens to run first (measured ~3s
     // of first-query inflation without this)
@@ -33,8 +54,13 @@ object Bench {
     // query pays is recorded next to its timing, so an inflated line
     // is self-explaining from the artifact alone
     val artEvents = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val maxTaskRows = scala.collection.mutable.Map.empty[String, Long]
     val results: Seq[(String, Either[String, Double])] =
       selected.toSeq.map { case (name, fn) =>
+        // deterministic listener drain (not a sleep): task-end events
+        // from the PREVIOUS query must not bleed into this one's max
+        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+        maxTask.set(0)
         val times = (1 to repeat).map { _ =>
           val ev0 = Artifacts.buildEvents.size
           val t0 = System.nanoTime()
@@ -53,6 +79,11 @@ object Bench {
           if (ok) Some(dt) else None
         }
         val best = times.flatten
+        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+        // max over the repeats (the conservative bound: a warm repeat
+        // that loads an artifact instead of building it reads fewer
+        // rows; the plan's worst observed task is what scales)
+        maxTaskRows(name) = maxTask.get()
         name -> (if (best.isEmpty) Left("err") else Right(best.min))
       }
     // Self-contained artifact FIRST: the full per-query map (ms
@@ -71,8 +102,11 @@ object Bench {
     val artJson = artEvents.toSeq.sortBy(_._1).map { case (q, evs) =>
       s"\"$q\":[${evs.map(e => s"\"$e\"").mkString(",")}]"
     }.mkString("{", ",", "}")
+    val mtrJson = results.map { case (k, _) =>
+      s"\"$k\":${maxTaskRows.getOrElse(k, 0L)}"
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_err":${errs.size},"errors":[${errs.mkString(",")}],"sf":"$sfDir","artifact_events":$artJson,"queries":${fullEntries.mkString("{", ",", "}")}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_err":${errs.size},"errors":[${errs.mkString(",")}],"sf":"$sfDir","artifact_events":$artJson,"max_task_rows":$mtrJson,"queries":${fullEntries.mkString("{", ",", "}")}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
     catch { case e: Throwable => System.err.println(s"BENCH WARN: could not write $outFile: ${e.getMessage}") }
     // stdout chunks stay as a redundant channel for the driver, but at

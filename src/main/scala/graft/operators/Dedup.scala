@@ -354,7 +354,12 @@ object Dedup {
         Seq("doc_a"))
       .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
         Seq("doc_b"))
-      .filter(least(col("n_a"), col("n_b")) * 10000 >=
+      // `least > 0` guards the degenerate sub-3-char pair (n_a = n_b
+      // = 0): it passes the ratio gate (0 >= 0) and would divide by
+      // union_sz = 0 below — NULL under default conf (filtered, so
+      // parity held) but a runtime error under ANSI mode
+      .filter(least(col("n_a"), col("n_b")) > 0 &&
+        least(col("n_a"), col("n_b")) * 10000 >=
         greatest(col("n_a"), col("n_b")) * ClusterMinBp)
       // SHUFFLE_HASH, not sort-merge: the pair side carries (after
       // these joins) kilobyte gram arrays per row, and an SMJ would
@@ -1595,8 +1600,11 @@ object Dedup {
         size(expr("array_intersect(g_a, g_b)")).cast("long").as("inter"),
         size(col("g_a")).cast("long").as("n_a"),
         size(col("g_b")).cast("long").as("n_b"))
-      .filter(expr(s"(inter * 10000) DIV (n_a + n_b - inter)" +
-        s" >= $ClusterMinBp"))
+      // n_a + n_b - inter > 0 guards the two-empty-gram-docs pair
+      // against a DIV-by-zero under ANSI mode (same guard as
+      // [[lshJaccardDf]])
+      .filter(expr(s"n_a + n_b - inter > 0 AND " +
+        s"(inter * 10000) DIV (n_a + n_b - inter) >= $ClusterMinBp"))
       .groupBy("new_id")
       .agg(min("old_id").as("dup_of"))
     newDocs

@@ -61,9 +61,10 @@ object SkewProbe {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(q)(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      // the listener bus is async: give the tail of task-end events
-      // time to drain before reading the max
-      Thread.sleep(2000)
+      // the listener bus is async: drain the tail of task-end events
+      // deterministically before reading the max (r16 — replaces the
+      // old 2-second sleep with the bridge Bench uses)
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
       println(s"""{"metric":"skewprobe","query":"$q","sf":"$sfDir",""" +
         s""""sec":${math.round(sec * 1000) / 1000.0},""" +
         s""""max_task_rows":${maxTask.get()}}""")

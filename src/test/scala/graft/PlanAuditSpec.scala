@@ -661,6 +661,87 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivf_cells: generates into WholeStageCodegen — no fallback " +
+    "breaking the projection stage (r15 verdict #3)") {
+    // a CodegenFallback expression forces the WHOLE projection stage
+    // it sits in out of whole-stage codegen; the doGenCode path keeps
+    // the stage fused — visible as the `*(n)` prefix on the Project
+    // that carries the expression
+    val codebook = Array(
+      (0L, Array(0L, 0L, 0L, 0L)),
+      (1L, Array(1000000L, 0L, 0L, 0L)),
+      (2L, Array(0L, 1000000L, 0L, 0L)))
+    val df = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.functions.IvfCells.cells(col("embedding"), codebook)
+          .as("cells"))
+    df.collect()
+    val p = plan(df)
+    val line = p.linesIterator.find(_.contains("ivf_cells"))
+      .getOrElse(fail(s"no ivf_cells node in plan:\n$p"))
+    assert(line.contains("*("),
+      s"ivf_cells fell out of whole-stage codegen:\n$p")
+  }
+
+  test("ivf_cells: codegen and interpreted paths agree bit-for-bit, " +
+    "null/ragged elements null the whole array, equality is by value") {
+    val codebook = Array(
+      (7L, Array(250000L, -1500000L)),
+      (9L, Array(0L, 333333L)))
+    val c = graft.functions.IvfCells.cells(col("embedding"), codebook)
+    val rows = spark.createDataFrame(Seq(
+      (1L, Seq(0.25f, -1.5f)),
+      (2L, Seq(0.3333335f, 0.0f)),
+      (3L, Seq(1.0f))))          // ragged: wrong dim
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), c.as("cells"))
+      .orderBy("vec_id").collect()
+    // row 1 sits exactly on centroid 7 → dist 0 for cell 7
+    val r1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(r1.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((0L, 7L), (3423609888889L, 9L)))
+    // codegen path == interpreted eval (the parity the oracle gates
+    // ride on): re-evaluate row 2's struct list interpretedly
+    val expr2 = graft.functions.IvfCells(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(0.3333335f, 0.0f),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, false)),
+      codebook.map(_._1).toIndexedSeq,
+      codebook.map(_._2.toIndexedSeq).toIndexedSeq)
+    val interp = expr2.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val r2 = rows(1).getSeq[org.apache.spark.sql.Row](1)
+    assert((0 until 2).forall { i =>
+      interp.getStruct(i, 2).getLong(0) == r2(i).getLong(0) &&
+      interp.getStruct(i, 2).getLong(1) == r2(i).getLong(1)
+    }, "codegen and interpreted eval disagree")
+    // ragged row → whole-array NULL (stricter contract, documented)
+    assert(rows(2).isNullAt(1), "dim mismatch must null the array")
+    // a NULL ELEMENT inside the embedding also nulls the whole array
+    val withNullElem = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS e")
+    val nulled = withNullElem.select(
+      graft.functions.IvfCells.cells(col("e"), codebook).as("c"))
+      .collect()(0)
+    assert(nulled.isNullAt(0), "null element must null the array")
+    // VALUE equality across separately-collected codebooks — the
+    // canonicalized-plan matching (cache sharing, ReuseExchange)
+    // contract the old typedlit form had (r15 advice)
+    val cb2 = Array((7L, Array(250000L, -1500000L)), (9L, Array(0L, 333333L)))
+    val child = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq(1.0f, 2.0f),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, false))
+    val e1 = graft.functions.IvfCells(child,
+      codebook.map(_._1).toIndexedSeq,
+      codebook.map(_._2.toIndexedSeq).toIndexedSeq)
+    val e2 = graft.functions.IvfCells(child,
+      cb2.map(_._1).toIndexedSeq,
+      cb2.map(_._2.toIndexedSeq).toIndexedSeq)
+    assert(e1 == e2, "separately-built identical codebooks must compare equal")
+  }
+
   private implicit class SubstrAfter(private val s: String) {
     def substringAfter(sep: String): String = {
       val i = s.indexOf(sep)
