@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plan that didn't opt in via TopK.perKey
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankLimitToTopK)
     ext.injectPlannerStrategy(_ => graft.plans.PerKeyTopKStrategy)
+    // SQL DML over registered lake views: DELETE FROM / UPDATE ... SET
+    // compile onto LakeMerge.deleteWhere/updateWhere (constraint veto,
+    // CDC feed, txn watermarks identical to the Scala API). Names not
+    // registered via GraftCatalog.registerLake pass through untouched.
+    ext.injectResolutionRule(s => graft.plans.LakeDml.ResolveLakeDml(s))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[functions.CosineSim].getName,
@@ -90,8 +95,30 @@ object GraftCatalog {
     * time; re-register after new commits (temp views are snapshots of
     * the catalog, matching lake snapshot semantics).
     */
+  // name → lake dir per session, feeding the DML resolution rule
+  // (plans/LakeDml.scala): registering a lake view ALSO makes
+  // `DELETE FROM name` / `UPDATE name SET ...` executable in sessions
+  // built with GraftExtensions. Weak keys: a dropped session takes its
+  // registrations with it.
+  private val lakeRegistry =
+    new java.util.WeakHashMap[SparkSession, Map[String, String]]()
+
+  /** The lake dir registered for `name` in `spark`, if any (the DML
+    * rule's lookup; names are case-insensitive like view names).
+    */
+  def lakeDir(spark: SparkSession, name: String): Option[String] =
+    lakeRegistry.synchronized {
+      Option(lakeRegistry.get(spark))
+        .flatMap(_.get(name.toLowerCase(java.util.Locale.ROOT)))
+    }
+
   def registerLake(spark: SparkSession, name: String, dir: String): Unit = {
     import graft.sources.LakeMerge
+    lakeRegistry.synchronized {
+      val cur = Option(lakeRegistry.get(spark)).getOrElse(Map.empty)
+      lakeRegistry.put(spark,
+        cur + (name.toLowerCase(java.util.Locale.ROOT) -> dir))
+    }
     LakeMerge.read(spark, dir).createOrReplaceTempView(name)
     (0 to LakeMerge.latestVersion(spark, dir)).foreach { v =>
       try LakeMerge.read(spark, dir, Some(v))

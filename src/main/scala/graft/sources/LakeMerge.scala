@@ -580,33 +580,55 @@ object LakeMerge {
       e.committedAtMs.forall(_ < olderThanMs)) // unstamped expire
       .map(_.version)
     if (expired.isEmpty) return Nil
-    // close the tag/expiry TOCTOU from this side: a tag created after
-    // the first tags() read above still pins its snapshot for THIS
-    // run as long as its ref landed before this second look ([[tag]]
-    // closes the remaining sliver by re-verifying its manifest
+    // narrow the tag/expiry TOCTOU from this side: a tag created
+    // after the first tags() read above still pins its snapshot for
+    // THIS run as long as its ref landed before this second look
+    // ([[tag]] narrows further by re-verifying its manifest
     // post-write and deleting the ref if retention won)
     val repinned = tags(spark, dir).values.toSet
     val expiredKept = expired.filterNot(repinned)
     if (expiredKept.isEmpty) return Nil
-    val expiredSet = expiredKept.toSet
     // survivors pin their data + vector dirs; everything else goes
-    val survivorEntries = entries.filterNot(e => expiredSet(e.version))
-    val live = survivorEntries.map(_.version)
-      .flatMap(v => manifest(spark, dir, Some(v)).partitions.flatMap(e =>
-        e.dir :: e.deleteFiles.getOrElse(Nil).map(versionDirOf)))
-      .toSet
+    def sweepPlan(kept: Seq[Int]): (Seq[CkptEntry], Set[String]) = {
+      val keptSet = kept.toSet
+      val survivors = entries.filterNot(e => keptSet(e.version))
+      val live = survivors.map(_.version)
+        .flatMap(v => manifest(spark, dir, Some(v)).partitions.flatMap(e =>
+          e.dir :: e.deleteFiles.getOrElse(Nil).map(versionDirOf)))
+        .toSet
+      (survivors, live)
+    }
+    var kept = expiredKept
+    var (survivors, live) = sweepPlan(kept)
+    // final ref re-read IMMEDIATELY before the irreversible deletes
+    // (the survivor manifest scan above is the wide part of the
+    // window): a ref that landed during that scan re-pins its
+    // snapshot here. This NARROWS — does not close — the race:
+    // a ref written after this read whose post-write re-verify in
+    // [[tag]] sees the manifest still present can still dangle if our
+    // delete lands between its verify and ours; both sides together
+    // shrink the window to a couple of filesystem ops, which is as
+    // tight as it gets without a filesystem-level lock.
+    val finalPinned = tags(spark, dir).values.toSet
+    if (kept.exists(finalPinned)) {
+      kept = kept.filterNot(finalPinned)
+      if (kept.isEmpty) return Nil
+      val re = sweepPlan(kept)
+      survivors = re._1
+      live = re._2
+    }
     // re-checkpoint at the tip with the survivors BEFORE deleting:
     // the tail above a checkpoint must stay gap-free for the
     // latestVersion probe, and a crash after this write only makes
     // the checkpoint miss about-to-die versions, never list ghosts
-    writeCheckpoint(spark, dir, survivorEntries, latest)
-    expiredKept.foreach(v => f.delete(manifestPath(dir, v), false))
+    writeCheckpoint(spark, dir, survivors, latest)
+    kept.foreach(v => f.delete(manifestPath(dir, v), false))
     val dataRoot = new Path(s"$dir/data")
     if (f.exists(dataRoot))
       f.listStatus(dataRoot).toSeq.map(_.getPath)
         .filter(p => !live(s"data/${p.getName}"))
         .foreach(p => f.delete(p, true))
-    expiredKept
+    kept
   }
 
   // ------------------------------------------------------------- tags
@@ -1259,6 +1281,53 @@ object LakeMerge {
     commit(spark, dir, m.copy(version = v, parent = m.version,
       partitions = kept ++ updated,
       txn = if (txns.isEmpty) None else Some(txns)))
+  }
+
+  /** Predicate DELETE — the `DELETE FROM t WHERE <cond>` verb: resolve
+    * `cond` against the latest snapshot, route the matching keys
+    * through the merge-on-read [[deleteKeys]] path (deletion vectors,
+    * zero data-file rewrites, exact live-row accounting, CDC-visible
+    * like every commit). This is the Scala half of the SQL front door
+    * (`GraftCatalog.registerLake` + the DML resolution rule in
+    * [[graft.plans.LakeDml]]); a `lit(true)` condition empties the
+    * table in O(table keys) vector bytes, never a rewrite. Returns the
+    * new version (or the current one when nothing matched).
+    */
+  def deleteWhere(spark: SparkSession, dir: String,
+      cond: Column): Int = {
+    val m = manifest(spark, dir)
+    val keys = read(spark, dir, Some(m.version)).filter(cond)
+      .select(col(m.dtCol), col(m.keyCol))
+    deleteKeys(spark, dir, keys)
+  }
+
+  /** Predicate UPDATE — the `UPDATE t SET c = e, ... WHERE <cond>`
+    * verb: the matching rows re-merge as upserts with the assignments
+    * applied. Copy-on-write (the affected partitions rewrite — read-
+    * optimal files, the Delta UPDATE cost model), CHECK constraints
+    * veto the commit exactly as for any merge batch, and the CDC feed
+    * carries the updates. Key and partition columns are not
+    * assignable (that would be a delete+insert with different
+    * identity, not an update — the same restriction Delta imposes on
+    * partition columns via rewrite semantics being surprising).
+    * Returns the new version (current one when nothing matched).
+    */
+  def updateWhere(spark: SparkSession, dir: String,
+      set: Seq[(String, Column)], cond: Column): Int = {
+    val m = manifest(spark, dir)
+    require(set.nonEmpty, "UPDATE requires at least one assignment")
+    set.foreach { case (c, _) =>
+      require(c != m.keyCol && c != m.dtCol,
+        s"cannot assign key/partition column '$c' in UPDATE — " +
+          "delete + insert instead")
+      require(m.columns.contains(c),
+        s"unknown column '$c' in UPDATE SET (table has: " +
+          s"${m.columns.mkString(", ")})")
+    }
+    var batch = read(spark, dir, Some(m.version)).filter(cond)
+    for ((c, v) <- set) batch = batch.withColumn(c, v)
+    if (batch.isEmpty) return m.version
+    merge(spark, dir, batch, baseVersion = Some(m.version))
   }
 
   /** Read a snapshot (latest by default; `version` time-travels). */

@@ -131,6 +131,74 @@ class ExtensionsSpec extends SparkSpec {
       "WHERE _change_type = 'insert'").head().getLong(0) === 10L)
   }
 
+  test("SQL DML: DELETE FROM / UPDATE ... SET over a registered lake " +
+    "view compile onto the lake verbs — constraint veto + CDC included") {
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import ext.implicits._
+      import graft.sources.LakeMerge
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lakedml").toString
+      val base = (0 until 10)
+        .map(i => (i.toLong, s"2024-0${1 + i % 2}", s"p$i", i.toLong * 10, 0L))
+        .toDF("k", "dt", "payload", "score", "seq")
+      LakeMerge.init(ext, dir, base, "dt", "k", "seq")
+      LakeMerge.addConstraint(ext, dir, "score_nonneg", "score >= 0")
+      GraftCatalog.registerLake(ext, "dml", dir)
+      // UPDATE from plain SQL: expression assignments + predicate;
+      // returns the committed version, and the view re-registers so
+      // the next statement reads the new snapshot
+      val v1 = ext.sql("UPDATE dml SET payload = concat(payload, '!'), " +
+        "score = score + 5 WHERE k % 2 = 0").head().getInt(0)
+      assert(ext.sql("SELECT payload, score FROM dml WHERE k = 2")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("p2!", 25L)))
+      assert(ext.sql("SELECT payload FROM dml WHERE k = 3")
+        .head().getString(0) === "p3", "non-matching rows untouched")
+      // DELETE from plain SQL — the merge-on-read path (deletion
+      // vectors, no data-file rewrite)
+      val v2 = ext.sql("DELETE FROM dml WHERE score > 60")
+        .head().getInt(0)
+      assert(v2 === v1 + 1)
+      assert(ext.sql("SELECT count(*) FROM dml").head().getLong(0) === 6L,
+        "scores 65/70/85/90 must be gone")
+      // CDC feed correctness: the SQL verbs are ordinary commits
+      assert(ext.sql("SELECT _change_type, payload FROM dml_changes " +
+        "WHERE k = 2 ORDER BY _change_type").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq ===
+        Seq(("insert", "p2"), ("update", "p2!")))
+      assert(ext.sql("SELECT _change_type FROM dml_changes WHERE k = 7")
+        .collect().map(_.getString(0)).sorted.toSeq ===
+        Seq("delete", "insert"))
+      // constraint veto: an UPDATE that violates a CHECK refuses the
+      // commit before a byte is written, from SQL exactly as from Scala
+      val veto = intercept[Throwable] {
+        ext.sql("UPDATE dml SET score = -1 WHERE k = 1")
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+      assert(chain(veto).exists(
+        _.isInstanceOf[LakeMerge.ConstraintViolation]),
+        s"expected a ConstraintViolation, got $veto")
+      assert(ext.sql("SELECT score FROM dml WHERE k = 1")
+        .head().getLong(0) === 10L, "vetoed UPDATE must change nothing")
+      assert(LakeMerge.latestVersion(ext, dir) === v2,
+        "vetoed UPDATE must not commit a version")
+      // a name NOT registered as a lake keeps Spark's own DML error
+      // surface (the rule must not swallow other tables)
+      intercept[Throwable] { ext.sql("DELETE FROM nosuchlake WHERE 1=1") }
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("registerArtifacts: the standing curation artifacts answer " +
     "plain SQL, identical to the operator handles") {
     GraftCatalog.registerArtifacts(spark, sf)
