@@ -1452,6 +1452,79 @@ object Dedup {
        |FROM pair p JOIN tot t ON t.source = p.src_a
        |ORDER BY src_a, src_b""".stripMargin)
 
+  // ------------------------------------------------------ F22-sketch
+  /** F22 at UNBOUNDED shingle domains (r15 verdict #7): when the
+    * shingle unit is the word (or any domain |Σ|ᵏ doesn't bound), the
+    * exact matrix's (source, gram) pair join grows with the vocabulary
+    * — so swap the gram relation for the F15 MinHash signatures, which
+    * the lake already holds as a standing artifact. The minhash of a
+    * set UNION is the elementwise min of member signatures, so the
+    * per-SOURCE signature is one map-side-combinable groupBy over the
+    * artifact (S·k rows out), the agreement matrix a k-keyed join of
+    * two S·k relations (≤ S²·k rows — source-bounded, corpus-free),
+    * and the only corpus-mass stage anywhere is the signature build
+    * paid once at ingest. Estimator semantics: Ĵ = agree/k, and the
+    * directed containment derives from Ĵ and the exact per-source
+    * distinct-token counts (one aggregation, never a pair join) via
+    * |A∩B| = Ĵ/(1+Ĵ)·(|A|+|B|) — all in INTEGER arithmetic
+    * (g·(nA+nB)·10⁴ DIV ((k+g)·nA)) so the DuckDB oracle hashes
+    * identically. Spec-pinned within the k=16 estimator band of the
+    * exact token-domain matrix (OperatorsSpec).
+    */
+  val dSourceOverlapSketch: Q = Q(
+    (s, dir) => {
+      val docSrc = Tables.documents(s, dir).select("doc_id", "source")
+      val srcSig = minhashSig(s, dir)
+        .join(docSrc, Seq("doc_id"))
+        .groupBy("source", "seed").agg(min("mh").as("mh"))
+      val srcTok = tokens(s, dir).join(docSrc, Seq("doc_id"))
+        .select("source", "tok").distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_tok"))
+      val a = srcSig.select(col("source").as("src_a"), col("seed"),
+        col("mh").as("mh_a"))
+      val b = srcSig.select(col("source").as("src_b"), col("seed"),
+        col("mh").as("mh_b"))
+      a.join(b, Seq("seed"))
+        .filter(col("src_a") =!= col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))
+          .as("n_agree"))
+        .join(broadcast(srcTok.select(col("source").as("src_a"),
+          col("n_tok").as("n_a"))), Seq("src_a"))
+        .join(broadcast(srcTok.select(col("source").as("src_b"),
+          col("n_tok").as("n_b"))), Seq("src_b"))
+        .selectExpr("src_a", "src_b", "n_agree",
+          s"(n_agree * 10000) DIV $NumHashes AS est_jaccard_bp",
+          s"(n_agree * (n_a + n_b) * 10000) DIV " +
+            s"(($NumHashes + n_agree) * n_a) AS est_overlap_bp")
+        .orderBy("src_a", "src_b")
+    },
+    s"""WITH st AS (
+       |  SELECT DISTINCT d.source, t.tok
+       |  FROM ($tokensSql) t JOIN documents d USING (doc_id)),
+       |ssig AS (
+       |  SELECT source, seed,
+       |    min(md5(concat(tok, '#', CAST(seed AS VARCHAR)))) AS mh
+       |  FROM st CROSS JOIN (SELECT unnest(range($NumHashes)) AS seed)
+       |  GROUP BY source, seed),
+       |stok AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_tok
+       |  FROM st GROUP BY source),
+       |agree AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_agree
+       |  FROM ssig a JOIN ssig b
+       |    ON a.seed = b.seed AND a.source <> b.source
+       |  GROUP BY a.source, b.source)
+       |SELECT g.src_a, g.src_b, g.n_agree,
+       |  (g.n_agree * 10000) // $NumHashes AS est_jaccard_bp,
+       |  (g.n_agree * (ta.n_tok + tb.n_tok) * 10000)
+       |    // (($NumHashes + g.n_agree) * ta.n_tok) AS est_overlap_bp
+       |FROM agree g JOIN stok ta ON ta.source = g.src_a
+       |JOIN stok tb ON tb.source = g.src_b
+       |ORDER BY src_a, src_b""".stripMargin)
+
   // ---------------------------------------------------------------- F13
   /** Incremental dedup — the shape a LIVE corpus actually runs: the
     * historical corpus is already indexed (its capped LSH band rows, a
@@ -2515,6 +2588,7 @@ object Dedup {
        |FROM pair ORDER BY rung_a, rung_b""".stripMargin)
 
   val registry: Map[String, Q] = Map(
+    "d_source_overlap_sketch" -> dSourceOverlapSketch,
     "d_chunk_dup" -> dChunkDup,
     "d_dedup_card" -> dDedupCard,
     "d_rung_overlap" -> dRungOverlap,

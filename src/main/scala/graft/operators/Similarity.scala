@@ -2332,6 +2332,42 @@ object Similarity {
        |WHERE (rk - 1) * $DiverseKeepDenom < cell_n
        |ORDER BY vec_id""".stripMargin)
 
+  /** G18's WINDOW-FREE production default (r15 verdict #4): the same
+    * per-region ~1/4 quota, but the per-cluster rank window is
+    * replaced by a map-only hash-threshold keep — a row survives iff
+    * the first 8 md5 hex digits of its vec_id (a 32-bit uniform,
+    * deterministic, engine-reproducible — the H8 idiom) fall below
+    * its cell's occupancy-derived threshold floor(2³² · ⌈n/4⌉ / n).
+    * Occupancy arrives by [[Occupancy.attach]] with broadcast counts
+    * (exactly k rows), so the whole plan is scan → one map-side-
+    * combinable groupBy over k keys → broadcast join → filter: no
+    * window, no per-cluster task funnel, no sort. Kept count per cell
+    * is Binomial(n, ⌈n/4⌉/n) instead of exactly ⌈n/4⌉ — the ±√n
+    * jitter a 100 TB subsample never notices; the exact window form
+    * ([[sDiverseSample]]) remains the oracle vehicle. Spec-pinned to
+    * the exact quota within binomial tolerance and plan-audited
+    * window-free (PlanAuditSpec).
+    */
+  def sDiverseSampleApprox(s: SparkSession, dir: String): DataFrame = {
+    val assigned = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        ivfCellCol(kmCodebook(s, dir)).as("cluster"))
+    Occupancy.attach(assigned, Seq("cluster"), "cell_n",
+      broadcastCounts = true)
+      // threshold = floor(2^32 * ceil(cell_n/4) / cell_n); u32 from
+      // md5. Double arithmetic on the threshold is exact enough (the
+      // quotient is ≤ 2^30-scale and cell counts are far below 2^52);
+      // the comparison itself is pure integer.
+      .withColumn("u32",
+        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .filter(col("u32") < floor(
+        pow(lit(2.0), lit(32.0)) *
+          ceil(col("cell_n").cast("double") / DiverseKeepDenom) /
+          col("cell_n")).cast("long"))
+      .select("vec_id", "label", "cluster")
+  }
+
   val registry: Map[String, Q] = Map(
     "s_ann_ivf_km_probe" -> sAnnIvfKmProbe,
     "s_ann_recall" -> sAnnRecall,

@@ -872,4 +872,48 @@ class OperatorsSpec extends SparkSpec {
     assert(got === "Heading See the docs for code and bold and em " +
       "text. Sub done", s"got: $got")
   }
+
+  test("d_source_overlap_sketch: within the k=16 estimator band of the " +
+    "exact token-domain matrix (r15 verdict #7)") {
+    val k = Dedup.NumHashes.toDouble
+    val sk = SparkEntry.queries("d_source_overlap_sketch")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(sk.nonEmpty, "sketch matrix must be non-empty")
+    // exact token-domain ground truth (the sketch's own domain — the
+    // word-shingle case the gram-bounded F22 can't cover)
+    val st = Tables.documents(spark, sf)
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "").distinct().cache()
+    val tot = st.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inter = st.select(col("source").as("src_a"), col("tok"))
+      .join(st.select(col("source").as("src_b"), col("tok")), Seq("tok"))
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    st.unpersist()
+    for (((a, b), (agree, estJbp, estCbp)) <- sk) {
+      val (na, nb) = (tot(a).toDouble, tot(b).toDouble)
+      val in = inter.getOrElse((a, b), 0L).toDouble
+      val j = in / (na + nb - in)
+      // k=16 estimator: Ĵ = agree/k, sd = sqrt(J(1-J)/k); pin within
+      // 3.5 sd + one-seed granularity (deterministic given md5 —
+      // either holds forever or flags a domain/arithmetic bug now)
+      val tolJ = 3.5 * math.sqrt(j * (1 - j) / k) + 1.0 / k
+      assert(math.abs(agree / k - j) <= tolJ,
+        s"($a,$b): est J ${agree / k} vs exact $j exceeds band $tolJ")
+      assert(estJbp === agree * 10000 / k.toLong,
+        "est_jaccard_bp must be the integer-DIV of the agreement rate")
+      // containment derives via |A∩B| = Ĵ/(1+Ĵ)(|A|+|B|); its error is
+      // ≤ (na+nb)/na times the J band (dC/dJ = (na+nb)/na · (1+J)⁻²)
+      val exactC = in / na
+      val tolC = (na + nb) / na * tolJ
+      assert(math.abs(estCbp / 10000.0 - exactC) <= tolC,
+        s"($a,$b): est containment ${estCbp / 10000.0} vs $exactC " +
+          s"exceeds $tolC")
+    }
+  }
 }

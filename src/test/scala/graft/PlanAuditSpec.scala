@@ -661,6 +661,42 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("s_diverse_sample approx twin: window-free plan, per-cluster " +
+    "keeps within binomial tolerance of the exact quota (r15 verdict #4)") {
+    val approx = graft.operators.Similarity.sDiverseSampleApprox(spark, sf)
+    approx.collect()
+    val p = plan(approx)
+    assert(!p.contains("Window"),
+      s"the approx twin must not window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"occupancy must join back as a broadcast (k-row counts):\n$p")
+    // exact quota per cluster from the oracle-gated window form
+    val exact = SparkEntry.queries("s_diverse_sample")(spark, sf)
+      .groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = approx.groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.keySet.subsetOf(exact.keySet),
+      "approx must not invent clusters")
+    // kept_c ~ Binomial(n_c, quota_c/n_c): |kept - quota| within
+    // 4.5 sd + 2 per cluster (deterministic given md5 — this either
+    // holds forever or fails now), and the total within 5%
+    for ((c, q) <- exact) {
+      val k = kept.getOrElse(c, 0L)
+      val n = q * 4.0 // quota ≈ n/4 ⇒ n ≈ 4q (tolerance input only)
+      val tol = 4.5 * math.sqrt(n * 0.25 * 0.75) + 2
+      assert(math.abs(k - q) <= tol,
+        s"cluster $c: kept $k vs quota $q exceeds binomial tol $tol")
+    }
+    val (totK, totQ) = (kept.values.sum.toDouble, exact.values.sum.toDouble)
+    // total is Binomial(N, ~1/4) too: 4.5 sd on N ≈ 4·quota (a fixed
+    // percentage bound would spuriously tighten as the corpus shrinks)
+    val totTol = 4.5 * math.sqrt(totQ * 4.0 * 0.25 * 0.75) + 2
+    assert(math.abs(totK - totQ) <= totTol,
+      s"total kept $totK vs quota $totQ exceeds binomial tol $totTol")
+    spark.catalog.clearCache()
+  }
+
   test("ivf_cells: generates into WholeStageCodegen — no fallback " +
     "breaking the projection stage (r15 verdict #3)") {
     // a CodegenFallback expression forces the WHOLE projection stage
