@@ -338,6 +338,72 @@ object ArtifactStore {
     }
   }
 
+  /** Lake-else-build for a whole TABLE-DIRECTORY artifact (r15
+    * verdict #8) — the L-family demo tables (merged / conditional /
+    * MOR / restored) whose artifact is not one relation but a lake
+    * dir with a specific VERSION HISTORY the consumers pin into
+    * (`read(..., Some(1))`, change feeds, meta stats). `build` gets a
+    * fresh path and must leave a committed table there; the content
+    * address (corpus + code fingerprint) guarantees any code change
+    * re-builds, so a cold JVM on an unchanged build serves the
+    * standing directory for the cost of a manifest probe — the same
+    * warmup stance the dedup/ANN artifacts have, applied to the four
+    * 3.8-4.7 s cold-bench builds.
+    *
+    * Concurrency: the build lands in a sibling `.build-*` dir and ONE
+    * rename claims the address — the loser deletes its own bytes and
+    * serves the winner's (rename-into-existing fails on every
+    * relevant FS). A verified-corrupt standing dir is tombstoned
+    * aside (the [[quarantine]] policy) and rebuilt.
+    */
+  def materializeDir(s: SparkSession, family: String,
+      corpusDir: String)(build: String => Unit): String = {
+    def tmpBuild(): String = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_${family.replace('.', '_')}")
+        .toString
+      build(tmp)
+      tmp
+    }
+    if (!enabled) return tmpBuild()
+    val dir = tableDir(s, family, corpusDir)
+    val f = fs(s, dir)
+    def serveStanding(): Option[String] =
+      if (!exists(s, dir)) None
+      else if (!isCorrupt(s, dir)) {
+        bump(loadCounts, family)
+        graft.Artifacts.record(family, corpusDir, 0, "lake_load")
+        Some(dir)
+      } else { quarantine(s, dir); None }
+    serveStanding().getOrElse {
+      val t0 = System.nanoTime()
+      try {
+        ensureRoot(s)
+        val tmp = dir + ".build-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        build(tmp)
+        if (f.rename(new Path(tmp), new Path(dir))) {
+          bump(saveCounts, family)
+          graft.Artifacts.record(family, corpusDir,
+            (System.nanoTime() - t0) / 1000000, "build_persist")
+          dir
+        } else {
+          // a racing session claimed the address: serve the winner
+          f.delete(new Path(tmp), true)
+          bump(loadCounts, family)
+          dir
+        }
+      } catch {
+        // unwritable root: stay session-local for this run
+        case scala.util.control.NonFatal(_) =>
+          val tmp = tmpBuild()
+          graft.Artifacts.record(family, corpusDir,
+            (System.nanoTime() - t0) / 1000000, "build")
+          tmp
+      }
+    }
+  }
+
   /** Retention for the artifact root: every engine recompile and
     * every corpus change re-addresses its artifacts under a fresh
     * fingerprint, stranding the old dirs — this is the cleanup a
