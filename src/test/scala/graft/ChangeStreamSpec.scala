@@ -268,4 +268,84 @@ class ChangeStreamSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("AvailableNow catch-up twins (r15 verdict #6): a cron-gap " +
+    "BACKLOG of source commits caught up in ONE run equals the " +
+    "per-commit always-on cadence — view and mirror, RocksDB confs") {
+    // the scheduled-cron production mode: no maintainer runs while the
+    // source commits N times, then one Trigger.AvailableNow query
+    // catches the whole backlog up and terminates. Identity to the
+    // per-commit cadence is the contract that makes the two deployment
+    // modes interchangeable — and the catch-up must price as ONE net
+    // advance (one view/mirror commit), not a replay of N.
+    import graft.streaming.ReportStream
+    val prev = ReportStream.productionStreamingConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    ReportStream.productionStreamingConfs
+      .foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val srcDir = tempDir("graft_cu_src")
+      val viewA = tempDir("graft_cu_viewA") // per-commit cadence
+      val viewB = tempDir("graft_cu_viewB") // cron catch-up
+      val mirA = tempDir("graft_cu_mirA")
+      val mirB = tempDir("graft_cu_mirB")
+      LakeMerge.init(spark, srcDir, srcBatch(Seq(
+        (1L, "2024-01", 100L, 10L), (2L, "2024-01", 100L, 20L),
+        (3L, "2024-02", 200L, 5L))), "dt", "k", "cents")
+      ChangeStream.initView(spark, viewA, "cust", "n_rows", "total")
+      ChangeStream.initView(spark, viewB, "cust", "n_rows", "total")
+      ChangeStream.initMirror(spark, srcDir, mirA)
+      ChangeStream.initMirror(spark, srcDir, mirB)
+      def advanceAlwaysOn(): Unit = {
+        runOnce(srcDir, viewA)
+        val q = ChangeStream.streamingMirror(
+          spark.readStream.schema("tick LONG").parquet(tick()),
+          srcDir, mirA, appId = "cu", ckDir = tempDir("graft_cu_ck"))
+        q.awaitTermination(120000)
+        q.stop()
+      }
+      advanceAlwaysOn() // bootstrap after v0
+      // the backlog: three commits with NO maintainer running for B
+      LakeMerge.merge(spark, srcDir, srcBatch(Seq(
+        (2L, "2024-01", 100L, 40L), (4L, "2024-02", 300L, 7L))))   // v1
+      advanceAlwaysOn()
+      LakeMerge.merge(spark, srcDir,
+        srcBatch(Seq((3L, "2024-02", 200L, 5L)))
+          .withColumn("op", lit("delete")), opCol = Some("op"))    // v2
+      advanceAlwaysOn()
+      LakeMerge.merge(spark, srcDir, srcBatch(Seq(
+        (1L, "2024-01", 100L, 11L))))                              // v3
+      advanceAlwaysOn()
+      // cron mode: ONE AvailableNow run each, fresh checkpoints
+      runOnce(srcDir, viewB)
+      val qm = ChangeStream.streamingMirror(
+        spark.readStream.schema("tick LONG").parquet(tick()),
+        srcDir, mirB, appId = "cu", ckDir = tempDir("graft_cu_ckB"))
+      qm.awaitTermination(120000)
+      qm.stop()
+      // identity: both cadences equal each other and the recompute
+      assert(viewRows(viewA) === recompute(srcDir))
+      assert(viewRows(viewB) === viewRows(viewA),
+        "cron catch-up must equal the always-on cadence (view)")
+      assert(tableRows(mirA) === tableRows(srcDir))
+      assert(tableRows(mirB) === tableRows(mirA),
+        "cron catch-up must equal the always-on cadence (mirror)")
+      // priced as ONE net advance: B commits init + 1, A init + 4
+      assert(LakeMerge.latestVersion(spark, viewB) === 1,
+        "backlog catch-up must be one net view commit")
+      assert(LakeMerge.latestVersion(spark, viewA) === 4)
+      assert(LakeMerge.latestVersion(spark, mirB) === 1,
+        "backlog catch-up must be one net mirror merge")
+      // both watermarks sit at the tip
+      val tip = LakeMerge.latestVersion(spark, srcDir).toLong
+      for (d <- Seq(viewA, viewB))
+        assert(LakeMerge.lastTxn(spark, d, "cdc-view:specview")
+          === Some(tip))
+      for (d <- Seq(mirA, mirB))
+        assert(LakeMerge.lastTxn(spark, d, "cdc-mirror:cu") === Some(tip))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

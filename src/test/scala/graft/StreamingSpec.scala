@@ -586,6 +586,81 @@ class StreamingSpec extends SparkSpec {
     batchE.unpersist()
   }
 
+  test("AvailableNow catch-up twins (r15 verdict #6): one cron-mode " +
+    "run over a multi-file BACKLOG — cluster refresh equals the " +
+    "one-shot merge; ingest-gate verdicts equal the batch gate " +
+    "across bounded micro-batches") {
+    import graft.operators.Dedup
+    // --- cluster refresh: the edge backlog lands as TWO files while
+    // no maintainer runs; ONE AvailableNow query (fresh checkpoint,
+    // maxFilesPerTrigger bounding each micro-batch) catches up. The
+    // F8-lake spec above pins the per-file always-on cadence to the
+    // same one-shot d_incr_clusters merge, so equality here makes the
+    // two deployment modes interchangeable.
+    val batchE = Dedup.dupEdges(spark, sf)
+      .filter(col("doc_a") % 5 === 4 || col("doc_b") % 5 === 4)
+      .withColumn("half",
+        substring(md5(concat_ws(",",
+          least(col("doc_a"), col("doc_b")),
+          greatest(col("doc_a"), col("doc_b")))), 1, 1) < "8")
+      .cache()
+    val backlog = tempDir("graft_cu_edges")
+    for (flag <- Seq(true, false))
+      batchE.filter(col("half") === flag).select("doc_a", "doc_b")
+        .coalesce(1).write.mode("append").parquet(backlog)
+    val tableDir = tempDir("graft_cu_cmap")
+    Dedup.clusterTableInit(spark, tableDir, Dedup.oldClusterMap(spark, sf))
+    val q = Dedup.streamingClusterRefresh(
+      spark.readStream.schema("doc_a LONG, doc_b LONG")
+        .option("maxFilesPerTrigger", "1").parquet(backlog),
+      tableDir, tempDir("graft_cu_cmap_ck"))
+    q.awaitTermination(120000)
+    q.stop()
+    val caught = Dedup.clusterTableRead(spark, tableDir)
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = SparkEntry.queries("d_incr_clusters")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(caught === oneShot,
+      "one catch-up run over the backlog must equal the one-shot merge")
+    batchE.unpersist()
+    // --- ingest gate: a 3-file document backlog gated in one bounded
+    // catch-up run; the union of per-micro-batch verdicts must equal
+    // the batch gate flag-for-flag (the existing F13 spec pins the
+    // single-batch form; this pins the bounded multi-batch catch-up)
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") % 5 === 4)
+    val in = tempDir("graft_cu_docs")
+    for (r <- 0 until 3)
+      docs.filter(col("doc_id") % 3 === r).coalesce(1)
+        .write.mode("append").parquet(in)
+    val acc = new scala.collection.mutable.ArrayBuffer[
+      (Long, Option[Long], Boolean)]()
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q2 = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) nBatches.incrementAndGet()
+        val flagged = Dedup.incrGate(spark, b, sf).collect()
+        acc.synchronized {
+          acc ++= flagged.map(r => (r.getLong(0),
+            Option(r.get(3)).map(_.asInstanceOf[Long]),
+            r.getBoolean(4)))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    q2.stop()
+    assert(nBatches.get() >= 3,
+      "the bounded catch-up must cut one micro-batch per backlog file")
+    val streamed = acc.toSet
+    val batch = SparkEntry.queries("d_incr_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getBoolean(4))).toSet
+    assert(streamed === batch,
+      "catch-up verdicts must equal the batch gate's")
+  }
+
   test("F8-lake CONCURRENT refreshes: the read-version pin turns " +
     "every interleaving commit into a CME and the retry recomputes " +
     "against the fresh tip — no update lost, final map equals the " +
