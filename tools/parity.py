@@ -53,10 +53,15 @@ def main():
     only = set(sys.argv[3:])
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
+    import os
     for name in ["region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem", "events", "documents", "embeddings"]:
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
-                    f"'{sf_dir}/{name}.parquet'")
+        # driver testdata is one flat file per table; ScaleGen output
+        # (sf1) is a Spark-written DIRECTORY of part files
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     n_ok = n_bad = 0
     t_all = time.monotonic()
     for name, sql in sorted(oracles.items()):
