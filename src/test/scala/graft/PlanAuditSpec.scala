@@ -546,6 +546,25 @@ class PlanAuditSpec extends SparkSpec {
       s"the S-row totals join must broadcast:\n$p")
   }
 
+  test("d_source_overlap_sketch: agreement joins the seed-keyed S·k " +
+    "relations, totals broadcast, no cartesian, and the corpus is " +
+    "never re-hashed (the signature artifact serves the source sigs)") {
+    val df = SparkEntry.queries("d_source_overlap_sketch")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"the agreement matrix must come from the seed equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the S-row totals joins must broadcast:\n$p")
+    // the per-source signatures derive from the STANDING minhash
+    // artifact, not a fresh corpus tokenization: the only md5 calls
+    // in the plan are the artifact build's, which this query's plan
+    // must not contain (it reads the committed parquet)
+    assert(!p.contains("md5("),
+      s"source sigs must come from the signature artifact, not a re-hash:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("t_dataset_card: ROLLUP's three grains cost ONE aggregation " +
     "exchange (plus the presentation sort)") {
     val df = SparkEntry.queries("t_dataset_card")(spark, sf)
