@@ -231,14 +231,19 @@ object Dedup {
     * variable (the fingerprint idiom) so projection collapse cannot
     * re-derive it per gram position, and the build is O(n) per doc.
     */
+  // sort_array at the source (r16): the verify kernel is the sorted
+  // two-pointer merge (functions/SortedIntersectCount) — one O(g log g)
+  // sort per doc at build buys a zero-allocation O(g) count per PAIR,
+  // and every set-shaped consumer (explode→distinct, size) is
+  // order-independent
   private[graft] def gramArrayCol: Column = expr(
     "element_at(transform(array(" +
       " transform(split(lower(text), ''), c -> CAST(ascii(c) AS BIGINT)))," +
       " cs -> CASE WHEN size(cs) >= 3 THEN" +
-      " array_distinct(transform(sequence(1, size(cs)-2)," +
+      " sort_array(array_distinct(transform(sequence(1, size(cs)-2)," +
       " i -> element_at(cs, i) * 4398046511104" +
       " + element_at(cs, i+1) * 2097152" +
-      " + element_at(cs, i+2))) ELSE array() END), 1)")
+      " + element_at(cs, i+2)))) ELSE array() END), 1)")
 
   /** Per-doc distinct char-3-gram ARRAYS — narrow joins +
     * array_intersect beat a million-row gram-level exploded join.
@@ -267,14 +272,16 @@ object Dedup {
       // bound ONCE as a lambda variable (the bandArrayCol trick):
       // left as a projected column, CollapseProject inlines it into
       // every element_at and the split re-runs 3n times per doc.
+      // sorted at the source for the SortedIntersectCount merge kernel
+      // (see gramArrayCol's r16 note)
       .withColumn("grams", expr(
         "element_at(transform(array(" +
           " transform(split(norm, ''), c -> CAST(ascii(c) AS BIGINT)))," +
           " cs -> CASE WHEN size(cs) >= 3 THEN" +
-          " array_distinct(transform(sequence(1, size(cs)-2)," +
+          " sort_array(array_distinct(transform(sequence(1, size(cs)-2)," +
           " i -> element_at(cs, i) * 4398046511104" +
           " + element_at(cs, i+1) * 2097152" +
-          " + element_at(cs, i+2))) ELSE array() END), 1)"))
+          " + element_at(cs, i+2)))) ELSE array() END), 1)"))
       .select("doc_id", "grams")
 
   // ---------------------------------------------------------------- F5
@@ -294,7 +301,8 @@ object Dedup {
       val b = garr.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
       a.join(b, col("doc_a") + 1 === col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          size(expr("array_intersect(g_a, g_b)")).cast("long").as("inter"),
+          graft.functions.SortedIntersectCount
+            .count(col("g_a"), col("g_b")).as("inter"),
           size(col("g_a")).cast("long").as("n_a"),
           size(col("g_b")).cast("long").as("n_b"))
         .filter(col("inter") >= 1)
@@ -372,7 +380,8 @@ object Dedup {
       .join(garr.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
         .hint("shuffle_hash"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(expr("array_intersect(g_a, g_b)")).cast("long").as("inter"),
+        graft.functions.SortedIntersectCount
+            .count(col("g_a"), col("g_b")).as("inter"),
         col("n_a"), col("n_b"))
       .withColumn("union_sz", col("n_a") + col("n_b") - col("inter"))
       .selectExpr("doc_a", "doc_b", "inter", "union_sz",
@@ -1346,7 +1355,8 @@ object Dedup {
         .join(garr.select(col("doc_id").as("doc_b"), col("grams").as("g_b")),
           Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("n_agree"), col("est_bp"),
-          size(expr("array_intersect(g_a, g_b)")).cast("long").as("inter"),
+          graft.functions.SortedIntersectCount
+            .count(col("g_a"), col("g_b")).as("inter"),
           (size(col("g_a")) + size(col("g_b"))).cast("long").as("sz_sum"))
         // gram-less pairs (both texts < 3 chars) have an UNDEFINED
         // exact Jaccard: NULL, guarded BEFORE the division (ANSI mode
@@ -1670,7 +1680,8 @@ object Dedup {
       .join(newGrams, Seq("new_id"))
       .join(oldGrams, Seq("old_id"))
       .select(col("new_id"), col("old_id"),
-        size(expr("array_intersect(g_a, g_b)")).cast("long").as("inter"),
+        graft.functions.SortedIntersectCount
+            .count(col("g_a"), col("g_b")).as("inter"),
         size(col("g_a")).cast("long").as("n_a"),
         size(col("g_b")).cast("long").as("n_b"))
       // n_a + n_b - inter > 0 guards the two-empty-gram-docs pair

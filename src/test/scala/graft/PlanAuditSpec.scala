@@ -716,6 +716,41 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("sorted_intersect_count: equals size(array_intersect) pair for " +
+    "pair on the real gram relation, and generates into codegen (r16)") {
+    import graft.operators.Dedup
+    val garr = Tables.documents(spark, sf)
+      .select(col("doc_id"), Dedup.gramArrayCol.as("grams"))
+    val pairs = garr.select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
+      .join(garr.select(col("doc_id").as("doc_b"), col("grams").as("g_b")),
+        col("doc_a") + 1 === col("doc_b"))
+    val both = pairs.select(col("doc_a"),
+      graft.functions.SortedIntersectCount
+        .count(col("g_a"), col("g_b")).as("fast"),
+      size(expr("array_intersect(g_a, g_b)")).cast("long").as("ref"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    val bad = rows.filter(r => r.getLong(1) != r.getLong(2))
+    assert(bad.isEmpty,
+      s"kernel mismatch on ${bad.length} pairs; first: ${bad.headOption}")
+    // the merge loop stays inside whole-stage codegen
+    val p = plan(both)
+    val line = p.linesIterator.find(_.contains("sorted_intersect_count"))
+      .getOrElse(fail(s"no sorted_intersect_count node in plan:\n$p"))
+    assert(line.contains("*("),
+      s"sorted_intersect_count fell out of whole-stage codegen:\n$p")
+    // degenerate inputs: empty vs empty and empty vs non-empty are 0
+    val edge = spark.sql(
+      "SELECT array() AS a, array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)) AS b")
+      .select(
+        graft.functions.SortedIntersectCount.count(
+          expr("CAST(a AS ARRAY<BIGINT>)"), col("b")).as("e1"),
+        graft.functions.SortedIntersectCount.count(col("b"), col("b"))
+          .as("e2"))
+      .head()
+    assert(edge.getLong(0) === 0L && edge.getLong(1) === 2L)
+  }
+
   test("ivf_cells: generates into WholeStageCodegen — no fallback " +
     "breaking the projection stage (r15 verdict #3)") {
     // a CodegenFallback expression forces the WHOLE projection stage
