@@ -3,33 +3,39 @@ package graft.plans
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, OuterReference, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LeafNode, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.IntegerType
 
-/** SQL DML front door for lake tables (r15 verdict #5) — the
-  * Delta-parity surface a SQL-only consumer hits first:
+/** SQL DML front door for lake tables (r15 verdict #5, MERGE r16
+  * verdict #2) — the Delta-parity surface a SQL-only consumer hits
+  * first:
   *
   * {{{
   *   GraftCatalog.registerLake(spark, "t", dir)   // records name → dir
   *   spark.sql("DELETE FROM t WHERE dt = '2024-01-01'")
   *   spark.sql("UPDATE t SET score = score + 1 WHERE flagged")
+  *   spark.sql("""MERGE INTO t USING updates s ON t.k = s.k
+  *                WHEN MATCHED AND s.del THEN DELETE
+  *                WHEN MATCHED THEN UPDATE SET score = s.score
+  *                WHEN NOT MATCHED THEN INSERT *""")
   * }}}
   *
-  * Spark's parser already produces [[DeleteFromTable]]/[[UpdateTable]]
-  * for these statements; for anything that is not a DSv2 table,
-  * analysis then fails with "only supported with v2 tables". The
-  * resolution rule below intercepts exactly the statements whose
-  * target is a registered lake view and rewrites them onto the lake's
-  * own mutation verbs — [[graft.sources.LakeMerge.deleteWhere]]
-  * (merge-on-read deletion vectors) and
-  * [[graft.sources.LakeMerge.updateWhere]] (copy-on-write re-merge) —
-  * so CHECK-constraint vetoes, the CDC feed, txn watermarks, and
-  * snapshot history behave identically to the Scala API. Statements
-  * over names that are NOT registered lake tables pass through
-  * untouched and keep Spark's own error surface.
+  * Spark's parser already produces [[DeleteFromTable]]/[[UpdateTable]]/
+  * [[MergeIntoTable]] for these statements; for anything that is not a
+  * DSv2 table, analysis then fails with "only supported with v2
+  * tables". The resolution rule below intercepts exactly the
+  * statements whose target is a registered lake view and rewrites
+  * them onto the lake's own mutation verbs —
+  * [[graft.sources.LakeMerge.deleteWhere]] (merge-on-read deletion
+  * vectors), [[graft.sources.LakeMerge.updateWhere]] (copy-on-write
+  * re-merge), and [[graft.sources.LakeMerge.mergeInto]] (the full
+  * clause surface) — so CHECK-constraint vetoes, the CDC feed, txn
+  * watermarks, and snapshot history behave identically to the Scala
+  * API. Statements over names that are NOT registered lake tables
+  * pass through untouched and keep Spark's own error surface.
   *
   * The target view may already be resolved by the time the rule runs
   * (temp views resolve in the same fixed-point batch), so conditions
@@ -37,12 +43,21 @@ import org.apache.spark.sql.types.IntegerType
   * REGISTRATION-TIME snapshot plan. The commands re-read the table at
   * execution time, so those bindings are stripped back to unresolved
   * name lookups and re-resolve against the fresh snapshot — name-based
-  * semantics, exactly what SQL DML means.
+  * semantics, exactly what SQL DML means. Subquery conditions
+  * (`WHERE k IN (SELECT ...)`) get the same treatment INSIDE the
+  * subquery plan: registered-lake leaves relink to by-name relation
+  * lookups and attribute bindings strip (qualifiers kept), so the
+  * subquery also reads the freshest registered snapshot at run time
+  * rather than the registration-time plan it was resolved against.
+  * Correlated subqueries re-resolve too: the commands alias the
+  * run-time snapshot with the view name, so target-qualified outer
+  * references (`WHERE EXISTS (SELECT 1 FROM h WHERE h.k = t.k)`)
+  * bind exactly as in the original statement.
   */
 object LakeDml {
 
-  /** Analyzer rule: rewrite DELETE/UPDATE over registered lake views
-    * onto runnable lake commands. Injected via
+  /** Analyzer rule: rewrite DELETE/UPDATE/MERGE over registered lake
+    * views onto runnable lake commands. Injected via
     * `GraftExtensions` → `injectResolutionRule`.
     */
   case class ResolveLakeDml(session: SparkSession)
@@ -54,12 +69,26 @@ object LakeDml {
           graft.GraftCatalog.lakeDir(session, parts.head)
             .map(parts.head -> _)
         // a temp view resolves to SubqueryAlias(name, <snapshot plan>)
-        // within the same fixed-point batch — match it by name too
-        case SubqueryAlias(ident, _) =>
+        // within the same fixed-point batch — match it by name too;
+        // `MERGE INTO t AS x` nests SubqueryAlias(x, SubqueryAlias(t,
+        // ...)), so an unregistered alias recurses into its child
+        case SubqueryAlias(ident, child) =>
           graft.GraftCatalog.lakeDir(session, ident.name)
             .map(ident.name -> _)
+            .orElse(lakeTarget(child))
         case _ => None
       }
+
+    /** Every alias name the plan answers to (for classifying
+      * qualified-name references in MERGE expressions).
+      */
+    private def aliasNames(p: LogicalPlan): Set[String] = p match {
+      case SubqueryAlias(ident, child) =>
+        aliasNames(child) + ident.name.toLowerCase
+      case UnresolvedRelation(parts, _, _) =>
+        Set(parts.last.toLowerCase)
+      case _ => Set.empty
+    }
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan match {
       case DeleteFromTable(t, cond) =>
@@ -71,29 +100,125 @@ object LakeDml {
       case UpdateTable(t, assignments, cond) =>
         lakeTarget(t) match {
           case Some((name, dir)) =>
-            val set = assignments.map { a =>
-              val key = a.key match {
-                case ar: AttributeReference => ar.name
-                case ua: UnresolvedAttribute => ua.nameParts.last
-                case other => other.sql.stripPrefix("`").stripSuffix("`")
-              }
-              key -> unresolve(a.value)
-            }
+            val set = assignments.map(a =>
+              assignName(a) -> unresolve(a.value))
             GraftUpdateLakeCommand(name, dir, set,
               cond.map(unresolve))
           case None => plan
         }
+      // fire once the USING source is resolved (its plan is captured
+      // and re-opened at run time) — earlier fixed-point passes leave
+      // the node for the view/catalog resolution rules to finish
+      case m: MergeIntoTable if m.sourceTable.resolved =>
+        lakeTarget(m.targetTable) match {
+          case Some((name, dir)) =>
+            val retag = retagger(m)
+            def arms(as: Seq[MergeAction])
+                : Seq[(Option[ExprBox], ArmBox)] =
+              as.map(a => armOf(a, retag))
+            GraftMergeIntoLakeCommand(name, dir,
+              new PlanBox(m.sourceTable),
+              retag(m.mergeCondition),
+              arms(m.matchedActions), arms(m.notMatchedActions),
+              arms(m.notMatchedBySourceActions))
+          case None => plan
+        }
       case _ => plan
     }
-  }
 
-  /** Strip registration-time attribute bindings back to name lookups
-    * so the expression re-resolves against the execution-time
-    * snapshot read.
-    */
-  private def unresolve(e: Expression): ExprBox = new ExprBox(e.transform {
-    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
-  })
+    /** Rewrites every column reference in a MERGE expression onto the
+      * run-time join's `_t` (target) / `_s` (source) aliases: resolved
+      * attributes classify by which side's output owns their exprId;
+      * still-unresolved qualified names classify by whether their
+      * qualifier names the target or the source alias. Unqualified
+      * unresolved names stay bare — they resolve at run time when
+      * unambiguous, and ambiguity keeps Spark's own error.
+      */
+    private def retagger(m: MergeIntoTable): Expression => ExprBox = {
+      val tgtIds = m.targetTable.outputSet
+      val srcIds = m.sourceTable.outputSet
+      val tgtAlias = aliasNames(m.targetTable)
+      val srcAlias = aliasNames(m.sourceTable)
+      e => new ExprBox(e.transform {
+        case a: AttributeReference if tgtIds.contains(a) =>
+          UnresolvedAttribute(Seq("_t", a.name))
+        case a: AttributeReference if srcIds.contains(a) =>
+          UnresolvedAttribute(Seq("_s", a.name))
+        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+        case ua: UnresolvedAttribute if ua.nameParts.length >= 2 &&
+            tgtAlias.contains(ua.nameParts.head.toLowerCase) =>
+          UnresolvedAttribute(Seq("_t") ++ ua.nameParts.tail)
+        case ua: UnresolvedAttribute if ua.nameParts.length >= 2 &&
+            srcAlias.contains(ua.nameParts.head.toLowerCase) =>
+          UnresolvedAttribute(Seq("_s") ++ ua.nameParts.tail)
+      })
+    }
+
+    private def assignName(a: Assignment): String = a.key match {
+      case ar: AttributeReference => ar.name
+      case ua: UnresolvedAttribute => ua.nameParts.last
+      case other => other.sql.stripPrefix("`").stripSuffix("`")
+    }
+
+    private def armOf(a: MergeAction, retag: Expression => ExprBox)
+        : (Option[ExprBox], ArmBox) = a match {
+      case DeleteAction(c) => (c.map(retag), BoxDelete)
+      case UpdateAction(c, as, fromStar) =>
+        (c.map(retag),
+          BoxUpdate(if (fromStar) Nil
+            else as.map(x => assignName(x) -> retag(x.value))))
+      case UpdateStarAction(c) => (c.map(retag), BoxUpdate(Nil))
+      case InsertAction(c, as) =>
+        (c.map(retag),
+          BoxInsert(as.map(x => assignName(x) -> retag(x.value))))
+      case InsertStarAction(c) => (c.map(retag), BoxInsert(Nil))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported MERGE action for lake tables: $other")
+    }
+
+    /** Strip registration-time attribute bindings back to name lookups
+      * so the expression re-resolves against the execution-time
+      * snapshot read. Descends into subquery plans: lake-view leaves
+      * relink to by-name relation lookups (fresh snapshot at run
+      * time), outer references unwrap to plain name lookups (the
+      * commands alias the run-time snapshot with the view name, so
+      * target-qualified correlation re-resolves), and the subquery's
+      * recorded outer-attribute list resets for the run-time analyzer
+      * to rediscover.
+      */
+    private def unresolve(e: Expression): ExprBox =
+      new ExprBox(e.transform {
+        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+        case s: SubqueryExpression =>
+          s.withNewPlan(unresolvePlan(s.plan)).withNewOuterAttrs(Nil)
+      })
+
+    private def unresolvePlan(p: LogicalPlan): LogicalPlan = p match {
+      // a registered lake leaf relinks to a by-name lookup — the
+      // run-time analyzer re-resolves it to the freshest registration
+      case SubqueryAlias(ident, _)
+          if graft.GraftCatalog.lakeDir(session, ident.name).isDefined =>
+        UnresolvedRelation(Seq(ident.name))
+      // a non-lake view body is a frozen, self-contained resolved
+      // definition (View's constructor REQUIRES a resolved child) —
+      // keep its subtree whole; outer references resolve by name
+      // against its unchanged output
+      case v: View => v
+      // a leaf relation's output attributes DEFINE bindings rather
+      // than reference them — only operators above leaves strip
+      case leaf: LeafNode => leaf
+      case node => node.mapChildren(unresolvePlan).transformExpressions {
+        case OuterReference(a: AttributeReference) =>
+          UnresolvedAttribute(a.qualifier :+ a.name)
+        // keep qualifiers: inside a subquery they name the subquery's
+        // own relations, which survive (or relink) by the same name
+        case a: AttributeReference =>
+          UnresolvedAttribute(a.qualifier :+ a.name)
+        case s: SubqueryExpression =>
+          s.withNewPlan(unresolvePlan(s.plan)).withNewOuterAttrs(Nil)
+      }
+    }
+  }
 
   /** Opaque expression holder: the commands carry DELIBERATELY
     * unresolved expressions (they re-resolve against the fresh
@@ -105,6 +230,23 @@ object LakeDml {
   final class ExprBox(val e: Expression) extends Serializable {
     override def toString: String = e.sql
   }
+
+  /** Same stance for a whole captured plan (the MERGE USING source):
+    * boxed so the command stays a leaf — the plan re-opens via
+    * `Dataset.ofRows` when the command runs.
+    */
+  final class PlanBox(val plan: LogicalPlan) extends Serializable {
+    override def toString: String = plan.nodeName
+  }
+
+  /** Serializable carrier for a compiled MERGE arm. Empty `set` on
+    * update/insert means the star form (assign every column from the
+    * source by name).
+    */
+  sealed trait ArmBox extends Serializable
+  final case class BoxUpdate(set: Seq[(String, ExprBox)]) extends ArmBox
+  case object BoxDelete extends ArmBox
+  final case class BoxInsert(set: Seq[(String, ExprBox)]) extends ArmBox
 
   private def out(name: String): Seq[Attribute] =
     Seq(AttributeReference(name, IntegerType, nullable = false)())
@@ -119,7 +261,7 @@ object LakeDml {
     override val output: Seq[Attribute] = out("version")
     override def run(spark: SparkSession): Seq[Row] = {
       val v = graft.sources.LakeMerge.deleteWhere(spark, dir,
-        GraftColumnBridge.column(cond.e))
+        GraftColumnBridge.column(cond.e), as = Some(name))
       graft.GraftCatalog.registerLake(spark, name, dir)
       Seq(Row(v))
     }
@@ -138,7 +280,44 @@ object LakeDml {
       import org.apache.spark.sql.functions.lit
       val v = graft.sources.LakeMerge.updateWhere(spark, dir,
         set.map { case (c, b) => c -> GraftColumnBridge.column(b.e) },
-        cond.map(b => GraftColumnBridge.column(b.e)).getOrElse(lit(true)))
+        cond.map(b => GraftColumnBridge.column(b.e)).getOrElse(lit(true)),
+        as = Some(name))
+      graft.GraftCatalog.registerLake(spark, name, dir)
+      Seq(Row(v))
+    }
+  }
+
+  /** `MERGE INTO <lake view> USING <source> ON ... WHEN ...` — the
+    * full clause surface via [[graft.sources.LakeMerge.mergeInto]]
+    * (constraint vetoes, CDC, snapshot history identical to the Scala
+    * API). The USING source is the statement's own analyzed plan,
+    * re-opened at run time; all other expressions re-resolve against
+    * the run-time `_t`/`_s` join. Re-registers the views afterwards.
+    * Returns the new version.
+    */
+  case class GraftMergeIntoLakeCommand(name: String, dir: String,
+      source: PlanBox, on: ExprBox,
+      matched: Seq[(Option[ExprBox], ArmBox)],
+      notMatched: Seq[(Option[ExprBox], ArmBox)],
+      notMatchedBySource: Seq[(Option[ExprBox], ArmBox)])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      import graft.sources.LakeMerge
+      def colOf(b: ExprBox) = GraftColumnBridge.column(b.e)
+      def armOf(a: ArmBox): LakeMerge.MergeArm = a match {
+        case BoxDelete => LakeMerge.ArmDelete
+        case BoxUpdate(set) => LakeMerge.ArmUpdate(
+          set.map { case (c, b) => c -> colOf(b) })
+        case BoxInsert(set) => LakeMerge.ArmInsert(
+          set.map { case (c, b) => c -> colOf(b) })
+      }
+      def armsOf(as: Seq[(Option[ExprBox], ArmBox)]) =
+        as.map { case (c, a) => (c.map(colOf), armOf(a)) }
+      val src = GraftColumnBridge.ofRows(spark, source.plan)
+      val v = LakeMerge.mergeInto(spark, dir, src, colOf(on),
+        armsOf(matched), armsOf(notMatched),
+        armsOf(notMatchedBySource))
       graft.GraftCatalog.registerLake(spark, name, dir)
       Seq(Row(v))
     }

@@ -377,29 +377,56 @@ object ArtifactStore {
       } else { quarantine(s, dir); None }
     serveStanding().getOrElse {
       val t0 = System.nanoTime()
-      try {
-        ensureRoot(s)
+      // The fallback catch is scoped to ROOT/RENAME failures only: a
+      // failure inside build() itself propagates (silently re-running
+      // an expensive broken build would just fail twice, slower).
+      val rootOk =
+        try { ensureRoot(s); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!rootOk) {
+        // unwritable root: stay session-local for this run
+        val tmp = tmpBuild()
+        graft.Artifacts.record(family, corpusDir,
+          (System.nanoTime() - t0) / 1000000, "build")
+        tmp
+      } else {
         val tmp = dir + ".build-" +
           java.util.UUID.randomUUID().toString.take(8)
-        build(tmp)
-        if (f.rename(new Path(tmp), new Path(dir))) {
-          bump(saveCounts, family)
-          graft.Artifacts.record(family, corpusDir,
-            (System.nanoTime() - t0) / 1000000, "build_persist")
+        var claimed = false
+        try {
+          build(tmp) // propagates — never silently rebuilt
+          // Claim by rename. On HDFS-like filesystems rename(src,
+          // existingDst) moves src INTO dst and returns true, so an
+          // existing dst is a lost race BEFORE renaming; after a true
+          // rename, the claim must show a readable v0 manifest at the
+          // address AND no nested build tree (the into-existing
+          // signature) before it counts as ours.
+          val nested = new Path(dir, new Path(tmp).getName)
+          claimed =
+            try {
+              !f.exists(new Path(dir)) &&
+                f.rename(new Path(tmp), new Path(dir)) && {
+                  if (f.exists(nested)) { f.delete(nested, true); false }
+                  else exists(s, dir)
+                }
+            } catch { case scala.util.control.NonFatal(_) => false }
+          if (claimed) {
+            bump(saveCounts, family)
+            graft.Artifacts.record(family, corpusDir,
+              (System.nanoTime() - t0) / 1000000, "build_persist")
+          } else {
+            // a racing session claimed the address: serve the winner
+            bump(loadCounts, family)
+          }
           dir
-        } else {
-          // a racing session claimed the address: serve the winner
-          f.delete(new Path(tmp), true)
-          bump(loadCounts, family)
-          dir
+        } finally {
+          // rename never happened (or nested): never leave a partial
+          // .build-* under the family root
+          if (!claimed) {
+            try f.delete(new Path(tmp), true)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
         }
-      } catch {
-        // unwritable root: stay session-local for this run
-        case scala.util.control.NonFatal(_) =>
-          val tmp = tmpBuild()
-          graft.Artifacts.record(family, corpusDir,
-            (System.nanoTime() - t0) / 1000000, "build")
-          tmp
       }
     }
   }

@@ -1176,6 +1176,140 @@ object LakeMerge {
       baseVersion = Some(m.version), txn = txn)
   }
 
+  /** A MERGE clause action: what a fired `WHEN ...` arm does. `set`
+    * pairs are `(target column, value over the joined row)`; an EMPTY
+    * `set` means the star form (`UPDATE SET *` / `INSERT *`) — every
+    * assignable column is taken from the source row by name. Inside
+    * `set` values (and clause conditions), qualify columns with the
+    * `_t` / `_s` aliases ([[mergeInto]] joins the target as `_t` and
+    * the source as `_s`); unqualified names resolve when unambiguous.
+    */
+  sealed trait MergeArm extends Serializable
+  final case class ArmUpdate(set: Seq[(String, Column)]) extends MergeArm
+  case object ArmDelete extends MergeArm
+  final case class ArmInsert(set: Seq[(String, Column)]) extends MergeArm
+
+  /** FULL `MERGE INTO` — the complete Delta/Iceberg clause surface
+    * with per-arm assignment lists, arbitrary ON conditions, and
+    * `WHEN NOT MATCHED BY SOURCE` arms, compiled onto the engine's
+    * own op-column [[merge]] (so COW partition pruning, CHECK
+    * constraints, CDC, txn watermarks, and optimistic concurrency
+    * hold unchanged). This is the Scala half of the SQL
+    * `MERGE INTO t USING s ON ... WHEN ...` front door
+    * ([[graft.plans.LakeDml]]); [[mergeConditional]] remains the
+    * whole-row convenience form.
+    *
+    * Semantics: the fresh target snapshot (aliased `_t`) full/left
+    * outer-joins `source` (aliased `_s`) on `on`; each joined row is
+    * claimed by the FIRST arm of its disposition group whose
+    * condition holds (SQL MERGE arm order), and a row no arm claims
+    * is left untouched. Update arms keep the target row's identity —
+    * key/partition columns are not assignable (same stance as
+    * [[updateWhere]]) — and every assignment RHS evaluates against
+    * the PRE-update joined row. Insert arms must assign the key and
+    * partition columns; unassigned columns insert as typed nulls.
+    * Values cast to the table column's type (ANSI store-assignment,
+    * like Delta). Like [[mergeConditional]], a source row matching
+    * several target rows (or vice versa) is not a cardinality error —
+    * last-writer-wins through the merge's `(dt, key, order)` resolve.
+    *
+    * Scale shape: one outer join of source against only the target
+    * partitions the join can touch is NOT known in advance under an
+    * arbitrary ON, so the full snapshot reads here — `MERGE INTO`
+    * with an equi-key ON at 100 TB should route through
+    * [[mergeConditional]]/[[merge]] (manifest-pruned); this verb
+    * prices generality, the SQL front door's contract.
+    */
+  def mergeInto(spark: SparkSession, dir: String,
+      source: DataFrame, on: Column,
+      matched: Seq[(Option[Column], MergeArm)] = Nil,
+      notMatched: Seq[(Option[Column], MergeArm)] = Nil,
+      notMatchedBySource: Seq[(Option[Column], MergeArm)] = Nil,
+      txn: Option[(String, Long)] = None): Int = {
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "MERGE requires at least one arm")
+    matched.foreach { case (_, a) => require(!a.isInstanceOf[ArmInsert],
+      "WHEN MATCHED arms must UPDATE or DELETE") }
+    notMatched.foreach { case (_, a) =>
+      require(a.isInstanceOf[ArmInsert],
+        "WHEN NOT MATCHED arms must INSERT") }
+    notMatchedBySource.foreach { case (_, a) =>
+      require(!a.isInstanceOf[ArmInsert],
+        "WHEN NOT MATCHED BY SOURCE arms must UPDATE or DELETE") }
+    val m = manifest(spark, dir)
+    val resolver = spark.sessionState.conf.resolver
+    def canon(c: String): String =
+      m.columns.find(resolver(c, _)).getOrElse(throw new
+        IllegalArgumentException(s"unknown column '$c' in MERGE " +
+          s"assignment (table has: ${m.columns.mkString(", ")})"))
+    def checkSet(set: Seq[(String, Column)], insert: Boolean): Unit = {
+      val names = set.map(x => canon(x._1))
+      require(names.distinct.size == names.size,
+        s"duplicate assignment in MERGE arm: ${names.mkString(", ")}")
+      if (!insert) names.foreach(c =>
+        require(c != m.keyCol && c != m.dtCol,
+          s"cannot assign key/partition column '$c' in MERGE UPDATE " +
+            "— an update keeps the target row's identity"))
+      else if (set.nonEmpty)
+        Seq(m.keyCol, m.dtCol).foreach(c => require(names.contains(c),
+          s"MERGE INSERT must assign key/partition column '$c'"))
+    }
+    (matched ++ notMatched ++ notMatchedBySource).foreach {
+      case (_, ArmUpdate(set)) => checkSet(set, insert = false)
+      case (_, ArmInsert(set)) => checkSet(set, insert = true)
+      case _ => ()
+    }
+    val tgt = read(spark, dir, Some(m.version))
+    val t2 = tgt.withColumn("_t_present", lit(true)).alias("_t")
+    val s2 = source.withColumn("_s_present", lit(true)).alias("_s")
+    // NOT MATCHED BY SOURCE needs the unmatched target rows too
+    val joinType =
+      if (notMatchedBySource.nonEmpty) "full_outer" else "right_outer"
+    val joined = t2.join(s2, on, joinType)
+    val tHere = col("_t._t_present").isNotNull
+    val sHere = col("_s._s_present").isNotNull
+    def tcol(c: String) = col(s"_t.`$c`")
+    def scol(c: String) = col(s"_s.`$c`")
+    val srcCols = source.columns.toSet
+    // one guard per arm, in SQL arm order; disposition groups are
+    // mutually exclusive so cross-group order is immaterial
+    val arms: Seq[(Column, MergeArm)] =
+      matched.map { case (c, a) =>
+        (tHere && sHere && c.getOrElse(lit(true)), a) } ++
+      notMatched.map { case (c, a) =>
+        (!tHere && c.getOrElse(lit(true)), a) } ++
+      notMatchedBySource.map { case (c, a) =>
+        (!sHere && c.getOrElse(lit(true)), a) }
+    val op = arms.tail.foldLeft(when(arms.head._1, lit(arms.head._2 match {
+      case ArmDelete => Delete; case _ => Upsert
+    }))) { case (w, (g, a)) => w.when(g, lit(a match {
+      case ArmDelete => Delete; case _ => Upsert })) }
+    def valueFor(a: MergeArm, cn: String): Column = a match {
+      case ArmDelete => tcol(cn)
+      case ArmUpdate(set) =>
+        if (cn == m.keyCol || cn == m.dtCol) tcol(cn)
+        else set.find(x => resolver(x._1, cn)).map(_._2).getOrElse(
+          if (set.isEmpty && srcCols.exists(resolver(_, cn))) scol(cn)
+          else tcol(cn))
+      case ArmInsert(set) =>
+        set.find(x => resolver(x._1, cn)).map(_._2).getOrElse(
+          if (set.isEmpty && srcCols.exists(resolver(_, cn))) scol(cn)
+          else lit(null))
+    }
+    val outVals = m.columns.map { cn =>
+      val dt = tgt.schema(cn).dataType
+      arms.tail.foldLeft(
+        when(arms.head._1, valueFor(arms.head._2, cn))) {
+        case (w, (g, a)) => w.when(g, valueFor(a, cn))
+      }.cast(dt).as(cn)
+    }
+    val eff = joined.withColumn("_cop", op)
+      .filter(col("_cop").isNotNull)
+      .select(outVals :+ col("_cop"): _*)
+    merge(spark, dir, eff, opCol = Some("_cop"),
+      baseVersion = Some(m.version), txn = txn)
+  }
+
   /** Highest batchId the app `appId` has durably merged (from the
     * latest snapshot's transaction watermark map), if any.
     */
@@ -1294,9 +1428,14 @@ object LakeMerge {
     * new version (or the current one when nothing matched).
     */
   def deleteWhere(spark: SparkSession, dir: String,
-      cond: Column): Int = {
+      cond: Column, as: Option[String] = None): Int = {
     val m = manifest(spark, dir)
-    val keys = read(spark, dir, Some(m.version)).filter(cond)
+    val snap0 = read(spark, dir, Some(m.version))
+    // `as` names the snapshot (the SQL front door passes the view
+    // name) so qualified references — `t.k` in a correlated subquery
+    // condition — resolve like they would in the original statement
+    val snap = as.map(snap0.alias).getOrElse(snap0)
+    val keys = snap.filter(cond)
       .select(col(m.dtCol), col(m.keyCol))
     deleteKeys(spark, dir, keys)
   }
@@ -1310,22 +1449,43 @@ object LakeMerge {
     * assignable (that would be a delete+insert with different
     * identity, not an update — the same restriction Delta imposes on
     * partition columns via rewrite semantics being surprising).
+    * Every SET right-hand side evaluates against the PRE-update row
+    * (standard SQL/Delta semantics: `SET a = b, b = a` swaps) — the
+    * assignments apply as ONE projection from the old row, never a
+    * sequential fold where a later RHS would see an earlier NEW value.
+    * Column-name guards resolve with the session resolver (case-
+    * insensitive by default, like SQL resolution itself), and a column
+    * assigned twice is an error, not last-wins.
     * Returns the new version (current one when nothing matched).
     */
   def updateWhere(spark: SparkSession, dir: String,
-      set: Seq[(String, Column)], cond: Column): Int = {
+      set: Seq[(String, Column)], cond: Column,
+      as: Option[String] = None): Int = {
     val m = manifest(spark, dir)
     require(set.nonEmpty, "UPDATE requires at least one assignment")
-    set.foreach { case (c, _) =>
-      require(c != m.keyCol && c != m.dtCol,
+    val resolver = spark.sessionState.conf.resolver
+    // canonicalize each assigned name to the table's casing so the
+    // guards (and the projection below) match SQL resolution semantics
+    val canon = set.map { case (c, v) =>
+      require(!resolver(c, m.keyCol) && !resolver(c, m.dtCol),
         s"cannot assign key/partition column '$c' in UPDATE — " +
           "delete + insert instead")
-      require(m.columns.contains(c),
-        s"unknown column '$c' in UPDATE SET (table has: " +
-          s"${m.columns.mkString(", ")})")
+      val named = m.columns.find(resolver(c, _)).getOrElse(throw new
+        IllegalArgumentException(
+          s"unknown column '$c' in UPDATE SET (table has: " +
+            s"${m.columns.mkString(", ")})"))
+      named -> v
     }
-    var batch = read(spark, dir, Some(m.version)).filter(cond)
-    for ((c, v) <- set) batch = batch.withColumn(c, v)
+    require(canon.map(_._1).distinct.size == canon.size,
+      "duplicate assignment in UPDATE SET: " + canon.map(_._1)
+        .groupBy(identity).collect { case (c, g) if g.size > 1 => c }
+        .mkString(", "))
+    val byCol = canon.toMap
+    val snap0 = read(spark, dir, Some(m.version))
+    val snap = as.map(snap0.alias).getOrElse(snap0).filter(cond)
+    val batch = snap.select(snap.columns.map { c =>
+      byCol.get(c).map(_.as(c)).getOrElse(col(c))
+    }.toIndexedSeq: _*)
     if (batch.isEmpty) return m.version
     merge(spark, dir, batch, baseVersion = Some(m.version))
   }

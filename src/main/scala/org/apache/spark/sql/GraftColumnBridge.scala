@@ -15,4 +15,16 @@ object GraftColumnBridge {
 
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** A DataFrame over an analyzer-produced logical plan — the SQL
+    * MERGE front door ([[graft.plans.LakeDml]]) captures the
+    * statement's already-resolved USING source plan and re-opens it
+    * as a relation at command run time. `Dataset.ofRows` is
+    * `private[sql]`, hence the bridge.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

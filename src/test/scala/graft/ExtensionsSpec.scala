@@ -199,6 +199,147 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("SQL MERGE INTO over a registered lake view: full clause " +
+    "surface, constraint veto + CDC, unregistered names keep Spark's " +
+    "error") {
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import ext.implicits._
+      import graft.sources.LakeMerge
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lakemerge_sql").toString
+      val base = (0 until 10)
+        .map(i => (i.toLong, s"2024-0${1 + i % 2}", s"p$i", i.toLong * 10, 0L))
+        .toDF("k", "dt", "payload", "score", "seq")
+      LakeMerge.init(ext, dir, base, "dt", "k", "seq")
+      LakeMerge.addConstraint(ext, dir, "score_nonneg", "score >= 0")
+      GraftCatalog.registerLake(ext, "mrg", dir)
+      Seq(
+        (1L, "2024-02", "s1", 5L, 9L, true),
+        (2L, "2024-01", "s2", 7L, 9L, false),
+        (100L, "2024-01", "s100", 3L, 9L, false),
+        (101L, "2024-01", "s101", 0L, 9L, false))
+        .toDF("k", "dt", "payload", "score", "seq", "del")
+        .createOrReplaceTempView("upd")
+      // the full clause surface from plain SQL: conditional DELETE
+      // before UPDATE (arm order), mixed-side assignments, filtered
+      // INSERT with explicit columns, NOT MATCHED BY SOURCE
+      val v0 = LakeMerge.latestVersion(ext, dir)
+      val v1 = ext.sql(
+        """MERGE INTO mrg t USING upd s ON t.k = s.k
+          |WHEN MATCHED AND s.del THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET score = t.score + s.score,
+          |  payload = s.payload, seq = s.seq
+          |WHEN NOT MATCHED AND s.score > 0 THEN
+          |  INSERT (k, dt, payload, score, seq)
+          |  VALUES (s.k, s.dt, s.payload, s.score, s.seq)
+          |WHEN NOT MATCHED BY SOURCE AND t.k = 9 THEN
+          |  UPDATE SET payload = 'stale'
+          |""".stripMargin).head().getInt(0)
+      assert(v1 === v0 + 1, "MERGE commits exactly one version")
+      assert(ext.sql("SELECT count(*) FROM mrg WHERE k = 1")
+        .head().getLong(0) === 0L, "matched DELETE arm fires first")
+      assert(ext.sql("SELECT payload, score FROM mrg WHERE k = 2")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("s2", 27L)), "matched UPDATE mixes both sides")
+      assert(ext.sql("SELECT payload FROM mrg WHERE k = 100")
+        .head().getString(0) === "s100", "conditional INSERT fires")
+      assert(ext.sql("SELECT count(*) FROM mrg WHERE k = 101")
+        .head().getLong(0) === 0L, "filtered INSERT does not fire")
+      assert(ext.sql("SELECT payload FROM mrg WHERE k = 9")
+        .head().getString(0) === "stale", "NOT MATCHED BY SOURCE")
+      assert(ext.sql("SELECT payload FROM mrg WHERE k = 3")
+        .head().getString(0) === "p3", "unclaimed rows untouched")
+      // CDC: the MERGE is one ordinary commit on the change feed
+      assert(ext.sql("SELECT _change_type FROM mrg_changes WHERE k = 100")
+        .collect().map(_.getString(0)).toSeq === Seq("insert"))
+      // constraint veto: a MERGE whose update violates a CHECK
+      // refuses the whole commit
+      val veto = intercept[Throwable] {
+        ext.sql("MERGE INTO mrg t USING upd s ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET score = -1")
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+      assert(chain(veto).exists(
+        _.isInstanceOf[LakeMerge.ConstraintViolation]),
+        s"expected a ConstraintViolation, got $veto")
+      assert(LakeMerge.latestVersion(ext, dir) === v1,
+        "vetoed MERGE must not commit a version")
+      // UPDATE SET * / INSERT * star forms (assign-by-name)
+      Seq((3L, "2024-02", "star3", 1L, 10L),
+          (200L, "2024-01", "star200", 2L, 10L))
+        .toDF("k", "dt", "payload", "score", "seq")
+        .createOrReplaceTempView("upd2")
+      val v2 = ext.sql(
+        """MERGE INTO mrg USING upd2 ON mrg.k = upd2.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |""".stripMargin).head().getInt(0)
+      assert(v2 === v1 + 1)
+      assert(ext.sql("SELECT payload, score FROM mrg WHERE k = 3")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("star3", 1L)))
+      assert(ext.sql("SELECT payload FROM mrg WHERE k = 200")
+        .head().getString(0) === "star200")
+      // an unregistered target keeps Spark's own MERGE error surface
+      intercept[Throwable] {
+        ext.sql("MERGE INTO nosuchlake USING upd s ON nosuchlake.k = s.k " +
+          "WHEN MATCHED THEN DELETE")
+      }
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
+  test("SQL DML subquery conditions re-resolve at run time: an IN " +
+    "subquery over the SAME lake view reads the freshest snapshot, " +
+    "and a correlated EXISTS resolves its outer references") {
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import ext.implicits._
+      import graft.sources.LakeMerge
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lakedml_subq").toString
+      val base = (0 until 8)
+        .map(i => (i.toLong, "2024-01", i.toLong, 0L))
+        .toDF("k", "dt", "b", "seq")
+      LakeMerge.init(ext, dir, base, "dt", "k", "seq")
+      GraftCatalog.registerLake(ext, "swp", dir)
+      // mutate AFTER registration so a registration-time frozen
+      // subquery plan would see the OLD b values and delete nothing
+      ext.sql("UPDATE swp SET b = b + 100 WHERE k < 3")
+      ext.sql("DELETE FROM swp WHERE k IN (SELECT k FROM swp " +
+        "WHERE b >= 100)")
+      assert(ext.sql("SELECT count(*) FROM swp").head().getLong(0) === 5L,
+        "the IN subquery must see the post-UPDATE snapshot")
+      assert(ext.sql("SELECT min(k) FROM swp").head().getLong(0) === 3L)
+      // correlated EXISTS with target-qualified outer references: the
+      // snapshot is aliased with the view name at run time
+      Seq(4L, 6L).toDF("k").createOrReplaceTempView("hits")
+      ext.sql("DELETE FROM swp WHERE EXISTS " +
+        "(SELECT 1 FROM hits h WHERE h.k = swp.k)")
+      assert(ext.sql("SELECT k FROM swp ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq === Seq(3L, 5L, 7L))
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("registerArtifacts: the standing curation artifacts answer " +
     "plain SQL, identical to the operator handles") {
     GraftCatalog.registerArtifacts(spark, sf)

@@ -1434,4 +1434,95 @@ class LakeMergeSpec extends SparkSpec {
       LakeMerge.tag(spark, dir, "bad name!")
     }
   }
+
+  test("updateWhere: every SET right-hand side evaluates against the " +
+    "PRE-update row (SET a=b, b=a swaps); names resolve case-" +
+    "insensitively; duplicate assignments are rejected") {
+    val dir = tempTable()
+    val base = (0 until 6).map(i =>
+        (i.toLong, "2024-01", i.toLong * 10, i.toLong * 100, 0L))
+      .toDF("k", "dt", "a", "b", "seq")
+    LakeMerge.init(spark, dir, base, "dt", "k", "seq")
+    // the swap: a sequential withColumn fold would set a=b then b=a
+    // where a ALREADY holds b — both ending at the old b
+    LakeMerge.updateWhere(spark, dir,
+      Seq("a" -> col("b"), "b" -> col("a")), col("k") === 2L)
+    val r = LakeMerge.read(spark, dir).filter(col("k") === 2L)
+      .select("a", "b").as[(Long, Long)].head()
+    assert(r === ((200L, 20L)), "SET a=b, b=a must SWAP")
+    // case-insensitive resolution, like SQL itself (and the guards:
+    // a case-variant of the key column is still protected)
+    LakeMerge.updateWhere(spark, dir,
+      Seq("A" -> lit(7L)), col("k") === 3L)
+    assert(LakeMerge.read(spark, dir).filter(col("k") === 3L)
+      .select("a").as[Long].head() === 7L)
+    intercept[IllegalArgumentException] {
+      LakeMerge.updateWhere(spark, dir, Seq("K" -> lit(9L)), lit(true))
+    }
+    intercept[IllegalArgumentException] {
+      LakeMerge.updateWhere(spark, dir,
+        Seq("a" -> lit(1L), "A" -> lit(2L)), lit(true))
+    }
+    intercept[IllegalArgumentException] {
+      LakeMerge.updateWhere(spark, dir, Seq("nope" -> lit(1L)), lit(true))
+    }
+  }
+
+  test("mergeInto: the full MERGE clause surface — arm order, star " +
+    "forms, NOT MATCHED BY SOURCE, identity preserved on update") {
+    val dir = tempTable()
+    LakeMerge.init(spark, dir, baseDf, "dt", "k", "seq")
+    // k=1: matched, del → first arm (DELETE) claims it before UPDATE
+    // k=2: matched, update — source row carries a DIFFERENT dt; the
+    //      update must keep the TARGET row's identity (dt unchanged)
+    // k=100: not matched, seq>0 → INSERT * (by name; extra source
+    //      column `del` is not a table column and is ignored)
+    // k=101: not matched, seq<0 → no arm claims it → not inserted
+    val src = Seq(
+      (1L, "2024-02", "s1", 9L, true),
+      (2L, "2024-09", "s2", 9L, false),
+      (100L, "2024-01", "s100", 9L, false),
+      (101L, "2024-01", "s101", -1L, false))
+      .toDF("k", "dt", "payload", "seq", "del")
+    val v = LakeMerge.mergeInto(spark, dir, src,
+      on = col("_t.k") === col("_s.k"),
+      matched = Seq(
+        (Some(col("_s.del")), LakeMerge.ArmDelete),
+        (None, LakeMerge.ArmUpdate(Seq(
+          "payload" -> concat(col("_t.payload"), lit("+"),
+            col("_s.payload")),
+          "seq" -> col("_s.seq"))))),
+      notMatched = Seq(
+        (Some(col("_s.seq") > 0), LakeMerge.ArmInsert(Nil))),
+      notMatchedBySource = Seq(
+        (Some(col("_t.k") === 9L),
+          LakeMerge.ArmUpdate(Seq("payload" -> lit("stale"))))))
+    assert(v === 1)
+    val got = rows(LakeMerge.read(spark, dir))
+    assert(!got.exists(_._1 == 1L), "matched DELETE arm removes k=1")
+    assert(got.contains((2L, "2024-03", "p2+s2")),
+      "matched UPDATE applies assignments but keeps target identity")
+    assert(got.contains((100L, "2024-01", "s100")), "INSERT * by name")
+    assert(!got.exists(_._1 == 101L), "unclaimed source row not inserted")
+    assert(got.contains((9L, "2024-01", "stale")),
+      "NOT MATCHED BY SOURCE update")
+    assert(got.contains((3L, "2024-01", "p3")), "untouched rows carry")
+    assert(got.size === 30, "30 - 1 deleted + 1 inserted")
+    // validation: updates cannot move a row's identity; inserts must
+    // assign the key; a matched arm cannot INSERT
+    intercept[IllegalArgumentException] {
+      LakeMerge.mergeInto(spark, dir, src, col("_t.k") === col("_s.k"),
+        matched = Seq((None,
+          LakeMerge.ArmUpdate(Seq("k" -> lit(0L))))))
+    }
+    intercept[IllegalArgumentException] {
+      LakeMerge.mergeInto(spark, dir, src, col("_t.k") === col("_s.k"),
+        notMatched = Seq((None,
+          LakeMerge.ArmInsert(Seq("payload" -> lit("x"))))))
+    }
+    intercept[IllegalArgumentException] {
+      LakeMerge.mergeInto(spark, dir, src, col("_t.k") === col("_s.k"),
+        matched = Seq((None, LakeMerge.ArmInsert(Nil))))
+    }
+  }
 }
