@@ -5,6 +5,40 @@ package graft
   * SPARK_GRAFT_REPEAT=N to repeat each query (min time reported).
   */
 object Bench {
+
+  /** Calibration canary pin (r16 verdict #3): the canary's wall
+    * seconds on the reference host at pin time. Every bench emits
+    * `host_factor` = canary / pin, so a uniformly drifted map is
+    * adjudicated by ARITHMETIC (compare drift-normalized seconds
+    * `t / host_factor` against the pins) instead of a worktree A/B
+    * re-run of the pin commit — three rounds re-adjudicated the same
+    * minhash lines by hand before this. Re-pin deliberately when the
+    * canary itself changes, never to absorb host noise.
+    */
+  val CanaryPin = 0.94 // min-of-3, pinned r17 (0.942/1.007/0.942 across 3 JVMs)
+
+  /** Fixed synthetic pure-compute workload: the sorted-merge
+    * intersect kernel over a GENERATED pair relation — no artifacts,
+    * no parquet, no shuffle beyond one map-side agg, plan pinned by
+    * construction, so its wall time moves with the HOST (CPU clocks,
+    * noisy neighbors), not with the engine's code or data. 30M rows ×
+    * two 64-long sorted arrays ≈ 3.8G merge steps through the same
+    * codegen'd expression the minhash family hot path uses.
+    */
+  def canary(spark: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val runs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(30000000)
+        .select(graft.functions.SortedIntersectCount.count(
+          sequence(col("id") % 50, col("id") % 50 + 63),
+          sequence(col("id") % 37, col("id") % 37 + 63)).as("c"))
+        .agg(sum("c")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    runs.min
+  }
+
   def main(args: Array[String]): Unit = {
     val settings = Settings.fromEnv()
     val sfDir = settings.sfDir
@@ -19,6 +53,13 @@ object Bench {
     // next window-wall-shaped regression self-reports in the closing
     // artifact instead of waiting for a judge skew probe.
     val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+    // RAM instruments beside the skew one (r16 verdict #7): total
+    // bytes a query spilled (memory+disk estimates summed over tasks
+    // — the "did the 128 GiB sandbox hide a cliff" signal) and the
+    // single-task peak execution memory (what one real executor slot
+    // must provision)
+    val spillSum = new java.util.concurrent.atomic.AtomicLong(0)
+    val peakMem = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -29,6 +70,11 @@ object Bench {
             var cur = maxTask.get()
             while (rows > cur && !maxTask.compareAndSet(cur, rows))
               cur = maxTask.get()
+            spillSum.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+            val pk = m.peakExecutionMemory
+            var pc = peakMem.get()
+            while (pk > pc && !peakMem.compareAndSet(pc, pk))
+              pc = peakMem.get()
           }
         }
       })
@@ -37,6 +83,10 @@ object Bench {
     // of first-query inflation without this)
     graft.Tables.events(spark, sfDir).groupBy("event_type").count().count()
     graft.Tables.documents(spark, sfDir).limit(1).count()
+    // host calibration BEFORE any timed query (after warmup so the
+    // canary itself is not paying JVM init)
+    val canarySec = canary(spark)
+    val hostFactor = canarySec / CanaryPin
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     if (selected.contains("d_incr_clusters")) {
@@ -55,12 +105,16 @@ object Bench {
     // is self-explaining from the artifact alone
     val artEvents = scala.collection.mutable.Map.empty[String, Seq[String]]
     val maxTaskRows = scala.collection.mutable.Map.empty[String, Long]
+    val spillBytes = scala.collection.mutable.Map.empty[String, Long]
+    val peakTaskMem = scala.collection.mutable.Map.empty[String, Long]
     val results: Seq[(String, Either[String, Double])] =
       selected.toSeq.map { case (name, fn) =>
         // deterministic listener drain (not a sleep): task-end events
         // from the PREVIOUS query must not bleed into this one's max
         org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
         maxTask.set(0)
+        spillSum.set(0)
+        peakMem.set(0)
         val times = (1 to repeat).map { _ =>
           val ev0 = Artifacts.buildEvents.size
           val t0 = System.nanoTime()
@@ -84,6 +138,8 @@ object Bench {
         // that loads an artifact instead of building it reads fewer
         // rows; the plan's worst observed task is what scales)
         maxTaskRows(name) = maxTask.get()
+        spillBytes(name) = spillSum.get()
+        peakTaskMem(name) = peakMem.get()
         name -> (if (best.isEmpty) Left("err") else Right(best.min))
       }
     // Self-contained artifact FIRST: the full per-query map (ms
@@ -105,8 +161,19 @@ object Bench {
     val mtrJson = results.map { case (k, _) =>
       s"\"$k\":${maxTaskRows.getOrElse(k, 0L)}"
     }.mkString("{", ",", "}")
+    // spill/peak maps stay sparse: zero rows (the overwhelming norm at
+    // these SFs) are elided so the closing artifact highlights the
+    // exceptions instead of burying them
+    val spillJson = results.collect {
+      case (k, _) if spillBytes.getOrElse(k, 0L) > 0 =>
+        s"\"$k\":${spillBytes(k)}"
+    }.mkString("{", ",", "}")
+    val peakJson = results.map { case (k, _) =>
+      s"\"$k\":${peakTaskMem.getOrElse(k, 0L)}"
+    }.mkString("{", ",", "}")
+    val calJson = s""""canary_sec":${math.round(canarySec * 1000) / 1000.0},"canary_pin":$CanaryPin,"host_factor":${math.round(hostFactor * 1000) / 1000.0}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_err":${errs.size},"errors":[${errs.mkString(",")}],"sf":"$sfDir","artifact_events":$artJson,"max_task_rows":$mtrJson,"queries":${fullEntries.mkString("{", ",", "}")}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_err":${errs.size},"errors":[${errs.mkString(",")}],"sf":"$sfDir",$calJson,"artifact_events":$artJson,"max_task_rows":$mtrJson,"spill_bytes":$spillJson,"peak_task_mem":$peakJson,"queries":${fullEntries.mkString("{", ",", "}")}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
     catch { case e: Throwable => System.err.println(s"BENCH WARN: could not write $outFile: ${e.getMessage}") }
     // stdout chunks stay as a redundant channel for the driver, but at
@@ -122,7 +189,7 @@ object Bench {
     }
     // headline stays tiny (totals + sf only) so the tail capture can
     // never clip it (r9's full-map headline overflowed → parsed null)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_err":${errs.size},"errors":[${errs.mkString(",")}],"sf":"$sfDir","full_map":"$outFile"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_err":${errs.size},"errors":[${errs.mkString(",")}],"sf":"$sfDir",$calJson,"full_map":"$outFile"}""")
     spark.stop()
   }
 }

@@ -2384,7 +2384,6 @@ object Similarity {
     "s_knn_topk_agg" -> sKnnTopkAgg,
     "s_ann_ivf" -> sAnnIvf,
     "s_ann_ivf_probe" -> sAnnIvfProbe,
-    "s_ann_ivf_km_probe" -> sAnnIvfKmProbe,
     "s_ann_pq" -> sAnnPq,
     "s_ann_sq8" -> sAnnSq8,
     "s_ann_rerank" -> sAnnRerank,

@@ -61,4 +61,48 @@ class GraphXCrossSpec extends SparkSpec {
     assert(ours === gx,
       "degree-oriented enumeration disagrees with GraphX triangleCount")
   }
+
+  test("q_report_triangles_approx: exact at L=0; under forced " +
+    "sampling every per-vertex count is a subset of the exact count " +
+    "and the global mass sits inside the binomial band") {
+    import graft.operators.{Graph => G}
+    val exact = SparkEntry.queries("q_report_triangles")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t = exact.values.sum / 3 // every triangle counted at 3 vertices
+    assert(t > 0, "test corpus has no triangles")
+    // an unreachable rate constant keeps every edge: L = 0, scale 1,
+    // and the estimates ARE the exact counts
+    val atL0 = G.reportTrianglesApproxAt(spark, sf, Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(atL0 === exact, "L=0 twin must equal the exact counts")
+    // force a real sampling level and replay the level arithmetic
+    val cube = 16L
+    val m = G.reportEdges(spark, sf)
+      .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .distinct().count()
+    val bound = BigInt(cube) * BigInt(m) * BigInt(m)
+    var lvl = 0
+    while (lvl < 20 && BigInt(m >> lvl).pow(3) > bound) lvl += 1
+    assert(lvl >= 1, s"K=$cube must force sampling on m=$m edges")
+    val scale = 1L << (3 * lvl)
+    val est = G.reportTrianglesApproxAt(spark, sf, cube)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangles of the sampled graph are a SUBSET of the exact ones:
+    // per vertex, the surviving count never exceeds the true count,
+    // and no vertex outside the exact map can appear
+    for ((v, e) <- est) {
+      assert(e % scale === 0L, s"estimate $e must be a multiple of 8^L")
+      assert(exact.contains(v), s"vertex $v estimated but not exact")
+      assert(e / scale <= exact(v),
+        s"vertex $v: sampled count ${e / scale} > exact ${exact(v)}")
+    }
+    // unbiasedness: surviving triangle mass X ~ mean T·p³ with
+    // sd ≤ √(T·p³) (+ positive edge-sharing covariance → 5σ + 1 slack)
+    val p3 = 1.0 / scale
+    val x = est.values.sum.toDouble / (3.0 * scale)
+    val mean = t * p3
+    val sd = math.sqrt(t * p3 * (1 - p3))
+    assert(math.abs(x - mean) <= 5 * sd + 1,
+      s"sampled mass $x outside the binomial band around $mean (sd $sd)")
+  }
 }
