@@ -1881,7 +1881,56 @@ object TextAnalysis {
        |FROM chunks
        |ORDER BY doc_id, chunk_idx""".stripMargin)
 
+  // --------------------------------------------------------------- H29
+  /** WEIGHTED corpus sample — probability-proportional-to-size
+    * Bernoulli draw, the mixing-stage primitive H8's stratified
+    * sample and H14's source-mass plans don't cover: pick an
+    * expected-K subset where a doc's inclusion probability is
+    * proportional to its token mass (sampling tokens, not documents —
+    * the estimator any per-token corpus statistic wants). A doc is
+    * kept iff md5-u32(doc_id) · W < K · w · 2³², i.e. u < K·w/W with
+    * u the doc's deterministic uniform — expected sample size K
+    * (docs with K·w ≥ W are always kept, the min(1,·) branch falling
+    * out of the integer inequality for free). All-integer, so the
+    * oracle hashes exactly; deterministic, so reruns and engines
+    * agree; add-a-doc only perturbs neighbors through W (the scalar),
+    * never through another doc's u.
+    *
+    * Scale shape: one map-side-combinable scalar agg (W), broadcast
+    * by cross-join; the keep test is map-only. BIGINT headroom: the
+    * guard product is u32·W ≤ 2³²·W, so W (total corpus tokens) must
+    * stay under 2³¹ — at trillion-token scale, run the same
+    * inequality in DECIMAL(38,0)/HUGEINT (both engines widen losslessly);
+    * the shape is unchanged.
+    */
+  private val SampleK = 200L
+
+  val tSampleWeighted: Q = Q(
+    (s, dir) => {
+      val w = Tables.documents(s, dir).select(col("doc_id"),
+        col("source"), size(toks(col("text"))).cast("long").as("n_tokens"))
+      val tot = w.agg(sum("n_tokens").as("w_total"))
+      w.crossJoin(broadcast(tot))
+        .withColumn("u32", expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+        .filter(col("u32") * col("w_total") <
+          lit(SampleK) * col("n_tokens") * lit(4294967296L))
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    },
+    s"""WITH w AS (
+       |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS w_total FROM w)
+       |SELECT doc_id, source, n_tokens
+       |FROM w, tot
+       |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |        AS BIGINT) * w_total
+       |  < $SampleK * n_tokens * 4294967296
+       |ORDER BY doc_id""".stripMargin)
+
   val registry: Map[String, Q] = Map(
+    "t_sample_weighted" -> tSampleWeighted,
     "t_cdc_chunk" -> tCdcChunk,
     "t_dataset_card" -> tDatasetCard,
     "t_epoch_order" -> tEpochOrder,

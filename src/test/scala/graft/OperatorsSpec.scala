@@ -916,4 +916,71 @@ class OperatorsSpec extends SparkSpec {
           s"exceeds $tolC")
     }
   }
+
+  test("d_edit_dup: deletion-neighborhood recall is exactly brute force " +
+    "at edit distance <= 1") {
+    // The SymSpell guarantee is the operator's whole contract: the
+    // banded candidate join must lose NOTHING against the O(n²)
+    // all-pairs levenshtein at the same threshold. The oracle can't
+    // prove this (it uses the same candidate scheme); brute force can.
+    val got = SparkEntry.queries("d_edit_dup")(spark, sf)
+      .select("doc_a", "doc_b", "edit_dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val k = Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("substring(lower(trim(text)), 1, 24)")
+        .as("k"))
+    val brute = k.select(col("doc_id").as("doc_a"), col("k").as("k_a"))
+      .crossJoin(k.select(col("doc_id").as("doc_b"), col("k").as("k_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(levenshtein(col("k_a"), col("k_b")) <= 1)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("k_a"), col("k_b")).cast("long").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute, "candidate scheme must equal brute force")
+    assert(got.nonEmpty, "corpus should contain prefix-level dups")
+  }
+
+  test("d_split_safe: no near-dup cluster straddles a split boundary") {
+    val split = SparkEntry.queries("d_split_safe")(spark, sf)
+    val straddle = split.groupBy("cluster_rep")
+      .agg(countDistinct("split").as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(straddle === 0, "every cluster must move as one unit")
+    // the map's whole point vs H18: the assignment keys on the
+    // REPRESENTATIVE, so every member of a cluster carries the rep's
+    // hash bucket — pin that the rep is a member-min (F8 contract)
+    val bad = split.filter(col("cluster_rep") > col("doc_id")).count()
+    assert(bad === 0, "representative must be the cluster min")
+    assert(split.count() === 500, "one row per doc, singletons included")
+  }
+
+  test("t_sample_weighted: expected-size and always-keep contracts") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+          .as("w"))
+    val w = docs.select("doc_id", "w").as[(Long, Long)].collect()
+    val total = w.map(_._2).sum
+    val kParam = 200L
+    // expected size = Σ min(1, K·w/W); the draw is a sum of independent
+    // Bernoullis, so pin within 5σ (deterministic md5 ⇒ this either
+    // holds forever or flags an arithmetic change now)
+    val pSum = w.map { case (_, wi) =>
+      math.min(1.0, kParam.toDouble * wi / total) }.sum
+    val sd = math.sqrt(w.map { case (_, wi) =>
+      val p = math.min(1.0, kParam.toDouble * wi / total); p * (1 - p)
+    }.sum)
+    val sample = SparkEntry.queries("t_sample_weighted")(spark, sf)
+    val n = sample.count().toDouble
+    assert(math.abs(n - pSum) <= 5 * sd + 1,
+      s"sample size $n vs expected $pSum (sd $sd)")
+    // docs whose K·w >= W must ALWAYS be kept (the min(1,·) branch)
+    val must = w.filter { case (_, wi) => kParam * wi >= total }
+      .map(_._1).toSet
+    if (must.nonEmpty) {
+      val got = sample.select("doc_id").as[Long].collect().toSet
+      assert(must.subsetOf(got), "p=1 docs missing from the sample")
+    }
+  }
 }

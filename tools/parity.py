@@ -3,14 +3,106 @@
 dumps against the DuckDB oracles and compare (schema, rows, values).
 
 Usage: python3 tools/parity.py <sfDir> <verifyOutDir> [query ...]
+
+PARITY_HOIST=1 turns on CTE HOISTING: a top-level non-recursive
+`WITH a AS (...), b AS (...) SELECT ...` oracle is executed as
+CREATE TEMP TABLE a AS ...; CREATE TEMP TABLE b AS ...; SELECT ... —
+semantics-preserving by SQL's own CTE rules (each CTE sees only
+earlier names; a CTE shadowing a base view shadows it either way),
+but it hands DuckDB REAL cardinalities where the single-statement
+plan only has estimates. Measured on d_lsh_jaccard at sf0.1 the
+single-statement plan builds an 83M-row hash table off a 156-row
+estimate (27s -> >1800s at sf1); hoisted, the same oracle runs the
+same joins build-side-correct in ~4s. Used by tools/sf1_parity.sh
+for the sf1 evidence sweep; every hoisted query is cross-validated
+green under the DEFAULT single-statement path at sf0.001/0.01/0.1
+(the driver's own gate always runs single-statement).
 """
 import glob
 import json
 import math
+import os
+import re
 import sys
 import time
 
 import duckdb
+
+
+def split_ctes(sql):
+    """Parse a top-level `WITH a AS (...), b AS (...) SELECT ...` into
+    ([(name, body), ...], final_select), or None when the statement is
+    not that shape (no top-level WITH, or WITH RECURSIVE — a recursive
+    chain cannot be hoisted). Quote-aware paren matching; nested WITHs
+    inside a CTE body stay inside that body's statement.
+    """
+    s = sql.lstrip()
+    m = re.match(r"(?is)^WITH\s+", s)
+    if not m or re.match(r"(?is)^WITH\s+RECURSIVE\b", s):
+        return None
+    i = m.end()
+    ctes = []
+    n = len(s)
+    # `--` line comments may sit between CTEs (and inside bodies);
+    # skip them wherever the parser expects structure, and treat them
+    # as opaque in the paren scanner (a paren inside a comment must
+    # not count)
+    ws = r"(?:\s|--[^\n]*(?:\n|$))*"
+    while True:
+        # `AS MATERIALIZED (` parses too — a temp table IS the
+        # materialization, so the hint is simply absorbed
+        m = re.match(
+            rf"(?is){ws}([A-Za-z_][A-Za-z0-9_]*){ws}AS"
+            rf"(?:{ws}MATERIALIZED)?{ws}\(", s[i:])
+        if not m:
+            return None
+        name = m.group(1)
+        j = i + m.end()
+        depth, k, quote = 1, j, None
+        while k < n and depth:
+            c = s[k]
+            if quote:
+                if c == quote:
+                    quote = None
+            elif c in ("'", '"'):
+                quote = c
+            elif c == "-" and s[k:k + 2] == "--":
+                nl = s.find("\n", k)
+                k = (nl if nl != -1 else n - 1)
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        if depth:
+            return None
+        ctes.append((name, s[j:k - 1]))
+        m2 = re.match(rf"(?s){ws},", s[k:])
+        if m2:
+            i = k + m2.end()
+        else:
+            return ctes, s[k:].strip()
+
+
+def run_hoisted(con, sql):
+    """Execute `sql` with its top-level CTEs hoisted to temp tables.
+    Returns a relation for the final select, plus the temp names to
+    drop after the result is consumed; None if not hoistable.
+    """
+    parsed = split_ctes(sql)
+    if not parsed:
+        return None
+    ctes, final = parsed
+    made = []
+    try:
+        for name, body in ctes:
+            con.execute(f'CREATE OR REPLACE TEMP TABLE "{name}" AS {body}')
+            made.append(name)
+        return con.sql(final), made
+    except Exception:
+        for name in made:
+            con.execute(f'DROP TABLE IF EXISTS "{name}"')
+        raise
 
 
 def norm_cell(v):
@@ -76,13 +168,23 @@ def main():
             f"SELECT * FROM read_parquet({files!r})")
         gcols, grows = got.columns, got.fetchall()
         t0 = time.monotonic()
+        hoist = os.environ.get("PARITY_HOIST") == "1"
+        temp_names = []
         try:
-            exp = con.sql(sql)
+            hoisted = run_hoisted(con, sql) if hoist else None
+            if hoisted:
+                exp, temp_names = hoisted
+            else:
+                exp = con.sql(sql)
             ecols, erows = exp.columns, exp.fetchall()
+            etypes = exp.types
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_bad += 1
             continue
+        finally:
+            for t in temp_names:
+                con.execute(f'DROP TABLE IF EXISTS "{t}"')
         dt = time.monotonic() - t0
         gc, gr = table(grows, gcols)
         ec, er = table(erows, ecols)
@@ -90,7 +192,7 @@ def main():
             print(f"FAIL {name}: columns {gc} != {ec}")
             n_bad += 1
             continue
-        gsig, esig = type_sig(gcols, got.types), type_sig(ecols, exp.types)
+        gsig, esig = type_sig(gcols, got.types), type_sig(ecols, etypes)
         if gsig != esig:
             diff = [(a, b) for a, b in zip(gsig, esig) if a != b]
             print(f"TYPEFAIL {name}: spark={diff[0][0]} oracle={diff[0][1]}"
