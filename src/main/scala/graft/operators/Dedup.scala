@@ -2652,20 +2652,39 @@ object Dedup {
     */
   private val EditKeyLen = 24
 
+  /** The deletion-neighborhood expression over a column named `k`
+    * (identity + every one-char deletion, distinct), shared by the
+    * F30 pair query and the F30-incr ingest gate. Empty-key guard:
+    * Spark's sequence(1, 0) DESCENDS (the gramsSql caveat) — CASE to
+    * array() keeps both engines at just the identity variant for a
+    * blank doc.
+    */
+  private val editVarsExpr =
+    s"""array_distinct(concat(array(k),
+       |  CASE WHEN length(k) >= 1 THEN
+       |    transform(sequence(1, length(k)),
+       |      i -> concat(substring(k, 1, i - 1),
+       |                  substring(k, i + 1, $EditKeyLen)))
+       |  ELSE array() END))""".stripMargin
+
+  /** Oracle-side twin of [[editVarsExpr]] (DuckDB list forms; 2-arg
+    * substr = rest-of-string, range(1, n+1) = 1..n and empty at n=0).
+    */
+  private val editVarsDuck =
+    """list_distinct(list_concat([k],
+      |    list_transform(range(1, length(k) + 1),
+      |      i -> substr(k, 1, CAST(i - 1 AS INT)) ||
+      |           substr(k, CAST(i + 1 AS INT)))))""".stripMargin
+
+  private def editKeyed(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      expr(s"substring(lower(trim(text)), 1, $EditKeyLen)").as("k"))
+
   val dEditDup: Q = Q(
     (s, dir) => {
-      val keyed = Tables.documents(s, dir).select(col("doc_id"),
-        expr(s"substring(lower(trim(text)), 1, $EditKeyLen)").as("k"))
-      // empty-key guard: Spark's sequence(1, 0) DESCENDS (the gramsSql
-      // caveat) — CASE to array() keeps both engines at just the
-      // identity variant for a blank doc
-      val vars = keyed.select(col("doc_id"), explode(expr(
-        s"""array_distinct(concat(array(k),
-           |  CASE WHEN length(k) >= 1 THEN
-           |    transform(sequence(1, length(k)),
-           |      i -> concat(substring(k, 1, i - 1),
-           |                  substring(k, i + 1, $EditKeyLen)))
-           |  ELSE array() END))""".stripMargin)).as("var"))
+      val keyed = editKeyed(s, dir)
+      val vars = keyed.select(col("doc_id"),
+        explode(expr(editVarsExpr)).as("var"))
       val cand = vars.select(col("doc_id").as("doc_a"), col("var"))
         .join(vars.select(col("doc_id").as("doc_b"), col("var")),
           Seq("var"))
@@ -2685,10 +2704,7 @@ object Dedup {
        |  SELECT doc_id, substr(lower(trim(text)), 1, $EditKeyLen) AS k
        |  FROM documents),
        |v AS (
-       |  SELECT doc_id, unnest(list_distinct(list_concat([k],
-       |    list_transform(range(1, length(k) + 1),
-       |      i -> substr(k, 1, CAST(i - 1 AS INT)) ||
-       |           substr(k, CAST(i + 1 AS INT)))))) AS var
+       |  SELECT doc_id, unnest($editVarsDuck) AS var
        |  FROM k),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2700,6 +2716,70 @@ object Dedup {
        |JOIN k kb ON kb.doc_id = c.doc_b
        |WHERE levenshtein(ka.k, kb.k) <= 1
        |ORDER BY doc_a, doc_b""".stripMargin)
+
+  // --------------------------------------------------------- F30 (incr)
+  /** EDIT-DUP AT THE INGEST GATE — F13's crawl-landing question asked
+    * at F30's typo granularity: for each NEW-batch doc (H8's
+    * deterministic carve, standing = the rest), is its 24-char title
+    * key within ONE edit of any STANDING doc's? The standing side is
+    * a materialized [[graft.sources.ArtifactStore]] lake table of
+    * (deletion-variant, doc_id, key) rows — ≤ 25 short rows per
+    * standing doc, built once at ingest like [[bandIndex]] and
+    * [[chunkIndex]]; only the BATCH generates variants at query time
+    * and the probe is one equi-join + levenshtein verify. Same recall
+    * contract as F30 (exhaustive at ED ≤ 1 by the deletion-
+    * neighborhood property), same verdict shape as F13 (`dup_of` =
+    * min matching standing doc, LEFT-joined so clean docs pass
+    * through flagged false).
+    */
+  private val editIndexCache =
+    graft.Artifacts.cache[DataFrame]("dedup.editIndex")
+
+  /** (variant, old_id, old_k) over the standing corpus — the lake
+    * artifact the F30-incr gate probes.
+    */
+  private[graft] def editIndex(s: SparkSession, dir: String): DataFrame =
+    editIndexCache.getOrElseUpdate(s, dir)(
+      graft.sources.ArtifactStore.materialize(s, "dedup.editIndex", dir)(
+        editKeyed(s, dir).filter(col("doc_id") % 5 =!= 4)
+          .select(col("doc_id").as("old_id"), col("k"),
+            explode(expr(editVarsExpr)).as("var"))
+          .withColumnRenamed("k", "old_k")))
+
+  val dIncrEdit: Q = Q(
+    (s, dir) => {
+      val newd = Tables.documents(s, dir).filter(col("doc_id") % 5 === 4)
+      val nv = editKeyed(s, dir).filter(col("doc_id") % 5 === 4)
+        .select(col("doc_id"), col("k"),
+          explode(expr(editVarsExpr)).as("var"))
+      val hits = nv.join(editIndex(s, dir), Seq("var"))
+        .filter(levenshtein(col("k"), col("old_k")) <= 1)
+        .groupBy("doc_id").agg(min("old_id").as("dup_of"))
+      newd.select("doc_id", "source", "n_chars")
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("is_dup", col("dup_of").isNotNull)
+        .orderBy("doc_id")
+    },
+    s"""WITH k AS (
+       |  SELECT doc_id, substr(lower(trim(text)), 1, $EditKeyLen) AS k
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id, k, unnest($editVarsDuck) AS var
+       |  FROM k),
+       |idx AS (
+       |  SELECT var, doc_id AS old_id, k AS old_k FROM v
+       |  WHERE doc_id % 5 <> 4),
+       |hits AS (
+       |  SELECT n.doc_id, min(i.old_id) AS dup_of
+       |  FROM (SELECT * FROM v WHERE doc_id % 5 = 4) n
+       |  JOIN idx i ON i.var = n.var
+       |  WHERE levenshtein(n.k, i.old_k) <= 1
+       |  GROUP BY n.doc_id)
+       |SELECT d.doc_id, d.source, d.n_chars, h.dup_of,
+       |  h.dup_of IS NOT NULL AS is_dup
+       |FROM (SELECT * FROM documents WHERE doc_id % 5 = 4) d
+       |LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin)
 
   // ---------------------------------------------------------------- F31
   /** LEAKAGE-SAFE train/val/test split — H18's hash split with the
@@ -2751,6 +2831,7 @@ object Dedup {
 
   val registry: Map[String, Q] = Map(
     "d_edit_dup" -> dEditDup,
+    "d_incr_edit" -> dIncrEdit,
     "d_split_safe" -> dSplitSafe,
     "d_source_overlap_sketch" -> dSourceOverlapSketch,
     "d_chunk_dup" -> dChunkDup,

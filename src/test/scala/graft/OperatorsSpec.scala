@@ -940,6 +940,31 @@ class OperatorsSpec extends SparkSpec {
     assert(got.nonEmpty, "corpus should contain prefix-level dups")
   }
 
+  test("d_incr_edit: the ingest gate agrees with the full pair relation " +
+    "restricted to (new, standing)") {
+    // F30-incr's verdicts must be DERIVABLE from F30: a new doc is
+    // is_dup iff d_edit_dup links it to some standing doc, and dup_of
+    // is the min such partner — the same cross-check d_incr_dedup and
+    // d_incr_clusters carry against their batch forms
+    val pairs = SparkEntry.queries("d_edit_dup")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.flatMap { case (a, b) =>
+      Seq(a -> b, b -> a) }
+      .filter { case (n, o) => n % 5 == 4 && o % 5 != 4 }
+      .groupBy(_._1).map { case (n, os) => n -> os.map(_._2).min }
+    val got = SparkEntry.queries("d_incr_edit")(spark, sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None
+        else Some(r.getLong(3)), r.getBoolean(4)))
+    assert(got.length === 100, "one row per new-batch doc")
+    for ((id, dupOf, isDup) <- got) {
+      assert(dupOf === expected.get(id),
+        s"doc $id: gate says $dupOf, pair relation says ${expected.get(id)}")
+      assert(isDup === expected.contains(id))
+    }
+    assert(expected.nonEmpty, "carve should contain edit-dups")
+  }
+
   test("d_split_safe: no near-dup cluster straddles a split boundary") {
     val split = SparkEntry.queries("d_split_safe")(spark, sf)
     val straddle = split.groupBy("cluster_rep")

@@ -17,7 +17,7 @@ class RegistrySpec extends AnyFunSuite {
     assert(graft.operators.Cleanse.registry.size === 7)
     assert(graft.operators.Star.registry.size === 18)
     assert(graft.operators.Analytics.registry.size === 32)
-    assert(graft.operators.Dedup.registry.size === 32)
+    assert(graft.operators.Dedup.registry.size === 33)
     assert(graft.operators.TextAnalysis.registry.size === 30)
     assert(graft.operators.Similarity.registry.size === 29)
     assert(graft.operators.MultiModal.registry.size === 1)
@@ -26,7 +26,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("SparkEntry serves every registry row, with an oracle each") {
-    assert(SparkEntry.queries.size === 171,
+    assert(SparkEntry.queries.size === 172,
       "total oracle-gated query count (update on purpose only)")
     assert(SparkEntry.oracleSql.size === SparkEntry.queries.size)
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet,
