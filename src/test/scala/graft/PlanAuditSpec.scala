@@ -832,6 +832,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(e1 == e2, "separately-built identical codebooks must compare equal")
   }
 
+  test("d_edit_dup: variant join is an equi-join, never a cartesian " +
+    "or nested loop") {
+    val p = plan(SparkEntry.queries("d_edit_dup")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"edit-dup candidates must equi-join on the variant string:\n$p")
+  }
+
+  test("d_incr_edit: the standing index feeds the probe join from the " +
+    "materialized artifact, batch side filtered at the scan") {
+    val df = SparkEntry.queries("d_incr_edit")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // only the BATCH is re-keyed at query time: the probe side's
+    // parquet scan must push the carve predicate
+    val f = formatted(df)
+    assert(f.contains("PushedFilters"), f)
+  }
+
+  test("d_split_safe: the cluster map joins broadcast — the corpus is " +
+    "never shuffled for the split") {
+    val p = plan(SparkEntry.queries("d_split_safe")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"map join should broadcast the corpus-sparse cluster map:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus shuffle for a map-sized dim:\n$p")
+  }
+
+  test("t_sample_weighted: scalar total broadcasts; the keep test is " +
+    "map-only after one aggregate") {
+    val p = plan(SparkEntry.queries("t_sample_weighted")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), "no window — the draw is per-row")
+  }
+
   private implicit class SubstrAfter(private val s: String) {
     def substringAfter(sep: String): String = {
       val i = s.indexOf(sep)
