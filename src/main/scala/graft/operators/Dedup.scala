@@ -2746,20 +2746,29 @@ object Dedup {
             explode(expr(editVarsExpr)).as("var"))
           .withColumnRenamed("k", "old_k")))
 
+  /** The gate itself, batch-parametrized — the streaming twin feeds
+    * each micro-batch through here against the same standing index
+    * (StreamingSpec pins stream ≡ batch flag-for-flag, the F13/F28
+    * stance).
+    */
+  private[graft] def editGate(s: SparkSession, newDocs: DataFrame,
+      dir: String): DataFrame = {
+    val nk = newDocs.select(col("doc_id"), col("source"), col("n_chars"),
+      expr(s"substring(lower(trim(text)), 1, $EditKeyLen)").as("k"))
+    val nv = nk.select(col("doc_id"), col("k"),
+      explode(expr(editVarsExpr)).as("var"))
+    val hits = nv.join(editIndex(s, dir), Seq("var"))
+      .filter(levenshtein(col("k"), col("old_k")) <= 1)
+      .groupBy("doc_id").agg(min("old_id").as("dup_of"))
+    nk.select("doc_id", "source", "n_chars")
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("is_dup", col("dup_of").isNotNull)
+  }
+
   val dIncrEdit: Q = Q(
-    (s, dir) => {
-      val newd = Tables.documents(s, dir).filter(col("doc_id") % 5 === 4)
-      val nv = editKeyed(s, dir).filter(col("doc_id") % 5 === 4)
-        .select(col("doc_id"), col("k"),
-          explode(expr(editVarsExpr)).as("var"))
-      val hits = nv.join(editIndex(s, dir), Seq("var"))
-        .filter(levenshtein(col("k"), col("old_k")) <= 1)
-        .groupBy("doc_id").agg(min("old_id").as("dup_of"))
-      newd.select("doc_id", "source", "n_chars")
-        .join(hits, Seq("doc_id"), "left")
-        .withColumn("is_dup", col("dup_of").isNotNull)
-        .orderBy("doc_id")
-    },
+    (s, dir) => editGate(s,
+      Tables.documents(s, dir).filter(col("doc_id") % 5 === 4), dir)
+      .orderBy("doc_id"),
     s"""WITH k AS (
        |  SELECT doc_id, substr(lower(trim(text)), 1, $EditKeyLen) AS k
        |  FROM documents),

@@ -278,6 +278,45 @@ class StreamingSpec extends SparkSpec {
       "in-flight dup verdicts must equal the batch gate's")
   }
 
+  test("F30-incr edit-dup gates a document stream against the standing " +
+    "variant index, micro-batch == ingest batch") {
+    // the production shape of d_incr_edit: the deletion-variant index
+    // is a compiled lake artifact; each arriving micro-batch gates
+    // inside foreachBatch with the same variant explode + index join
+    // as the batch query — no stream state, union of verdicts equals
+    // the batch gate flag-for-flag
+    val in = tempDir("graft_edit_in")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$in/documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val acc = new scala.collection.mutable.ArrayBuffer[
+      (Long, Option[Long], Boolean)]()
+    val q = spark.readStream
+      .schema(Tables.documents(spark, sf).schema)
+      .parquet(in)
+      .filter(col("doc_id") % 5 === 4)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val flagged = graft.operators.Dedup.editGate(spark, b, sf).collect()
+        acc.synchronized {
+          acc ++= flagged.map(r => (r.getLong(0),
+            Option(r.get(3)).map(_.asInstanceOf[Long]),
+            r.getBoolean(4)))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val streamed = acc.toSet
+    val batch = SparkEntry.queries("d_incr_edit")(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getBoolean(4))).toSet
+    assert(streamed === batch,
+      "in-flight edit-dup verdicts must equal the batch gate's")
+    assert(batch.exists(_._3), "carve should contain an edit-dup")
+  }
+
   test("G7 IVF index maintenance: a vector stream joins its cells " +
     "map-only under the fixed trained codebook") {
     // the production ANN maintenance path: the coarse quantizer is
