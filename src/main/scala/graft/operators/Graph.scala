@@ -429,18 +429,49 @@ object Graph {
       .orderBy("player_id")
   }
 
-  val qReportComponents: Q = Q(reportComponents _,
-    s"""WITH RECURSIVE e AS MATERIALIZED ($edgesSql),
+  /** J5 oracle rounds: min-label propagation WITH pointer jumping
+    * (each round also takes the label's label), so a component of
+    * diameter ≤ 2^K converges in K rounds — 12 covers any corpus this
+    * engine will ever be handed. The chain is CONVERGENCE-GUARDED:
+    * the final select emits ONLY IF round K equals round K−1 (a
+    * fixpoint of neighbor-min is constant-per-component at the
+    * component minimum — exactly the Spark side's converged
+    * propagate), so an undersized K fails the parity gate LOUDLY with
+    * a row-count mismatch instead of silently passing a partial
+    * flood. Replaced the WITH RECURSIVE transitive closure (r17b):
+    * the closure materializes |component|² reach pairs and cannot be
+    * CTE-hoisted, which left J5 the one sf1 line with no direct value
+    * parity; the fixed-round chain is O(K·E), hoists, and states the
+    * same fixpoint.
+    */
+  private val CcRounds = 12
+
+  val qReportComponents: Q = Q(reportComponents _, {
+    val rounds = (1 to CcRounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT l.id,
+         |    least(l.l, coalesce(m.nm, l.l), coalesce(j.l, l.l)) AS l
+         |  FROM l${i - 1} l
+         |  LEFT JOIN (SELECT s.a AS id, min(x.l) AS nm
+         |             FROM sym s JOIN l${i - 1} x ON x.id = s.b
+         |             GROUP BY s.a) m ON m.id = l.id
+         |  LEFT JOIN l${i - 1} j ON j.id = l.l)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($edgesSql),
        |und AS (SELECT DISTINCT least(src, dst) AS a,
        |                        greatest(src, dst) AS b FROM e),
-       |sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
-       |reach(id, l) AS (
-       |  SELECT a AS id, a AS l FROM sym
-       |  UNION
-       |  SELECT s.a, r.l FROM sym s JOIN reach r ON r.id = s.b)
-       |SELECT id AS player_id, CAST(min(l) AS BIGINT) AS component_id
-       |FROM reach GROUP BY id
-       |ORDER BY player_id""".stripMargin)
+       |sym AS MATERIALIZED (
+       |  SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT a AS id, a AS l FROM sym),
+       |$rounds,
+       |conv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+       |  SELECT id, l FROM l$CcRounds
+       |  EXCEPT SELECT id, l FROM l${CcRounds - 1}))
+       |SELECT id AS player_id, CAST(l AS BIGINT) AS component_id
+       |FROM l$CcRounds, conv WHERE conv.n = 0
+       |ORDER BY player_id""".stripMargin
+  })
 
   // ---------------------------------------------------------------- J6
   /** Community detection by synchronous label propagation (LPA) over
