@@ -2638,17 +2638,23 @@ object Dedup {
     * variant rows, pairs are one equi-join on the variant string, and
     * the exact `levenshtein` (built-in on BOTH engines, codegen'd on
     * Spark) verifies each candidate. Recall is 100% BY CONSTRUCTION
-    * for edit distance ≤ 1 — unlike the banded families there is no
-    * probabilistic miss to measure.
+    * for edit distance ≤ 1 wherever the variant bucket is within the
+    * occupancy cap — unlike the banded families there is no
+    * probabilistic miss to measure on a sane corpus, and the spec
+    * certifies it by EQUALITY against the brute-force levenshtein
+    * join.
     *
     * Scale shape: variant build is map-only (≤ 25 short strings per
     * doc); the pair join is shuffle-partitioned on the variant string
     * with pair mass Σ_v df(v)² — df here is "docs sharing a 23/24-char
     * near-prefix", measured max 4 / Σdf² 136k on this corpus at
-    * sf0.1. A corpus with boilerplate hot titles would cap it with
-    * the same split-don't-drop occupancy idiom as [[lshCandidates]];
-    * this query keeps the exact form (it is the recall guarantee) and
-    * the scaladoc names the bound.
+    * sf0.1, far under [[MaxBucket]], so the split policy is a no-op
+    * here (one sub-bucket per bucket ⇒ output ≡ the exact form). A
+    * boilerplate-hot-title corpus degrades to the F3
+    * split-don't-drop policy instead of a df² blow-up — bounded at
+    * R·n·cap per bucket with the same measured-recall trade as
+    * F3/F21 (hot-bucket spec below pins both the bound and the
+    * retained recall).
     */
   private val EditKeyLen = 24
 
@@ -2680,35 +2686,63 @@ object Dedup {
     Tables.documents(s, dir).select(col("doc_id"),
       expr(s"substring(lower(trim(text)), 1, $EditKeyLen)").as("k"))
 
+  /** The F30 pair relation over an arbitrary (doc_id, text) relation —
+    * split out so the spec can drive a CONSTRUCTED hot-bucket corpus
+    * through the same code the query runs. Variant buckets carry the
+    * F3 SPLIT-DON'T-DROP occupancy policy: a bucket ≤ [[MaxBucket]]
+    * keeps ONE sub-bucket (its pairs untouched — on such corpora the
+    * deletion-neighborhood recall guarantee is exhaustive, and the
+    * brute-force-equality spec certifies it), while a boilerplate-hot
+    * title bucket splits into ⌈n/cap⌉ salted sub-buckets ×
+    * [[SplitRounds]] rounds — the pair join stays ≤ R·n·cap per
+    * bucket with the same measured-recall degradation as F3/F21
+    * instead of an unbounded df² blow-up.
+    */
+  private[graft] def editDupPairs(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      expr(s"substring(lower(trim(text)), 1, $EditKeyLen)").as("k"))
+    val vars = keyed.select(col("doc_id"),
+      explode(expr(editVarsExpr)).as("var"))
+    val split = Occupancy.attach(vars, Seq("var"), "bucket_n")
+      .withColumn("r",
+        explode(typedLit((0 until SplitRounds).map(_.toLong))))
+      .withColumn("sub", expr(splitSubSpark))
+      .select("doc_id", "var", "r", "sub")
+    val cand = split.select(col("doc_id").as("doc_a"), col("var"),
+        col("r"), col("sub"))
+      .join(split.select(col("doc_id").as("doc_b"), col("var"),
+        col("r"), col("sub")), Seq("var", "r", "sub"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(keyed.select(col("doc_id").as("doc_a"), col("k").as("k_a")),
+        Seq("doc_a"))
+      .join(keyed.select(col("doc_id").as("doc_b"), col("k").as("k_b")),
+        Seq("doc_b"))
+      .filter(levenshtein(col("k_a"), col("k_b")) <= 1)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("k_a"), col("k_b")).cast("long").as("edit_dist"))
+  }
+
   val dEditDup: Q = Q(
-    (s, dir) => {
-      val keyed = editKeyed(s, dir)
-      val vars = keyed.select(col("doc_id"),
-        explode(expr(editVarsExpr)).as("var"))
-      val cand = vars.select(col("doc_id").as("doc_a"), col("var"))
-        .join(vars.select(col("doc_id").as("doc_b"), col("var")),
-          Seq("var"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      cand
-        .join(keyed.select(col("doc_id").as("doc_a"), col("k").as("k_a")),
-          Seq("doc_a"))
-        .join(keyed.select(col("doc_id").as("doc_b"), col("k").as("k_b")),
-          Seq("doc_b"))
-        .filter(levenshtein(col("k_a"), col("k_b")) <= 1)
-        .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("k_a"), col("k_b")).cast("long").as("edit_dist"))
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, dir) => editDupPairs(Tables.documents(s, dir))
+      .orderBy("doc_a", "doc_b"),
     s"""WITH k AS (
        |  SELECT doc_id, substr(lower(trim(text)), 1, $EditKeyLen) AS k
        |  FROM documents),
        |v AS (
        |  SELECT doc_id, unnest($editVarsDuck) AS var
        |  FROM k),
+       |banded AS (
+       |  SELECT *, count(*) OVER (PARTITION BY var) AS bucket_n FROM v),
+       |vsplit AS (
+       |  SELECT doc_id, var, r, $splitSubDuck AS sub
+       |  FROM banded, (SELECT unnest(range($SplitRounds)) AS r) rr),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM v a JOIN v b ON a.var = b.var AND a.doc_id < b.doc_id)
+       |  FROM vsplit a JOIN vsplit b
+       |    ON a.var = b.var AND a.r = b.r AND a.sub = b.sub
+       |    AND a.doc_id < b.doc_id)
        |SELECT c.doc_a, c.doc_b,
        |  CAST(levenshtein(ka.k, kb.k) AS BIGINT) AS edit_dist
        |FROM cand c

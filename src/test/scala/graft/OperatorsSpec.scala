@@ -940,6 +940,33 @@ class OperatorsSpec extends SparkSpec {
     assert(got.nonEmpty, "corpus should contain prefix-level dups")
   }
 
+  test("d_edit_dup hot bucket: an over-cap title bucket splits instead " +
+    "of exploding, retaining the split policy's expected recall") {
+    import spark.implicits._
+    // 320 docs with the IDENTICAL title key: brute force has n(n-1)/2
+    // = 51,040 ED-0 pairs; the bucket (320 > MaxBucket=64) splits into
+    // ceil(320/64)=5 salted sub-buckets x SplitRounds=2, so a pair
+    // survives iff it collides in SOME round: p = 1-(1-1/5)^2 = 36%.
+    // Pin the binomial band AND the bound: kept pairs << brute force.
+    val docs = (0L until 320L).map(i => (i, "the quick brown fox " +
+      s"jumps over the lazy dog $i")).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.editDupPairs(docs).count().toDouble
+    val all = 320.0 * 319 / 2
+    val p = 1.0 - math.pow(1.0 - 1.0 / 5, 2)
+    val sd = math.sqrt(all * p * (1 - p))
+    assert(math.abs(kept - all * p) <= 5 * sd,
+      s"kept $kept vs expected ${all * p} (sd $sd)")
+    assert(kept < all * 0.5, "the split must bound the pair join")
+    // and a WITHIN-cap corpus keeps every pair (one sub-bucket):
+    // "all identical title keys" is exactly 24 chars, so every doc
+    // shares the key and differs only past the truncation point
+    val small = (0L until 50L)
+      .map(i => (i, s"all identical title keys $i"))
+      .toDF("doc_id", "text")
+    assert(graft.operators.Dedup.editDupPairs(small).count() ===
+      50L * 49 / 2, "within-cap buckets are exhaustive")
+  }
+
   test("d_incr_edit: the ingest gate agrees with the full pair relation " +
     "restricted to (new, standing)") {
     // F30-incr's verdicts must be DERIVABLE from F30: a new doc is
