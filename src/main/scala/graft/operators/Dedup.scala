@@ -2762,9 +2762,14 @@ object Dedup {
     * [[chunkIndex]]; only the BATCH generates variants at query time
     * and the probe is one equi-join + levenshtein verify. Same recall
     * contract as F30 (exhaustive at ED ≤ 1 by the deletion-
-    * neighborhood property), same verdict shape as F13 (`dup_of` =
-    * min matching standing doc, LEFT-joined so clean docs pass
-    * through flagged false).
+    * neighborhood property, wherever the standing bucket is within
+    * [[MaxBucket]]), same verdict shape as F13 (`dup_of` = min
+    * matching standing doc, LEFT-joined so clean docs pass through
+    * flagged false) — and F13's honesty contract too: over-cap
+    * standing buckets are EXCLUDED from the probe (bounding
+    * per-probe fan-out at cap) and each batch doc touching one is
+    * flagged `capped_bucket`, so a hot boilerplate title never
+    * silently costs OR silently drops.
     */
   private val editIndexCache =
     graft.Artifacts.cache[DataFrame]("dedup.editIndex")
@@ -2772,13 +2777,22 @@ object Dedup {
   /** (variant, old_id, old_k) over the standing corpus — the lake
     * artifact the F30-incr gate probes.
     */
+  /** (variant, old_id, old_k, bucket_n) over the standing corpus —
+    * occupancy ANNOTATED, so the gate can probe only within-cap
+    * buckets (bounding per-probe fan-out at [[MaxBucket]]) and
+    * surface the over-cap hits honestly, mirroring F13's
+    * `capped_bucket` contract: a hot standing title never silently
+    * costs OR silently drops.
+    */
   private[graft] def editIndex(s: SparkSession, dir: String): DataFrame =
     editIndexCache.getOrElseUpdate(s, dir)(
       graft.sources.ArtifactStore.materialize(s, "dedup.editIndex", dir)(
-        editKeyed(s, dir).filter(col("doc_id") % 5 =!= 4)
-          .select(col("doc_id").as("old_id"), col("k"),
-            explode(expr(editVarsExpr)).as("var"))
-          .withColumnRenamed("k", "old_k")))
+        Occupancy.attach(
+          editKeyed(s, dir).filter(col("doc_id") % 5 =!= 4)
+            .select(col("doc_id").as("old_id"), col("k"),
+              explode(expr(editVarsExpr)).as("var"))
+            .withColumnRenamed("k", "old_k"),
+          Seq("var"), "bucket_n")))
 
   /** The gate itself, batch-parametrized — the streaming twin feeds
     * each micro-batch through here against the same standing index
@@ -2791,12 +2805,22 @@ object Dedup {
       expr(s"substring(lower(trim(text)), 1, $EditKeyLen)").as("k"))
     val nv = nk.select(col("doc_id"), col("k"),
       explode(expr(editVarsExpr)).as("var"))
-    val hits = nv.join(editIndex(s, dir), Seq("var"))
+    val idx = editIndex(s, dir)
+    val hits = nv.join(idx.filter(col("bucket_n") <= MaxBucket)
+        .select("var", "old_id", "old_k"), Seq("var"))
       .filter(levenshtein(col("k"), col("old_k")) <= 1)
       .groupBy("doc_id").agg(min("old_id").as("dup_of"))
+    val caphit = nv.join(
+        idx.filter(col("bucket_n") > MaxBucket).select("var").distinct(),
+        Seq("var"))
+      .select("doc_id").distinct()
+      .withColumn("capped_bucket", lit(true))
     nk.select("doc_id", "source", "n_chars")
       .join(hits, Seq("doc_id"), "left")
       .withColumn("is_dup", col("dup_of").isNotNull)
+      .join(caphit, Seq("doc_id"), "left")
+      .withColumn("capped_bucket",
+        coalesce(col("capped_bucket"), lit(false)))
   }
 
   val dIncrEdit: Q = Q(
@@ -2809,9 +2833,19 @@ object Dedup {
        |v AS (
        |  SELECT doc_id, k, unnest($editVarsDuck) AS var
        |  FROM k),
+       |occ AS (
+       |  SELECT *, count(*) OVER (PARTITION BY var) AS bucket_n
+       |  FROM (SELECT var, doc_id AS old_id, k AS old_k FROM v
+       |        WHERE doc_id % 5 <> 4)),
        |idx AS (
-       |  SELECT var, doc_id AS old_id, k AS old_k FROM v
-       |  WHERE doc_id % 5 <> 4),
+       |  SELECT var, old_id, old_k FROM occ
+       |  WHERE bucket_n <= $MaxBucket),
+       |cap AS (
+       |  SELECT DISTINCT var FROM occ WHERE bucket_n > $MaxBucket),
+       |caphit AS (
+       |  SELECT DISTINCT n.doc_id
+       |  FROM (SELECT * FROM v WHERE doc_id % 5 = 4) n
+       |  JOIN cap c ON c.var = n.var),
        |hits AS (
        |  SELECT n.doc_id, min(i.old_id) AS dup_of
        |  FROM (SELECT * FROM v WHERE doc_id % 5 = 4) n
@@ -2819,9 +2853,11 @@ object Dedup {
        |  WHERE levenshtein(n.k, i.old_k) <= 1
        |  GROUP BY n.doc_id)
        |SELECT d.doc_id, d.source, d.n_chars, h.dup_of,
-       |  h.dup_of IS NOT NULL AS is_dup
+       |  h.dup_of IS NOT NULL AS is_dup,
+       |  ch.doc_id IS NOT NULL AS capped_bucket
        |FROM (SELECT * FROM documents WHERE doc_id % 5 = 4) d
        |LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |LEFT JOIN caphit ch ON ch.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin)
 
   // ---------------------------------------------------------------- F31

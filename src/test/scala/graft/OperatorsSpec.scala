@@ -980,9 +980,9 @@ class OperatorsSpec extends SparkSpec {
       Seq(a -> b, b -> a) }
       .filter { case (n, o) => n % 5 == 4 && o % 5 != 4 }
       .groupBy(_._1).map { case (n, os) => n -> os.map(_._2).min }
-    val got = SparkEntry.queries("d_incr_edit")(spark, sf).collect()
-      .map(r => (r.getLong(0), if (r.isNullAt(3)) None
-        else Some(r.getLong(3)), r.getBoolean(4)))
+    val rows = SparkEntry.queries("d_incr_edit")(spark, sf).collect()
+    val got = rows.map(r => (r.getLong(0), if (r.isNullAt(3)) None
+      else Some(r.getLong(3)), r.getBoolean(4)))
     assert(got.length === 100, "one row per new-batch doc")
     for ((id, dupOf, isDup) <- got) {
       assert(dupOf === expected.get(id),
@@ -990,6 +990,11 @@ class OperatorsSpec extends SparkSpec {
       assert(isDup === expected.contains(id))
     }
     assert(expected.nonEmpty, "carve should contain edit-dups")
+    // no standing variant bucket exceeds the cap on this corpus, so
+    // the F13-style honesty flag must be uniformly false (a true here
+    // means the gate EXCLUDED candidates — which would also break the
+    // pair-relation agreement above)
+    assert(rows.forall(!_.getBoolean(5)), "no capped buckets expected")
   }
 
   test("d_split_safe: no near-dup cluster straddles a split boundary") {
