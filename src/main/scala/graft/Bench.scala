@@ -60,11 +60,19 @@ object Bench {
     // must provision)
     val spillSum = new java.util.concurrent.atomic.AtomicLong(0)
     val peakMem = new java.util.concurrent.atomic.AtomicLong(0)
+    // task count beside the RAM columns (r17 verdict #8): AQE
+    // coalescing under window contention changes per-task build sizes,
+    // which made peak_task_mem read 5x apart between same-code legs
+    // (d_minhash_est 56.7 vs 291.6 MB). Recording how many tasks the
+    // query actually ran makes a RAM delta self-explaining: fewer
+    // tasks => bigger per-task builds, same total.
+    val taskCount = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
+          taskCount.incrementAndGet()
           if (m != null) {
             val rows = m.shuffleReadMetrics.recordsRead
             var cur = maxTask.get()
@@ -107,40 +115,70 @@ object Bench {
     val maxTaskRows = scala.collection.mutable.Map.empty[String, Long]
     val spillBytes = scala.collection.mutable.Map.empty[String, Long]
     val peakTaskMem = scala.collection.mutable.Map.empty[String, Long]
+    val nTasks = scala.collection.mutable.Map.empty[String, Long]
+    def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame, reps: Int): Either[String, Double] = {
+      // deterministic listener drain (not a sleep): task-end events
+      // from the PREVIOUS query must not bleed into this one's max
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+      maxTask.set(0)
+      spillSum.set(0)
+      peakMem.set(0)
+      taskCount.set(0)
+      val times = (1 to reps).map { _ =>
+        val ev0 = Artifacts.buildEvents.size
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"BENCH ERR $name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+                   false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val paid = Artifacts.buildEvents.drop(ev0)
+          .map(e => s"${e.family}:${e.kind}:${e.millis}ms")
+        if (paid.nonEmpty)
+          artEvents(name) = artEvents.getOrElse(name, Nil) ++ paid
+        // isolate queries: drop caches a query built so the next
+        // query's time is its own (and GC pressure stays flat)
+        spark.catalog.clearCache()
+        if (ok) Some(dt) else None
+      }
+      val best = times.flatten
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+      // max over the repeats (the conservative bound: a warm repeat
+      // that loads an artifact instead of building it reads fewer
+      // rows; the plan's worst observed task is what scales)
+      maxTaskRows(name) = maxTask.get()
+      spillBytes(name) = spillSum.get()
+      peakTaskMem(name) = peakMem.get()
+      nTasks(name) = taskCount.get()
+      if (best.isEmpty) Left("err") else Right(best.min)
+    }
     val results: Seq[(String, Either[String, Double])] =
-      selected.toSeq.map { case (name, fn) =>
-        // deterministic listener drain (not a sleep): task-end events
-        // from the PREVIOUS query must not bleed into this one's max
-        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
-        maxTask.set(0)
-        spillSum.set(0)
-        peakMem.set(0)
-        val times = (1 to repeat).map { _ =>
-          val ev0 = Artifacts.buildEvents.size
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-                   catch { case e: Throwable =>
-                     System.err.println(s"BENCH ERR $name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-                     false }
-          val dt = (System.nanoTime() - t0) / 1e9
-          val paid = Artifacts.buildEvents.drop(ev0)
-            .map(e => s"${e.family}:${e.kind}:${e.millis}ms")
-          if (paid.nonEmpty)
-            artEvents(name) = artEvents.getOrElse(name, Nil) ++ paid
-          // isolate queries: drop caches a query built so the next
-          // query's time is its own (and GC pressure stays flat)
-          spark.catalog.clearCache()
-          if (ok) Some(dt) else None
-        }
-        val best = times.flatten
-        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
-        // max over the repeats (the conservative bound: a warm repeat
-        // that loads an artifact instead of building it reads fewer
-        // rows; the plan's worst observed task is what scales)
-        maxTaskRows(name) = maxTask.get()
-        spillBytes(name) = spillSum.get()
-        peakTaskMem(name) = peakMem.get()
-        name -> (if (best.isEmpty) Left("err") else Right(best.min))
+      selected.toSeq.map { case (name, fn) => name -> runOne(name, fn, repeat) }
+    // SELF-ADJUDICATING DRIFT PASS (r17 verdict #1): the REPEAT=1
+    // driver map carried 7 phantom >=2x lines last round that the
+    // same-code REPEAT=2 closing map disproved — a full adjudication
+    // cycle per round. Here the bench adjudicates itself: any line
+    // whose drift-normalized time (t / host_factor) breaches 2x its
+    // committed pin by a non-trivial margin gets ONE warm re-run, and
+    // both timings are emitted side by side. A transient (JIT, page
+    // cache, window contention) reads clean on the second shot; a
+    // real regression reads hot twice and is worth the human look.
+    // pins were taken at sf0.1 — the suspect rule is meaningless at
+    // other scale factors (sf1 legs would flag everything)
+    val pinsApply = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val suspects: Seq[(String, Double, Double, Double)] =
+      results.collect {
+        case (name, Right(t))
+            if pinsApply && BenchPins.pins.get(name).exists { pin =>
+              val norm = t / hostFactor
+              norm >= 2 * pin && norm - pin >= 0.25
+            } =>
+          val pin = BenchPins.pins(name)
+          val second = runOne(name + "#2", selected(name), 1) match {
+            case Right(t2) => t2
+            case Left(_)   => Double.NaN
+          }
+          (name, t, second, pin)
       }
     // Self-contained artifact FIRST: the full per-query map (ms
     // resolution) goes to a file in the repo, so no timing ever
@@ -171,9 +209,18 @@ object Bench {
     val peakJson = results.map { case (k, _) =>
       s"\"$k\":${peakTaskMem.getOrElse(k, 0L)}"
     }.mkString("{", ",", "}")
+    val tasksJson = results.map { case (k, _) =>
+      s"\"$k\":${nTasks.getOrElse(k, 0L)}"
+    }.mkString("{", ",", "}")
+    def r3(v: Double) = math.round(v * 1000) / 1000.0
+    val suspJson = suspects.map { case (name, first, second, pin) =>
+      val arts = artEvents.getOrElse(name + "#2", Nil)
+      val secondStr = if (second.isNaN) "\"err\"" else r3(second).toString
+      s""""$name":{"first":${r3(first)},"second":$secondStr,"pin":$pin,"norm_first":${r3(first / hostFactor)},"norm_second":${if (second.isNaN) "null" else r3(second / hostFactor).toString},"rerun_artifacts":[${arts.map(e => s"\"$e\"").mkString(",")}]}"""
+    }.mkString("{", ",", "}")
     val calJson = s""""canary_sec":${math.round(canarySec * 1000) / 1000.0},"canary_pin":$CanaryPin,"host_factor":${math.round(hostFactor * 1000) / 1000.0}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_err":${errs.size},"errors":[${errs.mkString(",")}],"sf":"$sfDir",$calJson,"artifact_events":$artJson,"max_task_rows":$mtrJson,"spill_bytes":$spillJson,"peak_task_mem":$peakJson,"queries":${fullEntries.mkString("{", ",", "}")}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_err":${errs.size},"errors":[${errs.mkString(",")}],"sf":"$sfDir",$calJson,"artifact_events":$artJson,"max_task_rows":$mtrJson,"spill_bytes":$spillJson,"peak_task_mem":$peakJson,"n_tasks":$tasksJson,"drift_suspects":$suspJson,"queries":${fullEntries.mkString("{", ",", "}")}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
     catch { case e: Throwable => System.err.println(s"BENCH WARN: could not write $outFile: ${e.getMessage}") }
     // stdout chunks stay as a redundant channel for the driver, but at
@@ -189,7 +236,7 @@ object Bench {
     }
     // headline stays tiny (totals + sf only) so the tail capture can
     // never clip it (r9's full-map headline overflowed → parsed null)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_err":${errs.size},"errors":[${errs.mkString(",")}],"sf":"$sfDir",$calJson,"full_map":"$outFile"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_err":${errs.size},"errors":[${errs.mkString(",")}],"sf":"$sfDir",$calJson,"n_drift_suspects":${suspects.size},"full_map":"$outFile"}""")
     spark.stop()
   }
 }

@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // CDC feed, txn watermarks identical to the Scala API). Names not
     // registered via GraftCatalog.registerLake pass through untouched.
     ext.injectResolutionRule(s => graft.plans.LakeDml.ResolveLakeDml(s))
+    // INSERT INTO must intercept EARLIER (hints batch): Spark's own
+    // relation resolution throws "inserting into a view" before an
+    // ordinary resolution rule would fire — see ResolveLakeInsert
+    ext.injectHintResolutionRule(s =>
+      graft.plans.LakeDml.ResolveLakeInsert(s))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[functions.CosineSim].getName,

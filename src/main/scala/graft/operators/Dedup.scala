@@ -140,17 +140,30 @@ object Dedup {
 
   /** The salted 32-bit doc hash and sub-bucket id, as engine-portable
     * SQL fragments (Spark and DuckDB agree on md5, hex CAST, %, DIV):
-    * sub = h(doc_id, r) mod ⌈bucket_n/MaxBucket⌉.
+    * sub = h(doc_id, r, bucket_key) mod ⌈bucket_n/MaxBucket⌉.
+    *
+    * The BUCKET KEY is part of the salt (r17 advice): a near-dup pair
+    * typically shares MANY over-cap buckets (every band of an
+    * identical signature, up to 25 deletion variants of an identical
+    * title), and a salt of (doc_id, r) alone makes the split verdict
+    * identical in all of them — recall stalls at the single-bucket
+    * 1−(1−1/nsub)^R no matter how many buckets agree the pair is a
+    * candidate. Salting with the key decorrelates buckets, so the
+    * pair survives with 1−(1−1/nsub)^(R·B) over B shared over-cap
+    * buckets — a free recall gain at the SAME R·n·cap join bound
+    * (the per-bucket candidate mass is unchanged; only which pairs
+    * are kept decorrelates). `keySql` must render the SAME text in
+    * both engines (decimal longs, lowercase md5 hex).
     */
-  private def splitSubSpark: String =
+  private def splitSubSpark(keySql: String): String =
     s"""CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '#',
-       |  CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT)
+       |  CAST(r AS STRING), '#', $keySql)), 1, 8), 16, 10) AS BIGINT)
        |  % ((bucket_n + ${MaxBucket - 1}) DIV $MaxBucket)"""
       .stripMargin.replace("\n", " ")
 
-  private def splitSubDuck: String =
+  private def splitSubDuck(keySql: String): String =
     s"""CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
-       |  CAST(r AS VARCHAR)), 1, 8) AS BIGINT)
+       |  CAST(r AS VARCHAR) || '#' || $keySql), 1, 8) AS BIGINT)
        |  % ((bucket_n + ${MaxBucket - 1}) // $MaxBucket)"""
       .stripMargin.replace("\n", " ")
 
@@ -176,7 +189,8 @@ object Dedup {
     val b = Occupancy.attach(base, Seq("band", "band_hash"), "bucket_n")
       .withColumn("r",
         explode(typedLit((0 until SplitRounds).map(_.toLong))))
-      .withColumn("sub", expr(splitSubSpark))
+      .withColumn("sub", expr(splitSubSpark(
+        "concat(CAST(band AS STRING), '|', band_hash)")))
       .select("doc_id", "band", "band_hash", "r", "sub")
       .cache()
     val a = b.select(col("doc_id").as("doc_a"), col("band"),
@@ -194,7 +208,9 @@ object Dedup {
        |  SELECT *, count(*) OVER (PARTITION BY band, band_hash)
        |    AS bucket_n FROM ($bandsSql)),
        |split AS (
-       |  SELECT doc_id, band, band_hash, r, $splitSubDuck AS sub
+       |  SELECT doc_id, band, band_hash, r,
+       |    ${splitSubDuck("CAST(band AS VARCHAR) || '|' || band_hash")}
+       |    AS sub
        |  FROM banded, (SELECT unnest(range($SplitRounds)) AS r) rr)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(count(DISTINCT a.band) AS BIGINT) AS n_bands
@@ -2682,9 +2698,50 @@ object Dedup {
       |      i -> substr(k, 1, CAST(i - 1 AS INT)) ||
       |           substr(k, CAST(i + 1 AS INT)))))""".stripMargin
 
-  private def editKeyed(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"),
+  /** DEPTH-2 deletion neighborhood (r17 verdict #6 — SymSpell's
+    * standard depth): identity + every 1-deletion + every 2-deletion
+    * (positions i < j deleted from the ORIGINAL key), distinct. If
+    * lev(a, b) ≤ 2, the two neighborhoods intersect — each side
+    * deletes the ≤ 2 positions its half of the alignment edits — so
+    * recall is 100% BY CONSTRUCTION within-cap, the same argument as
+    * depth 1 one radius wider. Named bound: ≤ 1 + L + L(L−1)/2 =
+    * **301 variants/doc** at L = [[EditKeyLen]] — ~12× the depth-1
+    * mass, the price of the wider radius; still map-only generation
+    * and an equi-join-only plan. The adjacent-deletion middle slice
+    * (j = i+1) is a zero-length substring — both engines return ''.
+    */
+  private val editVars2Expr =
+    s"""array_distinct(concat($editVarsExpr,
+       |  CASE WHEN length(k) >= 2 THEN
+       |    flatten(transform(sequence(1, length(k)),
+       |      i -> transform(filter(sequence(1, length(k)), j -> j > i),
+       |        j -> concat(substring(k, 1, i - 1),
+       |                    substring(k, i + 1, j - i - 1),
+       |                    substring(k, j + 1, $EditKeyLen)))))
+       |  ELSE array() END))""".stripMargin
+
+  /** Oracle-side twin of [[editVars2Expr]] (range() is empty below
+    * its bound, so no empty-key CASE is needed on this engine).
+    */
+  private val editVars2Duck =
+    s"""list_distinct(list_concat($editVarsDuck,
+       |  flatten(list_transform(range(1, length(k) + 1),
+       |    i -> list_transform(list_filter(range(1, length(k) + 1),
+       |           j -> j > i),
+       |      j -> substr(k, 1, CAST(i - 1 AS INT)) ||
+       |           substr(k, CAST(i + 1 AS INT), CAST(j - i - 1 AS INT)) ||
+       |           substr(k, CAST(j + 1 AS INT)))))))""".stripMargin
+
+  /** The ONE definition of the F30 title key — both the corpus-wide
+    * pair relation and the ingest gate key through here, so
+    * `EditKeyLen` semantics cannot drift between them (r17 nit).
+    */
+  private def editKey(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       expr(s"substring(lower(trim(text)), 1, $EditKeyLen)").as("k"))
+
+  private def editKeyed(s: SparkSession, dir: String): DataFrame =
+    editKey(Tables.documents(s, dir))
 
   /** The F30 pair relation over an arbitrary (doc_id, text) relation —
     * split out so the spec can drive a CONSTRUCTED hot-bucket corpus
@@ -2695,48 +2752,62 @@ object Dedup {
     * brute-force-equality spec certifies it), while a boilerplate-hot
     * title bucket splits into ⌈n/cap⌉ salted sub-buckets ×
     * [[SplitRounds]] rounds — the pair join stays ≤ R·n·cap per
-    * bucket with the same measured-recall degradation as F3/F21
+    * bucket (with bucket-keyed salts compounding recall across the
+    * ≤25 variant buckets a pair shares — see [[splitSubSpark]])
     * instead of an unbounded df² blow-up.
+    *
+    * RAM bound (r17 verdict #2 — peak_task_mem read 147 MB at sf0.1
+    * → 671 MB at sf1, a hash build growing WITH the corpus): every
+    * join here is hinted MERGE, so a task's memory is a spillable
+    * sort plus ONE (var, r, sub) key group buffered on the streamed
+    * side — ≤ the split policy's per-sub-bucket occupancy (~cap
+    * docs), a NAMED constant that does not scale with corpus size.
+    * The R·n·cap candidate MASS still flows, but it streams through
+    * the merge instead of residing in a per-task hash table.
     */
-  private[graft] def editDupPairs(docs: DataFrame): DataFrame = {
-    val keyed = docs.select(col("doc_id"),
-      expr(s"substring(lower(trim(text)), 1, $EditKeyLen)").as("k"))
+  private[graft] def editDupPairs(docs: DataFrame): DataFrame =
+    editDupPairsAt(docs, 1)
+
+  private[graft] def editDupPairsAt(docs: DataFrame,
+      depth: Int): DataFrame = {
+    require(depth == 1 || depth == 2, s"unsupported edit depth $depth")
+    val keyed = editKey(docs)
     val vars = keyed.select(col("doc_id"),
-      explode(expr(editVarsExpr)).as("var"))
+      explode(expr(if (depth == 1) editVarsExpr else editVars2Expr))
+        .as("var"))
     val split = Occupancy.attach(vars, Seq("var"), "bucket_n")
       .withColumn("r",
         explode(typedLit((0 until SplitRounds).map(_.toLong))))
-      .withColumn("sub", expr(splitSubSpark))
+      .withColumn("sub", expr(splitSubSpark("var")))
       .select("doc_id", "var", "r", "sub")
     val cand = split.select(col("doc_id").as("doc_a"), col("var"),
-        col("r"), col("sub"))
+        col("r"), col("sub")).hint("merge")
       .join(split.select(col("doc_id").as("doc_b"), col("var"),
-        col("r"), col("sub")), Seq("var", "r", "sub"))
+        col("r"), col("sub")).hint("merge"), Seq("var", "r", "sub"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand
-      .join(keyed.select(col("doc_id").as("doc_a"), col("k").as("k_a")),
-        Seq("doc_a"))
-      .join(keyed.select(col("doc_id").as("doc_b"), col("k").as("k_b")),
-        Seq("doc_b"))
-      .filter(levenshtein(col("k_a"), col("k_b")) <= 1)
+      .join(keyed.select(col("doc_id").as("doc_a"), col("k").as("k_a"))
+        .hint("merge"), Seq("doc_a"))
+      .join(keyed.select(col("doc_id").as("doc_b"), col("k").as("k_b"))
+        .hint("merge"), Seq("doc_b"))
+      .filter(levenshtein(col("k_a"), col("k_b")) <= depth)
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("k_a"), col("k_b")).cast("long").as("edit_dist"))
   }
 
-  val dEditDup: Q = Q(
-    (s, dir) => editDupPairs(Tables.documents(s, dir))
-      .orderBy("doc_a", "doc_b"),
+  private def editDupSql(depth: Int): String = {
+    val varsDuck = if (depth == 1) editVarsDuck else editVars2Duck
     s"""WITH k AS (
        |  SELECT doc_id, substr(lower(trim(text)), 1, $EditKeyLen) AS k
        |  FROM documents),
        |v AS (
-       |  SELECT doc_id, unnest($editVarsDuck) AS var
+       |  SELECT doc_id, unnest($varsDuck) AS var
        |  FROM k),
        |banded AS (
        |  SELECT *, count(*) OVER (PARTITION BY var) AS bucket_n FROM v),
        |vsplit AS (
-       |  SELECT doc_id, var, r, $splitSubDuck AS sub
+       |  SELECT doc_id, var, r, ${splitSubDuck("var")} AS sub
        |  FROM banded, (SELECT unnest(range($SplitRounds)) AS r) rr),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2748,8 +2819,25 @@ object Dedup {
        |FROM cand c
        |JOIN k ka ON ka.doc_id = c.doc_a
        |JOIN k kb ON kb.doc_id = c.doc_b
-       |WHERE levenshtein(ka.k, kb.k) <= 1
-       |ORDER BY doc_a, doc_b""".stripMargin)
+       |WHERE levenshtein(ka.k, kb.k) <= $depth
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val dEditDup: Q = Q(
+    (s, dir) => editDupPairs(Tables.documents(s, dir))
+      .orderBy("doc_a", "doc_b"),
+    editDupSql(1))
+
+  /** F30 at SymSpell's standard DEPTH 2 (r17 verdict #6): the same
+    * equi-join-only plan over [[editVars2Expr]]'s double-deletion
+    * neighborhood, verified by the exact levenshtein at radius 2 —
+    * see the depth-2 docstring above for the 100%-recall-within-cap
+    * argument and the 301-variants/doc bound.
+    */
+  val dEditDup2: Q = Q(
+    (s, dir) => editDupPairsAt(Tables.documents(s, dir), 2)
+      .orderBy("doc_a", "doc_b"),
+    editDupSql(2))
 
   // --------------------------------------------------------- F30 (incr)
   /** EDIT-DUP AT THE INGEST GATE — F13's crawl-landing question asked
@@ -2910,6 +2998,7 @@ object Dedup {
 
   val registry: Map[String, Q] = Map(
     "d_edit_dup" -> dEditDup,
+    "d_edit_dup2" -> dEditDup2,
     "d_incr_edit" -> dIncrEdit,
     "d_split_safe" -> dSplitSafe,
     "d_source_overlap_sketch" -> dSourceOverlapSketch,

@@ -411,11 +411,14 @@ object Graph {
     * "report cluster" a player belongs to (labelled by its minimum
     * player id), reusing the engine's bounded min-label propagation
     * ([[Dedup.propagate]]: converge-early DataFrame loop with eager
-    * checkpoints). The oracle is a DIFFERENT algorithm entirely — a
-    * DuckDB recursive CTE computing the true reachability closure —
-    * so a green row proves the iterative propagation reaches the
-    * exact fixpoint, the same standard the GraphX cross-check applies
-    * from a third implementation.
+    * checkpoints). The oracle (r17b) is a convergence-GUARDED
+    * min-label propagation + pointer-jumping chain in DuckDB SQL (12
+    * fixed rounds, emits EMPTY if unconverged so a short budget reads
+    * as a loud row mismatch, never a silent pass) — the same
+    * algorithm FAMILY as the Spark side, so the oracle certifies the
+    * fixpoint but not algorithmic independence; independence rests on
+    * the GraphX cross-check (GraphXCrossSpec: row-identical CC from
+    * Pregel, a third implementation).
     */
   def reportComponents(s: SparkSession, dir: String): DataFrame = {
     val und = undirectedEdges(s, dir)

@@ -1897,11 +1897,15 @@ object TextAnalysis {
     * never through another doc's u.
     *
     * Scale shape: one map-side-combinable scalar agg (W), broadcast
-    * by cross-join; the keep test is map-only. BIGINT headroom: the
-    * guard product is u32·W ≤ 2³²·W, so W (total corpus tokens) must
-    * stay under 2³¹ — at trillion-token scale, run the same
-    * inequality in DECIMAL(38,0)/HUGEINT (both engines widen losslessly);
-    * the shape is unchanged.
+    * by cross-join; the keep test is map-only. Arithmetic headroom
+    * (r17 advice — the old BIGINT form silently wrapped past
+    * W ≥ 2³¹ in non-ANSI Spark while DuckDB raised, a divergent
+    * failure the gate could never catch): the inequality runs WIDE in
+    * both engines — DECIMAL(20,0) operands in Spark (product ≤
+    * 2³²·W < 10³⁸ for any W under ~10¹⁹ tokens, exact integer
+    * decimal math) and HUGEINT (int128) in DuckDB — so the guard is
+    * exact at trillion-token scale with no documented-but-unenforced
+    * bound.
     */
   private val SampleK = 200L
 
@@ -1913,8 +1917,11 @@ object TextAnalysis {
       w.crossJoin(broadcast(tot))
         .withColumn("u32", expr(
           "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
-        .filter(col("u32") * col("w_total") <
-          lit(SampleK) * col("n_tokens") * lit(4294967296L))
+        .filter(col("u32").cast("decimal(20,0)") *
+            col("w_total").cast("decimal(20,0)") <
+          lit(SampleK).cast("decimal(20,0)") *
+            col("n_tokens").cast("decimal(20,0)") *
+            lit(4294967296L).cast("decimal(20,0)"))
         .select("doc_id", "source", "n_tokens")
         .orderBy("doc_id")
     },
@@ -1924,9 +1931,9 @@ object TextAnalysis {
        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS w_total FROM w)
        |SELECT doc_id, source, n_tokens
        |FROM w, tot
-       |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-       |        AS BIGINT) * w_total
-       |  < $SampleK * n_tokens * 4294967296
+       |WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |        AS BIGINT) AS HUGEINT) * w_total
+       |  < $SampleK * n_tokens * CAST(4294967296 AS HUGEINT)
        |ORDER BY doc_id""".stripMargin)
 
   val registry: Map[String, Q] = Map(

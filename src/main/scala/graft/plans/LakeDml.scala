@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, OuterReference, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LeafNode, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, View}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LeafNode, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.IntegerType
@@ -220,6 +220,56 @@ object LakeDml {
     }
   }
 
+  /** `INSERT INTO <lake view>` front door (r17 verdict next-round #5 —
+    * the last DML verb a SQL-only consumer hits that still required
+    * the Scala `merge` API). Injected in the HINTS batch (before the
+    * main resolution batch) because Spark's own `ResolveRelations`
+    * throws "inserting into a view is not allowed" the moment it
+    * resolves the target name to a temp view — the DELETE/UPDATE/MERGE
+    * statements only fail later (at checkAnalysis), which is why
+    * [[ResolveLakeDml]] can sit in the ordinary resolution batch but
+    * this rule cannot. The query plan is captured UNRESOLVED and
+    * re-analyzed at run time ([[PlanBox]] semantics: names bind to the
+    * freshest session state when the command runs).
+    *
+    * Compiles to a KEY-CONFLICT-CHECKED APPEND: a batch row whose
+    * `(dt, key)` already exists in the snapshot — or is duplicated
+    * within the batch itself — fails the statement loudly (the
+    * primary-key-violation stance; a silent upsert is what `MERGE
+    * INTO` is for, and a silent skip is what `WHEN NOT MATCHED`
+    * expresses — plain INSERT must not guess). Conflict-free batches
+    * ride [[graft.sources.LakeMerge.merge]] pinned to the checked
+    * snapshot version, so constraint vetoes, the CDC feed, schema
+    * history, and optimistic concurrency behave exactly like the
+    * Scala path. Unregistered names pass through and keep Spark's
+    * own error surface; `INSERT OVERWRITE` and static `PARTITION`
+    * specs are rejected explicitly (the lake partitions by its `dt`
+    * column's VALUES — use DELETE + INSERT or MERGE).
+    */
+  case class ResolveLakeInsert(session: SparkSession)
+      extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+      case i @ InsertIntoStatement(
+          UnresolvedRelation(parts, _, _), partSpec, userCols, query,
+          overwrite, _, byName) if parts.length == 1 =>
+        graft.GraftCatalog.lakeDir(session, parts.head) match {
+          case Some(dir) =>
+            if (overwrite) throw new UnsupportedOperationException(
+              "INSERT OVERWRITE is not supported on lake tables — " +
+                "use DELETE FROM + INSERT INTO, or MERGE INTO")
+            if (partSpec.nonEmpty)
+              throw new UnsupportedOperationException(
+                "static PARTITION specs are not supported on lake " +
+                  "tables — the lake partitions by the dt column's " +
+                  "row values; put the value in the row")
+            GraftInsertIntoLakeCommand(parts.head, dir,
+              new PlanBox(query), userCols, byName)
+          case None => i
+        }
+      case _ => plan
+    }
+  }
+
   /** Opaque expression holder: the commands carry DELIBERATELY
     * unresolved expressions (they re-resolve against the fresh
     * snapshot at run time), but checkAnalysis collects every
@@ -318,6 +368,86 @@ object LakeDml {
       val v = LakeMerge.mergeInto(spark, dir, src, colOf(on),
         armsOf(matched), armsOf(notMatched),
         armsOf(notMatchedBySource))
+      graft.GraftCatalog.registerLake(spark, name, dir)
+      Seq(Row(v))
+    }
+  }
+
+  /** `INSERT INTO <lake view> [(cols)] VALUES/SELECT` — see
+    * [[ResolveLakeInsert]] for the semantics contract. Column
+    * handling follows SQL INSERT: a column list (or BY NAME) maps the
+    * query's output onto the table's columns with unlisted columns
+    * NULL-filled; without either, the query must produce exactly the
+    * table's column count, positionally. Every column is cast to the
+    * table's declared type (the MERGE arms' ANSI-cast stance).
+    * Returns the new version.
+    */
+  case class GraftInsertIntoLakeCommand(name: String, dir: String,
+      source: PlanBox, userCols: Seq[String], byName: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      import graft.sources.LakeMerge
+      import org.apache.spark.sql.functions.{col, lit}
+      val m = LakeMerge.manifest(spark, dir)
+      val snapSchema = LakeMerge.read(spark, dir).schema
+      def typeOf(c: String) = snapSchema(c).dataType
+      val src0 = GraftColumnBridge.ofRows(spark, source.plan)
+      val resolver = spark.sessionState.conf.resolver
+      def canon(c: String): String = m.columns.find(resolver(c, _))
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown column '$c' in INSERT into '$name' " +
+            s"(table has: ${m.columns.mkString(", ")})"))
+      val named =
+        if (byName) {
+          src0.toDF(src0.columns.map(canon).toIndexedSeq: _*)
+        } else {
+          val targets =
+            if (userCols.nonEmpty) userCols.map(canon) else m.columns
+          require(src0.columns.length == targets.length,
+            s"INSERT into '$name': query produces " +
+              s"${src0.columns.length} column(s), target expects " +
+              s"${targets.length} (${targets.mkString(", ")})")
+          src0.toDF(targets: _*)
+        }
+      require(named.columns.distinct.length == named.columns.length,
+        s"INSERT into '$name': duplicate target column in " +
+          named.columns.mkString(", "))
+      val mandatory = Seq(m.dtCol, m.keyCol, m.orderCol)
+      mandatory.filterNot(c => named.columns.contains(c)).foreach(c =>
+        throw new IllegalArgumentException(
+          s"INSERT into '$name' must provide the table's " +
+            s"dt/key/order columns (missing '$c') — they are the " +
+            "row's identity, NULL cannot stand in"))
+      val batch = named.select(m.columns.map(c =>
+        (if (named.columns.contains(c)) col(c)
+         else lit(null)).cast(typeOf(c)).as(c)): _*)
+      // PRIMARY-KEY stance, checked against the SAME snapshot version
+      // the merge is pinned to (a concurrent commit between check and
+      // merge surfaces as ConcurrentModificationException, never as a
+      // missed conflict): within-batch duplicates and batch-vs-table
+      // collisions both fail the statement loudly.
+      val keyed = batch.select(col(m.dtCol).as("_dt"),
+        col(m.keyCol).as("_k")).cache()
+      try {
+        val batchDup = keyed.groupBy("_dt", "_k")
+          .count().filter(col("count") > 1).limit(3)
+          .collect().map(r => s"(${r.get(0)}, ${r.get(1)})")
+        require(batchDup.isEmpty,
+          s"INSERT into '$name': duplicate (${m.dtCol}, ${m.keyCol}) " +
+            s"within the inserted rows: ${batchDup.mkString(", ")} — " +
+            "a lake table keys rows by (dt, key)")
+        val existing = LakeMerge.read(spark, dir, Some(m.version))
+          .select(col(m.dtCol).as("_dt"), col(m.keyCol).as("_k"))
+        val clash = keyed.join(existing, Seq("_dt", "_k")).limit(3)
+          .collect().map(r => s"(${r.get(0)}, ${r.get(1)})")
+        require(clash.isEmpty,
+          s"INSERT into '$name': key(s) already present: " +
+            s"${clash.mkString(", ")} — INSERT is append-only; use " +
+            "MERGE INTO to upsert")
+      } finally keyed.unpersist()
+      val v = LakeMerge.merge(spark, dir, batch,
+        baseVersion = Some(m.version))
       graft.GraftCatalog.registerLake(spark, name, dir)
       Seq(Row(v))
     }

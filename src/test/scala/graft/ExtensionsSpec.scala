@@ -299,6 +299,89 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("SQL INSERT INTO over a registered lake view: positional and " +
+    "column-list appends, key-conflict veto, constraint veto, CDC, " +
+    "OVERWRITE rejected, unregistered names keep Spark's error") {
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import ext.implicits._
+      import graft.sources.LakeMerge
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lakeinsert").toString
+      val base = (0 until 4)
+        .map(i => (i.toLong, "2024-01", s"p$i", i.toLong * 10, 0L))
+        .toDF("k", "dt", "payload", "score", "seq")
+      LakeMerge.init(ext, dir, base, "dt", "k", "seq")
+      LakeMerge.addConstraint(ext, dir, "score_nonneg", "score >= 0")
+      GraftCatalog.registerLake(ext, "ins", dir)
+      // positional VALUES append — full column list, new version,
+      // view re-registered to the fresh snapshot
+      val v0 = LakeMerge.latestVersion(ext, dir)
+      val v1 = ext.sql("INSERT INTO ins VALUES " +
+        "(10, '2024-02', 'p10', 100, 1), (11, '2024-01', 'p11', 110, 1)")
+        .head().getInt(0)
+      assert(v1 === v0 + 1, "INSERT commits exactly one version")
+      assert(ext.sql("SELECT count(*) FROM ins").head().getLong(0) === 6L)
+      assert(ext.sql("SELECT payload FROM ins WHERE k = 10")
+        .head().getString(0) === "p10")
+      // column-list form: unlisted columns NULL-fill; INSERT ... SELECT
+      ext.sql("INSERT INTO ins (k, dt, score, seq) " +
+        "SELECT k + 100, dt, score, seq FROM ins WHERE k >= 10")
+      assert(ext.sql("SELECT payload FROM ins WHERE k = 110")
+        .head().isNullAt(0), "unlisted column NULL-fills")
+      assert(ext.sql("SELECT count(*) FROM ins").head().getLong(0) === 8L)
+      // CDC: SQL INSERT is an ordinary commit on the change feed
+      assert(ext.sql("SELECT _change_type FROM ins_changes WHERE k = 10")
+        .collect().map(_.getString(0)).toSeq === Seq("insert"))
+      val vNow = LakeMerge.latestVersion(ext, dir)
+      // PK stance: an existing (dt, key) fails the statement LOUDLY
+      // and commits nothing
+      val clash = intercept[Throwable] {
+        ext.sql("INSERT INTO ins VALUES (10, '2024-02', 'x', 1, 2)") }
+      assert(clash.getMessage != null &&
+        clash.getMessage.contains("already present"), s"got $clash")
+      // ... as does a duplicate within the inserted rows themselves
+      val dup = intercept[Throwable] {
+        ext.sql("INSERT INTO ins VALUES (20, '2024-01', 'a', 1, 1), " +
+          "(20, '2024-01', 'b', 2, 1)") }
+      assert(dup.getMessage != null &&
+        dup.getMessage.contains("duplicate"), s"got $dup")
+      // constraint veto before any write, exactly like the Scala path
+      val veto = intercept[Throwable] {
+        ext.sql("INSERT INTO ins VALUES (21, '2024-01', 'n', -5, 1)") }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+      assert(chain(veto).exists(
+        _.isInstanceOf[LakeMerge.ConstraintViolation]),
+        s"expected a ConstraintViolation, got $veto")
+      assert(LakeMerge.latestVersion(ext, dir) === vNow,
+        "failed INSERTs must not commit a version")
+      assert(ext.sql("SELECT count(*) FROM ins").head().getLong(0) === 8L)
+      // identity columns cannot NULL-fill
+      val noKey = intercept[Throwable] {
+        ext.sql("INSERT INTO ins (payload, score) VALUES ('q', 1)") }
+      assert(chain(noKey).exists(t => t.getMessage != null &&
+        t.getMessage.contains("dt/key/order")), s"got $noKey")
+      // INSERT OVERWRITE is rejected explicitly, not silently appended
+      val ovw = intercept[Throwable] {
+        ext.sql("INSERT OVERWRITE ins VALUES (30, '2024-01', 'o', 1, 1)") }
+      assert(chain(ovw).exists(t => t.getMessage != null &&
+        t.getMessage.contains("INSERT OVERWRITE")), s"got $ovw")
+      // a name NOT registered as a lake keeps Spark's own error
+      intercept[Throwable] {
+        ext.sql("INSERT INTO nosuchlake VALUES (1)") }
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("SQL DML subquery conditions re-resolve at run time: an IN " +
     "subquery over the SAME lake view reads the freshest snapshot, " +
     "and a correlated EXISTS resolves its outer references") {

@@ -938,25 +938,48 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === brute, "candidate scheme must equal brute force")
     assert(got.nonEmpty, "corpus should contain prefix-level dups")
+    // depth 2 (SymSpell's standard): the double-deletion neighborhood
+    // must ALSO equal brute force at its radius — and strictly
+    // contain the depth-1 relation (same pairs, wider net)
+    val got2 = SparkEntry.queries("d_edit_dup2")(spark, sf)
+      .select("doc_a", "doc_b", "edit_dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute2 = k.select(col("doc_id").as("doc_a"), col("k").as("k_a"))
+      .crossJoin(k.select(col("doc_id").as("doc_b"), col("k").as("k_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(levenshtein(col("k_a"), col("k_b")) <= 2)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("k_a"), col("k_b")).cast("long").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 === brute2, "depth-2 scheme must equal brute force")
+    assert(got.subsetOf(got2), "radius 2 is a superset of radius 1")
   }
 
   test("d_edit_dup hot bucket: an over-cap title bucket splits instead " +
-    "of exploding, retaining the split policy's expected recall") {
+    "of exploding, and bucket-keyed salts compound recall across the " +
+    "shared variant buckets") {
     import spark.implicits._
     // 320 docs with the IDENTICAL title key: brute force has n(n-1)/2
-    // = 51,040 ED-0 pairs; the bucket (320 > MaxBucket=64) splits into
-    // ceil(320/64)=5 salted sub-buckets x SplitRounds=2, so a pair
-    // survives iff it collides in SOME round: p = 1-(1-1/5)^2 = 36%.
-    // Pin the binomial band AND the bound: kept pairs << brute force.
+    // = 51,040 ED-0 pairs; every variant bucket (320 > MaxBucket=64)
+    // splits into ceil(320/64)=5 salted sub-buckets x SplitRounds=2.
+    // Each pair shares ALL 25 deletion-variant buckets (the key + 24
+    // single deletions), and because the split salt includes the
+    // bucket key (r17 advice), the 25 buckets' split verdicts are
+    // INDEPENDENT: p = 1-(1-1/5)^(2*25) ~ 99.998% — near-full recall
+    // where the old (doc_id, r)-only salt stalled at the
+    // single-bucket 36%. The JOIN stays bounded by construction
+    // (<= R*n*cap candidate rows per bucket); what decorrelation buys
+    // is which pairs the bounded join retains.
     val docs = (0L until 320L).map(i => (i, "the quick brown fox " +
       s"jumps over the lazy dog $i")).toDF("doc_id", "text")
     val kept = graft.operators.Dedup.editDupPairs(docs).count().toDouble
     val all = 320.0 * 319 / 2
-    val p = 1.0 - math.pow(1.0 - 1.0 / 5, 2)
+    val p = 1.0 - math.pow(1.0 - 1.0 / 5, 2.0 * 25)
     val sd = math.sqrt(all * p * (1 - p))
-    assert(math.abs(kept - all * p) <= 5 * sd,
+    assert(math.abs(kept - all * p) <= 5 * sd + 5,
       s"kept $kept vs expected ${all * p} (sd $sd)")
-    assert(kept < all * 0.5, "the split must bound the pair join")
+    assert(kept > all * 0.99,
+      "cross-bucket decorrelation must recover hot-bucket recall")
     // and a WITHIN-cap corpus keeps every pair (one sub-bucket):
     // "all identical title keys" is exactly 24 chars, so every doc
     // shares the key and differs only past the truncation point

@@ -635,7 +635,8 @@ class QueriesSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val rungs = Seq("s_ann_lsh", "s_ann_multiprobe", "s_ann_ivf",
       "s_ann_ivf_km", "s_ann_ivf_probe", "s_ann_ivf_km_probe",
-      "s_ann_pq", "s_ann_ivfpq", "s_ann_ivfpq_probe", "s_ann_sq8")
+      "s_ann_pq", "s_ann_ivfpq", "s_ann_ivfpq_probe", "s_ann_sq8",
+      "s_ann_graph_walk")
     assert(rows.keySet === rungs.toSet, "one row per ANN config")
     rows.values.foreach { case (hits, bp) =>
       assert(hits >= 0 && hits <= 10 && bp === hits * 1000)
@@ -650,6 +651,35 @@ class QueriesSpec extends SparkSpec {
       "multi-probe LSH recall must be >= single-probe")
     assert(rows("s_ann_ivf_km_probe")._1 >= rows("s_ann_ivf_km")._1,
       "nprobe=2 recall must be >= nprobe=1 (km-trained IVF)")
+  }
+
+  test("s_ann_graph_walk: beam walk is deterministic, excludes the " +
+    "probe, orders by exact score, and never regresses its entry") {
+    import graft.operators.Similarity
+    val got = SparkEntry.queries("s_ann_graph_walk")(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 10)
+    assert(got.forall(_.getLong(0) != 0L), "the probe never self-reports")
+    val scores = got.map(_.getLong(2))
+    assert(scores.toSeq === scores.sortBy(-_).toSeq,
+      "output is (score DESC, vec_id) ordered")
+    // the frontier is BEST-SEEN (candidates always include the prior
+    // frontier), so the walk's best score can never be worse than the
+    // best of its raw entry stratum — the monotone-quality contract
+    // that makes fixed-round termination safe
+    val emb = Tables.embeddings(spark, sf)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    val entryBest = emb.filter(col("vec_id") =!= 0)
+      .orderBy("vec_id").limit(Similarity.WalkBeam)
+      .crossJoin(broadcast(probe))
+      .select(Similarity.nativeScoreMicro(spark, "embedding", "probe")
+        .as("s"))
+      .agg(max("s")).head().getLong(0)
+    assert(got.head.getLong(2) >= entryBest,
+      "beam search must not lose its best-seen candidate")
+    // deterministic: the walk re-runs to the identical row set
+    val again = SparkEntry.queries("s_ann_graph_walk")(spark, sf).collect()
+    assert(again.toSeq === got.toSeq)
   }
 
   test("s_ann_ivf_probe: nprobe=2 widens the scan, recall is monotone") {

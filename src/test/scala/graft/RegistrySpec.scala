@@ -17,16 +17,16 @@ class RegistrySpec extends AnyFunSuite {
     assert(graft.operators.Cleanse.registry.size === 7)
     assert(graft.operators.Star.registry.size === 18)
     assert(graft.operators.Analytics.registry.size === 32)
-    assert(graft.operators.Dedup.registry.size === 33)
+    assert(graft.operators.Dedup.registry.size === 34)
     assert(graft.operators.TextAnalysis.registry.size === 30)
-    assert(graft.operators.Similarity.registry.size === 29)
+    assert(graft.operators.Similarity.registry.size === 30)
     assert(graft.operators.MultiModal.registry.size === 1)
     assert(graft.operators.Graph.registry.size === 10)
     assert(graft.sources.LakeMerge.registry.size === 12)
   }
 
   test("SparkEntry serves every registry row, with an oracle each") {
-    assert(SparkEntry.queries.size === 172,
+    assert(SparkEntry.queries.size === 174,
       "total oracle-gated query count (update on purpose only)")
     assert(SparkEntry.oracleSql.size === SparkEntry.queries.size)
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet,

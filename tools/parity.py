@@ -96,7 +96,13 @@ def run_hoisted(con, sql):
     made = []
     try:
         for name, body in ctes:
-            con.execute(f'CREATE OR REPLACE TEMP TABLE "{name}" AS {body}')
+            # plain CREATE (no OR REPLACE): a duplicate CTE name is a
+            # binder error in the single-statement gate, and the hoisted
+            # evidence path must reject exactly the same oracle text
+            # rather than silently taking last-definition-wins (r17
+            # advice). Names never collide ACROSS queries: every path
+            # drops its temps after the result is consumed.
+            con.execute(f'CREATE TEMP TABLE "{name}" AS {body}')
             made.append(name)
         return con.sql(final), made
     except Exception:
