@@ -622,5 +622,103 @@ object MultiModal {
       |  CAST(1 + strlen(text) // 64 AS BIGINT) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin)
 
-  val registry: Map[String, Q] = Map("m_meta" -> mMeta)
+  // ---------------------------------------------------------------- I7
+  /** BYTE-LEVEL NEAR-DUP, oracle-gated (r17 verdict #7 — the I family
+    * carried a single oracle row because JDK codecs are not DuckDB-
+    * replayable; this row is the pair-search half of the family with
+    * the codec factored OUT): content is sliced into fixed
+    * [[BlockLen]]-byte blocks (the fixed-size rung below H27's
+    * content-defined chunking — the standard first pass of binary
+    * dedup), each full block fingerprinted with md5, and documents
+    * sharing ≥ 1 identical block ANYWHERE pair up with the count of
+    * distinct shared block fingerprints as the similarity (the join
+    * is position-FREE, so a copied block is found at any aligned
+    * offset). Candidates are exact by construction (equal fingerprint
+    * = equal bytes), so this is the banded-pair plan of
+    * [[imageNearDupPairs]] with a replayable fingerprint in place of
+    * the perceptual one.
+    *
+    * Skew guard: a boilerplate block (shared header/footer bytes) is
+    * a hot bucket, so block buckets carry the engine's
+    * SPLIT-DON'T-DROP occupancy policy with bucket-keyed salts — the
+    * pair join stays ≤ R·n·cap per bucket, recall compounding across
+    * every block a pair shares exactly as the F30 variant buckets.
+    * Within-doc repeated blocks collapse first (DISTINCT (doc, h)),
+    * so multiplicity never inflates the join. All joins equi-shaped;
+    * all arithmetic integer/md5 ⇒ oracle-gated.
+    */
+  val BlockLen = 64
+  val MaxBlockBucket = 64
+  val BlockSplitRounds = 2
+
+  private def blkSubSpark: String =
+    s"""CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '#',
+       |  CAST(r AS STRING), '#', h)), 1, 8),
+       |  16, 10) AS BIGINT)
+       |  % ((bucket_n + ${MaxBlockBucket - 1}) DIV $MaxBlockBucket)"""
+      .stripMargin.replace("\n", " ")
+
+  private def blkSubDuck: String =
+    s"""CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+       |  CAST(r AS VARCHAR) || '#' || h),
+       |  1, 8) AS BIGINT)
+       |  % ((bucket_n + ${MaxBlockBucket - 1}) // $MaxBlockBucket)"""
+      .stripMargin.replace("\n", " ")
+
+  /** The block-fingerprint pair relation over an arbitrary
+    * (doc_id, text) relation — split out so the spec can drive both
+    * a brute-force-equality corpus and a constructed hot-bucket
+    * corpus through the exact code the query runs.
+    */
+  private[graft] def byteNearDupPairs(docs: DataFrame): DataFrame = {
+    val blocks = docs
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, CAST(length(text) DIV $BlockLen AS INT)),
+           |  b -> substring(text, 1 + CAST(b AS INT) * $BlockLen,
+           |                 $BlockLen))""".stripMargin)).as("s"))
+      .filter(length(col("s")) === BlockLen)
+      .select(col("doc_id"), md5(col("s")).as("h"))
+      .distinct()
+    val split = Occupancy.attach(blocks, Seq("h"), "bucket_n")
+      .withColumn("r",
+        explode(typedLit((0 until BlockSplitRounds).map(_.toLong))))
+      .withColumn("sub", expr(blkSubSpark))
+      .select("doc_id", "h", "r", "sub")
+    split.select(col("doc_id").as("doc_a"), col("h"),
+        col("r"), col("sub")).hint("merge")
+      .join(split.select(col("doc_id").as("doc_b"), col("h"),
+        col("r"), col("sub")).hint("merge"), Seq("h", "r", "sub"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(countDistinct("h").as("n_shared"))
+  }
+
+  val mByteNearDup: Q = Q(
+    (s, dir) => byteNearDupPairs(
+      Tables.documents(s, dir).select("doc_id", "text"))
+      .orderBy("doc_a", "doc_b"),
+    s"""WITH blk AS (
+       |  SELECT DISTINCT doc_id, md5(s) AS h FROM (
+       |    SELECT doc_id,
+       |      substr(text, 1 + CAST(b AS INT) * $BlockLen, $BlockLen) AS s
+       |    FROM (SELECT doc_id, text,
+       |            unnest(range(0, length(text) // $BlockLen + 1)) AS b
+       |          FROM documents))
+       |  WHERE length(s) = $BlockLen),
+       |banded AS (
+       |  SELECT *, count(*) OVER (PARTITION BY h) AS bucket_n FROM blk),
+       |bsplit AS (
+       |  SELECT doc_id, h, r, $blkSubDuck AS sub
+       |  FROM banded, (SELECT unnest(range($BlockSplitRounds)) AS r) rr)
+       |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |  CAST(count(DISTINCT a.h) AS BIGINT) AS n_shared
+       |FROM bsplit a JOIN bsplit c
+       |  ON a.h = c.h AND a.r = c.r AND a.sub = c.sub
+       |  AND a.doc_id < c.doc_id
+       |GROUP BY a.doc_id, c.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin)
+
+  val registry: Map[String, Q] = Map(
+    "m_meta" -> mMeta,
+    "m_byte_neardup" -> mByteNearDup)
 }

@@ -107,6 +107,49 @@ class OperatorsSpec extends SparkSpec {
     assert(feats.filter(col("first_byte") < 0).count() === 0)
   }
 
+  test("m_byte_neardup: block-fingerprint banding equals brute-force " +
+    "block equality within-cap, and a hot bucket splits bounded") {
+    import spark.implicits._
+    val B = MultiModal.BlockLen
+    // brute: same block slicing, RAW string equality instead of the
+    // md5 band join — proves both that md5 banding loses nothing and
+    // that the split policy is a no-op on within-cap corpora
+    val q = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, CAST(length(text) DIV $B AS INT)),
+           |  b -> substring(text, 1 + CAST(b AS INT) * $B, $B))"""
+          .stripMargin)).as("s"))
+      .filter(length(col("s")) === B)
+      .distinct()
+    val brute = q.select(col("doc_id").as("doc_a"), col("s"))
+      .join(q.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(countDistinct("s").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val got = SparkEntry.queries("m_byte_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === brute, "banded pairs must equal brute block equality")
+    assert(got.nonEmpty, "corpus should contain block-level dups")
+    // hot bucket: 300 docs sharing ONE identical full block — the
+    // bucket (300 > cap 64) splits into ceil(300/64)=5 salted
+    // sub-buckets x 2 rounds; one shared bucket, so
+    // p = 1-(1-1/5)^2 = 36% of the n(n-1)/2 pairs survives, bounded
+    val blockText = ("x" * 70)
+    val hot = (0L until 300L).map(i => (i, blockText))
+      .toDF("doc_id", "text")
+    val kept = graft.operators.MultiModal.byteNearDupPairs(hot)
+      .count().toDouble
+    val all = 300.0 * 299 / 2
+    val p = 1.0 - math.pow(1.0 - 1.0 / 5, 2.0)
+    val sd = math.sqrt(all * p * (1 - p))
+    assert(math.abs(kept - all * p) <= 5 * sd + 5,
+      s"kept $kept vs expected ${all * p} (sd $sd)")
+    assert(kept < all * 0.6, "the split must bound the hot bucket")
+  }
+
   test("r_parse_route: dispatch reads metadata.version off the wire, " +
     "and the no-version path has NO metadata key at all") {
     import spark.implicits._
