@@ -122,14 +122,17 @@ object Dedup {
     * (a pair is a candidate if it collides in ANY round — the banding
     * trick applied to the split itself). Within-cap buckets have one
     * sub-bucket, so their pairs are untouched; an over-cap bucket
-    * retains each pair with probability ≥ 1−(1−1/⌈n/cap⌉)^R instead
-    * of 0, and the join stays bounded: ≤ R·n·MaxBucket expected pairs
-    * per bucket — linear in corpus size with constant factor
-    * R·cap/2, never quadratic. Measured at sf0.01 on the F21 truth
-    * set: recall 969 bp (drop) → 5,028 bp (split, R=2) against the
-    * 8,804 bp ceiling, with the candidate join growing 7.9k → 36k
-    * pairs (sf0.1: 55k → 778k — the price of the recovered recall,
-    * paid where the corpus is actually duplicate-dense).
+    * retains each pair with probability ≥ 1−(1−1/⌈n/cap⌉)^(R·B)
+    * over the B shared over-cap buckets (bucket-keyed salts
+    * decorrelate the buckets — see [[splitSubSpark]]), and the join
+    * stays bounded: ≤ R·n·MaxBucket expected pairs per bucket —
+    * linear in corpus size with constant factor R·cap/2, never
+    * quadratic. Measured at sf0.01 on the F21 truth set: recall
+    * 969 bp (r13 drop) → 5,028 bp (r14 split, R=2) → **5,932 bp**
+    * (r18 bucket-keyed salts) against the 8,804 bp banding ceiling,
+    * with the candidate join at 41k pairs (sf0.1: 859k — the price
+    * of the recovered recall, paid where the corpus is actually
+    * duplicate-dense).
     */
   val MaxBucket = 64
 
@@ -2042,9 +2045,11 @@ object Dedup {
     * bucket occupancy still counted corpus-wide) is built once and
     * the rungs are a 4-way explode + one aggregation over it. Rung
     * 512 exceeds this corpus's largest bucket, so its row IS the
-    * banding ceiling. Measured at sf0.01: 5028 / 7118 / 8549 /
-    * 8804 bp (the r13 drop-cap curve read 969 / 969 / 7853 / 8804 —
-    * the split lifts the floor at every cap). Monotone-in-cap is
+    * banding ceiling. Measured at sf0.01: 5932 / 7580 / 8559 /
+    * 8804 bp under the r18 bucket-keyed salts (r14's doc-only salts
+    * read 5028 / 7118 / 8549 / 8804; the r13 drop-cap curve read
+    * 969 / 969 / 7853 / 8804 — the split lifts the floor at every
+    * cap, and decorrelation lifts the split). Monotone-in-cap is
     * empirical for the committed corpus (split moduli are not nested
     * across caps), constant-cost at any corpus size (stratum capped).
     */
@@ -2064,7 +2069,8 @@ object Dedup {
           explode(typedLit((0 until SplitRounds).map(_.toLong))))
         .withColumn("h", expr(
           "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '#'," +
-            " CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+            " CAST(r AS STRING), '#', CAST(band AS STRING), '|'," +
+            " band_hash)), 1, 8), 16, 10) AS BIGINT)"))
       val a = b.select(col("doc_id").as("doc_a"), col("band"),
         col("band_hash"), col("r"), col("bucket_n"), col("h").as("h_a"))
       val c = b.select(col("doc_id").as("doc_b"), col("band"),
@@ -2100,7 +2106,8 @@ object Dedup {
        |evb AS (
        |  SELECT e.*, r,
        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
-       |      CAST(r AS VARCHAR)), 1, 8) AS BIGINT) AS h
+       |      CAST(r AS VARCHAR) || '#' || CAST(band AS VARCHAR) ||
+       |      '|' || band_hash), 1, 8) AS BIGINT) AS h
        |  FROM banded e, (SELECT unnest(range($SplitRounds)) AS r) rr
        |  WHERE doc_id IN (SELECT doc_id FROM ev0)),
        |rungs AS (SELECT CAST(unnest(
