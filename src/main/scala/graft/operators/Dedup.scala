@@ -189,9 +189,15 @@ object Dedup {
     // between queries. Occupancy is a groupBy+join, NOT a window —
     // see [[Occupancy.attach]] for the 100 TB skew rationale.
     val base = bands(s, dir).cache()
+    // a WITHIN-cap bucket has one sub-bucket, so its SplitRounds round
+    // rows are byte-identical (sub = h % 1 = 0 for every r) and the
+    // downstream distinct erases them — generating them only DOUBLES
+    // the join mass on sane corpora (r18: sf1 sort spill halved).
+    // Over-cap buckets keep all R rounds; the oracle generates all R
+    // everywhere and lands on the same post-distinct relation.
     val b = Occupancy.attach(base, Seq("band", "band_hash"), "bucket_n")
-      .withColumn("r",
-        explode(typedLit((0 until SplitRounds).map(_.toLong))))
+      .withColumn("r", explode(expr(
+        s"sequence(0L, IF(bucket_n <= $MaxBucket, 0L, ${SplitRounds - 1}L))")))
       .withColumn("sub", expr(splitSubSpark(
         "concat(CAST(band AS STRING), '|', band_hash)")))
       .select("doc_id", "band", "band_hash", "r", "sub")
@@ -2782,15 +2788,36 @@ object Dedup {
     val vars = keyed.select(col("doc_id"),
       explode(expr(if (depth == 1) editVarsExpr else editVars2Expr))
         .as("var"))
-    val split = Occupancy.attach(vars, Seq("var"), "bucket_n")
-      .withColumn("r",
-        explode(typedLit((0 until SplitRounds).map(_.toLong))))
-      .withColumn("sub", expr(splitSubSpark("var")))
-      .select("doc_id", "var", "r", "sub")
-    val cand = split.select(col("doc_id").as("doc_a"), col("var"),
+    // within-cap buckets skip the extra rounds (identical sub-0 rows
+    // the distinct would erase — see lshCandidates; at depth 2 this
+    // halved the sf1 sort spill)
+    // occupancy counting AND the pair join key on xxhash64(var), NOT
+    // the ~24-char variant string: shuffling/sorting 15M strings was
+    // the sf1 wall (longs exchange 2-3x cheaper and spill half the
+    // bytes). Output equality: equal variants always share a hash (no
+    // candidate is ever LOST); a cross-variant collision can only ADD
+    // a candidate — which the exact levenshtein verify below either
+    // keeps (a true <=depth pair, already in the oracle's output by
+    // the SymSpell theorem) or drops — or merge two bucket counts,
+    // which only matters if the merged count crosses the cap. Both
+    // are DETERMINISTIC properties of the corpus, not flake sources:
+    // the gate SFs are fixed data, and none collides (64-bit space,
+    // ~15M keys at sf1 — verified green at sf0.001/0.01/0.1). The
+    // SPLIT salt stays md5-of-the-variant-string (computed only for
+    // over-cap rows — within-cap sub is identically 0), so over-cap
+    // split verdicts replay in DuckDB byte-for-byte.
+    val split = Occupancy.attach(
+        vars.withColumn("vh", xxhash64(col("var"))), Seq("vh"),
+        "bucket_n")
+      .withColumn("r", explode(expr(
+        s"sequence(0L, IF(bucket_n <= $MaxBucket, 0L, ${SplitRounds - 1}L))")))
+      .withColumn("sub", expr(
+        s"IF(bucket_n <= $MaxBucket, 0L, ${splitSubSpark("var")})"))
+      .select("doc_id", "vh", "r", "sub")
+    val cand = split.select(col("doc_id").as("doc_a"), col("vh"),
         col("r"), col("sub")).hint("merge")
-      .join(split.select(col("doc_id").as("doc_b"), col("var"),
-        col("r"), col("sub")).hint("merge"), Seq("var", "r", "sub"))
+      .join(split.select(col("doc_id").as("doc_b"), col("vh"),
+        col("r"), col("sub")).hint("merge"), Seq("vh", "r", "sub"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand

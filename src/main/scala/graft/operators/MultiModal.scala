@@ -679,9 +679,12 @@ object MultiModal {
       .filter(length(col("s")) === BlockLen)
       .select(col("doc_id"), md5(col("s")).as("h"))
       .distinct()
+    // within-cap buckets skip the extra rounds (identical sub-0 rows
+    // the distinct erases — Dedup.lshCandidates' r18 treatment)
     val split = Occupancy.attach(blocks, Seq("h"), "bucket_n")
-      .withColumn("r",
-        explode(typedLit((0 until BlockSplitRounds).map(_.toLong))))
+      .withColumn("r", explode(expr(
+        s"sequence(0L, IF(bucket_n <= $MaxBlockBucket, 0L, " +
+          s"${BlockSplitRounds - 1}L))")))
       .withColumn("sub", expr(blkSubSpark))
       .select("doc_id", "h", "r", "sub")
     split.select(col("doc_id").as("doc_a"), col("h"),

@@ -1692,10 +1692,12 @@ object Similarity {
         c => c.getField("cell"))))
       .select("vec_id", "cell")
       .cache()
+    // within-cap cells skip the extra rounds (identical sub-0 rows
+    // the distinct erases — Dedup.lshCandidates' r18 treatment)
     val split = Occupancy
       .attach(assigned, Seq("cell"), "cell_n", broadcastCounts = true)
-      .withColumn("r",
-        explode(typedLit((0 until KnnSplitRounds).map(_.toLong))))
+      .withColumn("r", explode(expr(
+        s"sequence(0L, IF(cell_n <= $MaxKnnCell, 0L, ${KnnSplitRounds - 1}L))")))
       .withColumn("sub", expr(knnSubSpark))
       .select("vec_id", "cell", "r", "sub")
       .cache()
