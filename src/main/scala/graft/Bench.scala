@@ -103,8 +103,17 @@ object Bench {
       // 80%-carve map and the simulated batch edges) are lake-resident
       // artifacts in production, so their build is warmup, not
       // workload (r11 verdict adjudication of the 2× closing line).
-      graft.operators.Dedup.oldClusterMap(spark, sfDir).count()
-      graft.operators.Dedup.batchEdges(spark, sfDir).count()
+      // try/catch: a failed warmup (r18: the sf10 leg filled /tmp
+      // building the cluster map) must surface as THAT query's err,
+      // never kill the whole leg — the timed pass below repeats the
+      // build attempt and records the failure per-query.
+      try {
+        graft.operators.Dedup.oldClusterMap(spark, sfDir).count()
+        graft.operators.Dedup.batchEdges(spark, sfDir).count()
+      } catch { case e: Throwable =>
+        System.err.println(s"BENCH WARN d_incr_clusters warmup failed: " +
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
     }
     // A query that throws must surface as "err", never as a timing:
     // timing a crash reads as a fake speedup and corrupts the 2× gate.

@@ -42,6 +42,12 @@ final case class Settings(
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.ui.enabled", "false")
+      // reclaim dereferenced shuffle files aggressively: a 175-query
+      // bench in ONE JVM otherwise accumulates every query's shuffle
+      // blocks until a full GC happens to run the cleaner — at sf10
+      // that filled the local disk (r18). Default is 30min; 2min
+      // keeps long single-JVM legs flat without touching query plans.
+      .config("spark.cleaner.periodicGC.interval", "120s")
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -513,14 +513,30 @@ object Dedup {
       requireConverged: Boolean = true): DataFrame = {
     val spark = labels0.sparkSession
     var labels = labels0.select("doc_id", "label")
+    // The edge relation is the BIG, LOOP-INVARIANT side — shuffle it
+    // ONCE: persisted hash-partitioned on the join key, the cached
+    // relation exposes that partitioning to every round's join, so
+    // the per-round exchange is the LABELS side only (≤ one row per
+    // node — orders of magnitude under the edges). Before r18 each
+    // round re-shuffled AND re-sorted the full edge relation, and the
+    // dead shuffle files accumulated faster than the cleaner ran —
+    // the sf10 cluster-map build alone wrote ~70 GB of transient
+    // shuffle and filled the local disk. The labels side carries a
+    // SHUFFLE_HASH hint (build ≤ node-count rows — bounded by the
+    // advisory partition budget on a real cluster), so neither side
+    // pays a per-round sort.
+    val edgesPart = edges.select("doc_a", "doc_b")
+      .repartition(col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var prevRound: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] =
       None
     var converged = false
     var i = 0
     while (i < iters && !converged) {
-      val nbrMin = edges
+      val nbrMin = edgesPart
         .join(labels.select(col("doc_id").as("doc_b"),
-          col("label").as("nbr_label")), Seq("doc_b"))
+          col("label").as("nbr_label")).hint("shuffle_hash"),
+          Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min("nbr_label").as("nbr_min"))
       val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
@@ -570,6 +586,7 @@ object Dedup {
         .select("doc_id", "label")
       i += 1
     }
+    edgesPart.unpersist(blocking = false)
     if (requireConverged && !converged)
       throw new IllegalStateException(
         s"propagate: no fixpoint within $iters rounds (labels still " +
