@@ -67,6 +67,12 @@ object Bench {
     // query actually ran makes a RAM delta self-explaining: fewer
     // tasks => bigger per-task builds, same total.
     val taskCount = new java.util.concurrent.atomic.AtomicLong(0)
+    // total shuffle WRITE bytes (r18): the quantity that walls a
+    // SINGLE BOX at big SFs (the sf10 fat-verify lesson: a linear-
+    // in-corpus shuffle with a large constant exceeds local disk
+    // long before CPU matters). Emitted per query so the decade
+    // table's byte-mass exponents are measured, not argued.
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -79,6 +85,7 @@ object Bench {
             while (rows > cur && !maxTask.compareAndSet(cur, rows))
               cur = maxTask.get()
             spillSum.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
             val pk = m.peakExecutionMemory
             var pc = peakMem.get()
             while (pk > pc && !peakMem.compareAndSet(pc, pk))
@@ -125,6 +132,7 @@ object Bench {
     val spillBytes = scala.collection.mutable.Map.empty[String, Long]
     val peakTaskMem = scala.collection.mutable.Map.empty[String, Long]
     val nTasks = scala.collection.mutable.Map.empty[String, Long]
+    val shufBytes = scala.collection.mutable.Map.empty[String, Long]
     def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame, reps: Int): Either[String, Double] = {
       // deterministic listener drain (not a sleep): task-end events
       // from the PREVIOUS query must not bleed into this one's max
@@ -133,6 +141,7 @@ object Bench {
       spillSum.set(0)
       peakMem.set(0)
       taskCount.set(0)
+      shufWrite.set(0)
       val times = (1 to reps).map { _ =>
         val ev0 = Artifacts.buildEvents.size
         val t0 = System.nanoTime()
@@ -159,6 +168,7 @@ object Bench {
       spillBytes(name) = spillSum.get()
       peakTaskMem(name) = peakMem.get()
       nTasks(name) = taskCount.get()
+      shufBytes(name) = shufWrite.get()
       if (best.isEmpty) Left("err") else Right(best.min)
     }
     val results: Seq[(String, Either[String, Double])] =
@@ -221,6 +231,9 @@ object Bench {
     val tasksJson = results.map { case (k, _) =>
       s"\"$k\":${nTasks.getOrElse(k, 0L)}"
     }.mkString("{", ",", "}")
+    val shufJson = results.map { case (k, _) =>
+      s"\"$k\":${shufBytes.getOrElse(k, 0L)}"
+    }.mkString("{", ",", "}")
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     val suspJson = suspects.map { case (name, first, second, pin) =>
       val arts = artEvents.getOrElse(name + "#2", Nil)
@@ -229,7 +242,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val calJson = s""""canary_sec":${math.round(canarySec * 1000) / 1000.0},"canary_pin":$CanaryPin,"host_factor":${math.round(hostFactor * 1000) / 1000.0}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_err":${errs.size},"errors":[${errs.mkString(",")}],"sf":"$sfDir",$calJson,"artifact_events":$artJson,"max_task_rows":$mtrJson,"spill_bytes":$spillJson,"peak_task_mem":$peakJson,"n_tasks":$tasksJson,"drift_suspects":$suspJson,"queries":${fullEntries.mkString("{", ",", "}")}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_err":${errs.size},"errors":[${errs.mkString(",")}],"sf":"$sfDir",$calJson,"artifact_events":$artJson,"max_task_rows":$mtrJson,"spill_bytes":$spillJson,"peak_task_mem":$peakJson,"n_tasks":$tasksJson,"shuffle_write_bytes":$shufJson,"drift_suspects":$suspJson,"queries":${fullEntries.mkString("{", ",", "}")}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
     catch { case e: Throwable => System.err.println(s"BENCH WARN: could not write $outFile: ${e.getMessage}") }
     // stdout chunks stay as a redundant channel for the driver, but at
