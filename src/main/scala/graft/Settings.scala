@@ -48,6 +48,13 @@ final case class Settings(
       // that filled the local disk (r18). Default is 30min; 2min
       // keeps long single-JVM legs flat without touching query plans.
       .config("spark.cleaner.periodicGC.interval", "120s")
+      // scan parallelism for CPU-heavy decodes: the default 128 MB
+      // packing gave a 60M-row sf10 fact scan only ~9 input tasks on
+      // 32 cores (22 MB part files pack 5-6 per task) — q3/parse
+      // lines ran 3.5x under-parallel. 32 MB keeps small-SF plans
+      // identical (single-file tables) and lets big-SF scans use the
+      // machine; a real cluster tunes this per-deployment.
+      .config("spark.sql.files.maxPartitionBytes", "33554432")
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -61,8 +61,19 @@ object Analytics {
     */
   val q3Topk: Q = Q(
     (s, dir) =>
+      // SHUFFLE_HASH on both joins (r18 decade-leg catch: the default
+      // SMJ sorted the 60M-row lineitem side at sf10 — 11.4 GB of
+      // spill and a 1.7 measured exponent on an otherwise linear
+      // query). The build sides are the FILTERED small relations
+      // (segment-filtered customers, then the customer-joined orders
+      // slice), each a fraction of the fact and partition-bounded, so
+      // the fact streams through unsorted at any scale; the agg then
+      // reuses the join's o_orderkey partitioning (group keys are a
+      // superset), and the top-10 is a TakeOrdered, never a sort.
       Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .hint("shuffle_hash")
         .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .hint("shuffle_hash")
         .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(u4(sum(discPrice)).as("revenue"))

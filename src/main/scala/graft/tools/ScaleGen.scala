@@ -106,6 +106,28 @@ object ScaleGen {
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
 
+    // COLLISION GUARD (r18 — learned the hard way): the offset steps
+    // are sized for the DRIVER's sf0.1 key ranges. Scaling an
+    // already-scaled corpus (sf1 → sf10) re-offsets keys whose range
+    // ALREADY spans multiple steps, so replica key ranges overlap:
+    // duplicate doc_ids, cross-replica join fan-out (q3's lineitem ⋈
+    // orders read 600M rows instead of 12M), and every per-key carve
+    // silently corrupted. Deriving a larger SF is ALWAYS done from
+    // sf0.1 with a larger factor; this require makes the misuse loud.
+    val keyMax = Seq(
+      "o_orderkey" -> (Tables.orders(spark, src), OrderStep),
+      "c_custkey" -> (Tables.customer(spark, src), CustStep),
+      "doc_id" -> (Tables.documents(spark, src), DocStep),
+      "vec_id" -> (Tables.embeddings(spark, src), VecStep))
+    keyMax.foreach { case (k, (t, step)) =>
+      val mx = t.agg(max(col(k))).head().getLong(0)
+      require(mx < step,
+        s"ScaleGen: source $src has max($k) = $mx >= its offset step " +
+          s"$step — replica key ranges would overlap. Generate from " +
+          "the driver's sf0.1 with a larger factor instead of " +
+          "re-scaling an already-scaled corpus.")
+    }
+
     // fixed dims: byte-identical copies
     write(Tables.region(spark, src), "region")
     write(Tables.nation(spark, src), "nation")
