@@ -29,7 +29,8 @@ final case class Settings(
     sfDir: String,
     cpus: Int,
     repeat: Int,
-    queries: Option[Set[String]]) {
+    queries: Option[Set[String]],
+    maxPartitionBytes: Long = Settings.DefaultMaxPartitionBytes) {
 
   /** The standard local session under these settings. `aqe = true`
     * matches Spark's own default; the knob exists so a main that is
@@ -53,8 +54,22 @@ final case class Settings(
       // 32 cores (22 MB part files pack 5-6 per task) — q3/parse
       // lines ran 3.5x under-parallel. 32 MB keeps small-SF plans
       // identical (single-file tables) and lets big-SF scans use the
-      // machine; a real cluster tunes this per-deployment.
-      .config("spark.sql.files.maxPartitionBytes", "33554432")
+      // machine; overridable via SPARK_GRAFT_MAX_PARTITION_BYTES so a
+      // deployment keeps control of scan sizing.
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
+    // Block-manager/shuffle scratch: Spark defaults to java.io.tmpdir
+    // (/tmp), which some hosts reap even under a LIVE JVM — a long
+    // verify/bench leg then dies mid-run with
+    // FileNotFoundException: /tmp/blockmgr-*/temp_shuffle_* on files
+    // Spark itself created minutes earlier. Default the scratch to a
+    // directory the host's tmp reaper does not own. An explicit
+    // SPARK_LOCAL_DIRS always wins (Spark reads it before
+    // spark.local.dir); SPARK_GRAFT_SCRATCH_DIR overrides the default.
+    if (!sys.env.contains("SPARK_LOCAL_DIRS")) {
+      val scratch = Settings.scratchDir
+      new java.io.File(scratch).mkdirs()
+      b.config("spark.local.dir", scratch)
+    }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -62,24 +77,44 @@ final case class Settings(
 }
 
 object Settings {
+  /** 32 MB — see the buildSession comment on scan parallelism. */
+  val DefaultMaxPartitionBytes: Long = 33554432L
+
+  /** Spark scratch (blockmgr + shuffle temp) when SPARK_LOCAL_DIRS is
+    * unset: a working-directory-local dir rather than /tmp, because
+    * shared-tmp reapers on some hosts delete live shuffle files out
+    * from under a running JVM (observed: 44/175 queries of one leg
+    * lost to vanished temp_shuffle files; 0/175 after redirecting).
+    * user.dir rather than java.io.tmpdir is deliberate — the process
+    * owns its working directory for the lifetime of the run.
+    */
+  lazy val scratchDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_SCRATCH_DIR",
+      sys.props.getOrElse("user.dir", ".").stripSuffix("/") +
+        "/.spark-scratch")
+
   /** Artifact-store root: durable shared storage in production, a
-    * PER-USER tmp root locally (cross-session reuse out of the box),
-    * `off` to disable persistence. The default is scoped by user name
-    * and created 0700 (see ArtifactStore) because java.io.tmpdir is
-    * world-writable shared space: an unscoped path would let any
-    * other local user pre-plant fingerprint-addressed tables the
-    * engine would then trust as trained models (the fingerprint
-    * addresses content, it does not authenticate it), and unrelated
-    * users would collide on one cache. A deployment that WANTS a
-    * shared cache points SPARK_GRAFT_ARTIFACT_DIR at storage whose
-    * permissions it controls.
+    * working-directory-scoped root locally (cross-session reuse per
+    * project out of the box), `off` to disable persistence. The
+    * default lived under java.io.tmpdir through r18; it moved beside
+    * [[scratchDir]] for the same reason Spark scratch did — shared-tmp
+    * reapers delete lake-resident trained artifacts out from under
+    * live consumers — and because tmp is world-writable shared space:
+    * another local user could pre-plant fingerprint-addressed tables
+    * the engine would then trust as trained models (the fingerprint
+    * addresses content, it does not authenticate it). The default is
+    * still created 0700 (see ArtifactStore) and still user-scoped in
+    * the path for the setups where user.dir itself is shared. A
+    * deployment that WANTS a shared cache points
+    * SPARK_GRAFT_ARTIFACT_DIR at storage whose permissions it
+    * controls.
     */
   lazy val artifactRoot: String =
     sys.env.get("SPARK_GRAFT_ARTIFACT_DIR").getOrElse {
       val user = sys.props.getOrElse("user.name", "anon")
         .replaceAll("[^A-Za-z0-9_.-]", "_")
-      sys.props("java.io.tmpdir").stripSuffix("/") +
-        s"/graft-artifacts-$user"
+      sys.props.getOrElse("user.dir", ".").stripSuffix("/") +
+        s"/.graft-artifacts-$user"
     }
 
   /** True when the artifact root is the tmpdir default (unset env) —
@@ -92,5 +127,7 @@ object Settings {
     sfDir = env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     cpus = env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
     repeat = env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt,
-    queries = env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet))
+    queries = env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet),
+    maxPartitionBytes = env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+      .map(_.toLong).getOrElse(DefaultMaxPartitionBytes))
 }

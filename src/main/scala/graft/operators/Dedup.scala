@@ -2808,33 +2808,38 @@ object Dedup {
     // within-cap buckets skip the extra rounds (identical sub-0 rows
     // the distinct would erase — see lshCandidates; at depth 2 this
     // halved the sf1 sort spill)
-    // occupancy counting AND the pair join key on xxhash64(var), NOT
-    // the ~24-char variant string: shuffling/sorting 15M strings was
-    // the sf1 wall (longs exchange 2-3x cheaper and spill half the
-    // bytes). Output equality: equal variants always share a hash (no
-    // candidate is ever LOST); a cross-variant collision can only ADD
-    // a candidate — which the exact levenshtein verify below either
+    // occupancy counting AND the pair join key on a PAIR of
+    // independent 64-bit hashes of var, NOT the ~24-char variant
+    // string: shuffling/sorting 15M strings was the sf1 wall (longs
+    // exchange 2-3x cheaper and spill half the bytes). Output
+    // equality: equal variants always share both hashes (no candidate
+    // is ever LOST); a cross-variant collision can only ADD a
+    // candidate — which the exact levenshtein verify below either
     // keeps (a true <=depth pair, already in the oracle's output by
     // the SymSpell theorem) or drops — or merge two bucket counts,
-    // which only matters if the merged count crosses the cap. Both
-    // are DETERMINISTIC properties of the corpus, not flake sources:
-    // the gate SFs are fixed data, and none collides (64-bit space,
-    // ~15M keys at sf1 — verified green at sf0.001/0.01/0.1). The
-    // SPLIT salt stays md5-of-the-variant-string (computed only for
-    // over-cap rows — within-cap sub is identically 0), so over-cap
-    // split verdicts replay in DuckDB byte-for-byte.
+    // which only matters if the merged count crosses the cap. The r18
+    // single-hash form was verified collision-free only at the gate
+    // SFs; the 128-bit key makes the bucket-merge channel immune BY
+    // WIDTH at any SF (birthday mass n²/2^129 — ~1e-21 even at 1e9
+    // variants) instead of assumed from small-corpus checks (r18
+    // advice). The SPLIT salt stays md5-of-the-variant-string
+    // (computed only for over-cap rows — within-cap sub is
+    // identically 0), so over-cap split verdicts replay in DuckDB
+    // byte-for-byte.
     val split = Occupancy.attach(
-        vars.withColumn("vh", xxhash64(col("var"))), Seq("vh"),
-        "bucket_n")
+        vars.withColumn("vh", xxhash64(col("var")))
+          .withColumn("vh2", xxhash64(lit("graft.edit2"), col("var"))),
+        Seq("vh", "vh2"), "bucket_n")
       .withColumn("r", explode(expr(
         s"sequence(0L, IF(bucket_n <= $MaxBucket, 0L, ${SplitRounds - 1}L))")))
       .withColumn("sub", expr(
         s"IF(bucket_n <= $MaxBucket, 0L, ${splitSubSpark("var")})"))
-      .select("doc_id", "vh", "r", "sub")
+      .select("doc_id", "vh", "vh2", "r", "sub")
     val cand = split.select(col("doc_id").as("doc_a"), col("vh"),
-        col("r"), col("sub")).hint("merge")
+        col("vh2"), col("r"), col("sub")).hint("merge")
       .join(split.select(col("doc_id").as("doc_b"), col("vh"),
-        col("r"), col("sub")).hint("merge"), Seq("vh", "r", "sub"))
+        col("vh2"), col("r"), col("sub")).hint("merge"),
+        Seq("vh", "vh2", "r", "sub"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand

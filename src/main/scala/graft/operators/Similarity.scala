@@ -1375,10 +1375,14 @@ object Similarity {
     * fixed k = 8 means n/8-vector cells at a billion vectors — no cap
     * policy can save that; √n keeps EXPECTED cell width at √n too
     * (500 vecs → k=32, 2000 → k=64, the sweep-picked production
-    * point). Beyond [[KmMaxK]] the inline-literal codebook expression
-    * stops being the right vehicle (k×dim literals in one projection)
-    * and a deployment moves to a broadcast-relation assignment; the
-    * clamp documents that boundary instead of hiding it.
+    * point). [[KmMaxK]] caps THIS ladder — the √n sizing for the
+    * probe-style IVF family, where nprobe, not cell width, is the
+    * recall dial. The kNN-GRAPH family, whose cost is quadratic in
+    * cell width, sizes with [[knnKFor]] instead (same ladder idea,
+    * occupancy-ruled, no 512 wall — the assignment vehicle is the
+    * O(1)-plan-size native [[graft.functions.IvfCells]] kernel, so
+    * big k is a training-compute question, not an expression-size
+    * one).
     */
   val KmKLadder: Seq[Int] = Seq(8, 16, 32, 64, 128, 256)
   val KmMaxK = 512
@@ -1603,7 +1607,7 @@ object Similarity {
     * assignment). Identical text to the chains inlined in
     * [[sKmeans]]/[[sAnnIvfKm]].
     */
-  private val kmFinCteSql: String =
+  private def finCteSql(kSql: String): String =
     s"""e AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
@@ -1611,12 +1615,14 @@ object Similarity {
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
        |    AS cl, v
-       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $kmKSql)),
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $kSql)),
        |a1 AS (${kmAssignSql("c0")}),
        |c1 AS (${kmRefreshSql("a1")}),
        |a2 AS (${kmAssignSql("c1")}),
        |c2 AS (${kmRefreshSql("a2")}),
        |fin AS (${kmAssignSql("c2")})""".stripMargin
+
+  private val kmFinCteSql: String = finCteSql(kmKSql)
 
   /** The ALL-PAIRS kNN GRAPH — every vector's [[KnnGraphK]] nearest
     * neighbors, not one probe's: the standing relation graph-based
@@ -1670,16 +1676,105 @@ object Similarity {
   val KnnAssign: Int =
     sys.env.getOrElse("SPARK_GRAFT_KNN_ASSIGN", "4").toInt
 
-  /** The split-blocked shared-cell candidate relation (vec_id, nbr),
-    * both directions, deduped, under [[KnnAssign]]-way assignment —
-    * shared by G20's kNN graph and F26's SemDeDup drop rule. Scored
-    * SEPARATELY by each consumer so the fat embedding arrays never
-    * ride the explode.
+  /** GRAPH-FAMILY codebook sizing (r19, the r18 verdict's #1): the kNN
+    * graph blocks candidates on quantizer cells, so its cost dial is
+    * CELL WIDTH, not probe count — past n = MaxKnnCell² the √n rule
+    * leaves every cell systematically over the split cap (measured at
+    * sf10: width ~390 under k = 512, splits everywhere, and the
+    * candidate mass saturated its R·A·n·cap bound). k here is the
+    * smallest ladder power satisfying BOTH the √n rule (p² ≥ n — the
+    * IVF sizing, binding at small n) and the occupancy rule
+    * (p·MaxKnnCell ≥ n — expected width within the cap, binding past
+    * n = MaxKnnCell²). Identical to [[kmeansKFor]] for n ≤ 65,536 —
+    * every oracle-gated SF — so the two codebooks are ONE artifact
+    * there; the graph family trains its own (same Lloyd loop, bigger
+    * k) only at the scales where the widths actually diverge. The
+    * assignment vehicle is the O(1)-plan-size native kernel
+    * ([[graft.functions.IvfCells]]), so k is not an expression-size
+    * problem at any rung of the ladder; the ladder top (4096 ⇒ n ≈
+    * 1M within-cap) marks where single-level Lloyd training cost
+    * (3 passes × n·k·dim) stops being the right trade and a two-level
+    * quantizer takes over.
     */
-  private def knnCandidates(s: SparkSession, dir: String): DataFrame = {
+  val KnnKLadder: Seq[Int] =
+    Seq(8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+  val KnnMaxK = 4096
+
+  def knnKFor(n: Long): Int =
+    KnnKLadder.find(p =>
+      p.toLong * p >= n && p.toLong * MaxKnnCell >= n)
+      .getOrElse(KnnMaxK)
+
+  /** [[knnKFor]] as a DuckDB scalar subquery — engine-identical
+    * integer arithmetic, the [[kmKSql]] twin with the occupancy
+    * conjunct added.
+    */
+  private val knnKSql: String =
+    s"""(SELECT coalesce(min(p), $KnnMaxK)
+       |  FROM (VALUES ${KnnKLadder.map(p => s"($p)").mkString(", ")})
+       |    pows(p)
+       |  WHERE CAST(p AS BIGINT) * p >=
+       |    (SELECT count(*) FROM embeddings)
+       |   AND CAST(p AS BIGINT) * $MaxKnnCell >=
+       |    (SELECT count(*) FROM embeddings))"""
+      .stripMargin.replace("\n", " ")
+
+  /** The GRAPH codebook's oracle chain — [[finCteSql]] at
+    * [[knnKSql]]'s k, numerically equal to [[kmFinCteSql]] at every
+    * oracle-gated SF (the occupancy conjunct binds only past
+    * n = MaxKnnCell²). Declared here, after [[knnKSql]] — val-init
+    * order is load-bearing in this object.
+    */
+  private val knnFinCteSql: String = finCteSql(knnKSql)
+
+  private val knnCodebookCache =
+    graft.Artifacts.cache[Array[(Long, Array[Long])]](
+      "similarity.knnCodebook")
+
+  /** The graph family's trained coarse quantizer: the [[kmCodebook]]
+    * HANDLE itself wherever [[knnKFor]] and [[kmeansKFor]] agree (all
+    * oracle-gated SFs — one training run, one lake artifact), a
+    * separately-trained same-Lloyd codebook at [[knnKFor]]'s bigger k
+    * once the occupancy rule binds.
+    */
+  private[graft] def knnCodebook(s: SparkSession, dir: String)
+      : Array[(Long, Array[Long])] =
+    knnCodebookCache.getOrElseUpdate(s, dir) {
+      val n = Tables.embeddings(s, dir).count()
+      val k = knnKFor(n)
+      if (k == kmeansKFor(n)) kmCodebook(s, dir)
+      else graft.sources.ArtifactStore.materializeValue(s,
+        "similarity.knnCodebook", dir) {
+        var cents = kmeansInit(s, dir, k)
+        for (_ <- 1 to KmeansRounds) cents = kmeansRound(s, dir, cents)
+        cents
+      }(codebookToDf(s))(codebookFromDf)
+    }
+
+  /** The split-blocked shared-cell candidate relation — SCORED:
+    * (vec_id, nbr, score_micro), both directions, deduped, under
+    * [[KnnAssign]]-way assignment over the [[knnCodebook]] cells —
+    * shared by G20's kNN graph and F26's SemDeDup drop rule.
+    *
+    * Scoring happens INSIDE the cell self-join (r19, the sf10
+    * lesson): the fat embedding arrays ride only the LINEAR index
+    * relation (A·R·n rows — the self-join's shuffle), each colliding
+    * pair is scored in the join stage and projected to three longs
+    * before anything wide sees it, and the dedup shuffle is those
+    * 24-byte triples. The previous shape (thin pairs → distinct →
+    * re-attach both embeddings by two joins) shuffled the QUADRATIC
+    * pair relation fat — ~R·A·n·cap pairs × two dim-64 arrays, the
+    * measured 101 GB sf10 spill; this shape's shuffles are A·R·n fat
+    * rows + the thin triples, linear in corpus mass. A pair colliding
+    * in several (cell, round) buckets is scored once per collision —
+    * bounded, identical values (the kernel is deterministic), erased
+    * by the distinct; cheaper than shipping arrays to dedup first.
+    * Half-pairs (vec_id < nbr) halve the kernel and dedup mass; the
+    * mirror union restores both directions for per-vector consumers.
+    */
+  private def knnScoredCandidates(s: SparkSession, dir: String)
+      : DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    // thin split relation: (vec_id, cell, r, sub) — embeddings join
-    // back per side so the fat arrays never ride the explode
     // (vec_id, cell) assignment cached thin so the k-means argmin runs
     // once; cell occupancy is a BROADCAST join of the k-row counts
     // relation (groupBy collapses each cell map-side — the old
@@ -1688,7 +1783,7 @@ object Similarity {
     // construction even with no skew at all)
     val assigned = emb
       .withColumn("cell", explode(transform(
-        slice(array_sort(ivfCells(kmCodebook(s, dir))), 1, KnnAssign),
+        slice(array_sort(ivfCells(knnCodebook(s, dir))), 1, KnnAssign),
         c => c.getField("cell"))))
       .select("vec_id", "cell")
       .cache()
@@ -1700,23 +1795,31 @@ object Similarity {
         s"sequence(0L, IF(cell_n <= $MaxKnnCell, 0L, ${KnnSplitRounds - 1}L))")))
       .withColumn("sub", expr(knnSubSpark))
       .select("vec_id", "cell", "r", "sub")
+    val fat = split
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .cache()
-    split
-      .join(split.select(col("vec_id").as("nbr"), col("cell"),
-        col("r"), col("sub")), Seq("cell", "r", "sub"))
-      .filter(col("vec_id") =!= col("nbr"))
-      .select("vec_id", "nbr").distinct()
+    val half = fat
+      .join(fat.select(col("vec_id").as("nbr"), col("cell"), col("r"),
+        col("sub"), col("embedding").as("nbr_embedding")),
+        Seq("cell", "r", "sub"))
+      .filter(col("vec_id") < col("nbr"))
+      .select(col("vec_id"), col("nbr"),
+        nativeScoreMicro(s, "embedding", "nbr_embedding")
+          .as("score_micro"))
+      .distinct()
+    half.unionAll(half.select(col("nbr").as("vec_id"),
+      col("vec_id").as("nbr"), col("score_micro")))
   }
 
   /** Oracle CTE chain ending at `cand` = (vec_id, nbr) plus `aprim` =
     * the single-row-per-vector PRIMARY (argmin) assignment — the
-    * DuckDB replay of [[knnCandidates]]; shared by G20 and F26.
+    * DuckDB replay of [[knnScoredCandidates]]; shared by G20 and F26.
     * `rkm` ranks the trained centroids per vector exactly as the
     * G14-probe oracle does; rn ≤ [[KnnAssign]] is the index relation,
     * rn = 1 the reporting cell.
     */
   private val knnCandCteSql: String =
-    s"""$kmFinCteSql,
+    s"""$knnFinCteSql,
        |rkm AS MATERIALIZED (
        |  SELECT q.vec_id, CAST(c.cl AS BIGINT) AS cell,
        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -1757,18 +1860,10 @@ object Similarity {
     knnGraphCache.getOrElseUpdate(s, dir)(
       graft.sources.ArtifactStore.materialize(s, "similarity.knnGraph",
         dir) {
-        val emb = Tables.embeddings(s, dir)
-        val cand = knnCandidates(s, dir)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("vec_id")
           .orderBy(col("score_micro").desc, col("nbr"))
-        cand
-          .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-          .join(emb.select(col("vec_id").as("nbr"),
-            col("embedding").as("nbr_embedding")), "nbr")
-          .select(col("vec_id"), col("nbr"),
-            nativeScoreMicro(s, "embedding", "nbr_embedding")
-              .as("score_micro"))
+        knnScoredCandidates(s, dir)
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= KnnGraphK)
       })
@@ -2058,7 +2153,7 @@ object Similarity {
     * (whether or not u itself survives — the paper's rule, NOT
     * connected components: a similarity chain a~b~c with a≁c keeps a
     * and c, where component dedup would over-drop c). Candidates
-    * are [[knnCandidates]] — multi-assignment widens recall across
+    * are [[knnScoredCandidates]] — multi-assignment widens recall across
     * argmin boundaries, and the same split-don't-drop occupancy
     * policy keeps over-cap cells degrading recall, never cost. Per vector: its
     * cell, how many smaller-id semantic dups dominate it, the
@@ -2071,15 +2166,8 @@ object Similarity {
 
   val dSemDedup: Q = Q(
     (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val doms = knnCandidates(s, dir)
+      val doms = knnScoredCandidates(s, dir)
         .filter(col("nbr") < col("vec_id"))
-        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-        .join(emb.select(col("vec_id").as("nbr"),
-          col("embedding").as("nbr_embedding")), "nbr")
-        .select(col("vec_id"), col("nbr"),
-          nativeScoreMicro(s, "embedding", "nbr_embedding")
-            .as("score_micro"))
         .filter(col("score_micro") >= SemDupMicro)
         .groupBy("vec_id")
         .agg(count(lit(1)).as("n_sem_dups"),
@@ -2087,7 +2175,7 @@ object Similarity {
           max("score_micro").as("max_sim_micro"))
       Tables.embeddings(s, dir)
         .select(col("vec_id"),
-          ivfCellCol(kmCodebook(s, dir)).as("cell"))
+          ivfCellCol(knnCodebook(s, dir)).as("cell"))
         .join(doms, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cell"),
           coalesce(col("n_sem_dups"), lit(0L)).as("n_sem_dups"),
@@ -2139,7 +2227,7 @@ object Similarity {
   private[graft] def semDedupIngest(s: SparkSession, batch: DataFrame,
       dir: String): DataFrame = {
     val cells = explode(transform(
-      slice(array_sort(ivfCells(kmCodebook(s, dir))), 1, KnnAssign),
+      slice(array_sort(ivfCells(knnCodebook(s, dir))), 1, KnnAssign),
       c => c.getField("cell")))
     val standing = Tables.embeddings(s, dir)
       .filter(col("vec_id") % 5 =!= 4)

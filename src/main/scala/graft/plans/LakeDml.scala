@@ -430,6 +430,19 @@ object LakeDml {
       val keyed = batch.select(col(m.dtCol).as("_dt"),
         col(m.keyCol).as("_k")).cache()
       try {
+        // NULL identity VALUES are vetoed outright (r18 advice): the
+        // columns-present check above can't see them, the equi-join
+        // clash check below is null-blind, and resolve()'s null-equal
+        // (dt, key, order) resolution would silently collapse a second
+        // NULL-keyed INSERT into the first — the exact upsert this
+        // command's contract forbids.
+        val nullKey = batch.filter(col(m.dtCol).isNull ||
+            col(m.keyCol).isNull || col(m.orderCol).isNull)
+          .limit(1).count()
+        require(nullKey == 0,
+          s"INSERT into '$name': NULL in one of the identity columns " +
+            s"(${m.dtCol}, ${m.keyCol}, ${m.orderCol}) — they are " +
+            "the row's identity, NULL cannot stand in")
         val batchDup = keyed.groupBy("_dt", "_k")
           .count().filter(col("count") > 1).limit(3)
           .collect().map(r => s"(${r.get(0)}, ${r.get(1)})")

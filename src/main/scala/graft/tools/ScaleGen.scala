@@ -120,12 +120,16 @@ object ScaleGen {
       "doc_id" -> (Tables.documents(spark, src), DocStep),
       "vec_id" -> (Tables.embeddings(spark, src), VecStep))
     keyMax.foreach { case (k, (t, step)) =>
-      val mx = t.agg(max(col(k))).head().getLong(0)
-      require(mx < step,
-        s"ScaleGen: source $src has max($k) = $mx >= its offset step " +
-          s"$step — replica key ranges would overlap. Generate from " +
-          "the driver's sf0.1 with a larger factor instead of " +
-          "re-scaling an already-scaled corpus.")
+      // max() of an empty table is NULL — getAs boxes it so an empty
+      // source reads as vacuously safe instead of an opaque NPE
+      // swallowing the guard's message (r18 advice)
+      val mx = Option(t.agg(max(col(k))).head()
+        .getAs[java.lang.Long](0)).map(_.longValue())
+      require(mx.forall(_ < step),
+        s"ScaleGen: source $src has max($k) = ${mx.orNull} >= its " +
+          s"offset step $step — replica key ranges would overlap. " +
+          "Generate from the driver's sf0.1 with a larger factor " +
+          "instead of re-scaling an already-scaled corpus.")
     }
 
     // fixed dims: byte-identical copies

@@ -368,6 +368,22 @@ class ExtensionsSpec extends SparkSpec {
         ext.sql("INSERT INTO ins (payload, score) VALUES ('q', 1)") }
       assert(chain(noKey).exists(t => t.getMessage != null &&
         t.getMessage.contains("dt/key/order")), s"got $noKey")
+      // ... and explicit NULL identity VALUES are vetoed too (r18
+      // advice: the columns-present check can't see them, and the
+      // null-blind equi-join clash check would let a second NULL-keyed
+      // INSERT silently collapse into the first via resolve())
+      val nullKey = intercept[Throwable] {
+        ext.sql("INSERT INTO ins VALUES (40, NULL, 'q', 1, 1)") }
+      assert(chain(nullKey).exists(t => t.getMessage != null &&
+        t.getMessage.contains("NULL in one of the identity")),
+        s"got $nullKey")
+      val nullOrd = intercept[Throwable] {
+        ext.sql("INSERT INTO ins VALUES (41, '2024-03', 'q', 1, NULL)") }
+      assert(chain(nullOrd).exists(t => t.getMessage != null &&
+        t.getMessage.contains("NULL in one of the identity")),
+        s"got $nullOrd")
+      assert(ext.sql("SELECT count(*) FROM ins").head().getLong(0) === 8L,
+        "NULL-identity INSERTs must not write rows")
       // INSERT OVERWRITE is rejected explicitly, not silently appended
       val ovw = intercept[Throwable] {
         ext.sql("INSERT OVERWRITE ins VALUES (30, '2024-01', 'o', 1, 1)") }

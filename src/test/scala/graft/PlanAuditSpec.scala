@@ -45,6 +45,22 @@ class PlanAuditSpec extends SparkSpec {
       s"scan reads columns the query never uses: $readSchema")
   }
 
+  test("q3_topk: no fact-side sort — shuffle-hash joins, TakeOrdered " +
+    "top-10") {
+    // the r18 decade leg caught the default SMJ sorting the 60M-row
+    // lineitem side at sf10 (11.4 GB spill, measured exponent 1.7 on
+    // a linear query); the shuffle-hash hints build on the FILTERED
+    // small relations and stream the fact unsorted — pinned here so a
+    // hint regression or Catalyst change resurfaces loudly
+    val p = plan(SparkEntry.queries("q3_topk")(spark, sf))
+    assert(p.contains("ShuffledHashJoin"),
+      s"q3_topk joins must plan shuffle-hash:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q3_topk must never sort the fact side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-10 must be a TakeOrdered, never a global sort")
+  }
+
   test("q5_multijoin: every dim join is a broadcast join") {
     val p = plan(SparkEntry.queries("q5_multijoin")(spark, sf))
     assert(p.contains("BroadcastHashJoin"))

@@ -1823,7 +1823,7 @@ class QueriesSpec extends SparkSpec {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         slice(array_sort(Similarity.ivfCells(
-          Similarity.kmCodebook(spark, dir))), 1, Similarity.KnnAssign)
+          Similarity.knnCodebook(spark, dir))), 1, Similarity.KnnAssign)
           .as("cs"))
       .collect()
       .map(r => r.getLong(0) ->

@@ -11,12 +11,18 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // same /tmp-reaper dodge as Settings.buildSession — a long suite
+    // run loses shuffle temp files to the host's tmp cleaner otherwise
+    if (!sys.env.contains("SPARK_LOCAL_DIRS")) {
+      new java.io.File(Settings.scratchDir).mkdirs()
+      b.config("spark.local.dir", Settings.scratchDir)
+    }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
