@@ -177,17 +177,20 @@ object Dedup {
     * pre-split semantics on within-cap buckets). Shared by F3 and the
     * F3→F5 verify composition below.
     */
-  private[operators] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
-    // cached twice on purpose: `base` so the tokens→minhash→bands
-    // subplan (the expensive part) runs once even though occupancy
-    // counting reads it from two plan branches, and `b` so the split
-    // band rows feed BOTH sides of the self-join without redoing the
-    // occupancy join. Lifetime note: entries live until the session
-    // drops them (same logical plan ⇒ one shared entry across calls,
-    // a few MB per sf dir); long-lived callers running many corpora
-    // should spark.catalog.clearCache() periodically, as Bench does
-    // between queries. Occupancy is a groupBy+join, NOT a window —
-    // see [[Occupancy.attach]] for the 100 TB skew rationale.
+  /** The split band-index relation (doc_id, band, band_hash, r, sub)
+    * — the blocking side of every LSH consumer. Cached twice on
+    * purpose: `base` so the tokens→minhash→bands subplan (the
+    * expensive part) runs once even though occupancy counting reads
+    * it from two plan branches, and the result so the split band rows
+    * feed BOTH sides of the self-joins without redoing the occupancy
+    * join. Lifetime note: entries live until the session drops them
+    * (same logical plan ⇒ one shared entry across calls, a few MB per
+    * sf dir); long-lived callers running many corpora should
+    * spark.catalog.clearCache() periodically, as Bench does between
+    * queries. Occupancy is a groupBy+join, NOT a window — see
+    * [[Occupancy.attach]] for the 100 TB skew rationale.
+    */
+  private def splitBands(s: SparkSession, dir: String): DataFrame = {
     val base = bands(s, dir).cache()
     // a WITHIN-cap bucket has one sub-bucket, so its SplitRounds round
     // rows are byte-identical (sub = h % 1 = 0 for every r) and the
@@ -195,13 +198,17 @@ object Dedup {
     // the join mass on sane corpora (r18: sf1 sort spill halved).
     // Over-cap buckets keep all R rounds; the oracle generates all R
     // everywhere and lands on the same post-distinct relation.
-    val b = Occupancy.attach(base, Seq("band", "band_hash"), "bucket_n")
+    Occupancy.attach(base, Seq("band", "band_hash"), "bucket_n")
       .withColumn("r", explode(expr(
         s"sequence(0L, IF(bucket_n <= $MaxBucket, 0L, ${SplitRounds - 1}L))")))
       .withColumn("sub", expr(splitSubSpark(
         "concat(CAST(band AS STRING), '|', band_hash)")))
       .select("doc_id", "band", "band_hash", "r", "sub")
       .cache()
+  }
+
+  private[operators] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val b = splitBands(s, dir)
     val a = b.select(col("doc_id").as("doc_a"), col("band"),
       col("band_hash"), col("r"), col("sub"))
     val c = b.select(col("doc_id").as("doc_b"), col("band"),
@@ -382,41 +389,80 @@ object Dedup {
     */
   val ClusterMinBp = 2000
 
-  private def lshJaccardDf(s: SparkSession, dir: String): DataFrame = {
-    val garr = gramHashArrays(s, dir)
-    val sz = garr.select(col("doc_id"),
-      size(col("grams")).cast("long").as("n"))
-    lshCandidates(s, dir)
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
-        Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
-        Seq("doc_b"))
-      // `least > 0` guards the degenerate sub-3-char pair (n_a = n_b
-      // = 0): it passes the ratio gate (0 >= 0) and would divide by
-      // union_sz = 0 below — NULL under default conf (filtered, so
-      // parity held) but a runtime error under ANSI mode
-      .filter(least(col("n_a"), col("n_b")) > 0 &&
+  /** LSH candidate pairs SCORED IN THE BANDING JOIN (r19, the fat-
+    * verify rework — the r18 verdict's #7): the gram arrays ride the
+    * LINEAR split-band index relation (docs × bands × rounds rows —
+    * B·R·n, ~1.5 KB each), every bucket collision is intersected by
+    * the native kernel inside the join stage and projected to five
+    * longs before anything wide sees it, and the dedup shuffle is
+    * those thin rows. The previous shape deduped pairs THIN first and
+    * then re-attached both gram arrays by two joins — the second
+    * attach shuffled the QUADRATIC pair relation fat (~1.5 KB ×
+    * R·n·cap pairs ≈ 130 GB one-pass at sf10, the decade leg's other
+    * named local-disk wall). A pair colliding in several buckets is
+    * intersected once per collision — bounded by R·B, identical
+    * values (the kernel is deterministic), erased by the distinct;
+    * the extra kernel passes are the price of never shuffling a fat
+    * pair, the same trade [[graft.operators.Similarity.knnScoredCandidates]]
+    * makes.
+    *
+    * `ratioGate` applies the PPJoin length filter BEFORE the kernel
+    * (lossless at [[ClusterMinBp]] — see [[dLshJaccard]]'s docstring);
+    * `withSig` additionally rides the per-doc minhash signature so
+    * per-pair seed agreement comes out of the same join (F15's
+    * estimate column) instead of a separate pair-side sig explode.
+    */
+  private def lshScoredPairs(s: SparkSession, dir: String,
+      withSig: Boolean, ratioGate: Boolean): DataFrame = {
+    val withG = gramHashArrays(s, dir).select(col("doc_id"),
+      col("grams"), size(col("grams")).cast("long").as("n"))
+    val doc =
+      if (!withSig) withG
+      else withG.join(
+        minhashSig(s, dir).groupBy("doc_id")
+          .agg(transform(
+            sort_array(collect_list(struct(col("seed"), col("mh")))),
+            x => x.getField("mh")).as("sig")),
+        Seq("doc_id"))
+    val fat = splitBands(s, dir).join(doc, Seq("doc_id")).cache()
+    val aCols = Seq(col("doc_id").as("doc_a"), col("band"),
+      col("band_hash"), col("r"), col("sub"), col("grams").as("g_a"),
+      col("n").as("n_a")) ++
+      (if (withSig) Seq(col("sig").as("sig_a")) else Nil)
+    val bCols = Seq(col("doc_id").as("doc_b"), col("band"),
+      col("band_hash"), col("r"), col("sub"), col("grams").as("g_b"),
+      col("n").as("n_b")) ++
+      (if (withSig) Seq(col("sig").as("sig_b")) else Nil)
+    val collisions = fat.select(aCols: _*)
+      .join(fat.select(bCols: _*), Seq("band", "band_hash", "r", "sub"))
+      .filter(col("doc_a") < col("doc_b"))
+    // `least > 0` guards the degenerate sub-3-char pair (n_a = n_b
+    // = 0): it passes the ratio gate (0 >= 0) and would divide by
+    // union_sz = 0 downstream — NULL under default conf (filtered, so
+    // parity held) but a runtime error under ANSI mode
+    val gated =
+      if (ratioGate) collisions.filter(
+        least(col("n_a"), col("n_b")) > 0 &&
         least(col("n_a"), col("n_b")) * 10000 >=
         greatest(col("n_a"), col("n_b")) * ClusterMinBp)
-      // SHUFFLE_HASH, not sort-merge: the pair side carries (after
-      // these joins) kilobyte gram arrays per row, and an SMJ would
-      // SORT that fat relation twice; hashing builds from the doc-
-      // keyed gram side (rows = docs, not pairs) and streams the fat
-      // pairs through unsorted — at any scale the build side of each
-      // partition is the smaller, doc-cardinality relation
-      .join(garr.select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
-        .hint("shuffle_hash"), Seq("doc_a"))
-      .join(garr.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
-        .hint("shuffle_hash"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        graft.functions.SortedIntersectCount
-            .count(col("g_a"), col("g_b")).as("inter"),
-        col("n_a"), col("n_b"))
+      else collisions
+    val scored = Seq(col("doc_a"), col("doc_b"),
+      graft.functions.SortedIntersectCount
+        .count(col("g_a"), col("g_b")).as("inter"),
+      col("n_a"), col("n_b")) ++
+      (if (withSig) Seq(expr(
+        """aggregate(zip_with(sig_a, sig_b,
+          |  (x, y) -> IF(x = y, 1L, 0L)), 0L, (a, v) -> a + v)"""
+          .stripMargin).as("n_agree")) else Nil)
+    gated.select(scored: _*).distinct()
+  }
+
+  private def lshJaccardDf(s: SparkSession, dir: String): DataFrame =
+    lshScoredPairs(s, dir, withSig = false, ratioGate = true)
       .withColumn("union_sz", col("n_a") + col("n_b") - col("inter"))
       .selectExpr("doc_a", "doc_b", "inter", "union_sz",
         "(inter * 10000) DIV union_sz AS jaccard_bp")
       .filter(col("jaccard_bp") >= ClusterMinBp)
-  }
 
   /** The F7 oracle as a flat (CTE chain, final select) pair so the
     * gated query's text — and every consumer embedding it, including
@@ -510,7 +556,8 @@ object Dedup {
     */
   private[graft] def propagate(edges: DataFrame,
       labels0: DataFrame, iters: Int,
-      requireConverged: Boolean = true): DataFrame = {
+      requireConverged: Boolean = true,
+      bigEdges: Boolean = true): DataFrame = {
     val spark = labels0.sparkSession
     var labels = labels0.select("doc_id", "label")
     // The edge relation is the BIG, LOOP-INVARIANT side — shuffle it
@@ -525,18 +572,32 @@ object Dedup {
     // SHUFFLE_HASH hint (build ≤ node-count rows — bounded by the
     // advisory partition budget on a real cluster), so neither side
     // pays a per-round sort.
-    val edgesPart = edges.select("doc_a", "doc_b")
-      .repartition(col("doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    //
+    // `bigEdges = false` is the BATCH-MERGE calling convention
+    // ([[mergeClusters]]' touched-cluster sub-graph, already an eager
+    // localCheckpoint): there the relation is batch-bounded, the
+    // repartition+persist is pure per-merge overhead, and the forced
+    // shuffle_hash turns what Catalyst would plan as a broadcast of
+    // the tiny labels side into a per-round shuffle pair — measured
+    // at sf0.1 as d_incr_clusters' 2× pin breach (the r18 verdict's
+    // #4 adjudication: the corpus-scale rework leaked into the
+    // batch-scale path).
+    val edgesPart =
+      if (bigEdges)
+        edges.select("doc_a", "doc_b")
+          .repartition(col("doc_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else edges.select("doc_a", "doc_b")
     var prevRound: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] =
       None
     var converged = false
     var i = 0
     while (i < iters && !converged) {
+      val labelsSide = labels.select(col("doc_id").as("doc_b"),
+        col("label").as("nbr_label"))
       val nbrMin = edgesPart
-        .join(labels.select(col("doc_id").as("doc_b"),
-          col("label").as("nbr_label")).hint("shuffle_hash"),
-          Seq("doc_b"))
+        .join(if (bigEdges) labelsSide.hint("shuffle_hash")
+              else labelsSide, Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min("nbr_label").as("nbr_min"))
       val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
@@ -586,7 +647,7 @@ object Dedup {
         .select("doc_id", "label")
       i += 1
     }
-    edgesPart.unpersist(blocking = false)
+    if (bigEdges) edgesPart.unpersist(blocking = false)
     if (requireConverged && !converged)
       throw new IllegalStateException(
         s"propagate: no fixpoint within $iters rounds (labels still " +
@@ -737,7 +798,7 @@ object Dedup {
       .localCheckpoint(true)
     val labels0 = subEdges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-    val merged = propagate(subEdges, labels0, Iters)
+    val merged = propagate(subEdges, labels0, Iters, bigEdges = false)
       .select(col("doc_id"), col("label").as("cluster_id"))
     untouched.select("doc_id", "cluster_id").unionAll(merged)
   }
@@ -1404,29 +1465,14 @@ object Dedup {
     * agreement and bounded mean error, not per-pair equality.
     */
   val dMinhashEst: Q = Q(
-    (s, dir) => {
-      // cached: the k-row-per-doc signature relation feeds BOTH pair
-      // sides; without it the tokens->minhash subplan runs twice
-      val sig = minhashSig(s, dir).cache()
-      val cand = lshCandidates(s, dir).select("doc_a", "doc_b")
-      val eq = cand
-        .join(sig.select(col("doc_id").as("doc_a"), col("seed"),
-          col("mh").as("mh_a")), Seq("doc_a"))
-        .join(sig.select(col("doc_id").as("doc_b"), col("seed"),
-          col("mh").as("mh_b")), Seq("doc_b", "seed"))
-        .groupBy("doc_a", "doc_b")
-        .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))
-          .as("n_agree"))
+    (s, dir) =>
+      // one scored band join hands back seed agreement AND exact
+      // intersection per pair (r19: the old shape re-attached the fat
+      // gram arrays to the deduped pair relation — the 130 GB sf10
+      // wall — and exploded the signature per pair besides)
+      lshScoredPairs(s, dir, withSig = true, ratioGate = false)
         .withColumn("est_bp", expr(s"n_agree * 10000 DIV $NumHashes"))
-      val garr = gramHashArrays(s, dir)
-      eq.join(garr.select(col("doc_id").as("doc_a"), col("grams").as("g_a")),
-          Seq("doc_a"))
-        .join(garr.select(col("doc_id").as("doc_b"), col("grams").as("g_b")),
-          Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("n_agree"), col("est_bp"),
-          graft.functions.SortedIntersectCount
-            .count(col("g_a"), col("g_b")).as("inter"),
-          (size(col("g_a")) + size(col("g_b"))).cast("long").as("sz_sum"))
+        .withColumn("sz_sum", col("n_a") + col("n_b"))
         // gram-less pairs (both texts < 3 chars) have an UNDEFINED
         // exact Jaccard: NULL, guarded BEFORE the division (ANSI mode
         // errors on DIV-by-zero; the oracle carries the same CASE)
@@ -1434,8 +1480,7 @@ object Dedup {
           when(col("sz_sum") === col("inter"), lit(null).cast("long"))
             .otherwise(expr("inter * 10000 DIV (sz_sum - inter)")))
         .select("doc_a", "doc_b", "n_agree", "est_bp", "jaccard_bp")
-        .orderBy("doc_a", "doc_b")
-    },
+        .orderBy("doc_a", "doc_b"),
     s"""WITH cand AS (SELECT doc_a, doc_b FROM ($lshCandidatesSql)),
        |sig AS ($minhashSigSql),
        |eq AS (

@@ -1977,8 +1977,23 @@ object Similarity {
     * indexes — with the graph build amortized as the standing G20
     * artifact every other curation consumer already maintains.
     */
-  val WalkBeam = 16
-  val WalkRounds = 4
+  /** Walk quality dials, env-overridable for the dial sweep
+    * ([[graft.tools.WalkDial]] — the G25/KnnAssign A-ladder pattern):
+    * the oracle SQL interpolates whatever the JVM was started with,
+    * so parity holds at ANY dial setting. Defaults re-pinned from the
+    * r19 measured grid (BASELINE.md): recall_bp over beam × rounds at
+    * sf0.01 read 3000→5000 along the old beam=16 column but
+    * 10000/10000/10000 at beam=64 for rounds 2/4/8 at the same
+    * measured walk cost — the entry frontier, not the round count,
+    * was the binding loss channel on the k=[[KnnGraphK]] graph
+    * (HNSW's ef dial: widen the candidate heap before walking
+    * longer). Rounds stay 4: reach is the diameter dial and 2 rounds
+    * only read saturated because sf0.01's graph is shallow.
+    */
+  val WalkBeam: Int =
+    sys.env.getOrElse("SPARK_GRAFT_WALK_BEAM", "64").toInt
+  val WalkRounds: Int =
+    sys.env.getOrElse("SPARK_GRAFT_WALK_ROUNDS", "4").toInt
 
   val sAnnGraphWalk: Q = Q(
     (s, dir) => {
