@@ -54,7 +54,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, S
   * compared by value. Eval paths use the transient array mirrors.
   */
 case class IvfCells(child: Expression, ids: IndexedSeq[Long],
-    cents: IndexedSeq[IndexedSeq[Long]]) extends UnaryExpression {
+    cents: IndexedSeq[IndexedSeq[Long]],
+    microInput: Boolean = false) extends UnaryExpression {
 
   @transient private lazy val idArr: Array[Long] = ids.toArray
   @transient private lazy val centArr: Array[Array[Long]] =
@@ -77,10 +78,12 @@ case class IvfCells(child: Expression, ids: IndexedSeq[Long],
     var i = 0
     while (i < dim) {
       if (x.isNullAt(i)) return null
-      eq(i) = java.math.BigDecimal
-        .valueOf(x.getFloat(i).toDouble * 1e6)
-        .setScale(0, java.math.RoundingMode.HALF_UP)
-        .doubleValue().toLong
+      eq(i) =
+        if (microInput) x.getLong(i)
+        else java.math.BigDecimal
+          .valueOf(x.getFloat(i).toDouble * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP)
+          .doubleValue().toLong
       i += 1
     }
     val cs = centArr
@@ -116,6 +119,13 @@ case class IvfCells(child: Expression, ids: IndexedSeq[Long],
       val t = ctx.freshName("t")
       val c = ctx.freshName("c")
       val bad = ctx.freshName("bad")
+      val load =
+        if (microInput) s"$eq[$i] = $x.getLong($i);"
+        else
+          s"""$eq[$i] = (long) java.math.BigDecimal
+             |      .valueOf(((double) $x.getFloat($i)) * 1.0E6)
+             |      .setScale(0, java.math.RoundingMode.HALF_UP)
+             |      .doubleValue();""".stripMargin
       s"""
          |if ($x.numElements() != $dim) {
          |  ${ev.isNull} = true;
@@ -124,10 +134,7 @@ case class IvfCells(child: Expression, ids: IndexedSeq[Long],
          |  long[] $eq = new long[$dim];
          |  for (int $i = 0; $i < $dim; $i++) {
          |    if ($x.isNullAt($i)) { $bad = true; break; }
-         |    $eq[$i] = (long) java.math.BigDecimal
-         |      .valueOf(((double) $x.getFloat($i)) * 1.0E6)
-         |      .setScale(0, java.math.RoundingMode.HALF_UP)
-         |      .doubleValue();
+         |    $load
          |  }
          |  if ($bad) {
          |    ${ev.isNull} = true;
@@ -166,4 +173,19 @@ object IvfCells {
         org.apache.spark.sql.GraftColumnBridge.expression(embedding),
         codebook.map(_._1).toIndexedSeq,
         codebook.map(_._2.toIndexedSeq).toIndexedSeq))
+
+  /** The same table over an ALREADY-QUANTIZED `array<long>` column —
+    * the residual-space assignment of the two-level quantizer (r19):
+    * identical loops, the quantization step skipped (residuals are
+    * exact micro-unit differences; re-quantizing would be a no-op on
+    * longs but the input type is long, not float).
+    */
+  def cellsMicro(micro: Column, codebook: Array[(Long, Array[Long])])
+      : Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      IvfCells(
+        org.apache.spark.sql.GraftColumnBridge.expression(micro),
+        codebook.map(_._1).toIndexedSeq,
+        codebook.map(_._2.toIndexedSeq).toIndexedSeq,
+        microInput = true))
 }

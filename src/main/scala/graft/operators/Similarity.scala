@@ -1751,6 +1751,175 @@ object Similarity {
       }(codebookToDf(s))(codebookFromDf)
     }
 
+  // -------------------------------------------------- two-level (r19)
+  /** Corpus size past which the graph family's quantizer goes
+    * TWO-LEVEL. Single-level Lloyd training is 3 full n·k·dim passes;
+    * at k = n/MaxKnnCell that is O(n²·dim/cap) — fine to ~1M vectors
+    * (the [[KnnKLadder]] top), a wall at the 33M the r18 verdict
+    * named. Past the threshold the quantizer becomes RESIDUAL
+    * two-level (the IMI/IVF-residual family): a k1-cell top codebook
+    * over the vectors plus ONE shared k2-cell codebook over the
+    * residuals (micro(x) − top centroid), cell id = top·k2 + sub —
+    * k1·k2 ≥ n/MaxKnnCell effective cells from two codebooks of
+    * ~√(n/cap) centroids each, so training and assignment cost
+    * n·(k1+k2)·dim ≈ n^1.5/√cap·dim instead of n²: ~100× less at
+    * 33M vectors, and every pass is still map-only + one
+    * map-side-combinable aggregation. Overridable (env or sys.prop)
+    * so the spec and the sf10 A/B can force the path on small
+    * corpora; oracle-gated SFs sit far below any sane setting.
+    */
+  private[graft] def knnTwoLevelPast: Long =
+    sys.props.get("graft.knn.twoLevelPast")
+      .orElse(sys.env.get("SPARK_GRAFT_KNN_TWO_LEVEL_PAST"))
+      .map(_.toLong)
+      .getOrElse(KnnMaxK.toLong * MaxKnnCell)
+
+  /** (k1, k2) sizing: total target K = smallest power of two with
+    * K·MaxKnnCell ≥ n, k1 = k2 = smallest power of two with k1² ≥ K.
+    * Pure integer arithmetic, deterministic from n alone — the
+    * assignment's cell-id stride (k2) re-derives from the corpus
+    * count, never from the trained codebook's surviving-cluster
+    * count (a dropped empty cluster must not renumber every cell).
+    */
+  private[graft] def knnTwoLevelK(n: Long): (Int, Int) = {
+    val K = Iterator.iterate(2L)(_ * 2).find(_ * MaxKnnCell >= n).get
+    val k1 = Iterator.iterate(2L)(_ * 2).find(p => p * p >= K).get.toInt
+    (k1, k1)
+  }
+
+  /** Per-vector residuals against a trained top codebook: (vec_id,
+    * top, rv) with rv = micro(embedding) − centroid[top], exact long
+    * arithmetic. The codebook join is a broadcast of k1 rows.
+    */
+  private def residuals(s: SparkSession, dir: String,
+      c1: Array[(Long, Array[Long])]): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), microVec.as("_mv"),
+        array_min(ivfCells(c1)).getField("cell").as("cell"))
+      .join(broadcast(codebookToDf(s)(c1)), Seq("cell"))
+      .select(col("vec_id"), col("cell").as("top"),
+        zip_with(col("_mv"), col("centroid"), (x, y) => x - y).as("rv"))
+
+  /** One Lloyd round in RESIDUAL space — [[kmeansRound]]'s exact
+    * shape over an `(vec_id, rv: array<long>)` relation: assign by
+    * the micro-input kernel, refresh per-dim floor(Σ/n). No round()
+    * in the refresh sum: residuals are already exact micro longs.
+    */
+  private def kmeansRoundMicro(res: DataFrame,
+      cents: Array[(Long, Array[Long])]): Array[(Long, Array[Long])] =
+    res
+      .select(array_min(graft.functions.IvfCells
+        .cellsMicro(col("rv"), cents)).getField("cell").as("cl"),
+        col("rv"))
+      .select(col("cl"), posexplode(col("rv")).as(Seq("pos", "x")))
+      .groupBy("cl", "pos")
+      .agg(floor(sum("x").cast("double") / count(lit(1)))
+        .cast("long").as("c"))
+      .groupBy("cl")
+      .agg(sort_array(collect_list(struct(col("pos"), col("c"))))
+        .as("cvec"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toArray))
+      .sortBy(_._1)
+
+  private def twoLevelToDf(s: SparkSession)(
+      v: (Array[(Long, Array[Long])], Array[(Long, Array[Long])]))
+      : DataFrame = {
+    val sp = s; import sp.implicits._
+    (v._1.toSeq.map { case (c, a) => (1, c, a.toSeq) } ++
+      v._2.toSeq.map { case (c, a) => (2, c, a.toSeq) })
+      .toDF("level", "cell", "centroid")
+  }
+
+  private def twoLevelFromDf(df: DataFrame)
+      : (Array[(Long, Array[Long])], Array[(Long, Array[Long])]) = {
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1),
+      r.getSeq[Long](2).toArray))
+    (rows.filter(_._1 == 1).map(r => (r._2, r._3)).sortBy(_._1),
+      rows.filter(_._1 == 2).map(r => (r._2, r._3)).sortBy(_._1))
+  }
+
+  private val knnCodebook2Cache =
+    graft.Artifacts
+      .cache[(Array[(Long, Array[Long])], Array[(Long, Array[Long])])](
+        "similarity.knnCodebook2")
+
+  /** The two-level trainer: top Lloyd at k1 (the existing loop), then
+    * the SAME loop in residual space at k2 — both codebooks one lake
+    * artifact. Driver state (k1+k2)·dim longs at any corpus size.
+    */
+  private[graft] def knnCodebook2(s: SparkSession, dir: String)
+      : (Array[(Long, Array[Long])], Array[(Long, Array[Long])]) =
+    knnCodebook2Cache.getOrElseUpdate(s, dir) {
+      graft.sources.ArtifactStore.materializeValue(s,
+        "similarity.knnCodebook2", dir) {
+        val n = Tables.embeddings(s, dir).count()
+        val (k1, k2) = knnTwoLevelK(n)
+        var c1 = kmeansInit(s, dir, k1)
+        for (_ <- 1 to KmeansRounds) c1 = kmeansRound(s, dir, c1)
+        val res = residuals(s, dir, c1).cache()
+        var c2 = res.orderBy("vec_id").limit(k2)
+          .select(col("vec_id"), col("rv")).collect()
+          .sortBy(_.getLong(0)).zipWithIndex
+          .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toArray) }
+        for (_ <- 1 to KmeansRounds) c2 = kmeansRoundMicro(res, c2)
+        res.unpersist(blocking = false)
+        (c1, c2)
+      }(twoLevelToDf(s))(twoLevelFromDf)
+    }
+
+  /** `df` + an exploded `cell` column: the row's `a` assigned graph-
+    * quantizer cells — THE one assignment surface every graph-family
+    * consumer goes through (a = 1 is the primary/argmin assignment).
+    * Single-level below [[knnTwoLevelPast]] (the map-only kernel
+    * expression, bit-identical to the r18 path); two-level past it:
+    * t = ⌈√a⌉ nearest tops by the k1 kernel, residual against each
+    * (broadcast of k1 rows), ⌈a/t⌉ nearest subs per top by the
+    * micro kernel, cell = top·k2 + sub. When t·⌈a/t⌉ > a the
+    * overshoot is trimmed by true quantizer distance (‖rv − c2‖² —
+    * the residual dist IS ‖mv − (c1+c2)‖²), ties to the smaller
+    * cell id; a per-vec_id window over ≤ t·⌈a/t⌉ rows.
+    */
+  private[graft] def withKnnCells(s: SparkSession, dir: String,
+      df: DataFrame, a: Int): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    if (n <= knnTwoLevelPast)
+      df.withColumn("cell", explode(transform(
+        slice(array_sort(ivfCells(knnCodebook(s, dir))), 1, a),
+        c => c.getField("cell"))))
+    else {
+      val (c1, c2) = knnCodebook2(s, dir)
+      val k2t = knnTwoLevelK(n)._2
+      val t = math.ceil(math.sqrt(a.toDouble)).toInt
+      val sPer = (a + t - 1) / t
+      val c1df = codebookToDf(s)(c1)
+        .select(col("cell").as("_top"), col("centroid").as("_tcv"))
+      val base = df.withColumn("_mv", microVec)
+        .withColumn("_top", explode(transform(
+          slice(array_sort(ivfCells(c1)), 1, t),
+          c => c.getField("cell"))))
+        .join(broadcast(c1df), Seq("_top"))
+        .withColumn("_rv",
+          zip_with(col("_mv"), col("_tcv"), (x, y) => x - y))
+        .withColumn("_sc", explode(slice(array_sort(
+          graft.functions.IvfCells.cellsMicro(col("_rv"), c2)),
+          1, sPer)))
+        .withColumn("cell",
+          col("_top") * k2t + col("_sc").getField("cell"))
+      val trimmed =
+        if (t * sPer == a) base
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("vec_id")
+            .orderBy(col("_sc").getField("dist"), col("cell"))
+          base.withColumn("_rk", row_number().over(w))
+            .filter(col("_rk") <= a).drop("_rk")
+        }
+      trimmed.drop("_mv", "_top", "_tcv", "_rv", "_sc")
+    }
+  }
+
   /** The split-blocked shared-cell candidate relation — SCORED:
     * (vec_id, nbr, score_micro), both directions, deduped, under
     * [[KnnAssign]]-way assignment over the [[knnCodebook]] cells —
@@ -1781,10 +1950,7 @@ object Similarity {
     // partitionBy("cell") window was the repo's hardest single-task
     // wall: cardinality k, so one task buffered n/k of the corpus by
     // construction even with no skew at all)
-    val assigned = emb
-      .withColumn("cell", explode(transform(
-        slice(array_sort(ivfCells(knnCodebook(s, dir))), 1, KnnAssign),
-        c => c.getField("cell"))))
+    val assigned = withKnnCells(s, dir, emb, KnnAssign)
       .select("vec_id", "cell")
       .cache()
     // within-cap cells skip the extra rounds (identical sub-0 rows
@@ -2188,9 +2354,8 @@ object Similarity {
         .agg(count(lit(1)).as("n_sem_dups"),
           min("nbr").as("keeper"),
           max("score_micro").as("max_sim_micro"))
-      Tables.embeddings(s, dir)
-        .select(col("vec_id"),
-          ivfCellCol(knnCodebook(s, dir)).as("cell"))
+      withKnnCells(s, dir, Tables.embeddings(s, dir), 1)
+        .select(col("vec_id"), col("cell"))
         .join(doms, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cell"),
           coalesce(col("n_sem_dups"), lit(0L)).as("n_sem_dups"),
@@ -2241,16 +2406,13 @@ object Similarity {
     */
   private[graft] def semDedupIngest(s: SparkSession, batch: DataFrame,
       dir: String): DataFrame = {
-    val cells = explode(transform(
-      slice(array_sort(ivfCells(knnCodebook(s, dir))), 1, KnnAssign),
-      c => c.getField("cell")))
-    val standing = Tables.embeddings(s, dir)
-      .filter(col("vec_id") % 5 =!= 4)
-      .withColumn("cell", cells)
+    val standing = withKnnCells(s, dir,
+      Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 4),
+      KnnAssign)
       .select(col("cell"), col("vec_id").as("std_id"),
         col("embedding").as("std_emb"))
-    batch.select(col("vec_id"), col("embedding"))
-      .withColumn("cell", cells)
+    withKnnCells(s, dir,
+      batch.select(col("vec_id"), col("embedding")), KnnAssign)
       .join(standing, Seq("cell"), "left")
       .withColumn("sim", when(col("std_id").isNotNull,
         nativeScoreMicro(s, "embedding", "std_emb")))
