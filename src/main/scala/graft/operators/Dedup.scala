@@ -532,6 +532,22 @@ object Dedup {
     */
   val Iters = 6
 
+  /** Engine-side round BUDGET for [[propagate]] — decoupled from
+    * [[Iters]] (r19, the sf10 d_embed_clusters catch): `Iters` is the
+    * ORACLE's fixed plain-propagation CTE depth, enough at every
+    * oracle-gated SF (proven by parity — an SF where 6 stopped
+    * sufficing would read as a loud row mismatch, never silence),
+    * but the engine's loop exits at the first zero-change round
+    * anyway, so its budget costs nothing when converged and should
+    * never be the thing that fails a BIGGER unoracled corpus: sf10's
+    * embed near-dup graph genuinely needs more than 6 pointer-jumped
+    * rounds (a within-bucket similarity chain), and the old shared
+    * budget turned a correct slow flood into an IllegalStateException.
+    * 24 jumped rounds cover diameter ≈ 2²⁴ — any graph whose edges
+    * fit storage.
+    */
+  val ItersBudget = 24
+
   private[graft] def dupEdges(s: SparkSession, dir: String): DataFrame = {
     // lshJaccardDf is already gated at ClusterMinBp (F7's output
     // contract); the redundant filter stays as documentation of the
@@ -663,7 +679,7 @@ object Dedup {
     val edges = dupEdges(s, dir).localCheckpoint(true)
     val labels0 = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-    propagate(edges, labels0, Iters)
+    propagate(edges, labels0, ItersBudget)
       .select(col("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -798,7 +814,7 @@ object Dedup {
       .localCheckpoint(true)
     val labels0 = subEdges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-    val merged = propagate(subEdges, labels0, Iters, bigEdges = false)
+    val merged = propagate(subEdges, labels0, ItersBudget, bigEdges = false)
       .select(col("doc_id"), col("label").as("cluster_id"))
     untouched.select("doc_id", "cluster_id").unionAll(merged)
   }
@@ -821,7 +837,7 @@ object Dedup {
           .localCheckpoint(true)
         val labels0 = oldE.select(col("doc_a").as("doc_id")).distinct()
           .withColumn("label", col("doc_id"))
-        propagate(oldE, labels0, Iters)
+        propagate(oldE, labels0, ItersBudget)
           .select(col("doc_id"), col("label").as("cluster_id"))
       })
 

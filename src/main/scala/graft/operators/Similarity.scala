@@ -652,7 +652,7 @@ object Similarity {
         .localCheckpoint(true)
       val labels0 = edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("label", col("doc_id"))
-      Dedup.propagate(edges, labels0, Dedup.Iters)
+      Dedup.propagate(edges, labels0, Dedup.ItersBudget)
         .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
         .orderBy("vec_id")
     }, {
