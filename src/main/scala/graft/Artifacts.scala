@@ -53,7 +53,7 @@ object Artifacts {
         // lake_load); only record the plain in-memory build here.
         val before = eventsFor(name, dir)
         val t0 = System.nanoTime()
-        val v = build
+        val v = Artifacts.nestedScope(name, dir)(build)
         if (eventsFor(name, dir) == before)
           record(name, dir, (System.nanoTime() - t0) / 1000000, "build")
         v
@@ -111,16 +111,47 @@ object Artifacts {
   // records which queries paid which builds.
   // ------------------------------------------------------------------
 
-  /** One artifact materialization. */
+  /** One artifact materialization. `nested` = this event fired
+    * INSIDE another artifact's build thunk (e.g. knnCodebook
+    * delegating to kmCodebook): its wall millis are already contained
+    * in the outer event's, so wall-clock consumers (Bench's per-rep
+    * artifact subtraction) must sum only top-level events — summing
+    * both double-counts and, in the drift gate, silently deflates the
+    * artifact-adjusted time below any pin breach (found r20: a real
+    * 4× d_semdedup regression was masked exactly this way).
+    */
   final case class BuildEvent(family: String, dir: String,
-      millis: Long, kind: String)
+      millis: Long, kind: String, nested: Boolean = false)
 
   private val events =
     new java.util.concurrent.ConcurrentLinkedQueue[BuildEvent]
 
+  // stack of build-thunk scopes ON THIS THREAD (builds run on the
+  // driver thread; a nested build always fires synchronously inside
+  // the outer thunk). Identity-aware: the Cache wrapper and the
+  // ArtifactStore span for the SAME (family, dir) are one logical
+  // build (the store's finer event replaces the cache's), so only an
+  // enclosing scope with a DIFFERENT identity marks an event nested.
+  private val buildStack: ThreadLocal[List[(String, String)]] =
+    ThreadLocal.withInitial(() => Nil)
+
+  /** Run an artifact build thunk with nesting tracked: any event for
+    * a DIFFERENT (family, dir) recorded while inside is marked
+    * `nested`. Every build-thunk execution in Artifacts/ArtifactStore
+    * routes through here.
+    */
+  private[graft] def nestedScope[T](family: String, dir: String)(
+      body: => T): T = {
+    buildStack.set((family, dir) :: buildStack.get)
+    try body finally buildStack.set(buildStack.get.tail)
+  }
+
   private[graft] def record(family: String, dir: String, millis: Long,
       kind: String): Unit =
-    events.add(BuildEvent(family, dir, millis, kind))
+    events.add(BuildEvent(family, dir, millis, kind,
+      nested = buildStack.get.exists { case (f, d) =>
+        f != family || d != dir
+      }))
 
   /** All events so far, in order. */
   def buildEvents: Seq[BuildEvent] = {

@@ -134,6 +134,13 @@ object Bench {
     val peakTaskMem = scala.collection.mutable.Map.empty[String, Long]
     val nTasks = scala.collection.mutable.Map.empty[String, Long]
     val shufBytes = scala.collection.mutable.Map.empty[String, Long]
+    // best artifact-ADJUSTED time per query: each repeat subtracts its
+    // OWN artifact millis before the min (r19 advice: with REPEAT>=2
+    // the cold rep pays the build while the warm rep supplies the min,
+    // so subtracting the cross-rep artifact total from the min dt
+    // deflated norm — sometimes below zero — and genuine 2x breaches
+    // on artifact-backed queries could never flag)
+    val adjBest = scala.collection.mutable.Map.empty[String, Double]
     def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame, reps: Int): Either[String, Double] = {
       // deterministic listener drain (not a sleep): task-end events
       // from the PREVIOUS query must not bleed into this one's max
@@ -152,18 +159,25 @@ object Bench {
                    false }
         val dt = (System.nanoTime() - t0) / 1e9
         val paidEvents = Artifacts.buildEvents.drop(ev0)
-        val paid = paidEvents.map(e => s"${e.family}:${e.kind}:${e.millis}ms")
+        val paid = paidEvents.map(e => s"${e.family}:${e.kind}:" +
+          s"${e.millis}ms${if (e.nested) "~nested" else ""}")
+        // top-level events only: a nested event's wall is contained
+        // in its outer's — summing both double-subtracts and masked a
+        // real 4x d_semdedup pin breach (r20)
+        val repArtMs = paidEvents.filterNot(_.nested).map(_.millis).sum
         if (paid.nonEmpty) {
           artEvents(name) = artEvents.getOrElse(name, Nil) ++ paid
-          artMillis(name) = artMillis.getOrElse(name, 0L) +
-            paidEvents.map(_.millis).sum
+          artMillis(name) = artMillis.getOrElse(name, 0L) + repArtMs
         }
         // isolate queries: drop caches a query built so the next
         // query's time is its own (and GC pressure stays flat)
         spark.catalog.clearCache()
-        if (ok) Some(dt) else None
+        if (ok) Some((dt, repArtMs)) else None
       }
-      val best = times.flatten
+      val done = times.flatten
+      if (done.nonEmpty)
+        adjBest(name) = done.map { case (dt, art) => dt - art / 1e3 }.min
+      val best = done.map(_._1)
       org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
       // max over the repeats (the conservative bound: a warm repeat
       // that loads an artifact instead of building it reads fewer
@@ -194,14 +208,23 @@ object Bench {
     // millis) would otherwise breach 2x on every run by construction —
     // systematic rerun cost and phantom drift noise, not a regression
     // signal. The query's OWN work still faces the full 2x gate.
+    // Each repeat subtracts its OWN artifact millis before the min
+    // (adjBest, r19 advice) — the cross-rep total against the min dt
+    // under-counted warm reps and could read negative.
+    // Absolute floor 0.5 s (r19 verdict #5): the r19 driver leg left
+    // 7 sub-second lines reading 2.05-2.34x their 0.21-0.28 s pins
+    // even after a clean warm re-run — fixed ~0.3 s one-shot session
+    // overhead (JIT + first-use codegen per query family), not drift.
+    // A breach must be BOTH >=2x AND >=0.5 s over pin to flag; below
+    // that the delta is within a loaded one-JVM's per-query noise
+    // floor and a REPEAT=2 closing map reads zero suspects anyway.
     val pinsApply = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
     val suspects: Seq[(String, Double, Double, Double)] =
       results.collect {
         case (name, Right(t))
             if pinsApply && BenchPins.pins.get(name).exists { pin =>
-              val norm =
-                (t - artMillis.getOrElse(name, 0L) / 1e3) / hostFactor
-              norm >= 2 * pin && norm - pin >= 0.25
+              val norm = adjBest.getOrElse(name, t) / hostFactor
+              norm >= 2 * pin && norm - pin >= 0.5
             } =>
           val pin = BenchPins.pins(name)
           val second = runOne(name + "#2", selected(name), 1) match {

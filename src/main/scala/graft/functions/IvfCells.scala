@@ -164,6 +164,124 @@ case class IvfCells(child: Expression, ids: IndexedSeq[Long],
       : Expression = copy(child = newChild)
 }
 
+/** [[IvfCells]] with the codebook as a COLUMN child instead of a
+  * shipped literal — the assignment kernel of the PER-TOP (local)
+  * residual sub-codebooks the two-level quantizer trains (r20): each
+  * probed top cell carries its OWN k2-entry sub-codebook, attached by
+  * a broadcast join keyed on the top id, so the codebook relation
+  * scales as (effective cells)·dim rows of BROADCAST state with no
+  * plan-literal ceiling (a literal combined codebook is ~134 MB of
+  * plan at the 33M-vector sizing — a non-starter; the broadcast is
+  * the same bytes where they belong). Same primitive loops, same
+  * micro-long arithmetic, same (dist, cell) struct table out, same
+  * whole-array-NULL strictness on ragged input — only the codebook's
+  * residence changes. `subs` elements are struct<cell: long,
+  * v: array<long>> in cell order.
+  */
+case class IvfCellsLocal(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("dist", LongType, nullable = false),
+    StructField("cell", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_cells_local"
+
+  override protected def nullSafeEval(micro: Any, subs: Any): Any = {
+    val x = micro.asInstanceOf[ArrayData]
+    val sb = subs.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    val eq = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (x.isNullAt(i)) return null
+      eq(i) = x.getLong(i)
+      i += 1
+    }
+    val n = sb.numElements()
+    val out = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      if (sb.isNullAt(j)) return null
+      val row = sb.getStruct(j, 2)
+      val cv = row.getArray(1)
+      if (cv.numElements() != dim) return null
+      var d = 0L
+      var k = 0
+      while (k < dim) {
+        val t = eq(k) - cv.getLong(k)
+        d += t * t
+        k += 1
+      }
+      out(j) = InternalRow(d, row.getLong(0))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (x, sb) => {
+      val dim = ctx.freshName("dim")
+      val eq = ctx.freshName("eq")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val nSubs = ctx.freshName("nSubs")
+      val row = ctx.freshName("row")
+      val cv = ctx.freshName("cv")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $dim = $x.numElements();
+         |boolean $bad = false;
+         |long[] $eq = new long[$dim];
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  if ($x.isNullAt($i)) { $bad = true; break; }
+         |  $eq[$i] = $x.getLong($i);
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $nSubs = $sb.numElements();
+         |  Object[] $out = new Object[$nSubs];
+         |  for (int $j = 0; $j < $nSubs && !$bad; $j++) {
+         |    if ($sb.isNullAt($j)) { $bad = true; break; }
+         |    org.apache.spark.sql.catalyst.InternalRow $row =
+         |      $sb.getStruct($j, 2);
+         |    org.apache.spark.sql.catalyst.util.ArrayData $cv =
+         |      $row.getArray(1);
+         |    if ($cv.numElements() != $dim) { $bad = true; break; }
+         |    long $d = 0L;
+         |    for (int $m = 0; $m < $dim; $m++) {
+         |      long $t = $eq[$m] - $cv.getLong($m);
+         |      $d += $t * $t;
+         |    }
+         |    $out[$j] =
+         |      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |        new Object[]{ java.lang.Long.valueOf($d),
+         |          java.lang.Long.valueOf($row.getLong(0)) });
+         |  }
+         |  if ($bad) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} =
+         |      new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object IvfCells {
   /** The distance table as a Column over `embeddingCol`. */
   def cells(embedding: Column, codebook: Array[(Long, Array[Long])])
@@ -188,4 +306,13 @@ object IvfCells {
         codebook.map(_._1).toIndexedSeq,
         codebook.map(_._2.toIndexedSeq).toIndexedSeq,
         microInput = true))
+
+  /** The distance table against a PER-ROW codebook column (broadcast-
+    * joined local sub-codebooks — [[IvfCellsLocal]]).
+    */
+  def cellsLocal(micro: Column, subs: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      IvfCellsLocal(
+        org.apache.spark.sql.GraftColumnBridge.expression(micro),
+        org.apache.spark.sql.GraftColumnBridge.expression(subs)))
 }

@@ -424,6 +424,13 @@ object Dedup {
             sort_array(collect_list(struct(col("seed"), col("mh")))),
             x => x.getField("mh")).as("sig")),
         Seq("doc_id"))
+    // cache lifetime (the lshCandidates note, extended per r19
+    // advice): `fat` serves the two sides of the ONE banding
+    // self-join below — the result is single-branch, so there is no
+    // post-materialization point inside this builder to unpersist
+    // from (the join IS the query). Bench isolates queries with
+    // clearCache(); a long-lived library session rotating corpora
+    // does the same between corpora, exactly as for lshCandidates.
     val fat = splitBands(s, dir).join(doc, Seq("doc_id")).cache()
     val aCols = Seq(col("doc_id").as("doc_a"), col("band"),
       col("band_hash"), col("r"), col("sub"), col("grams").as("g_a"),

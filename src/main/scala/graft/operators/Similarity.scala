@@ -1751,28 +1751,90 @@ object Similarity {
       }(codebookToDf(s))(codebookFromDf)
     }
 
-  // -------------------------------------------------- two-level (r19)
+  // ---------------------------------------------- two-level (r19/r20)
   /** Corpus size past which the graph family's quantizer goes
     * TWO-LEVEL. Single-level Lloyd training is 3 full n·k·dim passes;
     * at k = n/MaxKnnCell that is O(n²·dim/cap) — fine to ~1M vectors
     * (the [[KnnKLadder]] top), a wall at the 33M the r18 verdict
-    * named. Past the threshold the quantizer becomes RESIDUAL
-    * two-level (the IMI/IVF-residual family): a k1-cell top codebook
-    * over the vectors plus ONE shared k2-cell codebook over the
-    * residuals (micro(x) − top centroid), cell id = top·k2 + sub —
-    * k1·k2 ≥ n/MaxKnnCell effective cells from two codebooks of
-    * ~√(n/cap) centroids each, so training and assignment cost
-    * n·(k1+k2)·dim ≈ n^1.5/√cap·dim instead of n²: ~100× less at
-    * 33M vectors, and every pass is still map-only + one
-    * map-side-combinable aggregation. Overridable (env or sys.prop)
-    * so the spec and the sf10 A/B can force the path on small
-    * corpora; oracle-gated SFs sit far below any sane setting.
+    * named. Past the threshold the quantizer becomes HIERARCHICAL
+    * residual two-level (r20 — r19 shipped ONE shared k2 residual
+    * codebook; its pooled cell geometry halved blocking recall at
+    * equal effective cells and the coarse-probe dial could not buy it
+    * back — probe = all 32 tops still read 2864 vs flat 4869 bp at
+    * sf10, the committed diagnosis grid): a k1-cell top codebook over
+    * the vectors plus a LOCAL k2-cell codebook per top over that
+    * top's residuals (micro(x) − top centroid), cell id =
+    * top·k2 + sub — k1·k2 ≥ n/MaxKnnCell effective leaf cells, each a
+    * true Lloyd cell of its top's residual cloud, so the leaf
+    * partition approaches flat k-means quality (sf10: 3854 bp at the
+    * default probe vs 4869 flat). Training cost n·(k1+k2)·dim ≈
+    * n^1.5/√cap·dim instead of n² (~100× less at 33M vectors — each
+    * residual only ever scores its own top's k2 subs), every pass
+    * map-only + one map-side-combinable aggregation; codebook STATE
+    * is (k1·k2)·dim longs riding as a broadcast relation (134 MB at
+    * the 33M sizing — the documented bound; past ~100M vectors a
+    * deployment caps k2 or trades back to shared subs). Overridable
+    * (env or sys.prop) so the spec and the sf10 A/B can force the
+    * path on small corpora; oracle-gated SFs sit far below any sane
+    * setting (G28 exercises the path by calling it directly).
     */
   private[graft] def knnTwoLevelPast: Long =
     sys.props.get("graft.knn.twoLevelPast")
       .orElse(sys.env.get("SPARK_GRAFT_KNN_TWO_LEVEL_PAST"))
       .map(_.toLong)
       .getOrElse(KnnMaxK.toLong * MaxKnnCell)
+
+  /** COARSE-PROBE width for two-level assignment (r20, the r19
+    * verdict's #1): how many nearest TOP cells are probed before
+    * residual assignment. The r19 shape probed only ⌈√a⌉ tops
+    * (t = 2 at the production a = 4), concentrating all a cells in
+    * two coarse regions of a k1 = 32 codebook whose cells are ~32×
+    * wider than the single-level quantizer's — the measured sf10
+    * recall halving (4869 → 2734 bp at equal effective cells).
+    * Probing T tops and ranking every (top, sub) candidate by TRUE
+    * quantizer distance ‖rv − c2‖² = ‖mv − (c1 + c2)‖² (comparable
+    * across tops — the residual identity) is the IMI multi-probe
+    * standard: assignment cost grows T/⌈√a⌉× in the map-only kernel,
+    * the index mass (a cells/vector) is unchanged, and cross-top true
+    * neighbors the coarse argmin misplaced become co-indexable again.
+    * Env/sys.prop-dialable (absolute); the DEFAULT is max(8, k1/2) —
+    * the sf10 grid (BASELINE.md r20) measured recall 3307/3854/4010 bp
+    * at t = 8/16/32 of k1 = 32 tops vs single-level 4869 at the same
+    * 1024 effective cells, i.e. probing half the coarse level lands
+    * ~79% of flat k-means blocking recall while halving flat's
+    * per-vector assignment compute (t·k2 < K leaf scans); the probe
+    * dial is the documented recall/assignment-cost trade past the
+    * activation scale.
+    */
+  private[graft] def knnTwoLevelProbe(k1: Int): Int =
+    sys.props.get("graft.knn.twoLevelProbe")
+      .orElse(sys.env.get("SPARK_GRAFT_KNN_TWO_LEVEL_PROBE"))
+      .map(_.toInt)
+      .getOrElse(math.max(8, k1 / 2))
+
+  /** [[knnTwoLevelProbe]] as a DuckDB scalar — the dialed literal
+    * when the dial is set, else GREATEST(8, k1/2) over the trained
+    * [[tlKSql]] sizing, engine-identical integer arithmetic.
+    */
+  private def tlProbeSql: String =
+    sys.props.get("graft.knn.twoLevelProbe")
+      .orElse(sys.env.get("SPARK_GRAFT_KNN_TWO_LEVEL_PROBE"))
+      .map(_.toInt.toString)
+      .getOrElse(s"GREATEST(8, $tlKSql // 2)")
+
+  /** Lloyd rounds for the LOCAL residual sub-codebooks — dialable
+    * separately from [[KmeansRounds]] because a local round is CHEAP
+    * (n·k2·dim — each residual scores only its own top's k2 subs,
+    * never the full leaf set) while leaf-cell quality is exactly what
+    * the two-level recall story rests on. Read once at object init
+    * (the oracle CTE chain is built from it), env/sys-prop dialable
+    * for the A/B grid.
+    */
+  private[graft] val KnnLocalRounds: Int =
+    sys.props.get("graft.knn.localRounds")
+      .orElse(sys.env.get("SPARK_GRAFT_KNN_LOCAL_ROUNDS"))
+      .map(_.toInt)
+      .getOrElse(KmeansRounds)
 
   /** (k1, k2) sizing: total target K = smallest power of two with
     * K·MaxKnnCell ≥ n, k1 = k2 = smallest power of two with k1² ≥ K.
@@ -1800,16 +1862,41 @@ object Similarity {
       .select(col("vec_id"), col("cell").as("top"),
         zip_with(col("_mv"), col("centroid"), (x, y) => x - y).as("rv"))
 
-  /** One Lloyd round in RESIDUAL space — [[kmeansRound]]'s exact
-    * shape over an `(vec_id, rv: array<long>)` relation: assign by
-    * the micro-input kernel, refresh per-dim floor(Σ/n). No round()
-    * in the refresh sum: residuals are already exact micro longs.
+  /** The per-top sub-codebooks as a broadcastable relation: (top,
+    * subs array<struct<cell, v>> in cell order) — `c2` keys are
+    * COMBINED cell ids (top·k2 + sub), so top = cell / k2. This is
+    * the codebook's scale-true residence (r20): state is (effective
+    * cells)·dim longs of BROADCAST rows, never a plan literal (the
+    * 33M-vector sizing is k1 = k2 = 512 → 262k cells ≈ 134 MB — fine
+    * as a broadcast, a non-starter as generated code).
     */
-  private def kmeansRoundMicro(res: DataFrame,
-      cents: Array[(Long, Array[Long])]): Array[(Long, Array[Long])] =
+  private def subsByTopDf(s: SparkSession,
+      c2: Array[(Long, Array[Long])], k2: Int): DataFrame = {
+    val sp = s; import sp.implicits._
+    c2.toSeq.map { case (cell, v) => (cell / k2, cell, v.toSeq) }
+      .toDF("top", "cell", "v")
+      .groupBy("top")
+      .agg(sort_array(collect_list(struct(col("cell"), col("v"))))
+        .as("subs"))
+  }
+
+  /** One Lloyd round in RESIDUAL space with PER-TOP local codebooks
+    * (r20, the r19 recall fix) — [[kmeansRound]]'s shape over the
+    * `(vec_id, top, rv: array<long>)` relation: each residual is
+    * assigned to the nearest sub-cell OF ITS OWN TOP (broadcast join
+    * on top + the column-codebook kernel — [[graft.functions
+    * .IvfCells.cellsLocal]]), refresh per-dim floor(Σ/n) keyed by the
+    * combined cell id. No round() in the refresh sum: residuals are
+    * already exact micro longs. Empty cells drop per top, ties to
+    * the smaller combined id (= smaller sub within the row's top).
+    */
+  private def kmeansRoundLocal(s: SparkSession, res: DataFrame,
+      cents: Array[(Long, Array[Long])], k2: Int)
+      : Array[(Long, Array[Long])] =
     res
+      .join(broadcast(subsByTopDf(s, cents, k2)), Seq("top"))
       .select(array_min(graft.functions.IvfCells
-        .cellsMicro(col("rv"), cents)).getField("cell").as("cl"),
+        .cellsLocal(col("rv"), col("subs"))).getField("cell").as("cl"),
         col("rv"))
       .select(col("cl"), posexplode(col("rv")).as(Seq("pos", "x")))
       .groupBy("cl", "pos")
@@ -1845,9 +1932,30 @@ object Similarity {
       .cache[(Array[(Long, Array[Long])], Array[(Long, Array[Long])])](
         "similarity.knnCodebook2")
 
-  /** The two-level trainer: top Lloyd at k1 (the existing loop), then
-    * the SAME loop in residual space at k2 — both codebooks one lake
-    * artifact. Driver state (k1+k2)·dim longs at any corpus size.
+  /** The two-level trainer (r20 — HIERARCHICAL Lloyd, the r19
+    * recall-cliff fix): top Lloyd at k1 (the existing loop), then the
+    * SAME loop in residual space with a LOCAL k2-cell sub-codebook
+    * PER TOP — c2 keys are combined cell ids top·k2 + sub. The r19
+    * shape trained ONE k2 codebook over all residuals pooled; its
+    * cell geometry was a compromise across k1 coarse regions and the
+    * measured sf10 blocking recall halved vs flat k-means at equal
+    * effective cells, with the coarse-probe dial exhausted (probe=32
+    * of 32 tops read 2864 bp vs single-level 4869 — the codebook,
+    * not the probe set, was the loss channel). Local sub-codebooks
+    * are plain hierarchical k-means: each leaf cell is a true Lloyd
+    * cell of its top's residuals, and the leaf partition approaches
+    * flat k-means quality. The scalability story is unchanged where
+    * it mattered — TRAINING/ASSIGNMENT cost stays n·(k1 + t·k2)·dim
+    * (each vector scores one top codebook + its probed tops' local
+    * subs, never all k1·k2 leaves; flat Lloyd's n·K·dim wall at
+    * K = n/cap was the r18 problem) — while codebook STATE grows
+    * from (k1+k2)·dim to (k1·k2)·dim longs, riding as a BROADCAST
+    * relation (134 MB at the 33M sizing; a deployment past ~100M
+    * vectors trades back to shared subs or caps k2 — documented
+    * bound, not a cliff). Seeds: the k2 smallest vec_ids OF EACH TOP
+    * (two thin passes: a per-top sorted id list — longs only — then
+    * one join to fetch those residuals; no wide window). Both
+    * codebooks one lake artifact.
     */
   private[graft] def knnCodebook2(s: SparkSession, dir: String)
       : (Array[(Long, Array[Long])], Array[(Long, Array[Long])]) =
@@ -1859,11 +1967,19 @@ object Similarity {
         var c1 = kmeansInit(s, dir, k1)
         for (_ <- 1 to KmeansRounds) c1 = kmeansRound(s, dir, c1)
         val res = residuals(s, dir, c1).cache()
-        var c2 = res.orderBy("vec_id").limit(k2)
-          .select(col("vec_id"), col("rv")).collect()
-          .sortBy(_.getLong(0)).zipWithIndex
-          .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toArray) }
-        for (_ <- 1 to KmeansRounds) c2 = kmeansRoundMicro(res, c2)
+        val seedIds = res.select(col("top"), col("vec_id"))
+          .groupBy("top")
+          .agg(slice(sort_array(collect_list(col("vec_id"))), 1, k2)
+            .as("ids"))
+          .select(col("top"),
+            posexplode(col("ids")).as(Seq("sub", "vec_id")))
+        var c2 = res.join(seedIds, Seq("top", "vec_id"))
+          .select((col("top") * k2 + col("sub")).as("cell"), col("rv"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+          .sortBy(_._1)
+        for (_ <- 1 to KnnLocalRounds)
+          c2 = kmeansRoundLocal(s, res, c2, k2)
         res.unpersist(blocking = false)
         (c1, c2)
       }(twoLevelToDf(s))(twoLevelFromDf)
@@ -1873,13 +1989,18 @@ object Similarity {
     * quantizer cells — THE one assignment surface every graph-family
     * consumer goes through (a = 1 is the primary/argmin assignment).
     * Single-level below [[knnTwoLevelPast]] (the map-only kernel
-    * expression, bit-identical to the r18 path); two-level past it:
-    * t = ⌈√a⌉ nearest tops by the k1 kernel, residual against each
-    * (broadcast of k1 rows), ⌈a/t⌉ nearest subs per top by the
-    * micro kernel, cell = top·k2 + sub. When t·⌈a/t⌉ > a the
-    * overshoot is trimmed by true quantizer distance (‖rv − c2‖² —
-    * the residual dist IS ‖mv − (c1+c2)‖²), ties to the smaller
-    * cell id; a per-vec_id window over ≤ t·⌈a/t⌉ rows.
+    * expression, bit-identical to the r18 path); two-level past it
+    * (r20 — hierarchical, multi-probed): t = max(⌈√a⌉,
+    * [[knnTwoLevelProbe]]) nearest tops by the k1 kernel, residual
+    * against each (broadcast of k1 rows), sPer nearest sub-cells from
+    * each probed top's OWN local codebook (broadcast join on the top
+    * id + the column-codebook kernel; cell ids are combined
+    * top·k2 + sub). The ≤ t·sPer candidate superset is trimmed to the
+    * a best by TRUE quantizer distance (‖rv − c2‖² — the residual
+    * dist IS ‖mv − (c1+c2)‖², comparable across tops), ties to the
+    * smaller cell id; a per-vec_id window over ≤ t·sPer rows.
+    * Undersized surviving codebooks fail loudly (r19 advice) instead
+    * of quietly narrowing the assignment below a cells.
     */
   private[graft] def withKnnCells(s: SparkSession, dir: String,
       df: DataFrame, a: Int): DataFrame = {
@@ -1888,25 +2009,45 @@ object Similarity {
       df.withColumn("cell", explode(transform(
         slice(array_sort(ivfCells(knnCodebook(s, dir))), 1, a),
         c => c.getField("cell"))))
-    else {
+    else withTwoLevelCells(s, dir, df, a)
+  }
+
+  /** The two-level assignment itself, threshold-free — the body of
+    * [[withKnnCells]]' past-threshold branch, callable directly so
+    * the oracle-gated G27 row (`s_ann_two_level`) exercises this
+    * exact path at every correctness SF without mutating the global
+    * threshold dial.
+    */
+  private[graft] def withTwoLevelCells(s: SparkSession, dir: String,
+      df: DataFrame, a: Int): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    locally {
       val (c1, c2) = knnCodebook2(s, dir)
       val k2t = knnTwoLevelK(n)._2
-      val t = math.ceil(math.sqrt(a.toDouble)).toInt
-      val sPer = (a + t - 1) / t
+      val t = math.min(c1.length,
+        math.max(math.ceil(math.sqrt(a.toDouble)).toInt,
+          knnTwoLevelProbe(knnTwoLevelK(n)._1)))
+      val sPer = math.max((a + t - 1) / t, math.min(2, k2t))
+      require(t * sPer >= a && c2.length >= a,
+        s"two-level codebooks too small for $a-way assignment: " +
+          s"${c1.length} surviving tops x ${c2.length} surviving subs " +
+          s"yields only t=$t x sPer=$sPer candidate cells")
       val c1df = codebookToDf(s)(c1)
         .select(col("cell").as("_top"), col("centroid").as("_tcv"))
+      val subs = subsByTopDf(s, c2, k2t)
+        .select(col("top").as("_top"), col("subs").as("_subs"))
       val base = df.withColumn("_mv", microVec)
         .withColumn("_top", explode(transform(
           slice(array_sort(ivfCells(c1)), 1, t),
           c => c.getField("cell"))))
         .join(broadcast(c1df), Seq("_top"))
+        .join(broadcast(subs), Seq("_top"))
         .withColumn("_rv",
           zip_with(col("_mv"), col("_tcv"), (x, y) => x - y))
         .withColumn("_sc", explode(slice(array_sort(
-          graft.functions.IvfCells.cellsMicro(col("_rv"), c2)),
+          graft.functions.IvfCells.cellsLocal(col("_rv"), col("_subs"))),
           1, sPer)))
-        .withColumn("cell",
-          col("_top") * k2t + col("_sc").getField("cell"))
+        .withColumn("cell", col("_sc").getField("cell"))
       val trimmed =
         if (t * sPer == a) base
         else {
@@ -1916,9 +2057,153 @@ object Similarity {
           base.withColumn("_rk", row_number().over(w))
             .filter(col("_rk") <= a).drop("_rk")
         }
-      trimmed.drop("_mv", "_top", "_tcv", "_rv", "_sc")
+      trimmed.drop("_mv", "_top", "_tcv", "_rv", "_sc", "_subs")
     }
   }
+
+  // ------------------------------------------------------------- G28
+  /** [[knnTwoLevelK]] as a DuckDB scalar: K = smallest power of two
+    * with K·[[MaxKnnCell]] ≥ n, k1 = k2 = smallest power of two with
+    * k1² ≥ K — pure integer compares over VALUES ladders, engine-
+    * identical (the [[kmKSql]] idiom, two levels deep). Ladders reach
+    * 2²⁰ effective cells / k up to 1024 — past any testable corpus.
+    */
+  private val tlKSql: String =
+    s"""(SELECT min(p)
+       |  FROM (VALUES ${(1 to 10).map(i => s"(${1 << i})").mkString(", ")})
+       |    ps(p)
+       |  WHERE CAST(p AS BIGINT) * p >=
+       |    (SELECT min(K)
+       |     FROM (VALUES ${(1 to 20).map(i => s"(${1 << i})").mkString(", ")})
+       |       ks(K)
+       |     WHERE CAST(K AS BIGINT) * $MaxKnnCell >=
+       |       (SELECT count(*) FROM embeddings)))"""
+      .stripMargin.replace("\n", " ")
+
+  /** One Lloyd assignment in RESIDUAL space (DuckDB): nearest sub-
+    * centroid OF THE RESIDUAL'S OWN TOP from `c` (combined cell ids —
+    * top = cl // k2), ties to the smaller combined id —
+    * [[kmAssignSql]] with the relation swapped and the join made
+    * per-top (the r20 hierarchical codebook).
+    */
+  private def tlResAssignSql(c: String): String =
+    s"""SELECT vec_id, cl FROM (
+       |  SELECT r.vec_id, c.cl,
+       |    row_number() OVER (PARTITION BY r.vec_id ORDER BY
+       |      list_sum(list_transform(list_zip(r.rv, c.v),
+       |        z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cl) AS rn
+       |  FROM res0 r JOIN $c c ON c.cl // $tlKSql = r.top)
+       |WHERE rn = 1""".stripMargin
+
+  /** One centroid refresh in RESIDUAL space from assignment `a` —
+    * [[kmRefreshSql]] over `res0.rv` (already exact micro longs, so
+    * no re-rounding — [[kmeansRoundMicro]]'s refresh).
+    */
+  private def tlResRefreshSql(a: String): String =
+    s"""SELECT cl, list(cc ORDER BY pos) AS v FROM (
+       |  SELECT a.cl, i AS pos,
+       |    CAST(floor(CAST(sum(r.rv[CAST(i AS INT)]) AS DOUBLE)
+       |      / count(*)) AS BIGINT) AS cc
+       |  FROM $a a JOIN res0 r ON r.vec_id = a.vec_id,
+       |    unnest(range(1, len(r.rv) + 1)) AS u(i)
+       |  GROUP BY a.cl, i) GROUP BY cl""".stripMargin
+
+  /** TWO-LEVEL ANN READ — the G27 residual quantizer, oracle-gated
+    * (r19 verdict #7: the component was spec-only; every oracle SF
+    * sits below the activation threshold, so this row calls
+    * [[withTwoLevelCells]] DIRECTLY — the exact past-threshold
+    * assignment path, no global dial mutation). Shape = G14's probe
+    * read on the two-level primary cell: train both codebooks
+    * ([[knnCodebook2]] — top Lloyd at k1, residual Lloyd at k2),
+    * assign every vector its primary cell = argmin over the
+    * [[knnTwoLevelProbe]]-probed tops' sub-cells by true quantizer
+    * distance, then scan probe 0's cell with the exact kernel.
+    * The DuckDB oracle replays BOTH Lloyd chains (top level = the
+    * [[sKmeans]] CTE chain at [[tlKSql]]'s k1; residual level =
+    * [[KnnLocalRounds]] generated assign/refresh rounds over
+    * rv = v − c1[argmin] against each top's OWN local sub-codebook —
+    * combined cell ids, top = cl // k2 — with init = the k2 smallest
+    * vec_ids' residuals PER TOP) and the multi-probe argmin
+    * ([[tlProbeSql]]), making the driver's correctness gate exercise
+    * the n > ~1M assignment path at every round. All-integer ⇒
+    * oracle-gated.
+    */
+  val sAnnTwoLevel: Q = Q(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val assigned = withTwoLevelCells(s, dir, emb, 1)
+      val probe = assigned.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"), col("cell").as("pcell"))
+      assigned.filter(col("vec_id") =!= 0)
+        .join(broadcast(probe), col("cell") === col("pcell"))
+        .select(col("vec_id"), col("label"), col("cell"),
+          nativeScoreMicro(s, "embedding", "probe").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("vec_id"))
+        .limit(10)
+    },
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |    AS cl, v
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $tlKSql)),
+       |a1 AS (${kmAssignSql("c0")}),
+       |c1 AS (${kmRefreshSql("a1")}),
+       |a2 AS (${kmAssignSql("c1")}),
+       |c2 AS (${kmRefreshSql("a2")}),
+       |rtop AS (${kmAssignSql("c2")}),
+       |res0 AS (
+       |  SELECT e.vec_id, r.cl AS top,
+       |    list_transform(list_zip(e.v, c.v), z -> z[1] - z[2]) AS rv
+       |  FROM e JOIN rtop r ON r.vec_id = e.vec_id
+       |    JOIN c2 c ON c.cl = r.cl),
+       |rc0 AS (
+       |  SELECT CAST(s.top * $tlKSql + s.sub AS BIGINT) AS cl,
+       |    r.rv AS v
+       |  FROM (SELECT vec_id, top,
+       |          row_number() OVER (PARTITION BY top ORDER BY vec_id)
+       |            - 1 AS sub
+       |        FROM res0) s
+       |  JOIN res0 r ON r.vec_id = s.vec_id
+       |  WHERE s.sub < $tlKSql),
+       |${(1 to KnnLocalRounds).map(i =>
+           s"ra$i AS (${tlResAssignSql(s"rc${i - 1}")}),\nrc$i AS (" +
+             tlResRefreshSql(s"ra$i") + ")").mkString(",\n")},
+       |ptop AS (
+       |  SELECT vec_id, cl FROM (
+       |    SELECT e.vec_id, c.cl,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_sum(list_transform(list_zip(e.v, c.v),
+       |          z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cl) AS rn
+       |    FROM e CROSS JOIN c2 c)
+       |  WHERE rn <= LEAST((SELECT count(*) FROM c2),
+       |    $tlProbeSql)),
+       |pres AS (
+       |  SELECT e.vec_id, p.cl AS top,
+       |    list_transform(list_zip(e.v, c.v), z -> z[1] - z[2]) AS rv
+       |  FROM e JOIN ptop p ON p.vec_id = e.vec_id
+       |    JOIN c2 c ON c.cl = p.cl),
+       |prim AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT r.vec_id, s.cl AS cell,
+       |      row_number() OVER (PARTITION BY r.vec_id ORDER BY
+       |        list_sum(list_transform(list_zip(r.rv, s.v),
+       |          z -> (z[1] - z[2]) * (z[1] - z[2]))), s.cl) AS rn
+       |    FROM pres r JOIN rc$KnnLocalRounds s
+       |      ON s.cl // $tlKSql = r.top)
+       |  WHERE rn = 1),
+       |asg AS (
+       |  SELECT emb.vec_id, emb.label, emb.embedding,
+       |    CAST(p.cell AS BIGINT) AS cell
+       |  FROM embeddings emb JOIN prim p ON p.vec_id = emb.vec_id),
+       |pr AS (SELECT embedding AS probe, cell AS pcell FROM asg
+       |       WHERE vec_id = 0)
+       |SELECT vec_id, label, cell,
+       |  ${scoreMicroSql("embedding", "probe")} AS score_micro
+       |FROM asg, pr WHERE vec_id <> 0 AND cell = pcell
+       |ORDER BY score_micro DESC, vec_id LIMIT 10""".stripMargin)
 
   /** The split-blocked shared-cell candidate relation — SCORED:
     * (vec_id, nbr, score_micro), both directions, deduped, under
@@ -1973,6 +2258,19 @@ object Similarity {
         nativeScoreMicro(s, "embedding", "nbr_embedding")
           .as("score_micro"))
       .distinct()
+    // Cache lifetime (the lshCandidates note, extended per r19
+    // advice): `fat` and `assigned` stay cached until the session
+    // clears them — there is deliberately NO eager materialization
+    // point here. An eager half.count() + half.cache() was tried
+    // (r20) and REVERTED on measurement: the cache is a
+    // materialization barrier, so consumers that prune the relation
+    // (F26 filters nbr < vec_id and the τ gate — Catalyst pushes
+    // both into the join and keeps only the mirror branch of the
+    // union) would instead pay the full unfiltered candidate
+    // materialization plus a cache round-trip — d_semdedup read 4×
+    // its pin. Bench isolates queries with clearCache(); a library
+    // session rotating corpora does the same, exactly as for
+    // lshScoredPairs' fat.
     half.unionAll(half.select(col("nbr").as("vec_id"),
       col("vec_id").as("nbr"), col("score_micro")))
   }
@@ -2772,6 +3070,7 @@ object Similarity {
     "s_range_search" -> sRangeSearch,
     "s_mmr" -> sMmr,
     "s_ann_filtered" -> sAnnFiltered,
+    "s_ann_two_level" -> sAnnTwoLevel,
     "s_ann_graph_walk" -> sAnnGraphWalk,
     "s_diverse_sample" -> sDiverseSample,
     "d_embed_clusters" -> dEmbedClusters)

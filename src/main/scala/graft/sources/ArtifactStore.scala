@@ -315,7 +315,7 @@ object ArtifactStore {
       }
     loaded.getOrElse {
       val t0 = System.nanoTime()
-      val built = build
+      val built = graft.Artifacts.nestedScope(family, corpusDir)(build)
       try {
         ensureRoot(s)
         LakeMerge.init(s, dir, wrap(built), "_adt", "_akey", "_aseq")
@@ -362,7 +362,7 @@ object ArtifactStore {
       val tmp = java.nio.file.Files
         .createTempDirectory(s"graft_${family.replace('.', '_')}")
         .toString
-      build(tmp)
+      graft.Artifacts.nestedScope(family, corpusDir)(build(tmp))
       tmp
     }
     if (!enabled) return tmpBuild()
@@ -394,7 +394,8 @@ object ArtifactStore {
           java.util.UUID.randomUUID().toString.take(8)
         var claimed = false
         try {
-          build(tmp) // propagates — never silently rebuilt
+          // propagates — never silently rebuilt
+          graft.Artifacts.nestedScope(family, corpusDir)(build(tmp))
           // Claim by rename. On HDFS-like filesystems rename(src,
           // existingDst) moves src INTO dst and returns true, so an
           // existing dst is a lost race BEFORE renaming; after a true
@@ -505,7 +506,7 @@ object ArtifactStore {
       }
     loaded.getOrElse {
       val t0 = System.nanoTime()
-      val built = build
+      val built = graft.Artifacts.nestedScope(family, corpusDir)(build)
       try {
         ensureRoot(s)
         LakeMerge.init(s, dir, wrap(toDf(built)), "_adt", "_akey", "_aseq")

@@ -19,14 +19,14 @@ class RegistrySpec extends AnyFunSuite {
     assert(graft.operators.Analytics.registry.size === 32)
     assert(graft.operators.Dedup.registry.size === 34)
     assert(graft.operators.TextAnalysis.registry.size === 30)
-    assert(graft.operators.Similarity.registry.size === 30)
+    assert(graft.operators.Similarity.registry.size === 31)
     assert(graft.operators.MultiModal.registry.size === 2)
     assert(graft.operators.Graph.registry.size === 10)
     assert(graft.sources.LakeMerge.registry.size === 12)
   }
 
   test("SparkEntry serves every registry row, with an oracle each") {
-    assert(SparkEntry.queries.size === 175,
+    assert(SparkEntry.queries.size === 176,
       "total oracle-gated query count (update on purpose only)")
     assert(SparkEntry.oracleSql.size === SparkEntry.queries.size)
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet,

@@ -45,8 +45,11 @@ class TwoLevelSpec extends SparkSpec {
       // determinism: a second derivation is identical
       assert(cellsAt(4) === a4, "assignment is a pure function")
 
-      // ---- primary assignment agrees with brute-force two-level
-      // argmin recomputed from the collected codebooks
+      // ---- primary assignment agrees with brute-force MULTI-PROBE
+      // two-level argmin recomputed from the collected codebooks
+      // (r20: t = min(k1, max(⌈√a⌉, probe)) nearest tops, sPer
+      // nearest subs per top, argmin by true quantizer distance
+      // ‖rv − c2‖², ties to the smaller combined cell id)
       val (c1, c2) = Similarity.knnCodebook2(spark, sf)
       assert(c1.nonEmpty && c2.nonEmpty)
       val prim = cellsAt(1).map { case (v, cs) => v -> cs.head }
@@ -60,14 +63,47 @@ class TwoLevelSpec extends SparkSpec {
         while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
         d
       }
-      for ((id, v) <- mv) {
-        val top = c1.map { case (cid, cv) => (sq(v, cv), cid) }.min._2
-        val tcv = c1.find(_._1 == top).get._2
-        val rv = v.zip(tcv).map { case (x, y) => x - y }
-        val sub = c2.map { case (cid, cv) => (sq(rv, cv), cid) }.min._2
-        assert(prim(id) === top * k2 + sub,
-          s"vec $id: primary ${prim(id)} ≠ brute ${top * k2 + sub}")
+      // brute candidate list for one vector at assignment width a:
+      // every (true_dist, cell) the engine's probed superset holds —
+      // r20: each probed top contributes its OWN local sub-codebook
+      // (c2 keys are combined ids, top = cell / k2)
+      def bruteCands(v: Array[Long], a: Int): Seq[(Long, Long)] = {
+        val t = math.min(c1.length, math.max(
+          math.ceil(math.sqrt(a.toDouble)).toInt,
+          Similarity.knnTwoLevelProbe(k1)))
+        val sPer = math.max((a + t - 1) / t, math.min(2, k2))
+        c1.map { case (cid, cv) => (sq(v, cv), cid) }.sorted.take(t)
+          .flatMap { case (_, top) =>
+            val tcv = c1.find(_._1 == top).get._2
+            val rv = v.zip(tcv).map { case (x, y) => x - y }
+            c2.filter(_._1 / k2 == top)
+              .map { case (cid, cv) => (sq(rv, cv), cid) }.sorted
+              .take(sPer)
+          }.toSeq
       }
+      for ((id, v) <- mv) {
+        val best = bruteCands(v, 1).min
+        assert(prim(id) === best._2,
+          s"vec $id: primary ${prim(id)} ≠ brute ${best._2}")
+      }
+
+      // ---- FULL probe = exhaustive: forcing the probe dial to k1
+      // makes the primary the TRUE argmin over every k1·k2 cell —
+      // pins the cross-top ranking algebra (the true-distance trim)
+      sys.props("graft.knn.twoLevelProbe") = c1.length.toString
+      try {
+        val primFull = cellsAt(1).map { case (v, cs) => v -> cs.head }
+        for ((id, v) <- mv) {
+          val exhaustive = c1.flatMap { case (top, tcv) =>
+            val rv = v.zip(tcv).map { case (x, y) => x - y }
+            c2.filter(_._1 / k2 == top)
+              .map { case (cid, cv) => (sq(rv, cv), cid) }
+          }.min
+          assert(primFull(id) === exhaustive._2,
+            s"vec $id: full-probe primary ${primFull(id)} ≠ " +
+              s"exhaustive argmin ${exhaustive._2}")
+        }
+      } finally sys.props.remove("graft.knn.twoLevelProbe")
 
       // ---- non-square a: the t·⌈a/t⌉ overshoot trims to exactly a
       // cells, a subset of the square superset
