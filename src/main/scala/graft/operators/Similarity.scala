@@ -1773,16 +1773,31 @@ object Similarity {
     * map-only + one map-side-combinable aggregation; codebook STATE
     * is (k1·k2)·dim longs riding as a broadcast relation (134 MB at
     * the 33M sizing — the documented bound; past ~100M vectors a
-    * deployment caps k2 or trades back to shared subs). Overridable
-    * (env or sys.prop) so the spec and the sf10 A/B can force the
-    * path on small corpora; oracle-gated SFs sit far below any sane
-    * setting (G28 exercises the path by calling it directly).
+    * deployment caps k2 or trades back to shared subs).
+    *
+    * THRESHOLD (r20): the r19 default (KnnMaxK·MaxKnnCell ≈ 1M) was
+    * set by the TRAINING wall alone — but single-level ASSIGNMENT is
+    * the same O(n²·dim/cap) law (every vector scores all k = n/cap
+    * cells once the occupancy rule binds), and the sf30 leg measured
+    * it biting well before 1M: d_semdedup at 600k vectors read 210 s
+    * normalized under single-level k = 4096 (exp(10→30) = 2.08 —
+    * pure n·k kernel growth; zero spill, splits bounded — the r19
+    * watch line's split-constant theory is DISPROVEN by that
+    * artifact) vs 44.5 s under two-level at the same 4096 effective
+    * cells (4.7×; train 21 s vs 40 s). Default now
+    * KnnMaxK·MaxKnnCell/4 ≈ 262k: past a quarter-million vectors the
+    * quadratic assignment term costs more than the ~21%
+    * blocking-recall trade buys, and the probe dial buys recall back
+    * explicitly. Overridable (env or sys.prop) so the spec and the
+    * A/B grids can force either path; oracle-gated SFs sit far below
+    * any sane setting (G28 exercises the path by calling it
+    * directly).
     */
   private[graft] def knnTwoLevelPast: Long =
     sys.props.get("graft.knn.twoLevelPast")
       .orElse(sys.env.get("SPARK_GRAFT_KNN_TWO_LEVEL_PAST"))
       .map(_.toLong)
-      .getOrElse(KnnMaxK.toLong * MaxKnnCell)
+      .getOrElse(KnnMaxK.toLong * MaxKnnCell / 4)
 
   /** COARSE-PROBE width for two-level assignment (r20, the r19
     * verdict's #1): how many nearest TOP cells are probed before

@@ -23,6 +23,14 @@ import graft.{Q, Tables}
   */
 object Star {
 
+  /** Broadcast ceiling for the resolve dim (r20): ~1M (id, name) rows
+    * ≈ 40 MB — comfortably inside Spark's broadcast limits and the
+    * per-executor hash-build budget; a corpus whose player dim proves
+    * bigger joins by shuffle instead (the [[graft.operators.Dedup
+    * .sizeGatedBroadcast]] stance, same constant scale).
+    */
+  val MaxBroadcastDimRows = 1000000L
+
   /** Events enriched with the reference report's derived fields
     * (sighting triple, location tuple, gear ids) via exact int64
     * arithmetic — the hash-stable analog of the report payload.
@@ -434,15 +442,32 @@ object Star {
         .distinct()
       val newNames = names.join(players, Seq("name"), "left_anti")
       val maxId = players.agg(max("player_id").as("max_id"))
-      val newPlayers = Ids.withOrderedId(newNames, Seq("name"), "idx")
+      val newIds = Ids.withOrderedId(newNames, Seq("name"), "idx")
+      val newPlayers = newIds
         .crossJoin(broadcast(maxId))
         .select((col("max_id") + col("idx")).cast("long").as("player_id"),
           col("name"))
       val dim = players.unionByName(newPlayers)
+      // SIZE-GATED dim broadcast (r20 — the F9/F11 judgment applied
+      // here): the player dim grows WITH the corpus (TPC-H dims scale
+      // with facts, and ~half the reported names take the insert
+      // path), so a forced broadcast is wrong past a few hundred MB —
+      // and it measured as this line's whole decade superlinearity
+      // (solo REPEAT=2 at sf10: 64.9 s normalized, exp 1.06, a ~2M-row
+      // dim collected to the driver and hash-built twice per thread).
+      // Both inputs are cheap to count: players is a parquet
+      // metadata count, newIds rides withOrderedId's localCheckpoint.
+      // Within the gate (~40 MB of (id, name)) the broadcast keeps
+      // the map-only plan; past it the two joins shuffle — linear at
+      // any corpus size.
+      val dimSmall =
+        players.count() + newIds.count() <= MaxBroadcastDimRows
+      def gated(df: org.apache.spark.sql.DataFrame) =
+        if (dimSmall) broadcast(df) else df
       msgs
-        .join(broadcast(dim.select(col("player_id").as("reporting_id"),
+        .join(gated(dim.select(col("player_id").as("reporting_id"),
           col("name").as("reporter_name"))), Seq("reporter_name"))
-        .join(broadcast(dim.select(col("player_id").as("reported_id"),
+        .join(gated(dim.select(col("player_id").as("reported_id"),
           col("name").as("reported_name"))), Seq("reported_name"))
         .select("event_id", "reporting_id", "reported_id")
         .orderBy("event_id")
