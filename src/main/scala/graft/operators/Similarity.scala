@@ -2459,20 +2459,24 @@ object Similarity {
   /** Walk quality dials, env-overridable for the dial sweep
     * ([[graft.tools.WalkDial]] — the G25/KnnAssign A-ladder pattern):
     * the oracle SQL interpolates whatever the JVM was started with,
-    * so parity holds at ANY dial setting. Defaults re-pinned from the
-    * r19 measured grid (BASELINE.md): recall_bp over beam × rounds at
-    * sf0.01 read 3000→5000 along the old beam=16 column but
-    * 10000/10000/10000 at beam=64 for rounds 2/4/8 at the same
-    * measured walk cost — the entry frontier, not the round count,
-    * was the binding loss channel on the k=[[KnnGraphK]] graph
-    * (HNSW's ef dial: widen the candidate heap before walking
-    * longer). Rounds stay 4: reach is the diameter dial and 2 rounds
-    * only read saturated because sf0.01's graph is shallow.
+    * so parity holds at ANY dial setting. r19 pinned beam 16→64 from
+    * the sf0.01 grid (the entry frontier was that corpus's binding
+    * loss channel); the r20 sf1 grid (r19 verdict #9, BASELINE.md)
+    * shows the sf0.01 "rounds stay 4" conclusion was SATURATION, not
+    * physics — at 20k vectors the graph is deep enough that rounds
+    * bind (beam 64: 4000 bp at rounds 4 → 7000 at rounds 8; beam
+    * 128: 4000 → 9000) while beam alone buys nothing past 64
+    * (128/r4 = 64/r4 = 4000). Defaults re-pinned 64→128 beam,
+    * 4→8 rounds (walk cost ~5.5 s vs 3.8 at sf1 — per-round cost is
+    * beam-sized, so the deeper walk is cheap); reach scales with
+    * graph diameter ~ log n, so a fixed default trails at the next
+    * decade by construction — the dial, not the constant, is the
+    * contract.
     */
   val WalkBeam: Int =
-    sys.env.getOrElse("SPARK_GRAFT_WALK_BEAM", "64").toInt
+    sys.env.getOrElse("SPARK_GRAFT_WALK_BEAM", "128").toInt
   val WalkRounds: Int =
-    sys.env.getOrElse("SPARK_GRAFT_WALK_ROUNDS", "4").toInt
+    sys.env.getOrElse("SPARK_GRAFT_WALK_ROUNDS", "8").toInt
 
   val sAnnGraphWalk: Q = Q(
     (s, dir) => {
