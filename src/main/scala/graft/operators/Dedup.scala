@@ -33,9 +33,13 @@ object Dedup {
       |  CAST(count(*) AS BIGINT) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)
 
-  /** Distinct lower-cased whitespace tokens per doc. */
+  /** Distinct lower-cased whitespace tokens per doc. [[Par.fan]]
+    * spreads the regex split + explode across cores when the corpus
+    * scans narrow (r20 — a single-file local scan ran the whole
+    * tokenize on one task); a no-op on an already-wide scan.
+    */
   private[operators] def tokens(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Par.fan(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
@@ -298,8 +302,9 @@ object Dedup {
     * verify — the only remaining dial is the per-pair kernel).
     */
   private def gramHashArrays(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), lower(col("text")).as("norm"))
+    Par.fan(Tables.documents(s, dir)
+        .select(col("doc_id"), lower(col("text")).as("norm")),
+      col("doc_id"))
       // O(n) per doc: split('') + ascii gives the char-code array in
       // one pass, and each gram is three O(1) element_at reads —
       // `substring(norm, i, ...)` would be O(i) per call (UTF8String
@@ -431,7 +436,24 @@ object Dedup {
     // from (the join IS the query). Bench isolates queries with
     // clearCache(); a long-lived library session rotating corpora
     // does the same between corpora, exactly as for lshCandidates.
-    val fat = splitBands(s, dir).join(doc, Seq("doc_id")).cache()
+    //
+    // Pre-positioned BY THE FULL JOIN KEY at kernel width (r20, guide
+    // §2.4/§2.5): both sides of the banding self-join are this same
+    // subplan below their aliasing projects, so AQE exchange/stage
+    // reuse computes the gram-attach join ONCE and the fat
+    // (gram-array-carrying) relation crosses the wire once instead
+    // of twice; carrying every join key in the partitioning
+    // (requireAllClusterKeysForCoPartition) means the join itself
+    // adds ZERO exchanges, and the explicit [[Par.slices]] width
+    // keeps AQE from byte-coalescing the kernel stage (r20 profile:
+    // 24 coalesced partitions put 1.87 s of a 1.88 s stage wall on
+    // ONE hot task; at 4 slices/core the worst task holds ~1/128 of
+    // the kernel mass). The r19 `.cache()` is gone: shuffle files are
+    // the materialization, and skipping the columnar cache write of
+    // kilobyte gram arrays is itself a measured win.
+    val fat = splitBands(s, dir).join(doc, Seq("doc_id"))
+      .repartition(Par.slices(doc), col("band"), col("band_hash"),
+        col("r"), col("sub"))
     val aCols = Seq(col("doc_id").as("doc_a"), col("band"),
       col("band_hash"), col("r"), col("sub"), col("grams").as("g_a"),
       col("n").as("n_a")) ++
@@ -457,10 +479,12 @@ object Dedup {
       graft.functions.SortedIntersectCount
         .count(col("g_a"), col("g_b")).as("inter"),
       col("n_a"), col("n_b")) ++
-      (if (withSig) Seq(expr(
-        """aggregate(zip_with(sig_a, sig_b,
-          |  (x, y) -> IF(x = y, 1L, 0L)), 0L, (a, v) -> a + v)"""
-          .stripMargin).as("n_agree")) else Nil)
+      // seed agreement via the codegen'd EqCount kernel (r20): the
+      // zip_with/aggregate form it replaces is CodegenFallback —
+      // interpreted per PAIR, and it broke whole-stage codegen for
+      // the entire verify projection (EqCountSpec pins equivalence)
+      (if (withSig) Seq(graft.functions.EqCount
+        .count(col("sig_a"), col("sig_b")).as("n_agree")) else Nil)
     gated.select(scored: _*).distinct()
   }
 
@@ -1420,13 +1444,23 @@ object Dedup {
         .join(prefix.select(col("doc_id").as("doc_b"), col("tok")), "tok")
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
+        // kernel-width fan-out (r20): the per-pair array_intersect
+        // verify below is the query's dominant CPU and its input is
+        // byte-tiny, so AQE coalesced the verify stage to ONE task
+        // (1.9 s of a 2.5 s query); explicit width keeps it parallel
+        .repartition(Par.slices(t), col("doc_a"))
       val sets = t.groupBy("doc_id")
         .agg(collect_set("tok").as("toks"))
+      // broadcast is scale-safe BY CONSTRUCTION: `sets` is bounded at
+      // [[PpJoinEvalCap]] docs forever (the fixed-size eval stratum),
+      // and broadcasting both attach joins keeps the verify stage on
+      // the explicit cand partitioning instead of re-exchanging (and
+      // re-coalescing) by doc_a/doc_b
       cand
-        .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("t_a")),
-          Seq("doc_a"))
-        .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("t_b")),
-          Seq("doc_b"))
+        .join(broadcast(sets.select(col("doc_id").as("doc_a"),
+          col("toks").as("t_a"))), Seq("doc_a"))
+        .join(broadcast(sets.select(col("doc_id").as("doc_b"),
+          col("toks").as("t_b"))), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           size(expr("array_intersect(t_a, t_b)")).cast("long").as("inter"),
           (size(col("t_a")) + size(col("t_b"))).cast("long").as("sz_sum"))
@@ -2059,12 +2093,23 @@ object Dedup {
       // pair it re-hashes two ~300-string sets; here each gram row is
       // hashed once). Pairs sharing zero grams drop out, which a
       // ≥ RecallMinBp truth set never contains anyway.
-      val g = Tables.documents(s, dir).join(ev, "doc_id")
+      // Par.fan spreads the gram-array build (the O(doc-length)
+      // interpreted transform chain) off the one-task local scan
+      val g = Par.fan(Tables.documents(s, dir).join(ev, "doc_id"),
+          col("doc_id"))
         .select(col("doc_id"), explode(gramArrayCol).as("gram"))
         .localCheckpoint(true) // three consumers below, one derivation
+      // pair-expansion side at explicit kernel width (r20): the
+      // checkpoint loses partitioning info under AQE and the join's
+      // shuffle is byte-tiny, so without this the quadratic gram
+      // self-join AQE-coalesced to a single 2.6 s task (641 KB
+      // shuffle read — bytes are the wrong proxy for pair-mass CPU);
+      // both join sides are this same subplan, so stage reuse runs
+      // the exchange once and the join itself adds no more
+      val gj = g.repartition(Par.slices(ev), col("gram"))
       val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = g.select(col("doc_id").as("doc_a"), col("gram"))
-        .join(g.select(col("doc_id").as("doc_b"), col("gram")), "gram")
+      val inter = gj.select(col("doc_id").as("doc_a"), col("gram"))
+        .join(gj.select(col("doc_id").as("doc_b"), col("gram")), "gram")
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       val truth = inter
@@ -2869,7 +2914,13 @@ object Dedup {
   private[graft] def editDupPairsAt(docs: DataFrame,
       depth: Int): DataFrame = {
     require(depth == 1 || depth == 2, s"unsupported edit depth $depth")
-    val keyed = editKey(docs)
+    // Par.fan: the deletion-neighborhood explode (≤ 301 interpreted
+    // higher-order-function variants per doc at depth 2) is the
+    // query's dominant CPU and ran entirely on a one-task local scan
+    // (r20 profile: 2.7 s + 1.8 s single-task stages); fanning the
+    // thin (doc_id, k) relation spreads it across cores, and the gate
+    // makes it a no-op on an already-wide corpus scan
+    val keyed = Par.fan(editKey(docs), col("doc_id"))
     val vars = keyed.select(col("doc_id"),
       explode(expr(if (depth == 1) editVarsExpr else editVars2Expr))
         .as("var"))
@@ -2903,6 +2954,20 @@ object Dedup {
       .withColumn("sub", expr(
         s"IF(bucket_n <= $MaxBucket, 0L, ${splitSubSpark("var")})"))
       .select("doc_id", "vh", "vh2", "r", "sub")
+      // repartitioned by the FULL pair-join key (r20): both self-join
+      // sides are the same subplan below their aliasing projects, so
+      // AQE's exchange/stage reuse computes the variant explode +
+      // occupancy ONCE and both sides read the one shuffle — and
+      // because the partitioning carries every join key
+      // (requireAllClusterKeysForCoPartition), the join needs ZERO
+      // further exchanges. Explicit Par.slices width keeps AQE from
+      // byte-coalescing the candidate stage (the relation is 5 thin
+      // longs per row; bytes are the wrong proxy for its pair-mass
+      // CPU). No cache: shuffle files ARE the materialization — a
+      // lazily cached relation here was raced by the two join-side
+      // stages (both materialized it, serializing under block locks).
+      .repartition(Par.slices(docs), col("vh"), col("vh2"), col("r"),
+        col("sub"))
     val cand = split.select(col("doc_id").as("doc_a"), col("vh"),
         col("vh2"), col("r"), col("sub")).hint("merge")
       .join(split.select(col("doc_id").as("doc_b"), col("vh"),

@@ -419,7 +419,10 @@ object Star {
     */
   val rResolveV1: Q = Q(
     (s, dir) => {
-      val msgs = Tables.events(s, dir)
+      // Par.fan: the JSON parse + two sanitize chains below are the
+      // resolve pipeline's per-row cost (r20 profile: 968 ms on one
+      // task); gated fan-out, no-op on a wide fact scan
+      val msgs = Par.fan(Tables.events(s, dir), col("event_id"))
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         // a message without a reported player cannot resolve — the
         // reference raises ReportedDoesNotExist and dead-letters it
