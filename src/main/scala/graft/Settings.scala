@@ -49,6 +49,16 @@ final case class Settings(
       // that filled the local disk (r18). Default is 30min; 2min
       // keeps long single-JVM legs flat without touching query plans.
       .config("spark.cleaner.periodicGC.interval", "120s")
+      // file-listing locality (r20): the lake merge-on-read paths
+      // hand the reader EXPLICIT file lists (~dozens of entries per
+      // snapshot read); above this threshold Spark launches a
+      // DISTRIBUTED listing job — measured as three ~80-task,
+      // ~180 ms stages of pure scheduler overhead per lake query.
+      // Below ~512 paths a driver-side stat loop wins on any storage
+      // (the default 32 dates from pre-cloud HDFS latencies); a
+      // 100 TB directory-table read passes ONE root path and never
+      // hits this threshold either way.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", 512)
       // scan parallelism for CPU-heavy decodes: the default 128 MB
       // packing gave a 60M-row sf10 fact scan only ~9 input tasks on
       // 32 cores (22 MB part files pack 5-6 per task) — q3/parse

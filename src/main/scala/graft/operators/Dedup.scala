@@ -1216,7 +1216,7 @@ object Dedup {
   private val shingleN = 5
 
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Par.fan(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"),
         filter(split(lower(trim(col("text"))), "\\s+"),
           x => x =!= "").as("t"))
@@ -1597,7 +1597,8 @@ object Dedup {
     (s, dir) => {
       // cached: the distinct (source, gram) relation feeds both join
       // sides AND the per-source totals — one corpus scan, three uses
-      val sg = Tables.documents(s, dir)
+      // (Par.fan: the gram build ran 1.1 s on a one-task local scan)
+      val sg = Par.fan(Tables.documents(s, dir), col("doc_id"))
         .select(col("source"), explode(gramArrayCol).as("gram"))
         .distinct()
         .cache()

@@ -529,7 +529,11 @@ object Similarity {
         ivfCellCol(ivfCodebook(s, dir)))
       val probe = assigned.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"), col("cell").as("pcell"))
-      assigned.filter(col("vec_id") =!= 0)
+      // Par.fan on the DATA side only (r20): the k-cell argmin
+      // assignment is an interpreted per-row expression and ran on
+      // the one-task local scan; the probe row stays on the raw scan
+      Par.fan(emb.filter(col("vec_id") =!= 0), col("vec_id"))
+        .withColumn("cell", ivfCellCol(ivfCodebook(s, dir)))
         .join(broadcast(probe), col("cell") === col("pcell"))
         .select(col("vec_id"), col("label"), col("cell"),
           nativeScoreMicro(s, "embedding", "probe").as("score_micro"))
@@ -563,12 +567,13 @@ object Similarity {
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cells = ivfCells(ivfCodebook(s, dir))
-      val assigned = emb.withColumn("cell", array_min(cells).getField("cell"))
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"),
           explode(transform(slice(array_sort(cells), 1, NProbe),
             c => c.getField("cell"))).as("pcell"))
-      assigned.filter(col("vec_id") =!= 0)
+      // Par.fan on the data side (r20) — see sAnnIvf
+      Par.fan(emb.filter(col("vec_id") =!= 0), col("vec_id"))
+        .withColumn("cell", array_min(cells).getField("cell"))
         .join(broadcast(probe), col("cell") === col("pcell"))
         .select(col("vec_id"), col("label"), col("cell"),
           nativeScoreMicro(s, "embedding", "probe").as("score_micro"))
@@ -605,13 +610,13 @@ object Similarity {
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cells = ivfCells(ivfCodebook(s, dir))
-      val assigned = emb.withColumn("cell",
-        array_min(cells).getField("cell"))
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"),
           explode(transform(slice(array_sort(cells), 1, NProbe),
             c => c.getField("cell"))).as("pcell"))
-      assigned.filter(col("vec_id") =!= 0)
+      // Par.fan on the data side (r20) — see sAnnIvf
+      Par.fan(emb.filter(col("vec_id") =!= 0), col("vec_id"))
+        .withColumn("cell", array_min(cells).getField("cell"))
         .filter(col("label") % 2 === 1)
         .join(broadcast(probe), col("cell") === col("pcell"))
         .select(col("vec_id"), col("label"), col("cell"),
@@ -775,7 +780,9 @@ object Similarity {
       val emb = Tables.embeddings(s, dir)
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"))
-      emb.filter(col("vec_id") =!= 0)
+      // Par.fan (r20): the PQ reconstruction is an interpreted
+      // per-row codebook scan — 611 ms on the one-task local scan
+      Par.fan(emb.filter(col("vec_id") =!= 0), col("vec_id"))
         .withColumn("recon", pqRecon(cb))
         .crossJoin(broadcast(probe))
         .withColumn("approx_dist",
@@ -911,7 +918,8 @@ object Similarity {
       val emb = Tables.embeddings(s, dir)
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"))
-      emb.filter(col("vec_id") =!= 0)
+      // Par.fan (r20) — see sAnnPq
+      Par.fan(emb.filter(col("vec_id") =!= 0), col("vec_id"))
         .withColumn("recon", sq8Recon(mn, span))
         .crossJoin(broadcast(probe))
         .withColumn("approx_dist",
@@ -974,7 +982,10 @@ object Similarity {
         .withColumn("cell", ivfCellCol(cb))
       val probe = assigned.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"), col("cell").as("pcell"))
-      assigned.filter(col("vec_id") =!= 0)
+      // Par.fan on the data side (r20) — see sAnnIvf/sAnnPq
+      Par.fan(Tables.embeddings(s, dir)
+          .filter(col("vec_id") =!= 0), col("vec_id"))
+        .withColumn("cell", ivfCellCol(cb))
         .join(broadcast(probe), col("cell") === col("pcell"))
         .withColumn("recon", pqRecon(cb))
         .withColumn("approx_dist",
@@ -1039,13 +1050,13 @@ object Similarity {
       val cb = ivfCodebook(s, dir)
       val emb = Tables.embeddings(s, dir)
       val cells = ivfCells(cb)
-      val assigned = emb.withColumn("cell",
-        array_min(cells).getField("cell"))
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"),
           explode(transform(slice(array_sort(cells), 1, NProbe),
             c => c.getField("cell"))).as("pcell"))
-      assigned.filter(col("vec_id") =!= 0)
+      // Par.fan on the data side (r20) — see sAnnIvf/sAnnPq
+      Par.fan(emb.filter(col("vec_id") =!= 0), col("vec_id"))
+        .withColumn("cell", array_min(cells).getField("cell"))
         .join(broadcast(probe), col("cell") === col("pcell"))
         .withColumn("recon", pqRecon(cb))
         .withColumn("approx_dist",

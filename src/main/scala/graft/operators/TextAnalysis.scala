@@ -923,7 +923,11 @@ object TextAnalysis {
     * cross-joined (broadcast) into a map-only bucket assignment.
     */
   private def lmTokens(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    // Par.fan: the tokenize + bigram explode below lmTokens is
+    // re-derived by three plan branches (c2, c1, the scoring join) —
+    // on a one-task local scan that was 3 × ~450 ms of single-core
+    // work (r20 profile); the gated fan spreads each derivation
+    Par.fan(docs, col("doc_id")).select(col("doc_id"),
       filter(toks(col("text")), x => x =!= "").as("t"))
 
   private def lmBigrams(t: DataFrame): DataFrame =
@@ -1087,7 +1091,7 @@ object TextAnalysis {
 
   val tTfidf: Q = Q(
     (s, dir) => {
-      val tf = Tables.documents(s, dir)
+      val tf = Par.fan(Tables.documents(s, dir), col("doc_id"))
         .select(col("doc_id"),
           explode(filter(toks(col("text")), x => x =!= "")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -1816,7 +1820,23 @@ object TextAnalysis {
       val d = docs
         .select(col("doc_id"), col("text"),
           length(col("text")).cast("long").as("n"))
-      val bpos = d
+      // Par.fan on the BOUNDARY-PROBE BRANCH ONLY: the probe is one
+      // md5 of the trailing gram PER CHARACTER of the corpus — the
+      // chunker's dominant CPU by far, and it ran on a two-task local
+      // scan (r20 profile: 2.1 s with maxTask == wall). Deliberately
+      // NOT applied to `d` itself: fanning the shared input gave the
+      // union below two IDENTICAL co-partitioned REPARTITION_BY_NUM
+      // children, and Spark then (a) treated the union's output as
+      // clustered by doc_id (subset-key satisfaction THROUGH a
+      // union) and (b) reused one exchange for all branches — under
+      // the write path this combination computed WRONG window frames
+      // (47/500 docs' chunk sets drifted, caught by the sf0.01
+      // DuckDB gate; exchange.reuse=false restored correctness, so
+      // the reuse wiring — not the chunking — was at fault). Keeping
+      // the branches differently partitioned forces a real exchange
+      // above the union and sidesteps the hazard at the cost of one
+      // thin (doc_id, pos) shuffle.
+      val bpos = Par.fan(d, col("doc_id"))
         .select(col("doc_id"), col("text"), col("n"),
           explode(when(col("n") >= CdcGram,
             sequence(lit(CdcGram.toLong), col("n")))
