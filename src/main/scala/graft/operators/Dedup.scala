@@ -437,23 +437,29 @@ object Dedup {
     // clearCache(); a long-lived library session rotating corpora
     // does the same between corpora, exactly as for lshCandidates.
     //
-    // Pre-positioned BY THE FULL JOIN KEY at kernel width (r20, guide
-    // §2.4/§2.5): both sides of the banding self-join are this same
-    // subplan below their aliasing projects, so AQE exchange/stage
-    // reuse computes the gram-attach join ONCE and the fat
-    // (gram-array-carrying) relation crosses the wire once instead
-    // of twice; carrying every join key in the partitioning
-    // (requireAllClusterKeysForCoPartition) means the join itself
-    // adds ZERO exchanges, and the explicit [[Par.slices]] width
-    // keeps AQE from byte-coalescing the kernel stage (r20 profile:
-    // 24 coalesced partitions put 1.87 s of a 1.88 s stage wall on
-    // ONE hot task; at 4 slices/core the worst task holds ~1/128 of
-    // the kernel mass). The r19 `.cache()` is gone: shuffle files are
-    // the materialization, and skipping the columnar cache write of
-    // kilobyte gram arrays is itself a measured win.
+    // Pre-positioned BY THE FULL JOIN KEY at kernel width, THEN
+    // cached (r20, guide §2.4/§2.5). The repartition carries every
+    // join key, so the cached partitioning satisfies the self-join's
+    // distribution exactly (requireAllClusterKeysForCoPartition) and
+    // the join plans with ZERO exchanges: both sides are
+    // InMemoryTableScans of this one relation inside ONE stage, which
+    // means (a) the gram-attach join + the fat (gram-array-carrying)
+    // exchange run ONCE — the r19 shape exchanged fat twice, and the
+    // exchange-reuse the cacheless r20 draft relied on was measured
+    // NOT to fire on this self-join (two identical 11.8 MB shuffle
+    // writes in the stage profile; sf1 d_lsh_jaccard paid the whole
+    // build twice) — and (b) the single-stage read cannot race the
+    // cache materialization (each task builds its partition on first
+    // read and re-reads it in-stage; the v1 draft's cross-STAGE
+    // sibling race serialized under block locks). The explicit
+    // [[Par.slices]] width keeps AQE from byte-coalescing the kernel
+    // stage (profile: 24 coalesced partitions put 1.87 s of a 1.88 s
+    // stage wall on ONE hot task). Cache lifetime: the lshCandidates
+    // note above.
     val fat = splitBands(s, dir).join(doc, Seq("doc_id"))
       .repartition(Par.slices(doc), col("band"), col("band_hash"),
         col("r"), col("sub"))
+      .cache()
     val aCols = Seq(col("doc_id").as("doc_a"), col("band"),
       col("band_hash"), col("r"), col("sub"), col("grams").as("g_a"),
       col("n").as("n_a")) ++
@@ -2100,14 +2106,16 @@ object Dedup {
           col("doc_id"))
         .select(col("doc_id"), explode(gramArrayCol).as("gram"))
         .localCheckpoint(true) // three consumers below, one derivation
-      // pair-expansion side at explicit kernel width (r20): the
-      // checkpoint loses partitioning info under AQE and the join's
-      // shuffle is byte-tiny, so without this the quadratic gram
-      // self-join AQE-coalesced to a single 2.6 s task (641 KB
-      // shuffle read — bytes are the wrong proxy for pair-mass CPU);
-      // both join sides are this same subplan, so stage reuse runs
-      // the exchange once and the join itself adds no more
-      val gj = g.repartition(Par.slices(ev), col("gram"))
+      // pair-expansion side at explicit kernel width, cached (r20):
+      // the checkpoint loses partitioning info under AQE and the
+      // join's shuffle is byte-tiny, so without this the quadratic
+      // gram self-join AQE-coalesced to a single 2.6 s task (641 KB
+      // shuffle read — bytes are the wrong proxy for pair-mass CPU).
+      // The cache makes the gram-keyed partitioning visible to the
+      // self-join (exchange-free, one stage, one materialization —
+      // exchange reuse alone measurably did not dedup the two
+      // join-side shuffles of the checkpoint).
+      val gj = g.repartition(Par.slices(ev), col("gram")).cache()
       val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = gj.select(col("doc_id").as("doc_a"), col("gram"))
         .join(gj.select(col("doc_id").as("doc_b"), col("gram")), "gram")
@@ -2955,20 +2963,20 @@ object Dedup {
       .withColumn("sub", expr(
         s"IF(bucket_n <= $MaxBucket, 0L, ${splitSubSpark("var")})"))
       .select("doc_id", "vh", "vh2", "r", "sub")
-      // repartitioned by the FULL pair-join key (r20): both self-join
-      // sides are the same subplan below their aliasing projects, so
-      // AQE's exchange/stage reuse computes the variant explode +
-      // occupancy ONCE and both sides read the one shuffle — and
-      // because the partitioning carries every join key
-      // (requireAllClusterKeysForCoPartition), the join needs ZERO
-      // further exchanges. Explicit Par.slices width keeps AQE from
-      // byte-coalescing the candidate stage (the relation is 5 thin
-      // longs per row; bytes are the wrong proxy for its pair-mass
-      // CPU). No cache: shuffle files ARE the materialization — a
-      // lazily cached relation here was raced by the two join-side
-      // stages (both materialized it, serializing under block locks).
+      // repartitioned by the FULL pair-join key at kernel width,
+      // then cached (r20, the lshScoredPairs stance): the cached
+      // partitioning carries every join key, so the self-join plans
+      // exchange-free with both sides reading this one relation in
+      // ONE stage — the variant explode + occupancy run once (the
+      // cacheless draft relied on exchange reuse, which measurably
+      // did not fire on the self-join: both sides rebuilt the
+      // explode), and the single-stage read cannot race the cache
+      // build. Thin rows only (5 longs) — the cache tracks variant
+      // count, never payload mass. Explicit Par.slices width keeps
+      // AQE from byte-coalescing the candidate stage.
       .repartition(Par.slices(docs), col("vh"), col("vh2"), col("r"),
         col("sub"))
+      .cache()
     val cand = split.select(col("doc_id").as("doc_a"), col("vh"),
         col("vh2"), col("r"), col("sub")).hint("merge")
       .join(split.select(col("doc_id").as("doc_b"), col("vh"),

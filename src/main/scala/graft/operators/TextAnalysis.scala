@@ -923,11 +923,13 @@ object TextAnalysis {
     * cross-joined (broadcast) into a map-only bucket assignment.
     */
   private def lmTokens(docs: DataFrame): DataFrame =
-    // Par.fan: the tokenize + bigram explode below lmTokens is
-    // re-derived by three plan branches (c2, c1, the scoring join) —
-    // on a one-task local scan that was 3 × ~450 ms of single-core
-    // work (r20 profile); the gated fan spreads each derivation
-    Par.fan(docs, col("doc_id")).select(col("doc_id"),
+    // Par.fan was tried here and REVERTED (r20): the tokenize chain
+    // below is re-derived by three plan branches (c2, c1, the
+    // scoring join), so the fan's text-carrying exchange is paid
+    // three times — measured +0.3 s win at sf0.1 (one-task scan) but
+    // +2.3 s at sf1 (t_lm_score 1.71 → 4.06 calm-host A/B), where
+    // the scan already splits and the triple exchange dominates.
+    docs.select(col("doc_id"),
       filter(toks(col("text")), x => x =!= "").as("t"))
 
   private def lmBigrams(t: DataFrame): DataFrame =
