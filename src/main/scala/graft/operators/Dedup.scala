@@ -613,6 +613,35 @@ object Dedup {
       bigEdges: Boolean = true): DataFrame = {
     val spark = labels0.sparkSession
     var labels = labels0.select("doc_id", "label")
+    // ONE count job over the (invariably checkpoint-backed) edge
+    // relation buys two scale decisions at once (r21, guide §2.5/§2.6
+    // + §8 "use what you know"): the LOCAL fast path below, and the
+    // width of the persisted edge partitioning for the loop.
+    val edgeCount = edges.select("doc_a", "doc_b").count()
+    // LOCAL FAST PATH: when the whole edge relation fits one slice
+    // (≤ Par.RowsPerSlice rows — tens of MB), the distributed loop is
+    // pure per-stage fixed cost: ~6 byte-tiny stages × O(log diameter)
+    // rounds × ~50-150 ms of scheduling/codegen each was the ENTIRE
+    // wall of q_report_components (r20 verdict #1). A single-task
+    // union-find computes the IDENTICAL fixpoint — per node, the min
+    // initial label over its connected component (all callers start
+    // labels0 = identity over the edge endpoints, where this is
+    // exactly the components contract; QueriesSpec cross-checks the
+    // two paths on the real corpus). Gated on the caller's budget
+    // covering full convergence (iters ≥ ItersBudget ⇒ diameter 2^24:
+    // any corpus — the budgeted-exception contract can never fire),
+    // on requireConverged (a bounded PARTIAL flood has round-dependent
+    // intermediate labels no closed form reproduces), and on long-typed
+    // keys. At scale the row gate fails and nothing changes.
+    val longTyped = Seq(edges.schema("doc_a"), edges.schema("doc_b"),
+      labels0.schema("doc_id"), labels0.schema("label"))
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (requireConverged && iters >= ItersBudget && longTyped) {
+      // no edges ⇒ the flood is already at its fixpoint (and a
+      // 0-partition relation cannot zip)
+      if (edgeCount == 0) return labels
+      if (edgeCount <= Par.RowsPerSlice) return localFlood(edges, labels)
+    }
     // The edge relation is the BIG, LOOP-INVARIANT side — shuffle it
     // ONCE: persisted hash-partitioned on the join key, the cached
     // relation exposes that partitioning to every round's join, so
@@ -635,10 +664,19 @@ object Dedup {
     // at sf0.1 as d_incr_clusters' 2× pin breach (the r18 verdict's
     // #4 adjudication: the corpus-scale rework leaked into the
     // batch-scale path).
+    // WIDTH is derived from the edge count (r21, guide §2.5/§2.6):
+    // the cached partitioning dictates the width of EVERY round's
+    // join stage and labels exchange, and the old session constant
+    // (32 here) made a 40k-edge graph pay 32 tasks × ~6 stages ×
+    // rounds of pure per-task fixed cost — the whole wall of the
+    // byte-tiny iterative queries. One count job over the (invariably
+    // checkpointed) edge relation buys a width that is 1 on small
+    // graphs and grows linearly with the data. Results are
+    // partitioning-invariant (min-label fixpoint).
     val edgesPart =
       if (bigEdges)
         edges.select("doc_a", "doc_b")
-          .repartition(col("doc_b"))
+          .repartition(Par.roundWidth(edgeCount), col("doc_b"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else edges.select("doc_a", "doc_b")
     var prevRound: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] =
@@ -707,6 +745,52 @@ object Dedup {
           "changing) — raise the round budget; returning a partial " +
           "flood would silently diverge from the components contract")
     labels
+  }
+
+  /** The [[propagate]] fast path: the min-label flood fixpoint of a
+    * one-slice edge relation, computed by union-find in a SINGLE task
+    * (path-compressed forest, min-id roots). Result per labels0 row:
+    * the minimum initial label over the row's connected component in
+    * the edge graph (its own label if isolated) — the exact flood
+    * fixpoint whenever labels0 covers the edge endpoints, which every
+    * engine caller guarantees (labels0 = identity over endpoints).
+    * Both inputs ride one `coalesce(1)` each (narrow — no exchange);
+    * zipPartitions keeps the whole computation inside one stage.
+    */
+  private def localFlood(edges: DataFrame,
+      labels0: DataFrame): DataFrame = {
+    val spark = labels0.sparkSession
+    val schema = labels0.schema
+    val out = edges.select("doc_a", "doc_b").coalesce(1).rdd
+      .zipPartitions(labels0.coalesce(1).rdd) { (eit, lit) =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          var p = parent.getOrDefault(r, r)
+          while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+          var c = x
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        eit.foreach { e =>
+          if (!e.isNullAt(0) && !e.isNullAt(1)) {
+            val ra = find(e.getLong(0))
+            val rb = find(e.getLong(1))
+            if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+          }
+        }
+        val rows = lit.toArray
+        val minLab = new java.util.HashMap[Long, Long]()
+        rows.foreach { r =>
+          val root = find(r.getLong(0))
+          val l = r.getLong(1)
+          val cur = minLab.getOrDefault(root, Long.MaxValue)
+          if (l < cur) minLab.put(root, l)
+        }
+        rows.iterator.map(r => org.apache.spark.sql.Row(
+          r.getLong(0), minLab.get(find(r.getLong(0)))))
+      }
+    spark.createDataFrame(out, schema)
   }
 
   /** (doc_id, cluster_id) for every doc that appears in a near-dup
@@ -2930,8 +3014,13 @@ object Dedup {
     // thin (doc_id, k) relation spreads it across cores, and the gate
     // makes it a no-op on an already-wide corpus scan
     val keyed = Par.fan(editKey(docs), col("doc_id"))
+    // edit_variants: the compiled deletion-neighborhood kernel (r21) —
+    // value-identical to the editVarsExpr/editVars2Expr HOF forms
+    // (EditVariantsSpec pins it), but codegen-fused instead of an
+    // interpreted per-variant tree walk; the generate stage was the
+    // query's dominant CPU even after the r20 fan
     val vars = keyed.select(col("doc_id"),
-      explode(expr(if (depth == 1) editVarsExpr else editVars2Expr))
+      explode(graft.functions.EditVariants.of(col("k"), depth, EditKeyLen))
         .as("var"))
     // within-cap buckets skip the extra rounds (identical sub-0 rows
     // the distinct would erase — see lshCandidates; at depth 2 this
@@ -3076,7 +3165,8 @@ object Dedup {
         Occupancy.attach(
           editKeyed(s, dir).filter(col("doc_id") % 5 =!= 4)
             .select(col("doc_id").as("old_id"), col("k"),
-              explode(expr(editVarsExpr)).as("var"))
+              explode(graft.functions.EditVariants.of(col("k"), 1,
+                EditKeyLen)).as("var"))
             .withColumnRenamed("k", "old_k"),
           Seq("var"), "bucket_n")))
 
@@ -3090,7 +3180,8 @@ object Dedup {
     val nk = newDocs.select(col("doc_id"), col("source"), col("n_chars"),
       expr(s"substring(lower(trim(text)), 1, $EditKeyLen)").as("k"))
     val nv = nk.select(col("doc_id"), col("k"),
-      explode(expr(editVarsExpr)).as("var"))
+      explode(graft.functions.EditVariants.of(col("k"), 1, EditKeyLen))
+        .as("var"))
     val idx = editIndex(s, dir)
     val hits = nv.join(idx.filter(col("bucket_n") <= MaxBucket)
         .select("var", "old_id", "old_k"), Seq("var"))

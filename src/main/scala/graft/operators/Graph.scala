@@ -50,12 +50,16 @@ object Graph {
 
   def reportEdges(s: SparkSession, dir: String): DataFrame =
     edgeCache.getOrElseUpdate(s, dir)(
-      graft.sources.ArtifactStore.materialize(s, "graph.edges", dir)(
-        Tables.events(s, dir)
-          .select(col("user_id").as("src"),
-            get_json_object(col("props"), "$.k").cast("long").as("dst"))
-          .filter(col("dst").isNotNull && col("src") =!= col("dst"))
-          .distinct()))
+      // compactScan (r21): every graph query re-joins this relation
+      // per round, and the 16-way artifact read costs 16 tiny tasks
+      // per scan — merge the splits once at handle creation
+      Par.compactScan(
+        graft.sources.ArtifactStore.materialize(s, "graph.edges", dir)(
+          Tables.events(s, dir)
+            .select(col("user_id").as("src"),
+              get_json_object(col("props"), "$.k").cast("long").as("dst"))
+            .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+            .distinct())))
 
   /** The undirected, deduplicated edge view (one row per unordered
     * pair) — shared by the triangle and component queries; same
@@ -65,12 +69,13 @@ object Graph {
 
   private def undirectedEdges(s: SparkSession, dir: String): DataFrame =
     undCache.getOrElseUpdate(s, dir)(
-      graft.sources.ArtifactStore.materialize(s, "graph.und", dir) {
-        val e = reportEdges(s, dir)
-        e.select(least(col("src"), col("dst")).as("a"),
-            greatest(col("src"), col("dst")).as("b"))
-          .distinct()
-      })
+      Par.compactScan(
+        graft.sources.ArtifactStore.materialize(s, "graph.und", dir) {
+          val e = reportEdges(s, dir)
+          e.select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+            .distinct()
+        }))
 
   private val edgesSql =
     """SELECT DISTINCT user_id AS src,

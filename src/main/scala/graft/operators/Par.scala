@@ -67,4 +67,48 @@ private[graft] object Par {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p, cols: _*) else df
   }
+
+  /** Rows per partition that amortize this engine's per-task fixed
+    * cost (~100-200 ms: plan deserialization, codegen cache lookup,
+    * fetch setup) against the iterative families' per-row join/agg
+    * work (~100-200 ns/row): ~1M rows ≈ parity, so below it the task
+    * is scheduling-bound and wider is strictly worse.
+    */
+  val RowsPerSlice: Long =
+    sys.env.getOrElse("SPARK_GRAFT_ROWS_PER_SLICE", "1048576").toLong
+
+  /** Partition count for a loop-invariant relation of `rows` rows that
+    * every ROUND of an iterative query re-joins (r21, guide §2.5/§2.6
+    * applied to the per-round FIXED cost): the iterative families'
+    * rounds are byte-tiny but the cached edge partitioning forces
+    * every round's labels exchange AND join stage to ITS width — at
+    * the old constant (session shuffle partitions) a 40 k-edge graph
+    * paid 32 tasks × ~6 stages × rounds of pure scheduling (the whole
+    * 4.7 s wall of q_report_components). Derived from row count, the
+    * width is 1 for small graphs and grows with the data —
+    * scale-adaptive, not tuned to either local mode or the cluster
+    * (a 10 B-edge production graph gets ~10 k slices).
+    */
+  def roundWidth(rows: Long): Int =
+    math.max(1L, math.min((rows + RowsPerSlice - 1) / RowsPerSlice,
+      1 << 20)).toInt
+
+  /** Size-adaptive NO-SHUFFLE compaction of a small scan (r21): lake
+    * artifact tables are written 16-way bucketed so writes
+    * parallelize, and Spark's split packing assigns each tiny file its
+    * own task (maxSplitBytes degenerates to openCostInBytes when the
+    * byte mass is small) — so every read of a KB-sized artifact costs
+    * ~16 tasks × ~100 ms fixed, and the iterative families re-scan
+    * per round. `coalesce` to ⌈plan-estimated bytes /
+    * maxPartitionBytes⌉ merges those file splits without an exchange;
+    * a big artifact (estimate ≥ one split per existing task) keeps
+    * its width — coalesce can only narrow, so at scale this is a
+    * no-op by construction. Plan-stat based: no job, no extra pass.
+    */
+  def compactScan(df: DataFrame): DataFrame = {
+    val maxB = BigInt(df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val w = ((bytes + maxB - 1) / maxB).max(1).min(1 << 20).toInt
+    df.coalesce(w)
+  }
 }

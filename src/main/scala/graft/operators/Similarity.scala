@@ -2348,15 +2348,18 @@ object Similarity {
 
   private[graft] def knnGraphIndex(s: SparkSession, dir: String): DataFrame =
     knnGraphCache.getOrElseUpdate(s, dir)(
-      graft.sources.ArtifactStore.materialize(s, "similarity.knnGraph",
-        dir) {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id")
-          .orderBy(col("score_micro").desc, col("nbr"))
-        knnScoredCandidates(s, dir)
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= KnnGraphK)
-      })
+      // compactScan (r21): the walk re-joins this handle per round —
+      // merge the 16-way artifact file splits once, shuffle-free
+      Par.compactScan(
+        graft.sources.ArtifactStore.materialize(s, "similarity.knnGraph",
+          dir) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("vec_id")
+            .orderBy(col("score_micro").desc, col("nbr"))
+          knnScoredCandidates(s, dir)
+            .withColumn("rn", row_number().over(w).cast("long"))
+            .filter(col("rn") <= KnnGraphK)
+        }))
 
   val sKnnGraph: Q = Q(
     (s, dir) => knnGraphIndex(s, dir).orderBy("vec_id", "rn"),

@@ -12,21 +12,37 @@ import java.nio.file.{Files, Paths}
   * SPARK_GRAFT_ARTIFACT_DIR at a warm root for representative plans.
   *
   * Usage: runMain graft.tools.PlanDump <sfDir> <outDir> [q1,q2,...]
+  *
+  * SPARK_GRAFT_PLAN_FINAL=1 EXECUTES each query first (via the plan's
+  * own toRdd, so the dumped AdaptiveSparkPlan is the one that ran) and
+  * dumps the FINAL adaptive plan (`isFinalPlan=true`) — the r20
+  * verdict's ask: static dumps still show EnsureRequirements exchanges
+  * that AQE elides at runtime, so "exchange-free at runtime" claims
+  * need the executed plan as evidence.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
+    val runFinal = sys.env.get("SPARK_GRAFT_PLAN_FINAL").contains("1")
     val spark = graft.Settings.fromEnv().buildSession(aqe = true)
     new java.io.File(outDir).mkdirs()
     graft.SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
         try {
-          val plan = fn(spark, sfDir).queryExecution.explainString(
+          val qe = fn(spark, sfDir).queryExecution
+          if (runFinal) {
+            // run the EXACT physical plan being dumped (count()/noop
+            // would wrap it in a new QueryExecution); foreach(unit)
+            // materializes every partition without collecting rows
+            qe.toRdd.foreach(_ => ())
+          }
+          val plan = qe.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
           println(s"[plandump] $name ok")
+          spark.catalog.clearCache()
         } catch { case e: Throwable =>
           System.err.println(s"[plandump] $name failed: ${e.getMessage}")
         }
