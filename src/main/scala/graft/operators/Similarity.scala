@@ -529,10 +529,13 @@ object Similarity {
         ivfCellCol(ivfCodebook(s, dir)))
       val probe = assigned.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"), col("cell").as("pcell"))
-      // Par.fan on the DATA side only (r20): the k-cell argmin
-      // assignment is an interpreted per-row expression and ran on
-      // the one-task local scan; the probe row stays on the raw scan
-      Par.fan(emb.filter(col("vec_id") =!= 0), col("vec_id"))
+      // fan REMOVED (r21): with the encode kernels compiled
+      // (IvfCells/PqRecon/Sq8Recon/SqDistL2), per-row cost is sub-µs
+      // and the r20 fan's 32-task exchange of raw embeddings COST more
+      // than it saved at every SF (the r20 sf1 +2.0 s residual, and
+      // ~60-100 ms/task fixed cost × 32 at sf0.1); a wide corpus scan
+      // is already parallel without it
+      emb.filter(col("vec_id") =!= 0)
         .withColumn("cell", ivfCellCol(ivfCodebook(s, dir)))
         .join(broadcast(probe), col("cell") === col("pcell"))
         .select(col("vec_id"), col("label"), col("cell"),
@@ -571,8 +574,8 @@ object Similarity {
         .select(col("embedding").as("probe"),
           explode(transform(slice(array_sort(cells), 1, NProbe),
             c => c.getField("cell"))).as("pcell"))
-      // Par.fan on the data side (r20) — see sAnnIvf
-      Par.fan(emb.filter(col("vec_id") =!= 0), col("vec_id"))
+      // fan removed (r21) — see sAnnIvf
+      emb.filter(col("vec_id") =!= 0)
         .withColumn("cell", array_min(cells).getField("cell"))
         .join(broadcast(probe), col("cell") === col("pcell"))
         .select(col("vec_id"), col("label"), col("cell"),
@@ -614,8 +617,8 @@ object Similarity {
         .select(col("embedding").as("probe"),
           explode(transform(slice(array_sort(cells), 1, NProbe),
             c => c.getField("cell"))).as("pcell"))
-      // Par.fan on the data side (r20) — see sAnnIvf
-      Par.fan(emb.filter(col("vec_id") =!= 0), col("vec_id"))
+      // fan removed (r21) — see sAnnIvf
+      emb.filter(col("vec_id") =!= 0)
         .withColumn("cell", array_min(cells).getField("cell"))
         .filter(col("label") % 2 === 1)
         .join(broadcast(probe), col("cell") === col("pcell"))
@@ -727,26 +730,14 @@ object Similarity {
     * bound ONCE as a lambda variable (the fingerprint idiom) so
     * projection collapse cannot re-derive it per subspace×centroid.
     */
-  private def pqRecon(codebook: Array[(Long, Array[Long])]): Column = {
-    val em = microOf(col("embedding"))
-    element_at(transform(array(em), m =>
-      concat((0 until PqSub).map { j =>
-        val sub = slice(m, j * PqSubDim + 1, PqSubDim)
-        val best = array_min(array(codebook.map { case (lbl, cvec) =>
-          val scvec = cvec.slice(j * PqSubDim, (j + 1) * PqSubDim)
-          struct(
-            aggregate(zip_with(sub, typedlit(scvec.toSeq),
-              (x, c) => (x - c) * (x - c)), lit(0L), (acc, d) => acc + d)
-              .as("dist"),
-            lit(lbl).as("cell"))
-        }: _*)).getField("cell")
-        val cbm = map_from_arrays(
-          typedlit(codebook.map(_._1).toSeq),
-          typedlit(codebook.map(_._2.slice(j * PqSubDim,
-            (j + 1) * PqSubDim).toSeq).toSeq))
-        element_at(cbm, best)
-      }: _*)), 1)
-  }
+  private def pqRecon(codebook: Array[(Long, Array[Long])]): Column =
+    // native fused kernel (graft.functions.PqRecon, r21 — the IvfCells
+    // treatment): the composed per-subspace argmin (map_from_arrays +
+    // array_min over zip_with/aggregate structs) evaluated as
+    // interpreted HOFs per row and broke whole-stage codegen for the
+    // encode stage (the s_ann_recall sweep's dominant CPU);
+    // VecKernelsSpec pins bit-equality against the composed form
+    graft.functions.PqRecon.recon(col("embedding"), codebook, PqSub)
 
   /** Per-row PQ CODES under the shipped codebook — the encode half of
     * [[pqRecon]] exposed on its own: the [[PqSub]] winning
@@ -758,21 +749,19 @@ object Similarity {
     * applied to the PQ code table).
     */
   private[graft] def pqCodesCol(
-      codebook: Array[(Long, Array[Long])]): Column = {
-    val em = microOf(col("embedding"))
-    element_at(transform(array(em), m =>
-      array((0 until PqSub).map { j =>
-        val sub = slice(m, j * PqSubDim + 1, PqSubDim)
-        array_min(array(codebook.map { case (lbl, cvec) =>
-          val scvec = cvec.slice(j * PqSubDim, (j + 1) * PqSubDim)
-          struct(
-            aggregate(zip_with(sub, typedlit(scvec.toSeq),
-              (x, c) => (x - c) * (x - c)), lit(0L), (acc, d) => acc + d)
-              .as("dist"),
-            lit(lbl).as("cell"))
-        }: _*)).getField("cell")
-      }: _*)), 1)
-  }
+      codebook: Array[(Long, Array[Long])]): Column =
+    // native fused kernel — see [[pqRecon]]
+    graft.functions.PqRecon.codes(col("embedding"), codebook, PqSub)
+
+  /** Integer ADC distance between the micro-quantized probe and a
+    * reconstruction column — the
+    * `aggregate(zip_with(micro(probe), recon, (x,c) -> (x-c)²), 0, +)`
+    * form as two fused kernels (graft.functions.MicroVec / SqDistL2,
+    * r21); VecKernelsSpec pins equality including null/ragged edges.
+    */
+  private def adcDist(probe: Column, recon: Column): Column =
+    graft.functions.SqDistL2.of(
+      graft.functions.MicroVec.of(probe, 1000000L), recon)
 
   val sAnnPq: Q = Q(
     (s, dir) => {
@@ -780,14 +769,11 @@ object Similarity {
       val emb = Tables.embeddings(s, dir)
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"))
-      // Par.fan (r20): the PQ reconstruction is an interpreted
-      // per-row codebook scan — 611 ms on the one-task local scan
-      Par.fan(emb.filter(col("vec_id") =!= 0), col("vec_id"))
+      // fan removed (r21) — see sAnnIvf
+      emb.filter(col("vec_id") =!= 0)
         .withColumn("recon", pqRecon(cb))
         .crossJoin(broadcast(probe))
-        .withColumn("approx_dist",
-          aggregate(zip_with(microOf(col("probe")), col("recon"),
-            (x, c) => (x - c) * (x - c)), lit(0L), (acc, d) => acc + d))
+        .withColumn("approx_dist", adcDist(col("probe"), col("recon")))
         .orderBy(col("approx_dist"), col("vec_id"))
         .limit(10)
         .select(col("vec_id"), col("label"), col("approx_dist"),
@@ -899,18 +885,12 @@ object Similarity {
     * bounds: code = (x−mn)·255 DIV (span+1) ∈ [0,255), recon = mn +
     * (2·code+1)·(span+1) DIV 510 — the cell midpoint. Map-only.
     */
-  private def sq8Recon(mn: Array[Long], span: Array[Long]): Column = {
-    val codes = zip_with(
-      zip_with(microOf(col("embedding")), typedlit(mn.toSeq),
-        (x, m) => x - m),
-      typedlit(span.toSeq), (d, sp) => idiv(d * 255, sp + 1))
-    zip_with(
-      zip_with(codes, typedlit(mn.toSeq),
-        (c, m) => struct(c.as("c"), m.as("m"))),
-      typedlit(span.toSeq),
-      (cm, sp) => cm.getField("m") +
-        idiv((cm.getField("c") * 2 + 1) * (sp + 1), lit(510L)))
-  }
+  private def sq8Recon(mn: Array[Long], span: Array[Long]): Column =
+    // native fused kernel (graft.functions.Sq8Recon, r21) — the
+    // four-deep zip_with chain ran interpreted per row; operands are
+    // provably non-negative so the kernel's plain floor division
+    // equals the composed idiv exactly (VecKernelsSpec pins it)
+    graft.functions.Sq8Recon.of(col("embedding"), mn, span)
 
   val sAnnSq8: Q = Q(
     (s, dir) => {
@@ -918,13 +898,11 @@ object Similarity {
       val emb = Tables.embeddings(s, dir)
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"))
-      // Par.fan (r20) — see sAnnPq
-      Par.fan(emb.filter(col("vec_id") =!= 0), col("vec_id"))
+      // fan removed (r21) — see sAnnIvf
+      emb.filter(col("vec_id") =!= 0)
         .withColumn("recon", sq8Recon(mn, span))
         .crossJoin(broadcast(probe))
-        .withColumn("approx_dist",
-          aggregate(zip_with(microOf(col("probe")), col("recon"),
-            (x, c) => (x - c) * (x - c)), lit(0L), (acc, d) => acc + d))
+        .withColumn("approx_dist", adcDist(col("probe"), col("recon")))
         .orderBy(col("approx_dist"), col("vec_id"))
         .limit(10)
         .select(col("vec_id"), col("label"), col("approx_dist"),
@@ -982,15 +960,13 @@ object Similarity {
         .withColumn("cell", ivfCellCol(cb))
       val probe = assigned.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"), col("cell").as("pcell"))
-      // Par.fan on the data side (r20) — see sAnnIvf/sAnnPq
-      Par.fan(Tables.embeddings(s, dir)
-          .filter(col("vec_id") =!= 0), col("vec_id"))
+      // fan removed (r21) — see sAnnIvf
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") =!= 0)
         .withColumn("cell", ivfCellCol(cb))
         .join(broadcast(probe), col("cell") === col("pcell"))
         .withColumn("recon", pqRecon(cb))
-        .withColumn("approx_dist",
-          aggregate(zip_with(microOf(col("probe")), col("recon"),
-            (x, c) => (x - c) * (x - c)), lit(0L), (acc, d) => acc + d))
+        .withColumn("approx_dist", adcDist(col("probe"), col("recon")))
         .orderBy(col("approx_dist"), col("vec_id"))
         .limit(10)
         .select(col("vec_id"), col("label"), col("cell"),
@@ -1054,14 +1030,12 @@ object Similarity {
         .select(col("embedding").as("probe"),
           explode(transform(slice(array_sort(cells), 1, NProbe),
             c => c.getField("cell"))).as("pcell"))
-      // Par.fan on the data side (r20) — see sAnnIvf/sAnnPq
-      Par.fan(emb.filter(col("vec_id") =!= 0), col("vec_id"))
+      // fan removed (r21) — see sAnnIvf
+      emb.filter(col("vec_id") =!= 0)
         .withColumn("cell", array_min(cells).getField("cell"))
         .join(broadcast(probe), col("cell") === col("pcell"))
         .withColumn("recon", pqRecon(cb))
-        .withColumn("approx_dist",
-          aggregate(zip_with(microOf(col("probe")), col("recon"),
-            (x, c) => (x - c) * (x - c)), lit(0L), (acc, d) => acc + d))
+        .withColumn("approx_dist", adcDist(col("probe"), col("recon")))
         .orderBy(col("approx_dist"), col("vec_id"))
         .limit(10)
         .select(col("vec_id"), col("label"), col("cell"),
@@ -1141,9 +1115,7 @@ object Similarity {
     assigned.filter(col("vec_id") =!= 0)
       .join(broadcast(probe), col("cell") === col("pcell"))
       .withColumn("recon", pqRecon(cb))
-      .withColumn("approx_dist",
-        aggregate(zip_with(microOf(col("probe")), col("recon"),
-          (x, c) => (x - c) * (x - c)), lit(0L), (acc, d) => acc + d))
+      .withColumn("approx_dist", adcDist(col("probe"), col("recon")))
       .orderBy(col("approx_dist"), col("vec_id"))
       .limit(RerankC)
       .select(col("vec_id"), col("label"),
@@ -2492,12 +2464,125 @@ object Similarity {
   val WalkRounds: Int =
     sys.env.getOrElse("SPARK_GRAFT_WALK_ROUNDS", "8").toInt
 
-  val sAnnGraphWalk: Q = Q(
-    (s, dir) => {
+  /** LOCAL FAST PATH for the walk (r21, the [[Dedup.propagate]]
+    * localFlood stance): when vectors AND graph edges each fit one
+    * slice, the whole beam search runs in a SINGLE zipPartitions task
+    * — the distributed loop's per-round cost is two broadcast-build
+    * jobs + one TakeOrdered + one eager checkpoint of byte-tiny state,
+    * ~45 stages × ~50 ms of pure scheduling at sf0.1 (and the rung is
+    * paid TWICE: standalone and inside the G15 recall sweep).
+    * Semantics are replicated exactly — the CosineSim fold (same
+    * index-order double accumulation), `round(cos·1e6)` via the same
+    * BigDecimal HALF_UP + truncating cast, (score DESC, vec_id) beam
+    * cuts, frontier ∪ neighbors expansion with vec 0 excluded — and
+    * WalkLocalSpec pins local ≡ distributed row-for-row on the real
+    * corpus. At scale the row gates fail and the distributed loop
+    * below runs unchanged.
+    */
+  private def localWalk(s: SparkSession, emb: DataFrame,
+      g: DataFrame): DataFrame = {
+    val labType = emb.schema("label").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("label", labType),
+      org.apache.spark.sql.types.StructField("score_micro",
+        org.apache.spark.sql.types.LongType)))
+    val beam = WalkBeam
+    val rounds = WalkRounds
+    val out = emb.select("vec_id", "label", "embedding").coalesce(1).rdd
+      .zipPartitions(g.select("vec_id", "nbr").coalesce(1).rdd) {
+        (eit, git) =>
+          val vecs = new java.util.HashMap[Long, (Any, Array[Float])]()
+          eit.foreach { r =>
+            vecs.put(r.getLong(0),
+              (r.get(1), r.getSeq[Float](2).toArray))
+          }
+          val adj = new java.util.HashMap[Long,
+            scala.collection.mutable.ArrayBuffer[Long]]()
+          git.foreach { r =>
+            adj.computeIfAbsent(r.getLong(0),
+              _ => scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+              r.getLong(1)
+          }
+          val probe = vecs.get(0L)
+          if (probe == null) Iterator.empty
+          else {
+            val pv = probe._2
+            val scores = new java.util.HashMap[Long, java.lang.Long]()
+            def score(id: Long): Long = {
+              val c = scores.get(id)
+              if (c ne null) return c.longValue()
+              val v = vecs.get(id)._2
+              // the CosineSim fold, then round(cos*1e6) exactly as
+              // Round(double)+Cast(long): BigDecimal HALF_UP, NaN/Inf
+              // pass through round and truncate in the cast
+              var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+              val n = math.min(v.length, pv.length)
+              val micro =
+                if (v.length != pv.length) 0L // null score never ranks
+                else {
+                  while (i < n) {
+                    val xi = v(i).toDouble; val yi = pv(i).toDouble
+                    dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+                  }
+                  val y = dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6
+                  if (y.isNaN || y.isInfinite) y.toLong
+                  else java.math.BigDecimal.valueOf(y)
+                    .setScale(0, java.math.RoundingMode.HALF_UP)
+                    .doubleValue().toLong
+                }
+              scores.put(id, micro)
+              micro
+            }
+            def cut(ids: Iterator[Long]): Array[Long] =
+              ids.filter(id => id != 0L && vecs.containsKey(id)).toArray
+                .distinct.sortBy(id => (-score(id), id)).take(beam)
+            // entry frontier: the beam smallest non-probe vec_ids
+            val entry = {
+              val all = vecs.keySet().iterator()
+              val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+              while (all.hasNext) { val id = all.next(); if (id != 0L) buf += id }
+              buf.sorted.take(beam)
+            }
+            var frontier = cut(entry.iterator)
+            for (_ <- 1 to rounds) {
+              val expand = scala.collection.mutable.LinkedHashSet.empty[Long]
+              frontier.foreach { id =>
+                val ns = adj.get(id)
+                if (ns != null) expand ++= ns
+              }
+              expand ++= frontier
+              frontier = cut(expand.iterator)
+            }
+            frontier.sortBy(id => (-score(id), id)).take(10).iterator
+              .map(id => org.apache.spark.sql.Row(
+                id, vecs.get(id)._1, score(id)))
+          }
+      }
+    s.createDataFrame(out, schema)
+      .orderBy(col("score_micro").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** The walk with an explicit path switch — `forceDistributed` is the
+    * spec seam that keeps the distributed loop testable at the gate
+    * SFs (WalkLocalSpec pins the two paths row-identical).
+    */
+  private[graft] def graphWalk(s: SparkSession, dir: String,
+      forceDistributed: Boolean = false): DataFrame = {
       val emb = Tables.embeddings(s, dir)
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"))
       val g = knnGraphIndex(s, dir).select("vec_id", "nbr")
+      if (!forceDistributed) {
+        val embRows = emb.count()
+        if (embRows > 0 && embRows <= Par.RowsPerSlice) {
+          val gRows = g.count()
+          if (gRows > 0 && gRows <= Par.RowsPerSlice)
+            return localWalk(s, emb, g)
+        }
+      }
       def scored(ids: DataFrame): DataFrame =
         emb.join(broadcast(ids.select("vec_id")), Seq("vec_id"))
           .crossJoin(broadcast(probe))
@@ -2520,7 +2605,10 @@ object Similarity {
       frontier
         .orderBy(col("score_micro").desc, col("vec_id"))
         .limit(10)
-    }, {
+  }
+
+  val sAnnGraphWalk: Q = Q(
+    (s, dir) => graphWalk(s, dir), {
       val rounds = (1 to WalkRounds).map { i =>
         s"""c$i AS (
            |  SELECT g.nbr AS vec_id
