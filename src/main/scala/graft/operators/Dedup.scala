@@ -1522,14 +1522,28 @@ object Dedup {
       val t = tokens(s, dir)
         .join(broadcast(ppjoinEvalDocs(s, dir)), "doc_id")
       val df = t.groupBy("tok").agg(count(lit(1)).as("n"))
+      // explicit width under the per-doc windows (r21): the window
+      // exchange is byte-tiny (~120 KB shuffled) but row-heavy (every
+      // token of the 1024 eval docs), so AQE's byte-targeted
+      // coalescing ran the rank+size windows as ONE 2-second task;
+      // an explicit doc_id repartition at kernel width is not
+      // coalescible and the windows reuse it (same key) — no second
+      // exchange
       val ranked = t.join(df, "tok")
+        .repartition(Par.slices(t), col("doc_id"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("n"), col("tok"))))
         .withColumn("sz", count(lit(1)).over(
           Window.partitionBy("doc_id")))
+      // (doc_id, tok) width under the pair enumeration (r21): the
+      // cand join probes per prefix ROW with fan-out = its token's
+      // bucket size, so a doc_id partitioning concentrates hot-token
+      // docs (measured 1.67 s hot task of a 1.68 s stage wall);
+      // keying by both spreads each doc's probes uniformly
       val prefix = ranked
         .filter(col("rn") <= col("sz") - expr("(sz + 1) DIV 2") + 1)
         .select("doc_id", "tok")
+        .repartition(Par.slices(t), col("doc_id"), col("tok"))
       val cand = prefix.select(col("doc_id").as("doc_a"), col("tok"))
         .join(prefix.select(col("doc_id").as("doc_b"), col("tok")), "tok")
         .filter(col("doc_a") < col("doc_b"))
