@@ -55,11 +55,18 @@ object Ids {
   def withOrderedId(df: DataFrame, keys: Seq[String], idCol: String,
       numParts: Int = 0): DataFrame = {
     val s = df.sparkSession
-    val parts =
-      if (numParts > 0) numParts
-      else s.sessionState.conf.numShufflePartitions
-    val sorted = df
-      .repartitionByRange(parts, keys.map(col): _*)
+    // numParts <= 0: leave the partition count to AQE (no explicit n
+    // ⇒ the range exchange is coalescible), r21: a KB-sized dim then
+    // checkpoints and stamps as 1-2 tasks instead of a fixed 32 of
+    // ~100 ms fixed cost each, while a fact-sized dim still gets the
+    // session's full shuffle width — scale-adaptive in both
+    // directions. Partition widths cannot change the assigned ids
+    // (range partitions preserve the global key order; coalescing
+    // merges ADJACENT ranges). Non-AQE sessions plan the same
+    // fixed-width exchange as before.
+    val sorted = (if (numParts > 0)
+        df.repartitionByRange(numParts, keys.map(col): _*)
+      else df.repartitionByRange(keys.map(col): _*))
       .sortWithinPartitions(keys.map(col): _*)
       .localCheckpoint(true)
     val schema = StructType(sorted.schema.fields :+

@@ -413,17 +413,27 @@ class QueriesSpec extends SparkSpec {
       "x" -> 5L, "z" -> 6L))
   }
 
-  test("Ids.withOrderedId: id-stage partitioning follows the session's " +
-    "shuffle.partitions unless overridden") {
+  test("Ids.withOrderedId: id-stage width is AQE-sizeable by default " +
+    "(never above the session width), explicit override wins, and " +
+    "ids are partitioning-invariant") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "7")
       val df = spark.range(1000).toDF("key")
-      assert(graft.operators.Ids.withOrderedId(df, Seq("key"), "id")
-        .rdd.getNumPartitions === 7,
-        "default must track spark.sql.shuffle.partitions, not a constant")
+      // r21: the default leaves the range exchange coalescible — a
+      // KB-sized dim materializes as 1-2 partitions instead of a
+      // fixed session width (and a fact-sized dim still spreads);
+      // the ceiling is the session conf, never a hardcoded constant
+      val dflt = graft.operators.Ids.withOrderedId(df, Seq("key"), "id")
+      assert(dflt.rdd.getNumPartitions <= 7,
+        "default must stay within the session's shuffle width")
       assert(graft.operators.Ids.withOrderedId(df, Seq("key"), "id", 3)
         .rdd.getNumPartitions === 3, "explicit override must win")
+      // and the assigned ids do not depend on the width
+      val a = dflt.orderBy("key").collect().map(_.toSeq)
+      val b = graft.operators.Ids.withOrderedId(df, Seq("key"), "id", 3)
+        .orderBy("key").collect().map(_.toSeq)
+      assert(a === b, "ids must be partitioning-invariant")
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
