@@ -613,11 +613,14 @@ object Dedup {
       bigEdges: Boolean = true): DataFrame = {
     val spark = labels0.sparkSession
     var labels = labels0.select("doc_id", "label")
-    // ONE count job over the (invariably checkpoint-backed) edge
-    // relation buys two scale decisions at once (r21, guide §2.5/§2.6
-    // + §8 "use what you know"): the LOCAL fast path below, and the
-    // width of the persisted edge partitioning for the loop.
-    val edgeCount = edges.select("doc_a", "doc_b").count()
+    // LIMIT-probed edge count (r21): the local-path gate only needs
+    // to know whether the relation exceeds one slice, and a LocalLimit
+    // stops each partition early — a full count of a multi-GB
+    // checkpointed edge set would scan every block just to learn
+    // "big". Under the cap the probe IS the exact count.
+    val gateRows = math.min(Par.RowsPerSlice, (Int.MaxValue - 2).toLong)
+    val edgeCount = edges.select("doc_a")
+      .limit(gateRows.toInt + 1).count()
     // LOCAL FAST PATH: when the whole edge relation fits one slice
     // (≤ Par.RowsPerSlice rows — tens of MB), the distributed loop is
     // pure per-stage fixed cost: ~6 byte-tiny stages × O(log diameter)
@@ -640,7 +643,7 @@ object Dedup {
       // no edges ⇒ the flood is already at its fixpoint (and a
       // 0-partition relation cannot zip)
       if (edgeCount == 0) return labels
-      if (edgeCount <= Par.RowsPerSlice) return localFlood(edges, labels)
+      if (edgeCount <= gateRows) return localFlood(edges, labels)
     }
     // The edge relation is the BIG, LOOP-INVARIANT side — shuffle it
     // ONCE: persisted hash-partitioned on the join key, the cached
@@ -675,8 +678,13 @@ object Dedup {
     // partitioning-invariant (min-label fixpoint).
     val edgesPart =
       if (bigEdges)
+        // over the probe cap the exact count is unknown — pay one
+        // real count (a block scan, amortized over every round) for
+        // the width
         edges.select("doc_a", "doc_b")
-          .repartition(Par.roundWidth(edgeCount), col("doc_b"))
+          .repartition(Par.roundWidth(
+            if (edgeCount > gateRows) edges.count() else edgeCount,
+            Par.RowsPerSlice / 4), col("doc_b"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else edges.select("doc_a", "doc_b")
     var prevRound: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] =

@@ -500,21 +500,42 @@ object Graph {
   val LpaRounds = 4
 
   private[graft] def lpa(und: DataFrame): DataFrame = {
-    val eb = und.select(col("a").as("src"), col("b").as("dst"))
+    // the edge relation is loop-invariant — shuffle it ONCE at a
+    // count-derived width and persist (r21, the propagate stance):
+    // un-persisted, every round re-derived it from the artifact scan
+    // twice, and with the compacted 1-task artifact read that
+    // serialized ~8 derivations of real hashing work at sf1
+    val eb0 = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    // lpa's rounds do join + two aggregations + an exchange write per
+    // edge (~1 µs/row) — slice ~8× denser than the propagate loop's
+    // join-only rounds
+    val eb = eb0.repartition(
+        Par.roundWidth(eb0.count(), Par.RowsPerSlice / 8), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = eb.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to LpaRounds) {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("node").orderBy(col("c").desc, col("label"))
+      // per-node majority via a MIN-STRUCT AGGREGATION, not a rank
+      // window (r21, guide §2.3 "aggregate before you shuffle"): the
+      // (node, label) count rows are unique per group, so the
+      // row_number() = 1 row under (c DESC, label ASC) is EXACTLY
+      // argmin of (-c, label) — an agg with map-side partials, where
+      // the window form sorted every candidate row in one
+      // AQE-coalesced task per round. Same rows out; the oracle keeps
+      // the row_number() form.
       labels = eb.join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("node", "label")
+        .groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("label")))
+          .as("top"))
+        .select(col("node"), col("top.label").as("label"))
     }
-    labels.select(col("node"), col("label").as("community"))
+    val out = labels.select(col("node"), col("label").as("community"))
+      .localCheckpoint(true)
+    eb.unpersist(blocking = false)
+    out
   }
 
   private def lpaSql: String = {

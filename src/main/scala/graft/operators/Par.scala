@@ -89,9 +89,19 @@ private[graft] object Par {
     * scale-adaptive, not tuned to either local mode or the cluster
     * (a 10 B-edge production graph gets ~10 k slices).
     */
-  def roundWidth(rows: Long): Int =
-    math.max(1L, math.min((rows + RowsPerSlice - 1) / RowsPerSlice,
+  def roundWidth(rows: Long, perSlice: Long = RowsPerSlice): Int =
+    math.max(1L, math.min((rows + perSlice - 1) / perSlice,
       1 << 20)).toInt
+
+  /** Rows per slice for a compacted SCAN whose consumers derive real
+    * work from every row (union + hash + exchange write ≈ 0.5-1 µs a
+    * row): ~0.1-0.25 s per task — comfortably above the per-task
+    * fixed cost, far below the single-task serialization a byte
+    * target produced (parquet compresses a (long, long) edge ~10×,
+    * so 32 MB of file bytes is ~30M rows of derivation).
+    */
+  val ScanRowsPerSlice: Long =
+    sys.env.getOrElse("SPARK_GRAFT_SCAN_ROWS_PER_SLICE", "262144").toLong
 
   /** Size-adaptive NO-SHUFFLE compaction of a small scan (r21): lake
     * artifact tables are written 16-way bucketed so writes
@@ -99,16 +109,15 @@ private[graft] object Par {
     * own task (maxSplitBytes degenerates to openCostInBytes when the
     * byte mass is small) — so every read of a KB-sized artifact costs
     * ~16 tasks × ~100 ms fixed, and the iterative families re-scan
-    * per round. `coalesce` to ⌈plan-estimated bytes /
-    * maxPartitionBytes⌉ merges those file splits without an exchange;
-    * a big artifact (estimate ≥ one split per existing task) keeps
-    * its width — coalesce can only narrow, so at scale this is a
-    * no-op by construction. Plan-stat based: no job, no extra pass.
+    * per round. `coalesce` to ⌈rows / ScanRowsPerSlice⌉ merges those
+    * file splits without an exchange; a big artifact keeps (or
+    * exceeds-and-keeps) its natural width — coalesce can only narrow,
+    * so at scale this is a no-op by construction. Row-count based
+    * (one cheap count job per HANDLE creation — footer-only on plain
+    * parquet): the first cut used plan-estimated BYTES and
+    * single-tasked a 2.7 MB artifact that decompressed to ~3M edges
+    * of per-round derivation work at sf1.
     */
-  def compactScan(df: DataFrame): DataFrame = {
-    val maxB = BigInt(df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val w = ((bytes + maxB - 1) / maxB).max(1).min(1 << 20).toInt
-    df.coalesce(w)
-  }
+  def compactScan(df: DataFrame): DataFrame =
+    df.coalesce(roundWidth(df.count(), ScanRowsPerSlice))
 }
