@@ -41,28 +41,39 @@ package graft
   * map) when a query's plan changes on purpose; never to absorb host
   * noise. Queries added after the pin map (no entry) are exempt from
   * the suspect rule until the next regeneration.
+  *
+  * r21 regeneration (optimization round 2): the 40 queries whose
+  * execution paths changed on purpose (single-task union-find flood
+  * + local walk, compacted artifact scans, the PqRecon/Sq8Recon/
+  * MicroVec/SqDistL2/EditVariants kernels, the dropped ANN fans,
+  * ppjoin widths, overlapped star dim builds, AQE-sizeable id stage,
+  * lpa min-struct agg — see OPTIMIZATION_r21.md) re-pinned from the
+  * committed same-window A/B after-leg (bench_r21_after_ab.json,
+  * REPEAT=2, hf 1.182, steal_s 10.95 — legs are now steal-stamped),
+  * normalized by that leg's host factor. Improved lines pinned DOWN,
+  * per the standing discipline.
   */
 object BenchPins {
   val pins: Map[String, Double] = Map(
     "d_chunk_dup" -> 0.832,
-    "d_cluster_sizes" -> 0.085,
+    "d_cluster_sizes" -> 0.101,
     "d_contaminate" -> 0.886,
     "d_contaminate_bloom" -> 1.696,
     "d_curate_corpus" -> 1.238,
-    "d_dedup_card" -> 0.457,
-    "d_dedup_corpus" -> 0.156,
-    "d_dup_clusters" -> 0.061,
-    "d_dup_inflation" -> 0.224,
-    "d_dup_span_ratio" -> 0.137,
-    "d_edit_dup" -> 1.717,
-    "d_edit_dup2" -> 3.416,
-    "d_embed_clusters" -> 1.558,
+    "d_dedup_card" -> 0.316,
+    "d_dedup_corpus" -> 0.179,
+    "d_dup_clusters" -> 0.062,
+    "d_dup_inflation" -> 0.233,
+    "d_dup_span_ratio" -> 0.131,
+    "d_edit_dup" -> 1.445,
+    "d_edit_dup2" -> 2.772,
+    "d_embed_clusters" -> 0.394,
     "d_embed_dup" -> 0.118,
     "d_exact" -> 0.127,
     "d_incr_chunk" -> 0.844,
-    "d_incr_clusters" -> 2.259,
+    "d_incr_clusters" -> 1.552,
     "d_incr_dedup" -> 0.182,
-    "d_incr_edit" -> 0.132,
+    "d_incr_edit" -> 0.123,
     "d_lsh_jaccard" -> 2.552,
     "d_lsh_recall" -> 1.67,
     "d_lsh_recall_curve" -> 1.526,
@@ -71,7 +82,7 @@ object BenchPins {
     "d_minhash_lsh" -> 0.752,
     "d_ngram_jaccard" -> 0.409,
     "d_norm_exact" -> 0.204,
-    "d_ppjoin" -> 3.023,
+    "d_ppjoin" -> 2.111,
     "d_rung_overlap" -> 0.632,
     "d_semdedup" -> 0.603,
     "d_simhash" -> 0.201,
@@ -102,27 +113,27 @@ object BenchPins {
     "q_asof" -> 0.074,
     "q_ban_flags" -> 0.151,
     "q_band_join" -> 0.223,
-    "q_communities" -> 0.995,
+    "q_communities" -> 0.493,
     "q_cube" -> 0.347,
-    "q_edge_jaccard" -> 0.417,
+    "q_edge_jaccard" -> 0.448,
     "q_equidepth" -> 0.589,
-    "q_fof_reco" -> 0.931,
+    "q_fof_reco" -> 0.882,
     "q_funnel" -> 0.138,
     "q_heatmap" -> 0.232,
     "q_heatmap_daily" -> 0.395,
     "q_histogram" -> 0.166,
     "q_interval_attr" -> 0.143,
-    "q_kcore" -> 0.554,
+    "q_kcore" -> 0.283,
     "q_latency_hist" -> 0.259,
-    "q_mutual_reports" -> 0.216,
+    "q_mutual_reports" -> 0.279,
     "q_paths" -> 0.304,
     "q_pit_join" -> 0.331,
     "q_pivot" -> 0.297,
-    "q_ppr" -> 0.948,
+    "q_ppr" -> 0.752,
     "q_promo_share" -> 0.254,
-    "q_report_components" -> 2.179,
-    "q_report_triangles" -> 1.143,
-    "q_report_triangles_approx" -> 0.57,
+    "q_report_components" -> 0.335,
+    "q_report_triangles" -> 0.993,
+    "q_report_triangles_approx" -> 0.821,
     "q_retention" -> 0.228,
     "q_rfm" -> 0.206,
     "q_rollup" -> 0.387,
@@ -130,7 +141,7 @@ object BenchPins {
     "q_skew_keys" -> 0.12,
     "q_stats_hist" -> 0.25,
     "q_stickiness" -> 0.211,
-    "q_suspicion_rank" -> 0.342,
+    "q_suspicion_rank" -> 0.176,
     "q_table_stats" -> 0.465,
     "q_top_suppliers" -> 0.547,
     "q_user_topk" -> 0.154,
@@ -141,17 +152,17 @@ object BenchPins {
     "r_cache_join" -> 0.221,
     "r_clamp_gear" -> 0.095,
     "r_dead_letter" -> 0.39,
-    "r_dim_build" -> 0.325,
+    "r_dim_build" -> 0.386,
     "r_dim_gear9" -> 0.267,
     "r_dim_scd2" -> 0.228,
-    "r_dim_sighting" -> 0.831,
+    "r_dim_sighting" -> 0.645,
     "r_fact_antijoin" -> 0.602,
-    "r_fact_assemble" -> 2.139,
+    "r_fact_assemble" -> 1.373,
     "r_fact_full" -> 0.136,
     "r_parse_props" -> 0.101,
     "r_parse_route" -> 0.716,
-    "r_player_upsert" -> 0.848,
-    "r_resolve_v1" -> 1.808,
+    "r_player_upsert" -> 0.744,
+    "r_resolve_v1" -> 1.475,
     "r_sanitize_name" -> 0.088,
     "r_scd2_merge" -> 0.498,
     "r_sessionize" -> 0.277,
@@ -159,28 +170,28 @@ object BenchPins {
     "r_upsert_latest" -> 0.13,
     "r_upsert_report" -> 0.669,
     "r_validate_split" -> 0.294,
-    "s_ann_filtered" -> 0.366,
-    "s_ann_graph_walk" -> 2.364,
-    "s_ann_ivf" -> 0.382,
+    "s_ann_filtered" -> 0.239,
+    "s_ann_graph_walk" -> 0.245,
+    "s_ann_ivf" -> 0.212,
     "s_ann_ivf_km" -> 0.247,
     "s_ann_ivf_km_probe" -> 0.276,
-    "s_ann_ivf_probe" -> 0.423,
-    "s_ann_ivfpq" -> 0.535,
-    "s_ann_ivfpq_probe" -> 0.556,
+    "s_ann_ivf_probe" -> 0.244,
+    "s_ann_ivfpq" -> 0.259,
+    "s_ann_ivfpq_probe" -> 0.254,
     "s_ann_lsh" -> 0.085,
     "s_ann_multiprobe" -> 0.093,
-    "s_ann_pq" -> 0.4,
-    "s_ann_recall" -> 6.59,
-    "s_ann_rerank" -> 0.393,
-    "s_ann_sq8" -> 0.25,
+    "s_ann_pq" -> 0.19,
+    "s_ann_recall" -> 2.321,
+    "s_ann_rerank" -> 0.267,
+    "s_ann_sq8" -> 0.195,
     "s_centroids" -> 0.144,
     "s_cosine_topk" -> 0.16,
     "s_diverse_sample" -> 0.214,
     "s_embed_drift" -> 0.169,
-    "s_hybrid_topk" -> 1.549,
+    "s_hybrid_topk" -> 0.935,
     "s_kmeans" -> 0.868,
-    "s_knn_agreement" -> 0.182,
-    "s_knn_graph" -> 0.065,
+    "s_knn_agreement" -> 0.181,
+    "s_knn_graph" -> 0.058,
     "s_knn_join" -> 0.15,
     "s_knn_recall" -> 0.273,
     "s_knn_topk_agg" -> 0.221,
